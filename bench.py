@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect), after a shared
+session warm-up, best-of-1 — the same way the correctness driver invokes
+queries. Headline set = the ``bench=True`` queries in the registry (one per
+operator family: agg, having-agg, nested agg, slope, window dedup, star join,
+time window, text, near-dup, vector search).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+    from f1_bigdata_pyspark_spark.session import env_sf_dir, get_spark
+
+    sf_dir = env_sf_dir()
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM + parquet footer caches, not the query results
+    from f1_bigdata_pyspark_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for q in _REGISTRY.values():
+        if not q.bench:
+            continue
+        t0 = time.perf_counter()
+        rows = q.fn(spark, sf_dir).collect()
+        timings[q.name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

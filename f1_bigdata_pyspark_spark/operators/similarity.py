@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (LLM-pipeline scope).
+
+Brute-force cosine top-k is the exact baseline: one narrow map computing the
+score against a broadcast query vector + TakeOrdered — no shuffle of vector
+data, linear scan, trivially parallel at 100 TB.
+
+The scale path bounds the scanned set instead:
+- ``lsh_buckets``: random-hyperplane LSH — sign bits of dot(v, h_i) for
+  deterministic pseudo-random hyperplanes derived from xxhash64, giving a
+  b-bit bucket id; search only the query's bucket (and neighbors at higher
+  recall). Bucketing is again one narrow map.
+- ``ivf_assign``: IVF-style coarse quantization — assign each vector to the
+  nearest of k fixed centroids (first-k-by-id here; k-means on a sample in a
+  real pipeline), search only the query's cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+    Deterministic tie-break on id. Columns: vec_id, cos_sim."""
+    q = F.lit(query_vec).cast("array<double>")
+    scored = vectors.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def similarity_threshold(
+    vectors: DataFrame,
+    query_vec: list[float],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All vectors with cosine >= threshold (set-stable alternative to top-k
+    for oracle comparison). Columns: vec_id, cos_sim."""
+    q = F.lit(query_vec).cast("array<double>")
+    sim = cosine(F.col(vec_col), q)
+    return vectors.select(
+        F.col(id_col), F.round(sim, round_to).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def _hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j is a hash of
+    (plane_idx, j) mapped to [-1, 1). Pure expression — reproducible across
+    runs and engines without storing planes."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.concat(F.lit(f"hp{plane_idx}:"), j.cast("string")))
+            .cast("double")
+            / F.lit(float(2**63))
+        ),
+    )
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (0 .. 2^n_planes-1) per vector.
+    Columns: vec_id, bucket."""
+    dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"]
+    bits = [
+        F.when(dot(F.col(vec_col), _hyperplane(dim, p)) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        for p in range(n_planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return vectors.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket. Recall < 1 by
+    construction; at scale this is the candidate generator and
+    ``brute_force_topk`` over candidates is the re-ranker."""
+    buckets = lsh_buckets(vectors, n_planes, id_col, vec_col)
+    dim = len(query_vec)
+    q = F.lit(query_vec).cast("array<double>")
+    candidates = vectors.join(buckets, id_col)
+    # compute query bucket via a 1-row DataFrame through the same expressions
+    one = vectors.sparkSession.range(1).select(q.alias("qv"))
+    qbucket_bits = [
+        F.when(dot(F.col("qv"), _hyperplane(dim, p)) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        for p in range(n_planes)
+    ]
+    qb = qbucket_bits[0]
+    for b in qbucket_bits[1:]:
+        qb = qb + b
+    qbucket = one.select(qb.cast("int").alias("b")).collect()[0]["b"]
+    return (
+        candidates.filter(F.col("bucket") == qbucket)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid by cosine via broadcast
+    cross-join + keep-best (k centroids is small by construction).
+    Columns: vec_id, centroid_id, cos_sim."""
+    from pyspark.sql import Window
+
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,192 @@
+"""Text-analysis queries over the documents table (LLM-pipeline scope).
+
+Token counting, quality scoring, language-ID heuristic, fingerprinting —
+all built-in expressions (split / filter-lambda / md5), no Python UDFs, so
+a 100 TB corpus pass stays in whole-stage codegen with one aggregate shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_score,
+    quality_features,
+    token_count,
+)
+from f1_bigdata_pyspark_spark.queries.registry import query
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+# Q: token_stats_by_lang — token counting rolled up per language.
+# --------------------------------------------------------------------------
+@query(
+    "token_stats_by_lang",
+    oracle="""
+SELECT
+  lang,
+  count(*) AS n_docs,
+  sum(len(string_split(text, ' '))) AS total_tokens,
+  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+  round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    bench=True,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).cast("long").alias("total_tokens"),
+            F.round(F.avg(n_tokens), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: doc_quality — per-source quality scoring (mean word length, stopword
+# ratio), the filter stage of a training-data pipeline.
+# --------------------------------------------------------------------------
+@query(
+    "doc_quality",
+    oracle=f"""
+WITH q AS (
+  SELECT
+    source,
+    length(text) AS n_chars_m,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ({_sql_list(STOPWORDS)}))) AS n_stop
+  FROM documents
+)
+SELECT
+  source,
+  count(*) AS n_docs,
+  round(avg(CASE WHEN n_tokens = 0 THEN NULL
+                 ELSE (n_chars_m - (n_tokens - 1)) * 1.0 / n_tokens END), 6)
+    AS avg_word_len,
+  round(avg(CASE WHEN n_tokens = 0 THEN NULL
+                 ELSE n_stop * 1.0 / n_tokens END), 6) AS avg_stopword_ratio
+FROM q
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    enriched = docs.select(
+        "source",
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: lang_id_confusion — marker-lexicon language-ID heuristic vs the labeled
+# lang: argmax over per-language marker hit counts (ties → lexicographic
+# first, encoded identically in both engines via the greatest/CASE chain).
+# --------------------------------------------------------------------------
+_LANGS = sorted(LANG_MARKERS)  # de, en, es, fr, zh — tie-break order
+
+
+def _duckdb_lang_pred() -> str:
+    scores = ",\n    ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN "
+        f"({_sql_list(LANG_MARKERS[lg])}))) AS score_{lg}"
+        for lg in _LANGS
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in _LANGS) + ")"
+    case = " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in _LANGS)
+    return f"""
+WITH s AS (
+  SELECT lang,
+    {scores}
+  FROM documents
+), b AS (
+  SELECT lang, {best} AS best,
+         CASE {case} END AS lang_pred
+  FROM s
+)
+SELECT lang, lang_pred, count(*) AS n_docs
+FROM b
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
+@query("lang_id_confusion", oracle=_duckdb_lang_pred())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        *[lang_score(F.col("text"), lg).alias(f"score_{lg}") for lg in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
+    pred = F.when(F.col(f"score_{_LANGS[0]}") == best, F.lit(_LANGS[0]))
+    for lg in _LANGS[1:]:
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return (
+        scored.withColumn("lang_pred", pred)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: fingerprint_stats — md5 document fingerprinting per source: doc counts
+# vs distinct fingerprints (the dedup-rate report of a corpus pipeline;
+# reference analog: check_counts.py's count-vs-distinct sanity probes).
+# --------------------------------------------------------------------------
+@query(
+    "fingerprint_stats",
+    oracle="""
+SELECT
+  source,
+  count(*) AS n_docs,
+  count(DISTINCT md5(lower(trim(text)))) AS n_distinct_fp,
+  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,169 @@
+"""Time-series queries over the events table.
+
+The reference's "velocity" is simulated incremental batch (SURVEY.md §2.9);
+here the time dimension becomes first-class: tumbling/sliding window
+aggregation (the batch faces of the Structured Streaming operators in
+``streaming/``), event-order analytics via partitioned windows (lag), and
+keep-latest dedup.
+
+Scale notes: tumbling windows are plain groupBy on a derived bucket — one
+shuffle, partial-aggregated. lag/row_number windows partition by user/entity
+key, so state per partition stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# Q: events_hourly — tumbling 1-hour window aggregation (F.window batch face;
+# equals date_trunc on aligned windows).
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly",
+    oracle="""
+SELECT
+  date_trunc('hour', ts) AS hour_start,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 2) AS sum_value,
+  round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    bench=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: events_sliding — sliding 1h/30m window counts. The oracle enumerates the
+# two 30-minute-aligned starts covering each event (the exact semantics of
+# Spark's window(slideDuration)).
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding",
+    oracle="""
+WITH starts AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM starts
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: user_event_gaps — lag over a per-user window: mean inter-event gap in
+# seconds (extension of SURVEY.md §2.5, which notes the reference has no
+# lag/lead; partitioned window → scales by user key).
+# unix micros arithmetic keeps sub-second precision and is ANSI-cast-safe.
+# --------------------------------------------------------------------------
+@query(
+    "user_event_gaps",
+    oracle="""
+WITH g AS (
+  SELECT
+    user_id,
+    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT user_id,
+       count(gap_s) AS n_gaps,
+       round(avg(gap_s), 6) AS avg_gap_s,
+       round(max(gap_s), 6) AS max_gap_s
+FROM g
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    micros = F.unix_micros(F.col("ts"))
+    gaps = ev.withColumn(
+        "gap_s",
+        (micros - F.unix_micros(F.lag("ts").over(w))).cast("double") / F.lit(1e6),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: latest_event_per_user — keep-latest dedup (the reference's upsert
+# keep-latest semantics, SURVEY.md §7 step 4: row_number over key ordered by
+# recency desc).
+# --------------------------------------------------------------------------
+@query(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+        )
+        .orderBy("user_id")
+    )

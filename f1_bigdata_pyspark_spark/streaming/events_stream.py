@@ -1,0 +1,88 @@
+"""Structured Streaming equivalents of the events-table analytics.
+
+The reference simulates streaming with incremental idempotent batch upserts
+(reference: ``README.md:24-27``, ``ingest_season_laps.py:121-147``;
+SURVEY.md §2.9). Here the same semantics are expressed natively:
+
+- file-source stream (``maxFilesPerTrigger``) over the events parquet,
+- watermark + ``dropDuplicates`` on the event key = the unique-index upsert,
+- watermark + tumbling-window aggregation = the hourly rollup
+  (identical results to the batch ``events_hourly`` query — asserted in
+  tests via the foreachBatch/memory sink).
+
+Scale notes: watermark bounds state; the windowed agg is partial-aggregated
+before the shuffle exactly like its batch twin. ``availableNow`` triggers
+give batch-equivalent replay for backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import SCHEMAS
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over the events table. The ns-timestamp parquet is
+    read as raw nanos (same legacy conf as the batch loader) and converted
+    with exact integer division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming unique-key dedup — the reference's unique-index upsert
+    (S4/S5) as a native streaming operator."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling-window rollup; late rows beyond the watermark are
+    dropped, everything else matches the batch events_hourly query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+):
+    """Drive a streaming query to completion with availableNow (process all
+    available input, then stop) into an in-memory sink; returns the query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -1,0 +1,24 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a small intermediate that downstream operators reference
+    multiple times (signature tables, band tables), cutting lineage so the
+    self-joins don't recompute the producing stages.
+
+    ``localCheckpoint(eager=True)`` rather than ``cache()``: measured on this
+    Spark build, materializing a window-containing plan through the columnar
+    cache path took ~15x longer than computing it (74 s vs 4.4 s for a 16k-row
+    signature table) and even cached reads stayed slow; localCheckpoint
+    materializes the computed partitions as-is (5 s build, 0.4 s reuse).
+
+    Scale note: on a multi-executor cluster localCheckpoint is vulnerable to
+    executor loss; a production deployment would persist these tables to
+    parquet/Delta instead (same semantics — the operators only need a stable,
+    re-scannable intermediate).
+    """
+    return df.localCheckpoint(eager=True)
