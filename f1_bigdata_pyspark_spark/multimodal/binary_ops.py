@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+North-star scope: a 100 TB training-data pipeline carries image/audio/video
+as binary columns and runs decode / feature-extract / resize / frame-sample
+as Arrow-batched Pandas functions over ``mapInPandas``. The image/audio
+codecs are not in this container, so the *decode* step is stubbed (a
+deterministic fake, or ``NotImplementedError`` when a real codec is
+demanded); everything Spark-side — schema, batch iteration, partition
+preservation, UDF signatures — is real and tested.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches; peak memory per
+task is one batch (tune ``spark.sql.execution.arrow.maxRecordsPerBatch`` for
+fat payloads). No shuffle is introduced — extraction is a narrow map, and
+downstream aggregations see ordinary columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# payload + typed metadata, the multimodal table shape
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<codec: string, n_bytes: long>"
+)
+
+EXTRACTED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "fake_width int, fake_height int"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents fixture: the
+    utf-8 bytes of ``text`` play the role of an encoded payload."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake").alias("codec"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(payload: bytes, codec: str) -> bytes:
+    """Real decode would dispatch to an image/audio library; none ships in
+    this container. ``fake`` payloads pass through; anything else is an
+    explicit stub."""
+    if codec == "fake":
+        return payload
+    raise NotImplementedError(
+        f"codec {codec!r}: real decoders (PIL/ffmpeg) are not available in "
+        "this environment; only the deterministic 'fake' codec is wired"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas: byte length,
+    sha256, and deterministic fake dimensions derived from the digest (the
+    stand-in for a real decode→measure step)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            digests = [hashlib.sha256(bytes(p)).hexdigest() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha256": digests,
+                    # fake decode: dims derived from the first digest bytes
+                    "fake_width": [int(d[:4], 16) % 1920 for d in digests],
+                    "fake_height": [int(d[4:8], 16) % 1080 for d in digests],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=EXTRACTED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stand-in: emit one row per sampled offset of the
+    payload (what a video pipeline does per keyframe). Pure Spark-side
+    explode — the per-frame decode would slot into ``extract_features``."""
+    n_frames = F.greatest(
+        F.floor(F.octet_length("payload") / F.lit(every_n_bytes)).cast("int"),
+        F.lit(1),
+    )
+    return (
+        media.withColumn("__n", n_frames)
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("frame_idx"),
+        )
+        .withColumn("byte_offset", F.col("frame_idx") * F.lit(every_n_bytes))
+    )

@@ -599,3 +599,72 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: priority_price_stats — count/mean/median/p90 per group (reference: the
+# notebook's compound-level count/mean/median summary,
+# f1_project_report.ipynb cell 32 / SURVEY.md A12). Spark's exact median ==
+# DuckDB quantile_cont(0.5) (DuckDB's `median` is discrete for some types).
+# --------------------------------------------------------------------------
+@query(
+    "priority_price_stats",
+    oracle="""
+SELECT
+  o_orderpriority,
+  count(*) AS n_orders,
+  round(avg(o_totalprice), 6) AS avg_price,
+  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def priority_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.round(F.median("o_totalprice"), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_name_prefix — string scalar functions (lower/substring/concat/
+# length). The reference uses no string functions (SURVEY.md §2.8); these
+# enter with the extension scope.
+# --------------------------------------------------------------------------
+@query(
+    "customer_name_prefix",
+    oracle="""
+SELECT
+  lower(substring(c_name, 1, 9)) AS name_prefix,
+  count(*) AS n_customers,
+  round(avg(length(c_name)), 6) AS avg_name_len,
+  min(concat(c_mktsegment, ':', c_name)) AS first_tagged
+FROM customer
+GROUP BY 1
+ORDER BY name_prefix
+""",
+)
+def customer_name_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.lower(F.substring("c_name", 1, 9)).alias("name_prefix")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg(F.length("c_name")), 6).alias("avg_name_len"),
+            F.min(F.concat_ws(":", F.col("c_mktsegment"), F.col("c_name"))).alias(
+                "first_tagged"
+            ),
+        )
+        .orderBy("name_prefix")
+    )

@@ -30,8 +30,19 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events table. The ns-timestamp parquet is
     read as raw nanos (same legacy conf as the batch loader) and converted
-    with exact integer division."""
+    with exact integer division.
+
+    The file source requires a *directory*; the testdata table is a single
+    parquet file, so it is staged into a temp dir via symlink (zero-copy)."""
+    import os
+    import tempfile
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stage_dir, "events.parquet"),
+    )
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
@@ -39,7 +50,7 @@ def read_events_stream(
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(stage_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

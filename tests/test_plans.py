@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions — the 100 TB discipline as tests.
+
+A query that passes its oracle but scans all columns, skips pushdown, or
+shuffles the fact table for a dimension join is still wrong at scale; these
+tests pin the plan shapes (SURVEY.md §4, §6: each reference query = 1 agg
+exchange + 1 sort exchange).
+"""
+
+from __future__ import annotations
+
+from f1_bigdata_pyspark_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    count_shuffles,
+    formatted_plan,
+)
+from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+
+
+def q(name, spark, sf):
+    return _REGISTRY[name].fn(spark, sf)
+
+
+def test_pricing_summary_pushdown_and_shuffles(spark, sf_smoke):
+    df = q("pricing_summary", spark, sf_smoke)
+    assert_pushed_filters(df)
+    # 1 agg exchange + 1 final sort exchange; countDistinct adds an expand
+    # exchange — allow <= 3, never more
+    assert count_shuffles(df) <= 3
+
+
+def test_pricing_summary_prunes_columns(spark, sf_smoke):
+    plan = formatted_plan(q("pricing_summary", spark, sf_smoke))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    # only the 6 referenced columns may be read, not all 11
+    assert "l_orderkey" not in scan_lines[0]
+    assert "l_suppkey" not in scan_lines[0]
+
+
+def test_group_metrics_two_shuffles(spark, sf_smoke):
+    df = q("group_metrics_having", spark, sf_smoke)
+    assert count_shuffles(df) <= 2
+
+
+def test_slope_per_group_two_shuffles(spark, sf_smoke):
+    df = q("slope_per_group", spark, sf_smoke)
+    assert_pushed_filters(df)
+    assert count_shuffles(df) <= 2
+
+
+def test_star_join_broadcasts_dims(spark, sf_smoke):
+    df = q("revenue_by_nation", spark, sf_smoke)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    # the fact table must not be exchanged for the dimension joins: the only
+    # sort-merge/shuffled-hash join allowed is lineitem⋈orders
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_semi_anti_join_types(spark, sf_smoke):
+    anti = formatted_plan(q("customers_without_orders", spark, sf_smoke))
+    semi = formatted_plan(q("customers_with_big_orders", spark, sf_smoke))
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_topk_is_take_ordered(spark, sf_smoke):
+    plan = formatted_plan(q("top_k_orders", spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_keep_first_single_shuffle(spark, sf_smoke):
+    # partitioned row_number: exactly one exchange (by key) + final sort
+    df = q("dedup_keep_first", spark, sf_smoke)
+    assert count_shuffles(df) <= 2

@@ -1,0 +1,60 @@
+"""Structured Streaming faces: streaming results must equal their batch
+twins (the reference's simulated-velocity semantics, SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.streaming.events_stream import (
+    dedup_stream,
+    hourly_rollup_stream,
+    read_events_stream,
+    run_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events")
+
+
+def test_streaming_hourly_equals_batch(spark, sf_smoke, events_batch):
+    stream = read_events_stream(spark, sf_smoke)
+    q = run_to_memory(
+        hourly_rollup_stream(stream), "hourly_stream", output_mode="complete"
+    )
+    try:
+        got = {
+            (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM hourly_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_dedup_unique_keys(spark, sf_smoke, events_batch):
+    stream = read_events_stream(spark, sf_smoke)
+    q = run_to_memory(dedup_stream(stream), "dedup_stream", output_mode="append")
+    try:
+        n = spark.sql("SELECT count(DISTINCT event_id) c FROM dedup_stream").head()["c"]
+        total = spark.sql("SELECT count(*) c FROM dedup_stream").head()["c"]
+    finally:
+        q.stop()
+    assert n == total  # no duplicate keys survive
+    assert total == events_batch.select("event_id").distinct().count()
