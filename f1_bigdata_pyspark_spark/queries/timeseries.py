@@ -167,3 +167,41 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: event_props_json — semi-structured JSON extraction from the props
+# column (extension: the reference stores flat documents only; a training
+# pipeline carries JSON sidecars). get_json_object stays JVM-side.
+# --------------------------------------------------------------------------
+@query(
+    "event_props_json",
+    oracle="""
+SELECT
+  event_type,
+  count(*) AS n_events,
+  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+  sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+    AS n_missing_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_k"),
+        )
+        .orderBy("event_type")
+    )
