@@ -1,0 +1,329 @@
+"""Extended operator coverage: window frames, statistical aggregates,
+argmax, calendar rollups, rank distributions, cube, and two classic TPC-H
+query shapes over the synthetic star schema.
+
+These go beyond the reference's repertoire (SURVEY.md §2.4 notes what the
+reference lacks); they are the operators a user of a general engine expects,
+and Spark provides them natively — declared here so the oracle gate covers
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# Q: monthly_revenue — calendar bucketing (date_trunc month) + trend window
+# (lag over months for month-over-month delta).
+# --------------------------------------------------------------------------
+@query(
+    "monthly_revenue",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT month_start, n_orders, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month_start), 2) AS mom_delta
+FROM m
+ORDER BY month_start
+""",
+    bench=True,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month_start")  # ~80 months post-agg — tiny window
+    return (
+        monthly.withColumn(
+            "mom_delta",
+            F.round(F.col("revenue") - F.lag("revenue").over(w), 2),
+        )
+        .orderBy("month_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: corr_stats — correlation / covariance aggregates per group (the
+# statistical-aggregate family next to the reference's stddev_pop).
+# --------------------------------------------------------------------------
+@query(
+    "corr_stats",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: priciest_part_per_supplier — argmax (max_by): the part with the highest
+# extended price per supplier; deterministic via unique-max guard below.
+# max_by ties are engine-dependent, so the metric maximized (price, partkey)
+# is made unique by the partkey tiebreak inside a struct comparison.
+# --------------------------------------------------------------------------
+@query(
+    "priciest_part_per_supplier",
+    oracle="""
+SELECT l_suppkey, l_partkey AS top_partkey, round(l_extendedprice, 2) AS top_price
+FROM (
+  SELECT l_suppkey, l_partkey, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_partkey DESC
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+ORDER BY l_suppkey
+""",
+)
+def priciest_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.max_by(
+                "l_partkey", F.struct(F.col("l_extendedprice"), F.col("l_partkey"))
+            ).alias("top_partkey"),
+            F.round(F.max("l_extendedprice"), 2).alias("top_price"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: events_moving_avg — window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+# per-user 3-event moving average, summarized per user for a stable output.
+# --------------------------------------------------------------------------
+@query(
+    "events_moving_avg",
+    oracle="""
+WITH mv AS (
+  SELECT user_id,
+         avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+         ) AS mov3
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(avg(mov3), 6) AS avg_mov3,
+       round(max(mov3), 6) AS max_mov3
+FROM mv
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    mv = ev.withColumn("mov3", F.avg("value").over(w))
+    return (
+        mv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("mov3"), 6).alias("avg_mov3"),
+            F.round(F.max("mov3"), 6).alias("max_mov3"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_rank_distribution — percent_rank + ntile quartiles over the
+# supplier aggregate (rank-distribution family beyond dense_rank W1).
+# --------------------------------------------------------------------------
+@query(
+    "supplier_rank_distribution",
+    oracle="""
+WITH m AS (
+  SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_price
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, total_price,
+       round(percent_rank() OVER (ORDER BY total_price), 6) AS pr,
+       ntile(4) OVER (ORDER BY total_price, l_suppkey) AS quartile
+FROM m
+ORDER BY l_suppkey
+""",
+)
+def supplier_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price")
+    )
+    return (
+        m.withColumn(
+            "pr", F.round(F.percent_rank().over(Window.orderBy("total_price")), 6)
+        )
+        .withColumn(
+            "quartile",
+            F.ntile(4).over(Window.orderBy("total_price", "l_suppkey")),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: cube_qty — CUBE over (returnflag, linestatus): all grouping combinations
+# (rollup's sibling; NULL markers coalesced as in rollup_qty).
+# --------------------------------------------------------------------------
+@query(
+    "cube_qty",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: tpch_q3_shipping_priority — TPC-H Q3 shape: two joins, date filters on
+# both sides, revenue aggregate, top-10 by revenue.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    bench=True,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: tpch_q10_returned_items — TPC-H Q10 shape: returned-lineitem revenue per
+# customer over a quarter, top-20.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
