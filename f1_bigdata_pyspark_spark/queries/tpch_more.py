@@ -1,0 +1,357 @@
+"""Additional TPC-H-shaped queries widening the SQL surface (SURVEY.md §7
+step 3 — capability extension beyond the reference's zero-join repertoire).
+
+Each query is a classic TPC-H access pattern re-expressed on the driver's
+synthetic star schema, chosen to exercise a distinct physical plan shape:
+
+- forecast_revenue      (Q6)  — pure scan-filter-agg; predicate pushdown.
+- promo_revenue_share   (Q14) — conditional aggregate over a broadcast join.
+- small_quantity_revenue(Q17) — aggregate subquery joined back to the fact.
+- large_volume_customers(Q18) — having-filtered agg driving a semi-join-ish
+                                 lookup into orders/customer.
+- nation_market_share   (Q8)  — multi-dim star join + conditional share.
+- order_value_deciles         — ntile window with a unique sort key.
+- intersect_except_custkeys   — INTERSECT / EXCEPT set semantics.
+- distinct_users_by_type      — exact distinct aggregate (shuffle-heavy path).
+- price_quantiles_by_brand    — exact percentiles (continuous interpolation).
+
+Scale notes (100 TB): every dimension join is broadcast; the Q17 per-part
+average is a partial-aggregated shuffle on the join key itself so the re-join
+is co-partitioned; Q18's HAVING reduces before any wide join; the ntile
+window partitions by nothing but runs *after* reduction to one row per order
+(15k rows/sf — at full scale you'd ntile within a partition key or sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# Q: forecast_revenue — TPC-H Q6 shape: scan-filter-aggregate, no join.
+# The whole query should collapse to one parquet scan with pushed filters
+# plus a single-row partial+final agg.
+# --------------------------------------------------------------------------
+@query(
+    "forecast_revenue",
+    oracle="""
+SELECT
+  round(sum(l_extendedprice * l_discount), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+    bench=True,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: promo_revenue_share — TPC-H Q14 shape: conditional aggregate over a
+# broadcast part join; one shuffle total (the final single-row agg).
+# --------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle="""
+SELECT
+  round(
+    100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-09-01'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            6,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: small_quantity_revenue — TPC-H Q17 shape: per-part average quantity
+# (aggregate subquery) joined back to the fact table, then filter rows under
+# 20% of their part's average. The agg and the re-join share the l_partkey
+# partitioning, so AQE can plan the second join shuffle-free.
+# --------------------------------------------------------------------------
+@query(
+    "small_quantity_revenue",
+    oracle="""
+SELECT
+  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+) ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#13' AND l_quantity < qty_cut
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    cuts = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cuts, F.col("a_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: large_volume_customers — TPC-H Q18 shape: HAVING-filtered aggregate on
+# the fact key, then joined to orders + broadcast customer. The HAVING
+# reduces 4 rows/order to ~1/5 of orders *before* any join.
+# --------------------------------------------------------------------------
+@query(
+    "large_volume_customers",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, round(sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: nation_market_share — TPC-H Q8 shape: star join through the *supplier*
+# side (lineitem⋈supplier⋈nation⋈region + orders for the year), conditional
+# share of one nation within a region per year.
+# --------------------------------------------------------------------------
+@query(
+    "nation_market_share",
+    oracle="""
+SELECT
+  extract(year FROM o_orderdate) AS o_year,
+  round(sum(CASE WHEN n_name = 'NATION_3'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supplier), supplier.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), nation.n_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: order_value_deciles — ntile(10) window. Sort key is (o_totalprice,
+# o_orderkey) — unique, so tile assignment is engine-independent.
+# --------------------------------------------------------------------------
+@query(
+    "order_value_deciles",
+    oracle="""
+SELECT decile,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: intersect_except_custkeys — INTERSECT / EXCEPT (distinct set semantics):
+# customers that are both high-value and recent, and high-value-only.
+# --------------------------------------------------------------------------
+@query(
+    "intersect_except_custkeys",
+    oracle="""
+WITH hv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000),
+     rc AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM hv INTERSECT SELECT * FROM rc)) AS n_both,
+  (SELECT count(*) FROM (SELECT * FROM hv EXCEPT SELECT * FROM rc)) AS n_hv_only
+""",
+)
+def intersect_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hv = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey").distinct()
+    rc = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    both = hv.intersect(rc).agg(F.count(F.lit(1)).alias("n_both"))
+    hv_only = hv.subtract(rc).agg(F.count(F.lit(1)).alias("n_hv_only"))
+    return both.crossJoin(hv_only)
+
+
+# --------------------------------------------------------------------------
+# Q: distinct_users_by_type — exact COUNT(DISTINCT) per group: the expand +
+# two-phase-agg path (Spark rewrites distinct aggs into a double shuffle).
+# --------------------------------------------------------------------------
+@query(
+    "distinct_users_by_type",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: price_quantiles_by_brand — exact continuous percentiles (Spark
+# `percentile` == DuckDB `quantile_cont`, both linear interpolation).
+# --------------------------------------------------------------------------
+@query(
+    "price_quantiles_by_brand",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+       round(quantile_cont(p_retailprice, 0.50), 4) AS p50,
+       round(quantile_cont(p_retailprice, 0.75), 4) AS p75
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def price_quantiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.percentile("p_retailprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("p_retailprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("p_retailprice", F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("p_brand")
+    )
