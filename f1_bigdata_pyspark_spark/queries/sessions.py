@@ -1,0 +1,153 @@
+"""Sessionization and as-of join — the two classic event-stream operators a
+training-data / clickstream pipeline needs that plain SQL aggregation does
+not give directly (capability extension; the reference's only temporal
+notion is per-race batch ingest, ``ingest_season_laps.py:121-147``).
+
+Both are expressed relationally (window functions over a per-user
+partition), so they scale horizontally: state for one user never crosses an
+executor, and the only shuffle is the hash partition on ``user_id``.
+
+- user_sessions: gap-based sessionization (30-min inactivity), the batch
+  twin of Structured Streaming's ``session_window`` — lag → new-session
+  flag → running sum = session id. All time math is done on integer
+  microseconds (``unix_micros``) so the DuckDB oracle computes bit-identical
+  values.
+- asof_click_before_purchase: for every purchase, the most recent prior (or
+  simultaneous) click by the same user — the as-of join. Implemented as a
+  tagged union + ``last(ignorenulls)`` running window rather than a range
+  join: one shuffle on user_id, no candidate blow-up, works at any key
+  cardinality. Oracle uses DuckDB's native ASOF LEFT JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.queries.registry import query
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in microseconds
+
+
+# --------------------------------------------------------------------------
+# Q: user_sessions — gap-based sessionization per user.
+# --------------------------------------------------------------------------
+@query(
+    "user_sessions",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+), f AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), g AS (
+  SELECT user_id, sess, count(*) AS n_events,
+         max(ts_us) - min(ts_us) AS dur_us
+  FROM s GROUP BY user_id, sess
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       sum(n_events) AS n_events,
+       round(sum(dur_us) / (count(*) * 1000000.0), 3) AS avg_session_s
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+    bench=True,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn("sess", F.sum("new_s").over(run))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(
+                F.sum("dur_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 3
+            ).alias("avg_session_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: asof_click_before_purchase — as-of join via tagged union + running
+# last(ignorenulls). Gap stats kept in integer microseconds until the final
+# division so both engines compute the identical double.
+# --------------------------------------------------------------------------
+@query(
+    "asof_click_before_purchase",
+    oracle="""
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+     m AS (
+       SELECT epoch_us(p.ts) - epoch_us(c_ts) AS gap_us
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts
+     )
+SELECT count(*) AS n_purchases,
+       count(gap_us) AS n_matched,
+       round(sum(gap_us) / (count(gap_us) * 1000000.0), 3) AS avg_gap_s
+FROM m
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts").alias("click_us"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(None).cast("long").alias("click_us"),
+        F.lit(1).alias("is_p"),
+    )
+    # order (ts_us, is_p) puts a simultaneous click before the purchase —
+    # the same tie rule as the oracle's `p.ts >= c.c_ts`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_us", F.last("click_us", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select((F.col("ts_us") - F.col("last_click_us")).alias("gap_us"))
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("gap_us").alias("n_matched"),
+        F.round(
+            F.sum("gap_us") / (F.count("gap_us") * F.lit(1_000_000.0)), 3
+        ).alias("avg_gap_s"),
+    )
