@@ -355,3 +355,41 @@ def price_quantiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: grouping_sets_revenue — explicit GROUPING SETS (not a rollup/cube
+# prefix chain) + grouping_id to disambiguate NULL-as-total from NULL-as-key.
+# --------------------------------------------------------------------------
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Spark's grouping_id bit order is reversed vs the column list; compute
+    # the oracle's gid explicitly from per-column grouping() bits.
+    gid = (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias(
+        "gid"
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid,
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )

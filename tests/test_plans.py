@@ -74,3 +74,56 @@ def test_dedup_keep_first_single_shuffle(spark, sf_smoke):
     # partitioned row_number: exactly one exchange (by key) + final sort
     df = q("dedup_keep_first", spark, sf_smoke)
     assert count_shuffles(df) <= 2
+
+
+# --- tpch_more / sessions plan shapes ------------------------------------
+
+
+def test_forecast_revenue_is_scan_filter_agg(spark, sf_smoke):
+    # TPC-H Q6 shape: all predicates pushed, single agg exchange, no join
+    df = q("forecast_revenue", spark, sf_smoke)
+    assert_pushed_filters(df)
+    assert count_shuffles(df) <= 1
+    assert "Join" not in formatted_plan(df)
+
+
+def test_promo_share_broadcasts_part(spark, sf_smoke):
+    df = q("promo_revenue_share", spark, sf_smoke)
+    assert_broadcast_join(df)
+    assert count_shuffles(df) <= 1  # only the final single-row agg
+
+
+def test_small_quantity_co_partitioned_rejoin(spark, sf_smoke):
+    # the per-part avg and the fact re-join share the l_partkey hash
+    # partitioning: 2 exchanges total, never one per join side
+    df = q("small_quantity_revenue", spark, sf_smoke)
+    assert_broadcast_join(df)
+    assert count_shuffles(df) <= 2
+
+
+def test_large_volume_reduces_before_join(spark, sf_smoke):
+    df = q("large_volume_customers", spark, sf_smoke)
+    assert_broadcast_join(df)
+    assert count_shuffles(df) <= 3
+
+
+def test_nation_market_share_broadcasts_all_dims(spark, sf_smoke):
+    df = q("nation_market_share", spark, sf_smoke)
+    plan = formatted_plan(df)
+    # supplier, nation, region all broadcast; lineitem⋈orders is the only
+    # shuffled join
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert count_shuffles(df) <= 3
+
+
+def test_user_sessions_single_user_partition(spark, sf_smoke):
+    # window + both groupBys all reuse the user_id hash partitioning:
+    # 1 data exchange + the final sort only
+    df = q("user_sessions", spark, sf_smoke)
+    assert count_shuffles(df) <= 2
+
+
+def test_asof_join_single_shuffle(spark, sf_smoke):
+    # tagged-union as-of join: one exchange on user_id + final 1-row agg
+    df = q("asof_click_before_purchase", spark, sf_smoke)
+    assert count_shuffles(df) <= 2
