@@ -97,3 +97,23 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def session_rollup_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming gap-based sessionization — the native stateful twin of the
+    batch ``user_sessions`` query (``queries/sessions.py``): Spark merges
+    events within ``gap`` of each other into one session window per user.
+
+    State is scoped per user_id partition (same single-shuffle layout as the
+    batch lag/sum form); with a watermark the session state is bounded and
+    evicted once the watermark passes a session's close."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

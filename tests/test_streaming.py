@@ -58,3 +58,29 @@ def test_streaming_dedup_unique_keys(spark, sf_smoke, events_batch):
         q.stop()
     assert n == total  # no duplicate keys survive
     assert total == events_batch.select("event_id").distinct().count()
+
+
+def test_streaming_sessions_match_batch(spark, sf_smoke, events_batch):
+    """session_window streaming sessionization == the batch lag/sum
+    sessionization (user_sessions) on per-user session counts and totals."""
+    from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+    from f1_bigdata_pyspark_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        session_rollup_stream,
+    )
+
+    stream = session_rollup_stream(read_events_stream(spark, sf_smoke))
+    run_to_memory(stream, "sessions_stream", output_mode="complete")
+    got = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events"
+            " FROM sessions_stream GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in _REGISTRY["user_sessions"].fn(spark, sf_smoke).collect()
+    }
+    assert got == want
