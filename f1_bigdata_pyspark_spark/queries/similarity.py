@@ -139,3 +139,16 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("centroid_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: label_centroid_cohesion — per-label embedding cluster cohesion via the
+# applyInPandas grouped-map operator (engine-side numpy; verified against a
+# driver-side numpy recomputation in tests, no SQL twin).
+# --------------------------------------------------------------------------
+@query("label_centroid_cohesion", oracle=None)
+def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.grouped_map import label_cohesion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_cohesion(emb).orderBy("label")

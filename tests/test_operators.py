@@ -137,3 +137,26 @@ def test_cosine_zero_norm_is_null(spark):
         [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
     )
     assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).head()["c"] is None
+
+
+def test_label_cohesion_matches_numpy(spark, sf_smoke):
+    """applyInPandas grouped-map cohesion == driver-side numpy ground truth."""
+    import numpy as np
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.operators.grouped_map import label_cohesion
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = {r.label: r for r in label_cohesion(emb).collect()}
+    rows = emb.collect()
+    by_label: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        mat = np.stack(vecs)
+        c = mat.mean(axis=0)
+        cos = mat @ c / (np.linalg.norm(mat, axis=1) * np.linalg.norm(c))
+        assert got[label].n_vectors == len(vecs)
+        assert abs(got[label].mean_cos - round(float(cos.mean()), 6)) <= 1e-6
+        assert abs(got[label].min_cos - round(float(cos.min()), 6)) <= 1e-6

@@ -1,0 +1,97 @@
+"""Physical-layout scale proofs: partition pruning and bucketed (co-located)
+joins. These are the two layout levers that matter most at 100 TB — a
+partition-pruned scan reads 1/N of the files, and a bucketed join removes
+the fact-table shuffle entirely. Both are asserted on the real plan, not
+assumed.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.plans.explain import count_shuffles, formatted_plan
+from f1_bigdata_pyspark_spark.sources.parquet import write_table
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="scale_layout_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_write_prunes(spark, sf_smoke, tmpdir):
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = f"{tmpdir}/orders_by_year"
+    write_table(orders, path, partition_cols=["o_year"])
+
+    pruned = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    plan = formatted_plan(pruned)
+    # the year predicate must be a PartitionFilter on the scan (directory
+    # pruning), not a post-scan Filter over all files
+    assert "PartitionFilters" in plan
+    line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "o_year" in line, plan
+    # and the result matches the unpartitioned filter
+    want = orders.filter(F.col("o_year") == 1997).count()
+    assert pruned.count() == want
+
+
+def test_bucketed_join_no_fact_shuffle(spark, sf_smoke, tmpdir):
+    """Pre-bucketing both sides on the join key removes every Exchange from
+    the join plan — the co-located join a 100 TB fact⋈fact needs."""
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders")
+    (
+        li.write.mode("overwrite")
+        .option("path", f"{tmpdir}/li_bucketed")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("path", f"{tmpdir}/orders_bucketed")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_bucketed")
+    )
+    lib = spark.table("li_bucketed")
+    orb = spark.table("orders_bucketed")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            lib.join(orb, lib.l_orderkey == orb.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted_plan(joined)
+        # bucketed sort-merge join: both scans read buckets, neither join
+        # side shuffles — the only exchange is the final small aggregation
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        assert count_shuffles(joined) <= 1, plan
+        # correctness unchanged vs the plain join
+        want = {
+            tuple(r)
+            for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {tuple(r) for r in joined.collect()}
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")

@@ -84,3 +84,41 @@ def test_streaming_sessions_match_batch(spark, sf_smoke, events_batch):
         for r in _REGISTRY["user_sessions"].fn(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals_match_batch(spark, sf_smoke, events_batch):
+    """applyInPandasWithState per-user running totals: after consuming the
+    whole stream, the last emitted row per user equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from f1_bigdata_pyspark_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(read_events_stream(spark, sf_smoke))
+    run_to_memory(stream, "user_totals_stream", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql(
+            # latest emission per user = the one with the max running count
+            "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+            "       max_by(sum_value, n_events) AS sum_value"
+            " FROM user_totals_stream GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in events_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, (n, s) in want.items():
+        gn, gs = got[u]
+        assert gn == n, (u, gn, n)
+        assert abs(gs - s) < 1e-6, (u, gs, s)
