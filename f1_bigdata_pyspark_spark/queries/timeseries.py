@@ -205,3 +205,88 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: value_tier_range_join — non-equi (range) join: each event lands in the
+# tier whose [lo, hi) interval contains its value. The tier table is tiny →
+# broadcast nested-loop is the right physical join; at 100 TB the fact side
+# still never shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "value_tier_range_join",
+    oracle="""
+SELECT tier, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+JOIN (VALUES ('micro', 0.0, 1.0), ('small', 1.0, 10.0),
+             ('medium', 10.0, 100.0), ('large', 100.0, 1e308))
+     AS t(tier, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY tier
+ORDER BY tier
+""",
+)
+def value_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [
+            ("micro", 0.0, 1.0),
+            ("small", 1.0, 10.0),
+            ("medium", 10.0, 100.0),
+            ("large", 100.0, 1e308),
+        ],
+        ["tier", "lo", "hi"],
+    )
+    return (
+        events.join(
+            F.broadcast(tiers),
+            (events.value >= tiers.lo) & (events.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: events_multires_rollup — hypertable-style continuous aggregate: the
+# daily rollup is computed FROM the hourly rollup (sums of sums), not from
+# raw events — the scale pattern where each resolution reuses the partials
+# of the finer one instead of re-scanning the corpus.
+# --------------------------------------------------------------------------
+@query(
+    "events_multires_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n_events, sum(value) AS sum_value
+  FROM events GROUP BY h, event_type
+)
+SELECT date_trunc('day', h) AS day, event_type,
+       count(*) AS n_hours,
+       sum(n_events) AS n_events,
+       round(sum(sum_value), 4) AS sum_value
+FROM hourly
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "h").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
