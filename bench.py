@@ -56,11 +56,11 @@ def main() -> None:
         .count()
     )
 
-    # two passes, per-query min: the host occasionally steals CPU for tens
-    # of seconds (hypervisor noisy neighbor), inflating whichever queries it
-    # overlaps; the min of two sweeps reports steady-state execution.
+    # three passes, per-query min: the host occasionally steals CPU for a
+    # minute or more (hypervisor noisy neighbor), inflating whichever queries
+    # it overlaps; the min across sweeps reports steady-state execution.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for q in _REGISTRY.values():
             if not q.bench:
                 continue

@@ -393,3 +393,100 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: orders_trailing_90d — RANGE frame window: for each order, that
+# customer's order count and spend over the trailing 90 days (value-based
+# frame on days-since-epoch, not row-based). Partitioned by customer — the
+# frame state never crosses an executor.
+# --------------------------------------------------------------------------
+@query(
+    "orders_trailing_90d",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       count(*) OVER w AS n_90d,
+       round(sum(o_totalprice) OVER w, 2) AS spend_90d
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS od
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY od
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""",
+)
+def orders_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "od"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.count(F.lit(1)).over(w).alias("n_90d"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: disjunctive_brand_revenue — TPC-H Q19 shape: OR of conjunctive
+# brand/size/quantity clauses across the join. Catalyst splits the common
+# part (the join key + p_size/l_quantity ranges) for pushdown and evaluates
+# the residual OR post-join — the pattern where naive engines lose pushdown
+# entirely.
+# --------------------------------------------------------------------------
+@query(
+    "disjunctive_brand_revenue",
+    oracle="""
+SELECT count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+""",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
