@@ -1,0 +1,134 @@
+"""Scalar/aggregate function-family breadth queries.
+
+The reference's scalar surface is tiny (arithmetic + casts, SURVEY.md §2.8);
+these queries pin the wider families a general engine must get right —
+dispersion aggregates (pop vs samp, the stddev_pop trap from SURVEY.md §7),
+string functions, and array (higher-order) functions over the embedding
+column. All stay JVM-side in whole-stage codegen; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# Q: dispersion_family — population vs sample variance/stddev side by side
+# (the reference deliberately uses stddev_pop; DuckDB's bare stddev is
+# sample — this query pins all four so the distinction can never silently
+# flip).
+# --------------------------------------------------------------------------
+@query(
+    "dispersion_family",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS mean_price,
+       round(var_pop(o_totalprice), 2) AS var_pop_price,
+       round(var_samp(o_totalprice), 2) AS var_samp_price,
+       round(stddev_pop(o_totalprice), 4) AS std_pop_price,
+       round(stddev_samp(o_totalprice), 4) AS std_samp_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def dispersion_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+            F.round(F.var_pop("o_totalprice"), 2).alias("var_pop_price"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var_samp_price"),
+            F.round(F.stddev_pop("o_totalprice"), 4).alias("std_pop_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_samp_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: string_functions_probe — substring/case/trim/replace/levenshtein over
+# documents, aggregated per source so the result is small and stable.
+# --------------------------------------------------------------------------
+@query(
+    "string_functions_probe",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(length(upper(text))), 4) AS avg_len,
+       round(avg(length(replace(text, ' ', ''))), 4) AS avg_len_nospace,
+       round(avg(levenshtein(substr(text, 1, 10), 'spark scan')), 4)
+         AS avg_lev10,
+       min(trim(substr(text, 1, 5))) AS min_prefix
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length(F.upper("text"))), 4).alias("avg_len"),
+            F.round(
+                F.avg(F.length(F.regexp_replace("text", " ", ""))), 4
+            ).alias("avg_len_nospace"),
+            F.round(
+                F.avg(
+                    F.levenshtein(F.substring("text", 1, 10), F.lit("spark scan"))
+                ),
+                4,
+            ).alias("avg_lev10"),
+            F.min(F.trim(F.substring("text", 1, 5))).alias("min_prefix"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_component_stats — array higher-order functions over the
+# embedding column, all JVM-side: element access, array max/min, and a
+# lambda reduction (sum of squares) via F.aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_component_stats",
+    oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(embedding[1]), 6) AS avg_first,
+       round(avg(list_aggregate(embedding, 'max')), 6) AS avg_max,
+       round(avg(list_aggregate(embedding, 'min')), 6) AS avg_min,
+       round(avg(list_sum(list_transform(embedding, x -> x * x))), 6)
+         AS avg_sumsq
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    sumsq = F.aggregate(
+        "e", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.element_at("e", 1)), 6).alias("avg_first"),
+            F.round(F.avg(F.array_max("e")), 6).alias("avg_max"),
+            F.round(F.avg(F.array_min("e")), 6).alias("avg_min"),
+            F.round(F.avg(sumsq), 6).alias("avg_sumsq"),
+        )
+        .orderBy("label")
+    )
