@@ -127,3 +127,30 @@ def test_asof_join_single_shuffle(spark, sf_smoke):
     # tagged-union as-of join: one exchange on user_id + final 1-row agg
     df = q("asof_click_before_purchase", spark, sf_smoke)
     assert count_shuffles(df) <= 2
+
+
+def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
+    """Every scan→(join)→groupBy→sort query stays within agg-exchange +
+    sort-exchange; the multires rollup gets one extra for its second level."""
+    budgets = {
+        "dispersion_family": 2,
+        "string_functions_probe": 2,
+        "embedding_component_stats": 2,
+        "hll_users_by_type": 2,
+        "sketch_merge_rollup": 2,
+        "grouping_sets_revenue": 2,
+        "orders_trailing_90d": 2,
+        "disjunctive_brand_revenue": 1,
+        "value_tier_range_join": 2,
+        "events_multires_rollup": 3,
+    }
+    for name, budget in budgets.items():
+        df = q(name, spark, sf_smoke)
+        got = count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+
+
+def test_range_join_broadcasts_tiers(spark, sf_smoke):
+    # the non-equi join must broadcast the tiny tier table, never shuffle
+    # or nested-loop the fact side against itself
+    assert_broadcast_join(q("value_tier_range_join", spark, sf_smoke))
