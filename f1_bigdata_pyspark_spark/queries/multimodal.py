@@ -30,7 +30,7 @@ from f1_bigdata_pyspark_spark.queries.registry import query
 SELECT
   source,
   count(*) AS n_media,
-  sum(octet_length(encode(text))) AS total_bytes,
+  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
   count(DISTINCT sha256(text)) AS n_distinct_payloads
 FROM documents
 GROUP BY source

@@ -479,7 +479,8 @@ SELECT
   count(DISTINCT o_custkey) AS n_custkeys,
   count(DISTINCT o_orderpriority) AS n_priorities,
   count(DISTINCT o_orderstatus) AS n_statuses,
-  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_null_priority,
+  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_priority,
   min(o_orderdate) AS first_order,
   max(o_orderdate) AS last_order
 FROM orders

@@ -57,7 +57,7 @@ WITH o AS (
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       sum(n_events) AS n_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        round(sum(dur_us) / (count(*) * 1000000.0), 3) AS avg_session_s
 FROM g GROUP BY user_id ORDER BY user_id
 """,

@@ -35,7 +35,7 @@ def _sql_list(words) -> str:
 SELECT
   lang,
   count(*) AS n_docs,
-  sum(len(string_split(text, ' '))) AS total_tokens,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
   round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
   round(avg(n_chars), 6) AS avg_chars
 FROM documents

@@ -182,7 +182,8 @@ SELECT
   count(*) AS n_events,
   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-  sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)
     AS n_missing_k
 FROM events
 GROUP BY event_type
@@ -267,7 +268,7 @@ WITH hourly AS (
 )
 SELECT date_trunc('day', h) AS day, event_type,
        count(*) AS n_hours,
-       sum(n_events) AS n_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        round(sum(sum_value), 4) AS sum_value
 FROM hourly
 GROUP BY day, event_type
