@@ -5,8 +5,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is timed end-to-end (plan + execute + collect), after a shared
-session warm-up, best-of-1 — the same way the correctness driver invokes
-queries. Headline set = the ``bench=True`` queries in the registry (one per
+session warm-up, over three sweeps reporting the per-query MIN (sheds
+hypervisor noisy-neighbor inflation) — invoked the same way the correctness
+driver invokes queries. Headline set = the ``bench=True`` queries in the registry (one per
 operator family: agg, having-agg, nested agg, slope, window dedup, star join,
 time window, text, near-dup, vector search).
 """

@@ -79,11 +79,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles (space-joined), for Jaccard/MinHash
     near-dup. Built from sequence+transform — stays in codegen."""
     toks = tokens(text)
-    # positions 0 .. size-n (empty array when the doc is shorter than n)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.transform(
+    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, not an empty
+    # array, and element_at(toks, 0) then errors under ANSI mode — so docs
+    # shorter than n must short-circuit to an explicit empty array.
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingled = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
+    )
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from f1_bigdata_pyspark_spark.functions.text import tokens, word_shingles
+from f1_bigdata_pyspark_spark.functions.text import tokens
 from f1_bigdata_pyspark_spark.utils import materialize
 
 
@@ -114,8 +114,11 @@ def minhash_candidates(
     sig = materialize(
         minhash_signatures(shingle_table(docs, id_col, text_col, shingle_n), num_hashes)
     )
-    # band bucket = hash of the band's min-hashes in index order
-    band_sig = (
+    # band bucket = hash of the band's min-hashes in index order.
+    # Materialized too: the self-join below reads it on BOTH sides, and
+    # without a checkpoint each side re-runs the groupBy/collect_list from
+    # sig — one redundant pass over num_hashes × n_docs rows.
+    band_sig = materialize(
         sig.withColumn("band", F.expr(f"i DIV {rows_per_band}"))
         .groupBy("doc", "band")
         .agg(

