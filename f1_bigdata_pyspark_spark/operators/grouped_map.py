@@ -24,7 +24,10 @@ COHESION_SCHEMA = (
 
 
 def _cohesion(pdf: pd.DataFrame) -> pd.DataFrame:
-    mat = np.stack(pdf["embedding"].to_numpy())  # (n, dim) float
+    # float64 BEFORE any arithmetic: the Arrow batch delivers float32
+    # arrays, and float32 centroid math drifts ~1e-7 from a double-precision
+    # oracle — enough to flip a 6-dp rounding.
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, dim)
     centroid = mat.mean(axis=0)
     cnorm = np.linalg.norm(centroid)
     norms = np.linalg.norm(mat, axis=1)

@@ -57,17 +57,18 @@ def similarity_threshold(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+_PLANE_STRIDE = 1_000_003  # prime stride decorrelates planes
+
+
 def _hyperplane(dim: int, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j is a hash of
-    (plane_idx, j) mapped to [-1, 1). Pure expression — reproducible across
-    runs and engines without storing planes."""
+    """Deterministic pseudo-random hyperplane: component j is
+    ``sin(stride·plane + j)`` — a closed-form quasi-random sequence in
+    [-1, 1] that ANY engine can recompute (DuckDB included), so LSH bucket
+    ids are oracle-checkable instead of engine-hash-private. Reproducible
+    across runs without storing planes."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.concat(F.lit(f"hp{plane_idx}:"), j.cast("string")))
-            .cast("double")
-            / F.lit(float(2**63))
-        ),
+        lambda j: F.sin(F.lit(float(_PLANE_STRIDE * plane_idx)) + j.cast("double")),
     )
 
 
@@ -76,11 +77,14 @@ def lsh_buckets(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (0 .. 2^n_planes-1) per vector.
-    Columns: vec_id, bucket."""
-    dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_df[0]["d"]
+    Columns: vec_id, bucket. Pass ``dim`` when known to skip the one-row
+    dimension probe job."""
+    if dim is None:
+        dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = dim_df[0]["d"]
     bits = [
         F.when(dot(F.col(vec_col), _hyperplane(dim, p)) >= 0, F.lit(1 << p)).otherwise(
             F.lit(0)
@@ -104,8 +108,8 @@ def lsh_topk(
     """ANN top-k: score only vectors in the query's LSH bucket. Recall < 1 by
     construction; at scale this is the candidate generator and
     ``brute_force_topk`` over candidates is the re-ranker."""
-    buckets = lsh_buckets(vectors, n_planes, id_col, vec_col)
     dim = len(query_vec)
+    buckets = lsh_buckets(vectors, n_planes, id_col, vec_col, dim=dim)
     q = F.lit(query_vec).cast("array<double>")
     candidates = vectors.join(buckets, id_col)
     # compute query bucket via a 1-row DataFrame through the same expressions
@@ -138,16 +142,23 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    round_to: int = 6,
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid by cosine via broadcast
     cross-join + keep-best (k centroids is small by construction).
-    Columns: vec_id, centroid_id, cos_sim."""
+    Columns: vec_id, centroid_id, cos_sim.
+
+    Scores are rounded BEFORE the argmax so near-ties resolve by the
+    centroid-id tiebreak identically in any double-precision engine —
+    the assignment is oracle-checkable, not a float-noise lottery."""
     from pyspark.sql import Window
 
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(centroid_id_col),
-        cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("cos_sim"),
+        F.round(
+            cosine(F.col(vec_col), F.col(centroid_vec_col)), round_to
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_sim").desc(), F.col(centroid_id_col).asc()

@@ -1,11 +1,12 @@
 """Similarity-search queries over the embeddings table (LLM-pipeline scope).
 
 The query vector is a fixed deterministic probe (vec_id 0's embedding,
-fetched driver-side — a tiny lookup, not a distributed collect). Threshold
-and top-k variants carry DuckDB oracles (list_cosine_similarity over
-double-cast lists — identical arithmetic to the Spark zip_with/aggregate
-expression); the ANN variants (LSH buckets, IVF cells) are engine-hash-based
-→ rows-only checks with recall asserted against the exact baseline in tests.
+fetched driver-side — a tiny lookup, not a distributed collect). Every
+query here carries a DuckDB oracle: exact variants via
+list_cosine_similarity over double-cast lists (identical arithmetic to the
+Spark zip_with/aggregate expression), and the ANN variants too — LSH planes
+are a closed-form sin() sequence and IVF argmax rounds before comparing, so
+the bucketing/assignment is engine-independent and hash-checkable.
 """
 
 from __future__ import annotations
@@ -109,9 +110,37 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q: ann_lsh_topk — LSH-bucketed ANN top-k (scale path; rows-only check).
+# Q: ann_lsh_topk — LSH-bucketed ANN top-k (scale path). Hyperplanes are the
+# closed-form sin(stride·plane + j) sequence (operators/similarity.py
+# ``_hyperplane``), so DuckDB recomputes the exact bucketing relationally —
+# a full value-hash check on an ANN operator, not a rows-only shrug.
 # --------------------------------------------------------------------------
-@query("ann_lsh_topk", oracle=None)
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS j FROM e
+), bits AS (
+  SELECT x.vec_id, p.p,
+         CASE WHEN sum(x.val * sin(1000003 * p.p + x.j)) >= 0
+              THEN CAST(1 << p.p AS INT) ELSE 0 END AS bit
+  FROM x CROSS JOIN range(6) AS p(p)
+  GROUP BY x.vec_id, p.p
+), buckets AS (
+  SELECT vec_id, CAST(sum(bit) AS INT) AS bucket FROM bits GROUP BY vec_id
+), q AS (
+  SELECT e.v AS qv, b.bucket AS qb
+  FROM e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e JOIN buckets b ON e.vec_id = b.vec_id CROSS JOIN q
+WHERE b.bucket = q.qb
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 20
+""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
@@ -121,9 +150,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q: ann_ivf_cells — IVF coarse assignment: cell sizes for k=16 fixed
 # centroids (first 16 vectors by id — deterministic stand-in for sampled
-# k-means centroids). Rows-only check.
+# k-means centroids). Scores round to 6 dp BEFORE the argmax in both
+# engines, so near-ties resolve by centroid id identically → hash-checked.
 # --------------------------------------------------------------------------
-@query("ann_ivf_cells", oracle=None)
+@query(
+    "ann_ivf_cells",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), best AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+  FROM scored
+)
+SELECT centroid_id, count(*) AS n_vecs
+FROM best WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id
+""",
+)
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = (
@@ -143,10 +193,38 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q: label_centroid_cohesion — per-label embedding cluster cohesion via the
-# applyInPandas grouped-map operator (engine-side numpy; verified against a
-# driver-side numpy recomputation in tests, no SQL twin).
+# applyInPandas grouped-map operator (engine-side float64 numpy). The DuckDB
+# twin states the same math relationally: centroid = per-dimension mean
+# (unnest + group by dim), cosine from sum-of-products — so the custom
+# Arrow-batched operator is held to a full value-hash check.
 # --------------------------------------------------------------------------
-@query("label_centroid_cohesion", oracle=None)
+@query(
+    "label_centroid_cohesion",
+    oracle="""
+WITH e AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT label, vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+  FROM e
+), cent AS (
+  SELECT label, dim, avg(val) AS c FROM x GROUP BY label, dim
+), parts AS (
+  SELECT x.label, x.vec_id,
+         sum(x.val * cent.c) AS dotvc,
+         sum(x.val * x.val) AS v2,
+         sum(cent.c * cent.c) AS c2
+  FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+  GROUP BY x.label, x.vec_id
+), cos AS (
+  SELECT label, vec_id, dotvc / (sqrt(v2) * sqrt(c2)) AS cs FROM parts
+)
+SELECT label, count(*) AS n_vectors,
+       round(avg(cs), 6) AS mean_cos,
+       round(min(cs), 6) AS min_cos,
+       round(quantile_cont(cs, 0.1), 6) AS p10_cos
+FROM cos GROUP BY label ORDER BY label
+""",
+)
 def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from f1_bigdata_pyspark_spark.operators.grouped_map import label_cohesion
 

@@ -399,7 +399,15 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q: orders_trailing_90d — RANGE frame window: for each order, that
 # customer's order count and spend over the trailing 90 days (value-based
 # frame on days-since-epoch, not row-based). Partitioned by customer — the
-# frame state never crosses an executor.
+# frame state never crosses an executor (plan test pins the single
+# o_custkey exchange).
+#
+# 100× path: this emits one row per ORDER, so the window state is O(orders
+# per customer). If per-order output is not required at full scale, first
+# reduce to daily partials per customer (groupBy(custkey, day) → count/sum
+# — map-side combined), then run the same RANGE frame over the partials:
+# identical trailing sums at day granularity with window state bounded by
+# 91 days per customer instead of raw order count.
 # --------------------------------------------------------------------------
 @query(
     "orders_trailing_90d",

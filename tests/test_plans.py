@@ -150,6 +150,20 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         assert got <= budget, (name, got, budget)
 
 
+def test_trailing_90d_single_customer_partition(spark, sf_smoke):
+    # the RANGE-frame window must ride ONE hash exchange keyed by customer
+    # (frame state never crosses an executor); the only other exchange is
+    # the final display sort — same discipline as user_sessions
+    df = q("orders_trailing_90d", spark, sf_smoke)
+    plan = formatted_plan(df)
+    hash_parts = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln
+    ]
+    assert hash_parts, plan
+    assert all("o_custkey" in ln for ln in hash_parts), plan
+    assert count_shuffles(df) <= 2
+
+
 def test_range_join_broadcasts_tiers(spark, sf_smoke):
     # the non-equi join must broadcast the tiny tier table, never shuffle
     # or nested-loop the fact side against itself
