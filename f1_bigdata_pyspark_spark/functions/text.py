@@ -68,6 +68,15 @@ def lang_score(text: Column, lang: str) -> Column:
     return count_in_list(tokens(text), LANG_MARKERS[lang])
 
 
+def md5_long(c: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5 parsed as an
+    int64. Identical in any engine with md5 + hex parsing (DuckDB:
+    ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``), so hash-derived
+    operators (MinHash, SimHash) stay oracle-checkable instead of
+    engine-private. Always in [0, 2^60) — shifts/sign are never an issue."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the lower-cased, trimmed
     text. md5 exists identically in Spark and DuckDB, so exact-dedup oracles

@@ -27,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from f1_bigdata_pyspark_spark.functions.text import tokens
+from f1_bigdata_pyspark_spark.functions.text import md5_long, tokens
+
+# Affine-rehash modulus: 2^31 - 1 (prime). With xm < P and a_i < P every
+# product stays under 2^62 — exact int64 arithmetic in any engine, no
+# overflow, no engine-specific hash.
+_P = 2_147_483_647
+_A_SEED = 1_103_515_245  # classic LCG multiplier; a_i = A_SEED*(i+1) mod P
+_B_STEP = 12_345
 from f1_bigdata_pyspark_spark.utils import materialize
 
 
@@ -81,19 +88,33 @@ def shingle_table(
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     """Long-form MinHash signature: one row per (doc, hash index) with the
-    min over shingles of the i-salted xxhash64. Columns: doc, i, mh.
+    min over shingles of the i-th affine rehash of a portable md5-derived
+    base hash: h_i(s) = (a_i · (md5_60(s) mod P) + b_i) mod P. Columns:
+    doc, i, mh.
+
+    Portable on purpose — every h_i is exact int64 arithmetic over md5, so
+    a DuckDB oracle recomputes the identical signature (engine-private
+    xxhash64 would force a rows-only check). Also cheaper: ONE string hash
+    per shingle, then integer-only rehashes, instead of num_hashes string
+    hashes.
 
     Long form on purpose: a wide ``agg(min_0 .. min_{N-1})`` compiles an
     N-wide codegen'd hash aggregate (~15 s janino compile measured at N=8 and
     N=32 alike), while explode-to-long keeps every stage narrow — N× the
     shuffled rows, but rows are 24 bytes and map-side combined."""
+    # everything in BIGINT: A_SEED*(i+1) overflows int32, and a_i*xm needs
+    # the full int64 range (products stay < 2^62 by construction)
+    i = F.col("i").cast("long")
+    a_i = (F.lit(_A_SEED).cast("long") * (i + 1)) % _P
+    h = (a_i * F.col("xm") + F.lit(_B_STEP).cast("long") * i) % _P
     return (
-        sh.select(
+        sh.select("doc", (md5_long(F.col("s")) % _P).alias("xm"))
+        .select(
             "doc",
+            "xm",
             F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-            "s",
         )
-        .select("doc", "i", F.xxhash64("i", "s").alias("h"))
+        .select("doc", "i", h.alias("h"))
         .groupBy("doc", "i")
         .agg(F.min("h").alias("mh"))
     )
@@ -114,7 +135,8 @@ def minhash_candidates(
     sig = materialize(
         minhash_signatures(shingle_table(docs, id_col, text_col, shingle_n), num_hashes)
     )
-    # band bucket = hash of the band's min-hashes in index order.
+    # band bucket = md5 of the band's min-hashes in index order (md5, not
+    # xxhash64, so the oracle computes the identical bucket).
     # Materialized too: the self-join below reads it on BOTH sides, and
     # without a checkpoint each side re-runs the groupBy/collect_list from
     # sig — one redundant pass over num_hashes × n_docs rows.
@@ -122,7 +144,7 @@ def minhash_candidates(
         sig.withColumn("band", F.expr(f"i DIV {rows_per_band}"))
         .groupBy("doc", "band")
         .agg(
-            F.xxhash64(
+            F.md5(
                 F.concat_ws(
                     ",",
                     F.transform(
@@ -156,23 +178,31 @@ def minhash_candidates(
     )
 
 
+SIMHASH_BITS = 60  # width of the portable md5-derived hash
+
+
 def simhash_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per doc: per-bit ±1 majority votes over token hashes,
+    """60-bit SimHash per doc: per-bit ±1 majority votes over token hashes,
     sign bits folded back with a bit_or aggregate. Columns: doc, simhash.
+
+    The token hash is the portable 60-bit md5-derived integer
+    (``functions.text.md5_long``) so a DuckDB oracle reproduces the exact
+    simhash — bit for bit — instead of settling for a rows-only check.
 
     Long form (explode bits → two narrow groupBys) for the same reason as
     ``minhash_signatures`` — a 64-wide conditional-sum aggregate is
-    codegen-compile-bound. Bit 63 is OR-folded, never summed, so there is no
-    additive overflow."""
+    codegen-compile-bound. The hash is 60 bits and non-negative, so
+    shiftright needs no unsigned variant and the bit_or fold never sees a
+    sign bit."""
     tok = docs.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
     )
     bits = tok.select(
         "doc",
-        F.xxhash64(F.col("t")).alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        md5_long(F.col("t")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
     )
     votes = bits.groupBy("doc", "b").agg(
         F.sum(

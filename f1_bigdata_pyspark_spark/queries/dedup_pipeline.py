@@ -1,10 +1,11 @@
 """Dedup queries over the documents table (LLM-pipeline scope).
 
-Exact and n-gram-Jaccard dedup carry DuckDB oracles; MinHash+LSH and SimHash
-use engine-specific hashing (xxhash64 is not in DuckDB), so they are declared
-without oracles → the driver records rows-only checks, and the Jaccard query
-serves as their semantic ground truth (tests assert LSH candidates ⊇
-high-Jaccard pairs).
+EVERY query here carries a DuckDB oracle — including MinHash+LSH and
+SimHash: their hashing is the portable md5-derived scheme
+(``functions.text.md5_long`` + exact int64 affine rehashes), so the oracle
+recomputes identical signatures, buckets, and estimates relationally. The
+exact n-gram-Jaccard query additionally serves as semantic ground truth for
+the LSH candidates (tests assert LSH candidates ⊇ high-Jaccard pairs).
 """
 
 from __future__ import annotations
@@ -90,9 +91,51 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q: minhash_lsh_candidates — MinHash(32)+LSH(8 bands) near-dup candidate
-# pairs with estimated Jaccard >= 0.2. No oracle (engine hash); rows-only.
+# pairs with estimated Jaccard >= 0.2. The oracle rebuilds the ENTIRE
+# pipeline in SQL — shingles, md5-derived base hash, 32 affine rehashes,
+# per-band bucket md5, bucket self-join, position-match estimate — byte-
+# identical to the Spark operator because every step is portable math.
 # --------------------------------------------------------------------------
-@query("minhash_lsh_candidates", oracle=None, bench=True)
+@query(
+    "minhash_lsh_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), xs AS (
+  SELECT doc,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS xm
+  FROM sh
+), sig AS (
+  SELECT doc, i.i AS i,
+         min((((1103515245 * (i.i + 1)) % 2147483647) * xm + 12345 * i.i)
+             % 2147483647) AS mh
+  FROM xs CROSS JOIN range(32) AS i(i)
+  GROUP BY doc, i.i
+), band AS (
+  SELECT doc, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc, band
+), pairs AS (
+  SELECT DISTINCT x.doc AS d1, y.doc AS d2
+  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc < y.doc
+)
+SELECT p.d1, p.d2,
+       round(CAST(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+             / 32.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sig s1 ON s1.doc = p.d1
+JOIN sig s2 ON s2.doc = p.d2 AND s2.i = s1.i
+GROUP BY p.d1, p.d2
+HAVING round(CAST(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+             / 32.0, 6) >= 0.2
+ORDER BY d1, d2
+""",
+    bench=True,
+)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -103,17 +146,81 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q: simhash_buckets — 64-bit SimHash per doc, aggregated by 16-bit prefix
-# band (candidate buckets for hamming-distance near-dup). No oracle.
+# Q: simhash_buckets — 60-bit SimHash per doc, aggregated by 16-bit prefix
+# band (candidate buckets for hamming-distance near-dup). The oracle
+# replays the bit-vote pipeline with the same portable md5-derived token
+# hash, so the buckets match exactly.
 # --------------------------------------------------------------------------
-@query("simhash_buckets", oracle=None)
+@query(
+    "simhash_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents
+), xs AS (
+  SELECT doc, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+), votes AS (
+  SELECT doc, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM xs CROSS JOIN range(60) AS b(b)
+  GROUP BY doc, b.b
+), sh AS (
+  SELECT doc,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc
+)
+SELECT simhash >> 44 AS band16, count(*) AS n_docs
+FROM sh GROUP BY band16 HAVING count(*) > 1 ORDER BY band16
+""",
+)
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_table(docs)
-    band = F.shiftrightunsigned(F.col("simhash"), 48)
+    # top 16 of the 60 hash bits = the candidate band
+    band = F.shiftrightunsigned(F.col("simhash"), 44)
     return (
         sh.groupBy(band.alias("band16"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .orderBy("band16")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_near_dup_pairs — embedding-cosine near-dup: all pairs with
+# rounded cosine >= 0.45 (d1 < d2). This is the exact baseline; at corpus
+# scale the identical cosine runs AFTER blocking by LSH bucket equality
+# (operators/similarity.lsh_buckets as the join key), which turns the
+# quadratic pair space into per-bucket pair spaces — the same
+# generate-then-verify split as MinHash LSH + ngram_jaccard_dups.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+ORDER BY d1, d2
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("vb")
+    )
+    cs = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cs.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+        .orderBy("d1", "d2")
     )

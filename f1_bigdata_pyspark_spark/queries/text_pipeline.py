@@ -190,3 +190,105 @@ def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: regex_token_stats — BPE-ish regex tokenization (letter runs / digit
+# runs / single punctuation marks — the pre-tokenizer split most BPE vocab
+# pipelines apply before merges), vs the whitespace count. Pure
+# regexp_extract_all + higher-order filter: JVM-side, codegen, one shuffle.
+# --------------------------------------------------------------------------
+_BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "regex_token_stats",
+    oracle=rf"""
+WITH r AS (
+  SELECT source,
+         regexp_extract_all(text, '{_BPE_SPLIT}') AS rt
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(rt)) AS BIGINT) AS total_rtokens,
+       round(avg(len(rt)), 6) AS avg_rtokens,
+       round(avg(len(list_filter(rt, t -> NOT regexp_matches(t, '^[A-Za-z0-9]')))
+                 * 1.0 / len(rt)), 6) AS avg_punct_ratio
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+)
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rt = F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), 0)
+    n_rt = F.size(rt)
+    n_punct = F.size(F.filter(rt, lambda t: ~t.rlike("^[A-Za-z0-9]")))
+    return (
+        docs.select("source", n_rt.alias("n_rt"), n_punct.alias("n_punct"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_rt").cast("long").alias("total_rtokens"),
+            F.round(F.avg("n_rt"), 6).alias("avg_rtokens"),
+            F.round(
+                F.avg(
+                    F.col("n_punct").cast("double") / F.col("n_rt").cast("double")
+                ),
+                6,
+            ).alias("avg_punct_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: rolling_fingerprint_stats — Karp–Rabin-style rolling hash over the
+# token stream: fold acc = (acc·131 + (md5_60(token) mod 2^20)) mod P. All
+# exact int64 arithmetic (portable, oracle-checkable), computed by a single
+# JVM-side F.aggregate fold per document — no explode, no extra shuffle.
+# Unlike the md5-of-whole-text fingerprint this composes incrementally, the
+# shape a streaming / chunked-document pipeline needs.
+# --------------------------------------------------------------------------
+@query(
+    "rolling_fingerprint_stats",
+    oracle="""
+WITH fp AS (
+  SELECT source,
+         list_reduce(
+           list_transform(string_split(text, ' '),
+                          t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                               % 1048576),
+           (a, x) -> (a * 131 + x) % 2147483647
+         ) AS rfp
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT rfp) AS n_distinct_rolling
+FROM fp
+GROUP BY source
+ORDER BY source
+""",
+)
+def rolling_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark's aggregate starts at 0: (0·131 + x0) mod P == x0, identical to
+    # DuckDB's list_reduce seeding with the first transformed element.
+    rfp = F.aggregate(
+        F.transform(tokens(F.col("text")), lambda t: md5_long(t) % 1_048_576),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 2_147_483_647,
+    )
+    return (
+        docs.select("source", rfp.alias("rfp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rfp").alias("n_distinct_rolling"),
+        )
+        .orderBy("source")
+    )
