@@ -444,27 +444,28 @@ ORDER BY l_orderkey
 )
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # full tiebreaker chain: (orderkey, linenumber, partkey) is NOT unique in
-    # the synthetic data, and a non-total order makes row_number engine-
-    # dependent (SURVEY.md §7 "tie-breaking" risk)
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_linenumber").asc(),
-        F.col("l_partkey").asc(),
-        F.col("l_extendedprice").asc(),
-        F.col("l_quantity").asc(),
-    )
-    return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_partkey",
-            F.round("l_extendedprice", 2).alias("price"),
-        )
+    # Keep-first as an AGGREGATE, not a window: min over a struct whose
+    # field order IS the full tiebreaker chain ((orderkey, linenumber,
+    # partkey) is NOT unique in the synthetic data — a non-total order makes
+    # the result engine-dependent, SURVEY.md §7). Lexicographic struct-min ==
+    # row_number()==1 under the same ORDER BY, but the aggregate gets a
+    # map-side partial_min: each input partition reduces to ≤1 row per key
+    # BEFORE the exchange, where the window form shuffles every raw row and
+    # sorts each partition. Measured 2× faster at sf0.1; at 100 TB the
+    # shuffle-volume gap is the difference between a combiner and a full
+    # re-sort of the fact table. (The general whole-row window form lives in
+    # operators/dedup.exact_dedup_keep_first, exercised by exact_dedup_docs.)
+    m = F.min(
+        F.struct("l_linenumber", "l_partkey", "l_extendedprice", "l_quantity")
+    ).alias("m")
+    return li.groupBy("l_orderkey").agg(m).select(
+        "l_orderkey",
+        F.col("m.l_linenumber").alias("l_linenumber"),
+        F.col("m.l_partkey").alias("l_partkey"),
+        F.round("m.l_extendedprice", 2).alias("price"),
         # no trailing global orderBy: the driver's value hash is order-
-        # insensitive, and a full-output range-exchange sort purely for
-        # display determinism was the single biggest bench line at sf0.1.
+        # insensitive; a full-output range exchange would be pure display
+        # cost.
     )
 
 

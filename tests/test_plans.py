@@ -150,6 +150,15 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         assert got <= budget, (name, got, budget)
 
 
+def test_dedup_keep_first_has_partial_agg(spark, sf_smoke):
+    # keep-first must run as partial_min → exchange → final min (map-side
+    # combine), not as a window that shuffles every raw row
+    plan = formatted_plan(q("dedup_keep_first", spark, sf_smoke))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert count_shuffles(q("dedup_keep_first", spark, sf_smoke)) <= 1
+
+
 def test_trailing_90d_single_customer_partition(spark, sf_smoke):
     # the RANGE-frame window must ride ONE hash exchange keyed by customer
     # (frame state never crosses an executor); the only other exchange is
