@@ -86,6 +86,48 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=EXTRACTED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<codec: string, n_bytes: long>, "
+    "target_width int, target_height int"
+)
+
+
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stand-in over mapInPandas: a real pipeline decodes, resamples
+    to (width, height), and re-encodes; without codecs the deterministic
+    fake resamples the BYTE stream to the target pixel count (truncate or
+    cycle-repeat), preserving the real pipeline's shape — binary in, binary
+    out, meta updated, one narrow Arrow-batched map, no shuffle. Payload
+    size becomes exactly width·height bytes (one fake byte per pixel)."""
+    n_out = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if not b:
+                    b = b"\x00"
+                reps = -(-n_out // len(b))  # ceil division
+                out.append((b * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "meta": [
+                        {"codec": m["codec"], "n_bytes": n_out}
+                        for m in pdf["meta"]
+                    ],
+                    "target_width": width,
+                    "target_height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stand-in: emit one row per sampled offset of the
     payload (what a video pipeline does per keyframe). Pure Spark-side

@@ -135,6 +135,43 @@ def lsh_topk(
     )
 
 
+def kmeans_step(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest centroid
+    (rounded-cosine argmax, id tiebreak — deterministic), then recompute
+    each centroid as the element-wise mean of its members. Returns the new
+    centroid table (centroid_id, centroid: array<double>); cells that lose
+    all members disappear, as in textbook Lloyd.
+
+    Fully relational: posexplode → (centroid, dim) mean → rebuild array via
+    ordered collect. Per iteration: one broadcast cross-join (k centroids is
+    small) + one narrow explode + two keyed aggregations — no driver-side
+    vector math, so a 100 TB corpus trains coarse IVF centroids with
+    map-side-combined partial sums. Iterate from a small deterministic seed
+    (e.g. first-k-by-id) or a sample."""
+    assigned = ivf_assign(
+        vectors, centroids, id_col, vec_col, round_to=round_to
+    ).select(id_col, "centroid_id")
+    members = assigned.join(
+        vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("v")),
+        id_col,
+    )
+    dims = members.select(
+        "centroid_id", F.posexplode(F.col("v")).alias("pos", "val")
+    )
+    means = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+    return means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

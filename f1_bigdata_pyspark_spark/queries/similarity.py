@@ -230,3 +230,73 @@ def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_cohesion(emb).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_kmeans_cells — the IVF *training* step: one Lloyd iteration from
+# the deterministic first-16 seed (assign → recompute means), then the
+# final cell assignment with per-cell cohesion. Iterative ML expressed
+# relationally — and still oracle-checked: the DuckDB twin unrolls the
+# iteration in CTEs (rounded-cosine argmax, per-dimension means, ordered
+# list rebuild) and must reproduce every cell count and cohesion value.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_kmeans_cells",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+), s1 AS (
+  SELECT e.vec_id, c0.cid,
+         round(list_cosine_similarity(e.v, c0.cv), 6) AS cs
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS rn
+    FROM s1) WHERE rn = 1
+), x1 AS (
+  SELECT a1.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+  FROM a1 JOIN e USING (vec_id)
+), m1 AS (
+  SELECT cid, pos, avg(val) AS m FROM x1 GROUP BY cid, pos
+), c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid
+), s2 AS (
+  SELECT e.vec_id, c1.cid,
+         round(list_cosine_similarity(e.v, c1.cv), 6) AS cs
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT vec_id, cid, cs FROM (
+    SELECT vec_id, cid, cs,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS rn
+    FROM s2) WHERE rn = 1
+)
+SELECT cid AS centroid_id, count(*) AS n_vecs, round(avg(cs), 6) AS avg_cos
+FROM a2 GROUP BY cid ORDER BY centroid_id
+""",
+)
+def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.similarity import kmeans_step
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    # one Lloyd iteration (materialized: the trained centroid table is tiny
+    # and feeds two downstream uses through a broadcast)
+    trained = materialize(kmeans_step(emb, seed))
+    cells = ivf_assign(emb, trained)
+    return (
+        cells.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos_sim"), 6).alias("avg_cos"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -92,6 +92,25 @@ def test_multimodal_extract_matches_python(spark, sf_smoke):
         assert 0 <= got["fake_height"] < 1080
 
 
+def test_resize_normalizes_payload_size(spark, sf_smoke):
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import resize
+
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    media = media_from_documents(docs)
+    out = resize(media, width=8, height=4).collect()
+    originals = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(out) == 10
+    for r in out:
+        b = bytes(r["payload"])
+        assert len(b) == 32  # exactly width*height bytes
+        assert r["meta"]["n_bytes"] == 32
+        assert (r["target_width"], r["target_height"]) == (8, 4)
+        # deterministic fake: cycle-repeat of the source bytes
+        src = originals[r["media_id"]] or b"\x00"
+        want = (src * (-(-32 // len(src))))[:32]
+        assert b == want
+
+
 def test_decode_stub_raises_for_real_codecs():
     assert decode_payload(b"xy", "fake") == b"xy"
     with pytest.raises(NotImplementedError, match="codec 'jpeg'"):
