@@ -498,3 +498,126 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: priority_order_exists — TPC-H Q4 shape: correlated EXISTS against the
+# fact table. Expressed as a LEFT SEMI join in Spark — Catalyst's
+# decorrelation target — so the lineitem side is filtered + deduped by the
+# join itself, never materialized per-order.
+# --------------------------------------------------------------------------
+@query(
+    "priority_order_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def priority_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    big_items = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    )
+    return (
+        orders.join(
+            big_items,
+            orders["o_orderkey"] == big_items["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_order_distribution — TPC-H Q13 shape: LEFT OUTER join keeping
+# zero-order customers, then the distribution of order counts. Two keyed
+# aggregations; the left join is the only place an inner join would be
+# silently wrong (it would drop the c_count=0 bucket).
+# --------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: dormant_rich_customers — TPC-H Q22 shape: scalar subquery (global avg
+# balance) + NOT EXISTS anti join, grouped by a name-digit cohort. The
+# scalar avg becomes a broadcast 1-row cross join; the NOT EXISTS a LEFT
+# ANTI join against urgent orders.
+# --------------------------------------------------------------------------
+@query(
+    "dormant_rich_customers",
+    oracle="""
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+eligible AS (
+  SELECT c_custkey, substring(c_name, 17, 2) AS cohort, c_acctbal
+  FROM customer, avg_bal WHERE c_acctbal > ab
+)
+SELECT cohort, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+FROM eligible e
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY cohort ORDER BY cohort
+""",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    eligible = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .select(
+            "c_custkey",
+            F.substring("c_name", 17, 2).alias("cohort"),
+            "c_acctbal",
+        )
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        eligible.join(
+            urgent,
+            eligible["c_custkey"] == urgent["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("cohort")
+    )

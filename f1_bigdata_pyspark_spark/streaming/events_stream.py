@@ -80,6 +80,18 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, key_col: str) -> DataFrame:
+    """Stream–static enrichment join: each micro-batch of the stream joins
+    the (broadcast) static dimension — the standard pattern for attaching
+    slowly-changing reference data to an event stream without any stateful
+    join machinery. The static side is planned per micro-batch, so a
+    refreshed dim table is picked up on the next trigger.
+
+    Scale notes: the stream side never shuffles for this join (broadcast
+    hash); state is zero because the static side is not a stream."""
+    return events.join(F.broadcast(dim), events["user_id"] == dim[key_col], "left")
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,

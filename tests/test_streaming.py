@@ -86,6 +86,40 @@ def test_streaming_sessions_match_batch(spark, sf_smoke, events_batch):
     assert got == want
 
 
+def test_stream_static_enrich_matches_batch(spark, sf_smoke, events_batch):
+    """Stream–static broadcast join == the same join run in batch: per-
+    segment event counts after enriching events with the customer dim."""
+    from f1_bigdata_pyspark_spark.streaming.events_stream import enrich_stream
+
+    dim = load_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = (
+        enrich_stream(read_events_stream(spark, sf_smoke), dim, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = run_to_memory(stream, "enrich_stream_agg", output_mode="complete")
+    try:
+        got = {
+            r["c_mktsegment"]: r["n_events"]
+            for r in spark.sql("SELECT * FROM enrich_stream_agg").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["c_mktsegment"]: r["n_events"]
+        for r in events_batch.join(
+            dim, events_batch["user_id"] == dim["c_custkey"], "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stateful_running_totals_match_batch(spark, sf_smoke, events_batch):
     """applyInPandasWithState per-user running totals: after consuming the
     whole stream, the last emitted row per user equals the batch aggregate."""
