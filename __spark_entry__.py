@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL twins; engine-hash-based ops (MinHash/SimHash/LSH/
-    IVF) are intentionally absent → rows-only checks."""
+    """DuckDB oracle SQL twins. Hash-derived ops (MinHash/SimHash/LSH/IVF)
+    use portable md5/sin-based math, so they carry full oracles too; only
+    the two HLL sketch queries are intentionally absent (approximate by
+    definition) → rows-only checks with accuracy pinned in tests."""
     return all_oracles()

@@ -557,12 +557,15 @@ ORDER BY custdist DESC, c_count DESC
 )
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # pre-aggregate the fact side BEFORE the join: the per-customer count is
+    # map-side combined, so the join exchange moves one row per customer
+    # instead of every raw order (the oracle's LEFT JOIN + count is the same
+    # math — count() over no match == COALESCE of a missing pre-agg row == 0)
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    per_cust = cust.join(
+        oc, cust["c_custkey"] == oc["o_custkey"], "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))

@@ -1,0 +1,44 @@
+"""foreachBatch idempotent upsert sink — the reference's simulated-velocity
+ingestion (per-race batches, bulk keep-latest upserts, unique key —
+``ingest_season_laps.py:80-108``, SURVEY.md §2.9/S4) as a NATIVE streaming
+sink: every micro-batch merges into the parquet target through
+``sources/parquet.upsert_keep_latest``, so replays and overlapping batches
+are no-ops per key.
+
+Scale notes: the merge window partitions by the upsert key (state bounded
+per key). The read-merge-overwrite cycle materializes the merged table
+before overwriting (the overwrite would otherwise destroy its own lazy
+input); on a real deployment this whole sink is one Delta/Iceberg
+``MERGE INTO`` per micro-batch with no materialize step — semantics
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from f1_bigdata_pyspark_spark.sources.parquet import (
+    assert_unique_key,
+    upsert_keep_latest,
+)
+from f1_bigdata_pyspark_spark.utils import materialize
+
+
+def foreach_batch_upsert(target_dir: str, key_cols: list[str], recency_col: str):
+    """Build a ``foreachBatch`` function that upserts each micro-batch into
+    ``target_dir`` (keep-latest per key) and re-asserts the unique-key
+    invariant after every merge."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_dir)
+        except Exception:
+            existing = None
+        merged = materialize(
+            upsert_keep_latest(existing, batch_df, key_cols, recency_col)
+        )
+        merged.write.mode("overwrite").parquet(target_dir)
+        assert_unique_key(spark.read.parquet(target_dir), key_cols)
+
+    return apply

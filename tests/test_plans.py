@@ -143,6 +143,13 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "disjunctive_brand_revenue": 1,
         "value_tier_range_join": 2,
         "events_multires_rollup": 3,
+        "regex_token_stats": 2,
+        "rolling_fingerprint_stats": 3,  # countDistinct adds an expand
+        "embedding_near_dup_pairs": 1,  # broadcast nested-loop pair join
+        "ivf_kmeans_cells": 3,  # dim-mean agg + array rebuild + final cells
+        "priority_order_exists": 2,
+        "customer_order_distribution": 3,  # pre-agg + join + distribution
+        "dormant_rich_customers": 3,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)

@@ -120,6 +120,46 @@ def test_stream_static_enrich_matches_batch(spark, sf_smoke, events_batch):
     assert len(got) > 0
 
 
+def test_foreach_batch_upsert_idempotent(spark, sf_smoke, events_batch, tmp_path):
+    """foreachBatch keep-latest upsert sink: stream the SAME events file in
+    twice (two micro-batches of identical rows) — after both merges the
+    target holds exactly one row per event_id, equal to the batch table."""
+    import os
+
+    from f1_bigdata_pyspark_spark.streaming.upsert_sink import foreach_batch_upsert
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    src = os.path.abspath(f"{sf_smoke}/events.parquet")
+    os.symlink(src, stage / "a.parquet")
+    os.symlink(src, stage / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    target = str(tmp_path / "target")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(target, ["event_id"], "ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = spark.read.parquet(target)
+    assert final.count() == events_batch.count()  # replay was a no-op
+    assert final.select("event_id").distinct().count() == final.count()
+
+
 def test_stateful_running_totals_match_batch(spark, sf_smoke, events_batch):
     """applyInPandasWithState per-user running totals: after consuming the
     whole stream, the last emitted row per user equals the batch aggregate."""
