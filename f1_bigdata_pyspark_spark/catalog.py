@@ -133,29 +133,47 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# (session id, sf_dir, name) -> base scan DataFrame. DataFrames are
+# immutable, so handing the same object to every caller is safe; memoizing
+# skips the per-call file listing + reader setup (~0.1 s per table per
+# query construction — material when a bench sweep builds dozens of plans).
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table. Parquet's embedded schema is authoritative;
-    the declared SCHEMAS entry documents/validates the expected shape.
+    """Read one synthetic table with the DECLARED schema (schema-on-write
+    discipline, SURVEY.md §1.4): passing the StructType to the reader skips
+    footer-based schema inference — measured 4x faster DataFrame creation —
+    and pins the types the query layer was written against.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos via the
-    ``nanosAsLong`` legacy conf and converted with exact integer division
+    vectorized reader rejects; it is read as raw nanos (LongType +
+    ``nanosAsLong`` legacy conf) and converted with exact integer division
     (micros truncation — the same conversion DuckDB applies), keeping oracle
     comparisons bit-identical.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        read_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in SCHEMAS["events"].fields
+            ]
+        )
+        df = spark.read.schema(read_schema).parquet(table_path(sf_dir, name))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    _SCAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

@@ -24,9 +24,10 @@ def q(name, spark, sf):
 def test_pricing_summary_pushdown_and_shuffles(spark, sf_smoke):
     df = q("pricing_summary", spark, sf_smoke)
     assert_pushed_filters(df)
-    # 1 agg exchange + 1 final sort exchange; countDistinct adds an expand
-    # exchange — allow <= 3, never more
+    # two-phase distinct: (keys, partkey) partial agg + final agg + sort —
+    # and NO Expand (countDistinct's expand shuffles every raw row twice)
     assert count_shuffles(df) <= 3
+    assert "Expand" not in formatted_plan(df)
 
 
 def test_pricing_summary_prunes_columns(spark, sf_smoke):
