@@ -327,3 +327,32 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: sql_face_top_nations — the engine's SQL entry path: the same views the
+# DuckDB oracle sees are registered as Spark temp views (catalog.
+# register_views) and the query is pure ANSI SQL through spark.sql().
+# Catalyst plans it identically to the DataFrame form (broadcast dims,
+# partial aggs) — asserted by the generic shuffle budgets, not special-
+# cased — so the SQL face is a first-class surface, not a demo.
+# --------------------------------------------------------------------------
+_SQL_FACE = """
+SELECT n.n_name AS nation,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_spend
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY total_spend DESC, nation
+LIMIT 5
+"""
+
+
+@query("sql_face_top_nations", oracle=_SQL_FACE)
+def sql_face_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.catalog import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer", "nation"))
+    return spark.sql(_SQL_FACE)

@@ -624,3 +624,45 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: sole_big_supplier — TPC-H Q21 shape: double correlation (EXISTS a big
+# item by this supplier AND NOT EXISTS a big item by any OTHER supplier in
+# the same order). Decorrelates to a self anti-join on the order key with a
+# supplier-inequality residual — the fact table never re-scans per row.
+# --------------------------------------------------------------------------
+@query(
+    "sole_big_supplier",
+    oracle="""
+WITH big AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 40)
+SELECT s.s_name, count(DISTINCT b1.l_orderkey) AS n_orders
+FROM big b1 JOIN supplier s ON s.s_suppkey = b1.l_suppkey
+WHERE NOT EXISTS (SELECT 1 FROM big b2 WHERE b2.l_orderkey = b1.l_orderkey
+                  AND b2.l_suppkey <> b1.l_suppkey)
+GROUP BY s.s_name ORDER BY s.s_name
+""",
+)
+def sole_big_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    big = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_suppkey")
+    b1 = big.alias("b1")
+    b2 = big.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    sole = b1.join(
+        b2,
+        (F.col("b1.l_orderkey") == F.col("o2"))
+        & (F.col("b1.l_suppkey") != F.col("s2")),
+        "left_anti",
+    )
+    return (
+        sole.join(
+            F.broadcast(supplier),
+            F.col("b1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("b1.l_orderkey").alias("n_orders"))
+        .orderBy("s_name")
+    )
