@@ -132,3 +132,87 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: datetime_argmax_probe — calendar + argmax/boolean aggregate families:
+# year/quarter extraction, last_day, add_months, ISO day-of-week,
+# count_if, bool_and/bool_or, min_by/max_by (keyed on the UNIQUE order key
+# — an argmax with a non-unique key is engine-dependent on ties).
+# Spark weekday() is Monday=0, DuckDB isodow is Monday=1: aligned by +1.
+# --------------------------------------------------------------------------
+@query(
+    "datetime_argmax_probe",
+    oracle="""
+SELECT
+  year(o_orderdate) AS yr,
+  quarter(o_orderdate) AS qtr,
+  count(*) AS n_orders,
+  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+  bool_and(o_totalprice > 0) AS all_positive,
+  round(min_by(o_totalprice, o_orderkey), 2) AS first_order_price,
+  round(max_by(o_totalprice, o_orderkey), 2) AS last_order_price,
+  min(CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)) AS first_month_end,
+  max(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)) AS last_plus_3m,
+  max(isodow(o_orderdate)) AS max_isodow
+FROM orders
+GROUP BY yr, qtr ORDER BY yr, qtr
+""",
+)
+def datetime_argmax_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.groupBy(
+            F.year(d).alias("yr"), F.quarter(d).alias("qtr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.round(F.min_by("o_totalprice", "o_orderkey"), 2).alias(
+                "first_order_price"
+            ),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias(
+                "last_order_price"
+            ),
+            F.min(F.last_day(d)).alias("first_month_end"),
+            F.max(F.add_months(d, 3)).alias("last_plus_3m"),
+            F.max(F.weekday(d) + F.lit(1)).alias("max_isodow"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: collect_agg_probe — set-collection aggregates surfaced as ARRAY
+# columns: sorted distinct element lists are deterministic (collect_set's
+# raw order is not — always sort before exposing), and the driver hash
+# compares them structurally.
+# --------------------------------------------------------------------------
+@query(
+    "collect_agg_probe",
+    oracle="""
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def collect_agg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            statuses.alias("statuses"),
+            F.size(statuses).cast("long").alias("n_statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
