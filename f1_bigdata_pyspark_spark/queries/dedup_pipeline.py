@@ -224,3 +224,58 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.45)
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: near_dup_clusters — dedup GROUPS from near-dup PAIRS: connected
+# components of the exact-Jaccard graph (iterative min-label propagation,
+# operators/graph.py), rolled up to (cluster_id, size). The oracle computes
+# the identical components with a recursive transitive-closure CTE — an
+# iterative distributed graph algorithm held to a full value-hash check.
+# --------------------------------------------------------------------------
+@query(
+    "near_dup_clusters",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt ca ON ca.doc_id = d1
+  JOIN cnt cb ON cb.doc_id = d2
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+), und AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION SELECT d2, d1 FROM edges
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+)
+SELECT comp AS cluster_id, count(*) AS n_docs
+FROM labels GROUP BY comp ORDER BY cluster_id
+""",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+        "d1", "d2"
+    )
+    return component_sizes(connected_components(edges))

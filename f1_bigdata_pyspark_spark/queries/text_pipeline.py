@@ -292,3 +292,52 @@ def rolling_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: train_test_split_stats — reproducible corpus splitting: split =
+# md5-derived hash of doc_id mod 100 against fixed cut points (80/10/10).
+# Hash-based (not rand()) so the assignment is a pure function of the id —
+# stable across runs, engines, partitionings, and re-shards, which is what
+# a training pipeline needs for leak-free splits. Oracle computes the same
+# split from the same math.
+# --------------------------------------------------------------------------
+@query(
+    "train_test_split_stats",
+    oracle="""
+WITH s AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )

@@ -179,3 +179,23 @@ def test_label_cohesion_matches_numpy(spark, sf_smoke):
         assert got[label].n_vectors == len(vecs)
         assert abs(got[label].mean_cos - round(float(cos.mean()), 6)) <= 1e-6
         assert abs(got[label].min_cos - round(float(cos.min()), 6)) <= 1e-6
+
+
+# -------------------------------------------------------------------- graph
+def test_connected_components_chain_and_islands(spark):
+    from f1_bigdata_pyspark_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    sizes = {
+        r["cluster_id"]: r["n_docs"]
+        for r in component_sizes(connected_components(edges)).collect()
+    }
+    assert sizes == {1: 4, 10: 2}
