@@ -291,3 +291,41 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: skew_safe_event_stats — two-stage salted aggregation over the skewed
+# event_type key (operators/skew.salted_agg_counts): stage 1 bounds any
+# partition at rows/salt_buckets, stage 2 merges partials. count/sum/min/
+# max are associative, so the result is EXACTLY the plain groupBy — which
+# is precisely what the oracle states, closing the loop: the skew
+# mitigation is proven invisible to results, not just asserted in a test.
+# --------------------------------------------------------------------------
+@query(
+    "skew_safe_event_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_rows,
+       round(sum(value), 4) AS sum_v,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_safe_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.skew import salted_agg_counts
+
+    events = load_table(spark, sf_dir, "events")
+    agg = salted_agg_counts(
+        events, ["event_type"], "value", salt_buckets=16,
+        salt_source=["event_id"],
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    ).orderBy("event_type")
