@@ -101,3 +101,43 @@ def test_upsert_keep_latest_properties(spark, batches):
     if final_batch is not None:
         again = upsert_keep_latest(state, final_batch, ["key"], "ingested_at")
         assert {r.key: r.payload for r in again.collect()} == last_write
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_edges)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label propagation == a driver-side union-find on
+    arbitrary random graphs (same node set, same partition, min-id label)."""
+    from f1_bigdata_pyspark_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "d1 long, d2 long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[int, list[int]] = {}
+    for node in parent:
+        groups.setdefault(find(node), []).append(node)
+    want = {n: min(members) for members in groups.values() for n in members}
+    assert got == want
