@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from f1_bigdata_pyspark_spark.catalog import has_column
 from f1_bigdata_pyspark_spark.functions.stats import stddev_pop
 
 
@@ -45,16 +46,16 @@ def clean_laps(df: DataFrame) -> DataFrame:
     (``fastest_vs_most_consistent_drivers.py:53-87``)."""
     lt = F.col("LapTime")
     clean = df.filter(lt.isNotNull() & ~F.isnan(lt))
-    if "IsAccurate" in df.columns:
+    if has_column(df, "IsAccurate"):
         clean = clean.filter(F.col("IsAccurate") == True)  # noqa: E712
-    if "PitInTime" in df.columns and "PitOutTime" in df.columns:
+    if has_column(df, "PitInTime") and has_column(df, "PitOutTime"):
         clean = clean.filter(
             _missing(F.col("PitInTime")) & _missing(F.col("PitOutTime"))
         )
-    if "Session" in df.columns:
+    if has_column(df, "Session"):
         clean = clean.filter(F.col("Session") == F.lit("R"))
     clean = clean.filter(F.col("Driver").isNotNull())
-    if "GrandPrix" in df.columns:
+    if has_column(df, "GrandPrix"):
         clean = clean.filter(F.col("GrandPrix").isNotNull())
     return clean
 
