@@ -279,3 +279,110 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1", "d2"
     )
     return component_sizes(connected_components(edges))
+
+
+# --------------------------------------------------------------------------
+# Q: corpus_curation_pipeline — the COMPLETE training-data curation flow as
+# one composed query: quality gate (n_chars >= 50) → exact dedup (md5
+# fingerprint, keep lowest doc_id) → near-dup dedup (exact-Jaccard graph →
+# connected components → keep each component's min id) → deterministic
+# 80/10/10 hash split → per-split corpus stats. Every stage is one of this
+# repo's operators; the oracle restates the whole flow in SQL (recursive
+# CTE for the components), so the end-to-end composition — not just each
+# stage — is value-hash-checked.
+#
+# 100 TB shape: quality gate and fingerprint are narrow maps; exact dedup
+# is one keyed window; the pair graph comes from the LSH candidate
+# generator at scale (here the exact verifier, same interface); component
+# propagation is diameter-bounded joins; the split is a pure hash map.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+WITH quality AS (
+  SELECT doc_id, text, source, n_chars FROM documents WHERE n_chars >= 50
+), fp AS (
+  SELECT doc_id, text, source, n_chars,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM quality
+), exact_kept AS (
+  SELECT doc_id, text, source, n_chars FROM fp WHERE rn = 1
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM exact_kept
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+), und AS (
+  SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+), dropped AS (
+  SELECT node FROM labels WHERE node <> comp
+), curated AS (
+  SELECT k.doc_id, k.source, k.n_chars FROM exact_kept k
+  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.node = k.doc_id)
+), split AS (
+  SELECT source, n_chars,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM curated
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM split GROUP BY split ORDER BY split
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from f1_bigdata_pyspark_spark.operators.graph import connected_components
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 50)
+    fp = quality.withColumn("f", fingerprint(F.col("text")))
+    exact_kept = materialize(
+        exact_dedup_keep_first(fp, ["f"], [F.col("doc_id").asc()]).drop("f")
+    )
+    edges = ngram_jaccard_pairs(exact_kept, shingle_n=3, threshold=0.2).select(
+        "d1", "d2"
+    )
+    dropped = (
+        connected_components(edges)
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    curated = exact_kept.join(dropped, "doc_id", "left_anti")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        curated.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
