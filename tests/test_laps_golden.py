@@ -270,3 +270,32 @@ def test_compound_summary_golden(laps):
         assert got[comp]["median_deg_ms"] == pytest.approx(
             statistics.median(xs), **APPROX
         )
+
+
+def test_ingest_upsert_dedups_golden(spark, laps):
+    """FIXTURES.md laps_with_dups: re-ingest ~1% of rows with a LATER
+    IngestedAt and changed LapTime through the keep-latest upsert — the
+    merged table keeps exactly one row per lap key, with the re-ingested
+    rows winning."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.sources.laps_ingest import (
+        LAP_KEY,
+        ingest_lap_batch,
+    )
+
+    dup_batch = (
+        laps.filter(F.col("LapNumber") == 7.0)  # one lap per driver-race ≈ 2%
+        .withColumn("IngestedAt", F.lit("2023-12-02T00:00:00Z"))
+        .withColumn("LapTime", F.col("LapTime") + F.lit(1000.0))
+    )
+    n_dups = dup_batch.count()
+    assert n_dups > 0
+    merged = ingest_lap_batch(laps, dup_batch)
+    # unique key holds and no rows were lost or invented
+    assert merged.count() == laps.count()
+    assert merged.groupBy(*LAP_KEY).count().filter("count > 1").count() == 0
+    # every re-ingested key carries the NEW IngestedAt and shifted LapTime
+    winners = merged.filter(F.col("IngestedAt") == "2023-12-02T00:00:00Z")
+    assert winners.count() == n_dups
+    assert winners.filter(F.col("LapTime") < 1000.0).count() == 0
