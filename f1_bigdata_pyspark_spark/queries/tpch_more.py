@@ -666,3 +666,109 @@ def sole_big_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("b1.l_orderkey").alias("n_orders"))
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: top_revenue_supplier — TPC-H Q15 shape: aggregate "view" + scalar max
+# subquery selecting the argmax row(s). The scalar max is a broadcast 1-row
+# join; revenue is rounded BEFORE the equality so ties resolve identically
+# in any double engine.
+# --------------------------------------------------------------------------
+@query(
+    "top_revenue_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+""",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                2,
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: min_cost_supplier_per_part — TPC-H Q2 shape: correlated per-part
+# minimum over the part↔supplier relation (derived from lineitem; the
+# schema has no partsupp table), decorrelated to a keyed min + equi-join.
+# The min re-join shares the l_partkey partitioning with the per-(part,
+# supplier) aggregate, so AQE plans it without a second fact exchange.
+# Unit costs round to 6 dp BEFORE the min equality — ties return all
+# minimal suppliers identically in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey AS bk, min(unit_cost) AS mc FROM ps GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, ps.unit_cost
+FROM ps
+JOIN best ON bk = ps.l_partkey AND ps.unit_cost = best.mc
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_size <= 10
+ORDER BY p.p_partkey, s.s_name
+""",
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supplier = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("mc")
+    )
+    return (
+        ps.join(
+            best,
+            (F.col("bk") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("mc")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
