@@ -54,11 +54,10 @@ def exact_dedup_keep_first(
     )
 
 
-def shingle_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+def _raw_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Distinct (doc, shingle) pairs — the shared input of Jaccard and
-    MinHash.
+    """Non-distinct (doc, s) shingle stream.
 
     Built relationally (posexplode tokens → window lead → concat) rather than
     with an array-lambda over ``split(text)``: a lambda body referencing the
@@ -82,15 +81,35 @@ def shingle_table(
         )
         .filter(F.col("__last").isNotNull())
         .select("doc", "s")
-        .distinct()
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """Long-form MinHash signature: one row per (doc, hash index) with the
-    min over shingles of the i-th affine rehash of a portable md5-derived
-    base hash: h_i(s) = (a_i · (md5_60(s) mod P) + b_i) mod P. Columns:
-    doc, i, mh.
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (doc, shingle) pairs — the exact-Jaccard input (set
+    semantics need the true strings)."""
+    return _raw_shingles(docs, id_col, text_col, n).distinct()
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (doc, xm) shingle HASHES for MinHash: hash to the portable
+    60-bit value BEFORE the dedup, so the distinct shuffle moves (doc,
+    int64) rows instead of (doc, string) — same signatures (h_i is a pure
+    function of xm, and min over distinct-xm == min over distinct-s),
+    roughly half the dedup shuffle bytes and visibly tighter sweep
+    variance at sf0.1."""
+    raw = _raw_shingles(docs, id_col, text_col, n)
+    return raw.select("doc", (md5_long(F.col("s")) % _P).alias("xm")).distinct()
+
+
+def minhash_signatures(xs: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """Long-form MinHash signature from a (doc, xm) shingle-hash table
+    (``shingle_hashes``): one row per (doc, hash index) with the min over
+    shingles of the i-th affine rehash h_i = (a_i · xm + b_i) mod P.
+    Columns: doc, i, mh.
 
     Portable on purpose — every h_i is exact int64 arithmetic over md5, so
     a DuckDB oracle recomputes the identical signature (engine-private
@@ -108,8 +127,7 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     a_i = (F.lit(_A_SEED).cast("long") * (i + 1)) % _P
     h = (a_i * F.col("xm") + F.lit(_B_STEP).cast("long") * i) % _P
     return (
-        sh.select("doc", (md5_long(F.col("s")) % _P).alias("xm"))
-        .select(
+        xs.select(
             "doc",
             "xm",
             F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
@@ -133,7 +151,9 @@ def minhash_candidates(
     positions. Columns: d1, d2, est_jaccard."""
     rows_per_band = num_hashes // n_bands
     sig = materialize(
-        minhash_signatures(shingle_table(docs, id_col, text_col, shingle_n), num_hashes)
+        minhash_signatures(
+            shingle_hashes(docs, id_col, text_col, shingle_n), num_hashes
+        )
     )
     # band bucket = md5 of the band's min-hashes in index order (md5, not
     # xxhash64, so the oracle computes the identical bucket).
