@@ -86,6 +86,44 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=EXTRACTED_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "media_id long, n_samples long, rms double, zero_crossings long, "
+    "peak int"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio-analysis stand-in over mapInPandas: interpret the payload as
+    signed 8-bit PCM samples and compute RMS energy, zero-crossing count,
+    and peak amplitude — vectorized numpy per Arrow batch, exactly the
+    shape a real loudness/VAD feature pass has (swap the byte view for a
+    proper codec decode when one is available). Narrow map, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_samples, rms, zc, peak = [], [], [], []
+            for p in pdf["payload"]:
+                x = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
+                if x.size == 0:
+                    x = np.zeros(1)
+                n_samples.append(int(x.size))
+                rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+                zc.append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+                peak.append(int(np.max(np.abs(x))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": n_samples,
+                    "rms": rms,
+                    "zero_crossings": zc,
+                    "peak": peak,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<codec: string, n_bytes: long>, "

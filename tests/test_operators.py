@@ -199,3 +199,24 @@ def test_connected_components_chain_and_islands(spark):
         for r in component_sizes(connected_components(edges)).collect()
     }
     assert sizes == {1: 4, 10: 2}
+
+
+def test_audio_features_match_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import audio_features
+
+    docs = load_table(spark, sf_smoke, "documents").limit(15)
+    media = media_from_documents(docs)
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    for r in media.collect():
+        x = np.frombuffer(bytes(r["payload"]), dtype=np.int8).astype(np.float64)
+        if x.size == 0:
+            x = np.zeros(1)
+        g = got[r["media_id"]]
+        assert g["n_samples"] == x.size
+        assert g["rms"] == pytest.approx(round(float(np.sqrt(np.mean(x * x))), 6))
+        assert g["zero_crossings"] == int(
+            np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))
+        )
+        assert g["peak"] == int(np.max(np.abs(x)))
