@@ -8,9 +8,12 @@ union into exact-shape global estimates without touching raw data again.
 ``sketch_merge_rollup`` demonstrates exactly that pattern (daily sketches →
 union → global estimate), the sketch twin of ``events_multires_rollup``.
 
-No SQL oracle: estimates are engine/seed-specific. Accuracy is pinned in
-``tests/test_sketches.py`` against the exact distinct (≤2% relative error,
-far looser than HLL's actual guarantee at lgK=12).
+The two DataSketches queries carry no SQL oracle — their estimates are
+engine/seed-specific — so accuracy is pinned in ``tests/test_sketches.py``
+against the exact distinct (≤2% relative error, far looser than HLL's
+actual guarantee at lgK=12). ``portable_hll_users_by_type`` is the
+counterpoint: a from-scratch HLL over portable md5-derived hashes whose
+estimate IS deterministic, and therefore fully oracle-checked.
 """
 
 from __future__ import annotations
@@ -59,3 +62,80 @@ def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_total_users"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: portable_hll_users_by_type — a from-scratch HyperLogLog (p=8, 256
+# registers) whose every step is PORTABLE math: bucket and remaining bits
+# from the md5-derived 60-bit hash, rho = leading zeros via the length of
+# the binary representation, register max per bucket, bias-corrected
+# harmonic estimate with the linear-counting small-range branch. Unlike the
+# DataSketches queries above, the estimate is a deterministic function of
+# the data — the DuckDB oracle computes the BIT-IDENTICAL estimate, putting
+# even approximate distinct counting under the value-hash gate. Same
+# mergeable register layout as any HLL: max per (group, bucket) partials
+# combine map-side.
+# --------------------------------------------------------------------------
+_HLL_ALPHA_256 = 0.7182725932495458  # alpha_m = 0.7213 / (1 + 1.079/m)
+
+
+@query(
+    "portable_hll_users_by_type",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS x
+  FROM events
+), b AS (
+  SELECT event_type, x % 256 AS bucket, x // 256 AS w FROM h
+), r AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END) AS rho
+  FROM b GROUP BY event_type, bucket
+), est AS (
+  SELECT event_type, count(*) AS nb, sum(pow(2.0, -rho)) AS s
+  FROM r GROUP BY event_type
+)
+SELECT event_type,
+       round(
+         CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * 65536.0
+                    / (s + (256 - nb))) <= 640.0 AND nb < 256
+              THEN 256.0 * ln(256.0 / (256 - nb))
+              ELSE CAST(0.7182725932495458 AS DOUBLE) * 65536.0
+                   / (s + (256 - nb))
+         END, 4) AS hll_estimate
+FROM est ORDER BY event_type
+""",
+)
+def portable_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    events = load_table(spark, sf_dir, "events")
+    x = md5_long(F.col("user_id").cast("string"))
+    hashed = events.select(
+        "event_type", (x % 256).alias("bucket"), x.alias("x")
+    )
+    w = F.expr("x DIV 256")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(52) - F.length(F.bin(w)) + F.lit(1)
+    )
+    regs = (
+        hashed.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA_256)
+        * F.lit(65536.0)
+        / (F.col("s") + (F.lit(256) - F.col("nb")))
+    )
+    linear = F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("nb")))
+    estimate = F.when((raw <= 640.0) & (F.col("nb") < 256), linear).otherwise(raw)
+    return est.select(
+        "event_type", F.round(estimate, 4).alias("hll_estimate")
+    ).orderBy("event_type")

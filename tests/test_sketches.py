@@ -39,3 +39,31 @@ def test_sketch_merge_equals_direct_estimate(spark, sf_oracle):
     )
     assert row.n_days >= 1
     assert abs(row.approx_total_users - exact) <= max(1, 0.02 * exact)
+
+
+def test_portable_hll_accuracy(spark, sf_oracle):
+    """The portable HLL estimate stays within 5% of the exact distinct
+    (256 registers -> ~6.5% theoretical RSE; the fixture's per-type
+    cardinality sits in the linear-counting regime, which is tighter)."""
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+
+    got = {
+        r["event_type"]: r["hll_estimate"]
+        for r in _REGISTRY["portable_hll_users_by_type"].fn(
+            spark, sf_oracle
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_oracle, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, n in exact.items():
+        rel_err = abs(got[et] - n) / n
+        assert rel_err <= 0.05, (et, got[et], n, rel_err)
