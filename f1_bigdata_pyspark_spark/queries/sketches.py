@@ -139,3 +139,79 @@ def portable_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "event_type", F.round(estimate, 4).alias("hll_estimate")
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: portable_hll_merge_rollup — the MERGE face of the portable HLL: build
+# per-day register tables (max rho per bucket), then merge days by taking
+# the bucket-wise max again — registers are a max-semilattice, so the
+# merged estimate equals the estimate over the union without re-scanning
+# raw data. Deterministic end to end; the oracle replays both levels.
+# --------------------------------------------------------------------------
+@query(
+    "portable_hll_merge_rollup",
+    oracle="""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS x
+  FROM events
+), b AS (
+  SELECT day, x % 256 AS bucket, x // 256 AS w FROM h
+), daily AS (
+  SELECT day, bucket,
+         max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END) AS rho
+  FROM b GROUP BY day, bucket
+), merged AS (
+  SELECT bucket, max(rho) AS rho FROM daily GROUP BY bucket
+), est AS (
+  SELECT count(*) AS nb, sum(pow(2.0, -rho)) AS s FROM merged
+)
+SELECT (SELECT count(DISTINCT day) FROM daily) AS n_days,
+       round(
+         CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * 65536.0
+                    / (s + (256 - nb))) <= 640.0 AND nb < 256
+              THEN 256.0 * ln(256.0 / (256 - nb))
+              ELSE CAST(0.7182725932495458 AS DOUBLE) * 65536.0
+                   / (s + (256 - nb))
+         END, 4) AS total_users_estimate
+FROM est
+""",
+)
+def portable_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    events = load_table(spark, sf_dir, "events")
+    x = md5_long(F.col("user_id").cast("string"))
+    hashed = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (x % 256).alias("bucket"),
+        x.alias("x"),
+    )
+    w = F.expr("x DIV 256")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(52) - F.length(F.bin(w)) + F.lit(1)
+    )
+    daily = (
+        hashed.select("day", "bucket", rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # n_days stays in the plan (1-row broadcast), no driver-side action
+    days = daily.agg(F.countDistinct("day").alias("n_days"))
+    merged = daily.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    est = merged.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+    ).crossJoin(F.broadcast(days))
+    raw = (
+        F.lit(_HLL_ALPHA_256)
+        * F.lit(65536.0)
+        / (F.col("s") + (F.lit(256) - F.col("nb")))
+    )
+    linear = F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("nb")))
+    estimate = F.when((raw <= 640.0) & (F.col("nb") < 256), linear).otherwise(raw)
+    return est.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(estimate, 4).alias("total_users_estimate"),
+    )
