@@ -151,6 +151,18 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "priority_order_exists": 2,
         "customer_order_distribution": 3,  # pre-agg + join + distribution
         "dormant_rich_customers": 3,
+        "near_dup_clusters": 2,  # iteration plans checkpointed separately
+        "corpus_curation_pipeline": 4,  # dedup window + shingle SMJ pair
+        "portable_hll_users_by_type": 3,  # register agg + estimate + sort
+        "portable_hll_merge_rollup": 5,  # daily + merge + 1-row broadcasts
+        "top_revenue_supplier": 4,
+        "min_cost_supplier_per_part": 4,
+        "sole_big_supplier": 3,
+        "skew_safe_event_stats": 3,  # salt stage adds one exchange
+        "train_test_split_stats": 2,
+        "datetime_argmax_probe": 2,
+        "collect_agg_probe": 2,
+        "sql_face_top_nations": 3,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)
