@@ -197,6 +197,8 @@ def datetime_argmax_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+         AS statuses_csv,
        CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses,
        count(*) AS n_orders
 FROM orders
@@ -211,6 +213,10 @@ def collect_agg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             statuses.alias("statuses"),
+            # canonical scalar twin of the array column: if a hasher ever
+            # treats ARRAY values engine-specifically, the CSV form still
+            # pins the identical content
+            F.array_join(statuses, ",").alias("statuses_csv"),
             F.size(statuses).cast("long").alias("n_statuses"),
             F.count(F.lit(1)).alias("n_orders"),
         )

@@ -772,3 +772,110 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "s_name", "unit_cost")
         .orderBy("p_partkey", "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: local_supplier_revenue — TPC-H Q5 shape: the star join with the extra
+# NON-join-key equality between two dimension attributes (customer nation ==
+# supplier nation, "local supplier volume"). The cross-dimension predicate
+# evaluates as a post-join residual over broadcast dims — the fact table
+# still shuffles only for lineitem⋈orders.
+# --------------------------------------------------------------------------
+@query(
+    "local_supplier_revenue",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: bilateral_trade_volume — TPC-H Q7 shape: the SAME dimension joined
+# TWICE under different roles (supplier nation vs customer nation) with a
+# cross-role inequality — yearly trade volume between two named nations in
+# both directions.
+# --------------------------------------------------------------------------
+@query(
+    "bilateral_trade_volume",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(o_orderdate) AS yr,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+""",
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                2,
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
