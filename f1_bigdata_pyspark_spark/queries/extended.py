@@ -356,3 +356,34 @@ def sql_face_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("orders", "customer", "nation"))
     return spark.sql(_SQL_FACE)
+
+
+# --------------------------------------------------------------------------
+# Q: orders_profile — ANALYZE-style table profile (operators/profile.py):
+# per-column nulls / distincts / min / max in ONE scan (wide agg → stack
+# unpivot). The oracle states the same statistics per column.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+        count(*) - count({c}) AS n_nulls,
+        count(DISTINCT {c}) AS n_distinct,
+        CAST(min({c}) AS VARCHAR) AS min_s,
+        CAST(max({c}) AS VARCHAR) AS max_s FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query("orders_profile", oracle=_profile_oracle())
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, list(_PROFILE_COLS)).orderBy("col_name")
