@@ -341,3 +341,62 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: corpus_mixture_sample — deterministic corpus MIXING: per-source
+# sampling rates (the up/down-weighting step that turns raw crawl
+# proportions into a training mixture), decided by the md5-derived hash of
+# the doc id against the source's rate — a pure function of (id, rate), so
+# the same mixture comes out on every run, engine, and shard layout, and
+# rerunning never double-samples. Rates here: tier A (src0-4) keep all,
+# tier B (src5-9) keep half, long tail keep a quarter.
+# --------------------------------------------------------------------------
+_MIX_RATE_SQL = """
+CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 10000
+     WHEN source IN ('src5','src6','src7','src8','src9') THEN 5000
+     ELSE 2500 END
+"""
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bucket,
+         {_MIX_RATE_SQL} AS rate_bp
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(count_if(bucket < rate_bp) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN bucket < rate_bp THEN n_chars END), 0)
+            AS BIGINT) AS kept_chars
+FROM s
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 10000
+    tier_a = F.col("source").isin(*[f"src{i}" for i in range(5)])
+    tier_b = F.col("source").isin(*[f"src{i}" for i in range(5, 10)])
+    rate_bp = F.when(tier_a, 10000).when(tier_b, 5000).otherwise(2500)
+    kept = bucket < rate_bp
+    return (
+        docs.select("source", "n_chars", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("kept")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_chars"))), F.lit(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
