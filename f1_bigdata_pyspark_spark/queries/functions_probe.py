@@ -222,3 +222,48 @@ def collect_agg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: map_functions_probe — map-typed column family: build a per-row map
+# (create_map), merge in extra entries (map_concat), read via element_at,
+# and expose the sorted key set (map_keys). The Spark route runs entirely
+# through MapType expressions; the oracle states the equivalent scalar
+# semantics — map values never cross the comparison boundary, only their
+# extracted contents, so the check is engine-portable.
+# --------------------------------------------------------------------------
+@query(
+    "map_functions_probe",
+    oracle="""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       count(*) AS n_orders,
+       'priority,status,tier' AS map_keys_csv,
+       CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'normal' END AS tier
+FROM orders
+GROUP BY status, priority, tier
+ORDER BY status, priority, tier
+""",
+)
+def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    tier = F.when(F.col("o_totalprice") > 200000, F.lit("high")).otherwise(
+        F.lit("normal")
+    )
+    m = F.map_concat(base, F.create_map(F.lit("tier"), tier))
+    enriched = orders.select(
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "priority").alias("priority"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_csv"),
+        F.element_at(m, "tier").alias("tier"),
+    )
+    return (
+        enriched.groupBy("status", "priority", "tier", "map_keys_csv")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("status", "priority", "n_orders", "map_keys_csv", "tier")
+        .orderBy("status", "priority", "tier")
+    )

@@ -329,3 +329,53 @@ def skew_safe_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 4).alias("min_v"),
         F.round("max_v", 4).alias("max_v"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: user_state_history — SCD2-style history building: each user's event
+# stream becomes validity intervals [valid_from, valid_to) of their
+# then-current event_type via lead() over the per-user window — the
+# temporal-dimension construction every warehouse needs for point-in-time
+# joins. One hash partition on user_id; open intervals carry NULL valid_to.
+# Output is aggregated per (event_type) interval stats so the result stays
+# compact at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "user_state_history",
+    oracle="""
+WITH h AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_intervals,
+       CAST(count(*) - count(to_us) AS BIGINT) AS n_open,
+       round(avg((to_us - from_us) / 1000000.0), 3) AS avg_duration_s
+FROM h
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("to_us"),
+    )
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            (F.count(F.lit(1)) - F.count("to_us")).alias("n_open"),
+            F.round(
+                F.avg((F.col("to_us") - F.col("from_us")) / F.lit(1_000_000.0)),
+                3,
+            ).alias("avg_duration_s"),
+        )
+        .orderBy("event_type")
+    )
