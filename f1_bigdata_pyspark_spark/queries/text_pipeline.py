@@ -400,3 +400,48 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: redaction_stats — pattern-based scrubbing (the PII-redaction shape of
+# a training-data pipeline): digit runs collapse to <NUM>, long opaque
+# tokens (12+ word chars) to <TOK>, via regexp_replace — pure JVM
+# expressions, one scan, no UDFs. Reports per-source how many documents
+# changed and how many characters were removed; the oracle applies the
+# identical RE2-compatible patterns.
+# --------------------------------------------------------------------------
+@query(
+    "redaction_stats",
+    oracle=r"""
+WITH r AS (
+  SELECT source, n_chars,
+         regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                        '\w{12,}', '<TOK>', 'g') AS red
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count_if(length(red) <> n_chars) AS BIGINT) AS n_changed,
+       CAST(sum(n_chars) - sum(length(red)) AS BIGINT) AS chars_delta
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+)
+def redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[0-9]+", "<NUM>"),
+        r"\w{12,}",
+        "<TOK>",
+    )
+    r = docs.select("source", "n_chars", F.length(red).alias("red_len"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("red_len") != F.col("n_chars")).alias("n_changed"),
+            (F.sum("n_chars") - F.sum("red_len")).alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
