@@ -267,3 +267,63 @@ def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status", "priority", "n_orders", "map_keys_csv", "tier")
         .orderBy("status", "priority", "tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: window_family_probe — the remaining ranking/navigation window
+# functions in one query: cume_dist, nth_value (frame-anchored), and
+# first/last value over an explicit frame — per-priority windows over the
+# post-aggregation supplier totals (tiny partitions, per the
+# rank-after-reduce rule).
+# --------------------------------------------------------------------------
+@query(
+    "window_family_probe",
+    oracle="""
+WITH t AS (
+  SELECT o_orderpriority AS prio, o_custkey,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY prio, o_custkey
+)
+SELECT prio, o_custkey, spend,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(nth_value(spend, 2) OVER (PARTITION BY prio
+             ORDER BY spend DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS second_spend,
+       round(first_value(spend) OVER (PARTITION BY prio
+             ORDER BY spend DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS top_spend
+FROM t
+WINDOW w AS (PARTITION BY prio ORDER BY spend, o_custkey)
+ORDER BY prio, spend DESC, o_custkey
+LIMIT 50
+""",
+)
+def window_family_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"), "o_custkey"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    w_asc = Window.partitionBy("prio").orderBy("spend", "o_custkey")
+    w_full = (
+        Window.partitionBy("prio")
+        .orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t.select(
+            "prio",
+            "o_custkey",
+            "spend",
+            F.round(F.cume_dist().over(w_asc), 6).alias("cd"),
+            F.round(F.nth_value("spend", 2).over(w_full), 2).alias(
+                "second_spend"
+            ),
+            F.round(F.first("spend").over(w_full), 2).alias("top_spend"),
+        )
+        .orderBy("prio", F.col("spend").desc(), "o_custkey")
+        .limit(50)
+    )
