@@ -151,3 +151,95 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us") / (F.count("gap_us") * F.lit(1_000_000.0)), 3
         ).alias("avg_gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: session_window_overlap — interval-overlap join: the gap-based session
+# intervals (user_sessions logic) joined against a tiny fixed table of
+# maintenance windows on the half-open overlap predicate
+# (s.start < w.end AND w.start < s.end). The window table broadcasts, so
+# the non-equi join never shuffles the session side — the same physical
+# shape as value_tier_range_join, but on time intervals.
+# --------------------------------------------------------------------------
+_MAINT_WINDOWS = [
+    ("W1", "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+    ("W2", "2024-01-15 12:00:00", "2024-01-16 00:00:00"),
+    ("W3", "2024-01-25 00:00:00", "2024-01-28 00:00:00"),
+]
+
+
+def _windows_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', TIMESTAMP '{a}', TIMESTAMP '{b}')" for n, a, b in _MAINT_WINDOWS
+    )
+    return f"(VALUES {rows}) AS w(win_name, w_start, w_end)"
+
+
+@query(
+    "session_window_overlap",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+), f AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), iv AS (
+  SELECT user_id, sess, min(ts_us) AS s_start, max(ts_us) AS s_end
+  FROM s GROUP BY user_id, sess
+)
+SELECT win_name,
+       count(*) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM iv JOIN {_windows_sql()}
+  ON iv.s_start < epoch_us(w.w_end) AND epoch_us(w.w_start) < iv.s_end
+GROUP BY win_name
+ORDER BY win_name
+""",
+)
+def session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    iv = (
+        flagged.withColumn("sess", F.sum("new_s").over(run))
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    spark_w = events.sparkSession.createDataFrame(
+        _MAINT_WINDOWS, "win_name string, w_start string, w_end string"
+    ).select(
+        "win_name",
+        F.unix_micros(F.col("w_start").cast("timestamp")).alias("w_start_us"),
+        F.unix_micros(F.col("w_end").cast("timestamp")).alias("w_end_us"),
+    )
+    overlap = iv.join(
+        F.broadcast(spark_w),
+        (F.col("s_start") < F.col("w_end_us"))
+        & (F.col("w_start_us") < F.col("s_end")),
+    )
+    return (
+        overlap.groupBy("win_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("win_name")
+    )

@@ -379,3 +379,51 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: user_event_struct_roundtrip — nested-data construction and
+# destructuring: per user, an ORDERED array of (ts, event_type) structs
+# built with array_sort(collect_list(struct)) — the document-assembly shape
+# that turns row streams into nested training examples — then fields
+# extracted back from the first and last elements. Struct values never
+# cross the comparison boundary; only destructured scalars do.
+# --------------------------------------------------------------------------
+@query(
+    "user_event_struct_roundtrip",
+    oracle="""
+WITH a AS (
+  SELECT user_id,
+         list(struct_pack(ts := epoch_us(ts), et := event_type)
+              ORDER BY ts, event_id) AS evs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(evs) AS BIGINT) AS n_events,
+       evs[1].et AS first_type,
+       evs[-1].et AS last_type,
+       CAST(evs[-1].ts - evs[1].ts AS BIGINT) AS span_us
+FROM a ORDER BY user_id
+""",
+)
+def user_event_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # sort key (ts, event_id) leads the struct so array_sort orders exactly
+    # like the oracle's ORDER BY ts, event_id
+    s = F.struct(
+        F.unix_micros("ts").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    a = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(s)).alias("evs")
+    )
+    first = F.element_at("evs", 1)
+    last = F.element_at("evs", -1)
+    return a.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        first["et"].alias("first_type"),
+        last["et"].alias("last_type"),
+        (last["ts"] - first["ts"]).alias("span_us"),
+    ).orderBy("user_id")
