@@ -387,3 +387,70 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_table(orders, list(_PROFILE_COLS)).orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# Q: referential_integrity_audit — cross-table FK audit, the data-quality
+# gate a warehouse load runs after ingest: orphaned facts per relationship
+# via left-anti joins, one row per checked edge. Dimension key sets
+# broadcast; the fact side never shuffles for any check.
+# --------------------------------------------------------------------------
+@query(
+    "referential_integrity_audit",
+    oracle="""
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders),
+       CAST((SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+            AS BIGINT)
+ORDER BY fk_edge
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def check(name, fact, fact_key, dim, dim_key):
+        keys = F.broadcast(dim.select(dim_key).distinct())
+        orphans = fact.join(
+            keys, fact[fact_key] == keys[dim_key], "left_anti"
+        )
+        return (
+            fact.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        )
+
+    audits = [
+        check("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        check("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+        check("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        check("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("fk_edge")
