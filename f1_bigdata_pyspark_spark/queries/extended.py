@@ -432,14 +432,14 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
 
     def check(name, fact, fact_key, dim, dim_key):
+        # ONE pass per edge: broadcast left join + conditional count —
+        # total rows and orphans (unmatched dim key) from the same scan
         keys = F.broadcast(dim.select(dim_key).distinct())
-        orphans = fact.join(
-            keys, fact[fact_key] == keys[dim_key], "left_anti"
-        )
         return (
-            fact.agg(F.count(F.lit(1)).alias("n_rows"))
-            .crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            fact.join(keys, fact[fact_key] == keys[dim_key], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col(dim_key).isNull()).alias("n_orphans"),
             )
             .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
         )

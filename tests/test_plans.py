@@ -163,6 +163,17 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "datetime_argmax_probe": 2,
         "collect_agg_probe": 2,
         "sql_face_top_nations": 3,
+        "user_state_history": 3,
+        "map_functions_probe": 2,
+        "window_family_probe": 2,
+        "corpus_mixture_sample": 2,
+        "redaction_stats": 2,
+        "user_event_struct_roundtrip": 2,
+        "session_window_overlap": 3,
+        "referential_integrity_audit": 8,  # 4 edges x 1-row final agg each
+        "orders_profile": 2,
+        "local_supplier_revenue": 2,
+        "bilateral_trade_volume": 2,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)
