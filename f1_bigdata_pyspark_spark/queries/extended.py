@@ -454,3 +454,60 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out.orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# Q: daily_revenue_spine — calendar-spine gap fill: a generated date
+# scaffold (sequence/generate_series over the observed range) LEFT-joined
+# to the daily aggregate so zero-activity days appear with explicit zeros
+# (coalesce) — the reporting pattern that keeps time series dense for
+# downstream window math. The spine is generated, never stored; the fact
+# side aggregates before the join.
+# --------------------------------------------------------------------------
+@query(
+    "daily_revenue_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+         CAST(max(o_orderdate) AS DATE) AS d1
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY day
+)
+SELECT s.day,
+       CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(d.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY s.day
+""",
+)
+def daily_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day")
+    )
