@@ -174,6 +174,7 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "orders_profile": 2,
         "local_supplier_revenue": 2,
         "bilateral_trade_volume": 2,
+        "daily_revenue_spine": 2,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)
