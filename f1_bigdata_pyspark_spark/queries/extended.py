@@ -511,3 +511,91 @@ def daily_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: top_parts_per_brand — top-k per group (k=2): the windowed
+# generalization of argmax — row_number over a per-brand revenue order with
+# a full tiebreak chain, kept to rn <= 2. Partitioned by brand, so the
+# window scales; the aggregate beneath it is map-side combined.
+# --------------------------------------------------------------------------
+@query(
+    "top_parts_per_brand",
+    oracle="""
+WITH pr AS (
+  SELECT p_brand, l_partkey,
+         round(sum(l_extendedprice), 2) AS part_rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand, l_partkey
+)
+SELECT p_brand, l_partkey, part_rev, rn FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY p_brand ORDER BY part_rev DESC, l_partkey
+         ) AS BIGINT) AS rn
+  FROM pr
+) WHERE rn <= 2
+ORDER BY p_brand, rn
+""",
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pr = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("part_rev").desc(), F.col("l_partkey")
+    )
+    return (
+        pr.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .orderBy("p_brand", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: key_continuity_audit — sequence-continuity data-quality check: for
+# each surrogate-key column, expected span (max - min + 1) vs observed
+# distinct count — the post-ingest probe that catches dropped batches
+# (holes) and double-loads (dupes) in one row per table.
+# --------------------------------------------------------------------------
+@query(
+    "key_continuity_audit",
+    oracle="""
+SELECT 'events.event_id' AS key_col,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(max(event_id) - min(event_id) + 1 AS BIGINT) AS expected_span,
+       CAST(max(event_id) - min(event_id) + 1
+            - count(DISTINCT event_id) AS BIGINT) AS n_missing
+FROM events
+UNION ALL
+SELECT 'orders.o_orderkey', count(*),
+       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(max(o_orderkey) - min(o_orderkey) + 1 AS BIGINT),
+       CAST(max(o_orderkey) - min(o_orderkey) + 1
+            - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+ORDER BY key_col
+""",
+)
+def key_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(name, df, key):
+        k = F.col(key)
+        span = (F.max(k) - F.min(k) + F.lit(1)).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+            span.alias("expected_span"),
+            (span - F.countDistinct(key)).cast("long").alias("n_missing"),
+        ).select(F.lit(name).alias("key_col"), "*")
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        audit("events.event_id", events, "event_id")
+        .unionByName(audit("orders.o_orderkey", orders, "o_orderkey"))
+        .orderBy("key_col")
+    )
