@@ -427,3 +427,113 @@ def user_event_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         last["et"].alias("last_type"),
         (last["ts"] - first["ts"]).alias("span_us"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Q: value_outliers_by_type — z-score anomaly screening: each event's value
+# standardized against ITS GROUP's population mean/std (window aggregates
+# over event_type — no self-join), then per-type outlier counts at |z|>2
+# and |z|>3. The group-stat window is keyed, so state is per-type; at
+# scale the same stats come from a pre-aggregated broadcast instead.
+# --------------------------------------------------------------------------
+@query(
+    "value_outliers_by_type",
+    oracle="""
+WITH s AS (
+  SELECT event_type, value,
+         avg(value) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(value) OVER (PARTITION BY event_type) AS sigma
+  FROM events
+), z AS (
+  SELECT event_type,
+         CASE WHEN sigma = 0 THEN NULL ELSE (value - mu) / sigma END AS z
+  FROM s
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count_if(abs(z) > 2) AS BIGINT) AS n_z2,
+       CAST(count_if(abs(z) > 3) AS BIGINT) AS n_z3,
+       round(max(abs(z)), 6) AS max_abs_z
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.stats import stddev_pop
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sigma = stddev_pop(F.col("value")).over(w)
+    z = F.when(sigma == 0, F.lit(None)).otherwise(
+        (F.col("value") - mu) / sigma
+    )
+    zs = ev.select("event_type", z.alias("z"))
+    return (
+        zs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.abs("z") > 2).alias("n_z2"),
+            F.count_if(F.abs("z") > 3).alias("n_z3"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: longest_type_streak — gaps-and-islands: the longest run of
+# consecutive same-type events per user via the row_number-difference
+# trick (global rn minus per-type rn is constant within a run). Two
+# windows and two aggregations, all keyed by user — no self-join, no
+# iteration.
+# --------------------------------------------------------------------------
+@query(
+    "longest_type_streak",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS streak
+  FROM r GROUP BY user_id, event_type, rn_all - rn_type
+)
+SELECT user_id, streak AS longest_streak, event_type AS streak_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY streak DESC, event_type) AS rn
+  FROM runs
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def longest_type_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    r = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = r.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    # deterministic argmax: longest streak, ties to lexicographically first
+    # type — encoded as min_by over (-streak, type) in BOTH engines
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("streak").alias("longest_streak"),
+            F.min_by(
+                "event_type", F.struct(-F.col("streak"), F.col("event_type"))
+            ).alias("streak_type"),
+        )
+        .orderBy("user_id")
+    )
