@@ -243,3 +243,83 @@ def session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: purchase_funnel — funnel analysis: for every purchase, was there a
+# click within the preceding hour, and a view within the preceding hour?
+# Same machinery as the as-of join (running last(ignorenulls) per event
+# type over the user window — one shuffle on user_id, no self-joins, no
+# candidate blow-up), evaluated at the purchase rows only, rolled up to
+# global funnel counts and conversion rates.
+# --------------------------------------------------------------------------
+_FUNNEL_WINDOW_US = 3_600 * 1_000_000  # 1 hour
+
+
+@query(
+    "purchase_funnel",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events
+), m AS (
+  SELECT user_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_us,
+         last_value(CASE WHEN event_type = 'view' THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_view_us
+  FROM t
+), p AS (
+  SELECT ts_us, last_click_us, last_view_us FROM m
+  WHERE event_type = 'purchase'
+)
+SELECT count(*) AS n_purchases,
+       CAST(count_if(ts_us - last_click_us <= {_FUNNEL_WINDOW_US})
+            AS BIGINT) AS n_click_1h,
+       CAST(count_if(ts_us - last_click_us <= {_FUNNEL_WINDOW_US}
+                     AND ts_us - last_view_us <= {_FUNNEL_WINDOW_US})
+            AS BIGINT) AS n_view_click_1h,
+       round(count_if(ts_us - last_click_us <= {_FUNNEL_WINDOW_US})
+             * 1.0 / count(*), 6) AS click_conv,
+       round(count_if(ts_us - last_click_us <= {_FUNNEL_WINDOW_US}
+                      AND ts_us - last_view_us <= {_FUNNEL_WINDOW_US})
+             * 1.0 / count(*), 6) AS full_conv
+FROM p
+""",
+)
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    m = t.select(
+        "event_type",
+        "ts_us",
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_us"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("last_view_us"),
+    )
+    p = m.filter(F.col("event_type") == "purchase")
+    clicked = (F.col("ts_us") - F.col("last_click_us")) <= _FUNNEL_WINDOW_US
+    viewed = (F.col("ts_us") - F.col("last_view_us")) <= _FUNNEL_WINDOW_US
+    return p.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_if(clicked).alias("n_click_1h"),
+        F.count_if(clicked & viewed).alias("n_view_click_1h"),
+        F.round(
+            F.count_if(clicked).cast("double") / F.count(F.lit(1)), 6
+        ).alias("click_conv"),
+        F.round(
+            F.count_if(clicked & viewed).cast("double") / F.count(F.lit(1)), 6
+        ).alias("full_conv"),
+    )
