@@ -323,3 +323,49 @@ def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(clicked & viewed).cast("double") / F.count(F.lit(1)), 6
         ).alias("full_conv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: weekly_retention_cohorts — cohort retention: users grouped by their
+# FIRST active week, then counted as active in each subsequent week —
+# the retention matrix behind every growth dashboard. Two keyed
+# aggregations + one join on user_id; week offsets computed as exact
+# day-diff DIV 7 over week-truncated dates so both engines agree.
+# --------------------------------------------------------------------------
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, act_week) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM firsts JOIN activity USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").cast("date")
+    firsts = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week.alias("act_week")
+    ).distinct()
+    joined = firsts.join(activity, "user_id")
+    offset = F.expr(
+        "CAST(datediff(act_week, cohort_week) DIV 7 AS BIGINT)"
+    )
+    return (
+        joined.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
