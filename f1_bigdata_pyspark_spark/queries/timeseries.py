@@ -537,3 +537,62 @@ def longest_type_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: value_histogram — equi-width histogram (10 bins over the observed
+# global [min, max]): bin = clamp(floor((v - lo) / width), 9), computed
+# with the same double arithmetic in both engines. The bounds come from a
+# 1-row broadcast aggregate, the binning is a narrow map, and the counts
+# partial-aggregate — a single-pass distribution profile at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+), binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+           AS bin,
+         lo, hi
+  FROM events, b
+)
+SELECT bin,
+       count(*) AS n_events,
+       round(min(lo) + bin * ((min(hi) - min(lo)) / 10.0), 6) AS bin_lo,
+       round(min(lo) + (bin + 1) * ((min(hi) - min(lo)) / 10.0), 6) AS bin_hi
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.min("lo") + F.col("bin") * ((F.min("hi") - F.min("lo")) / 10.0),
+                6,
+            ).alias("bin_lo"),
+            F.round(
+                F.min("lo")
+                + (F.col("bin") + 1) * ((F.min("hi") - F.min("lo")) / 10.0),
+                6,
+            ).alias("bin_hi"),
+        )
+        .orderBy("bin")
+    )
