@@ -327,3 +327,98 @@ def window_family_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("prio", F.col("spend").desc(), "o_custkey")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: robust_dispersion_mad — median absolute deviation per group: the
+# robust twin of stddev (insensitive to the outliers value_outliers_by_type
+# hunts). Two exact medians — group median, then median of absolute
+# deviations after a co-keyed join — both engines compute the same exact
+# (interpolated) median.
+# --------------------------------------------------------------------------
+@query(
+    "robust_dispersion_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(e.value - med.m) AS ad
+  FROM events e JOIN med ON e.event_type = med.event_type
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       round(min(med.m), 6) AS median_value,
+       round(median(d.ad), 6) AS mad
+FROM dev d JOIN med ON d.event_type = med.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def robust_dispersion_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "m", F.abs(F.col("value") - F.col("m")).alias("ad")
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("m"), 6).alias("median_value"),
+            F.round(F.median("ad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: user_activity_entropy — Shannon entropy of each user's event-type
+# distribution (how diverse is their activity), then per-entropy-decile
+# user counts so the output stays bounded. Entropy = -sum(p ln p) from the
+# per-(user, type) counts — two keyed aggregations, exact double math in
+# both engines, rounded.
+# --------------------------------------------------------------------------
+@query(
+    "user_activity_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, sum(n) AS t FROM c GROUP BY user_id
+), ent AS (
+  SELECT c.user_id,
+         round(-sum((n * 1.0 / t) * ln(n * 1.0 / t)), 6) AS entropy
+  FROM c JOIN tot ON c.user_id = tot.user_id
+  GROUP BY c.user_id
+)
+SELECT CAST(floor(entropy * 5) AS BIGINT) AS entropy_bucket,
+       count(*) AS n_users,
+       round(min(entropy), 6) AS min_entropy,
+       round(max(entropy), 6) AS max_entropy
+FROM ent
+GROUP BY entropy_bucket
+ORDER BY entropy_bucket
+""",
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t").cast("double")
+    ent = (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+    return (
+        ent.groupBy(
+            F.floor(F.col("entropy") * 5).cast("long").alias("entropy_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+            F.round(F.max("entropy"), 6).alias("max_entropy"),
+        )
+        .orderBy("entropy_bucket")
+    )
