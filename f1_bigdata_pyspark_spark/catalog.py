@@ -140,17 +140,34 @@ def table_path(sf_dir: str, name: str) -> str:
 _SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Parquet time unit ('us' | 'ns') of events.ts, from the file footer."""
+    unit = _TS_UNIT_CACHE.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(table_path(sf_dir, "events")).field("ts")
+        unit = getattr(field.type, "unit", "us")
+        _TS_UNIT_CACHE[sf_dir] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table with the DECLARED schema (schema-on-write
     discipline, SURVEY.md §1.4): passing the StructType to the reader skips
     footer-based schema inference — measured 4x faster DataFrame creation —
     and pins the types the query layer was written against.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos (LongType +
-    ``nanosAsLong`` legacy conf) and converted with exact integer division
-    (micros truncation — the same conversion DuckDB applies), keeping oracle
-    comparisons bit-identical.
+    ``events.ts`` has shipped in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS) — which Spark's vectorized reader rejects —
+    and plain TIMESTAMP(MICROS). The footer is sniffed (one cheap local
+    metadata read, memoized with the scan) and only the nanos encoding takes
+    the legacy path: read raw nanos (LongType + ``nanosAsLong`` conf) and
+    convert with exact integer division (micros truncation — the same
+    conversion DuckDB applies), keeping oracle comparisons bit-identical.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -158,7 +175,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
-    if name == "events":
+    if name == "events" and _events_ts_unit(sf_dir) == "ns":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -28,31 +28,40 @@ def read_events_stream(
     sf_dir: str,
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
-    """File-source stream over the events table. The ns-timestamp parquet is
-    read as raw nanos (same legacy conf as the batch loader) and converted
-    with exact integer division.
+    """File-source stream over the events table. Timestamp decoding matches
+    the batch loader: the footer is sniffed, and only a ns-encoded file takes
+    the legacy raw-nanos path with exact integer division (the regenerated
+    testdata is plain micros and reads with the declared schema).
 
     The file source requires a *directory*; the testdata table is a single
     parquet file, so it is staged into a temp dir via symlink (zero-copy)."""
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from f1_bigdata_pyspark_spark.catalog import _events_ts_unit
+
     stage_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(stage_dir, "events.parquet"),
     )
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    raw = (
-        spark.readStream.schema(schema)
+    if _events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(stage_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
