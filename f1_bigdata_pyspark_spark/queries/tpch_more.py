@@ -879,3 +879,231 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: product_profit_by_nation — TPC-H Q9 shape: profit per (nation, year)
+# for parts matching a name pattern. The synthetic schema has no partsupp
+# table, so ps_supplycost is stood in by 0.6 * p_retailprice (the shape —
+# a big fact⋈fact join plus three broadcast dims feeding a two-key agg —
+# is what Q9 exercises, not the cost constant).
+# Scale: part/supplier/nation broadcast; the only shuffle joins are
+# lineitem⋈orders (both scale with the data) and the final 2-key agg, which
+# partial-aggregates map-side. The p_name LIKE filter prunes the broadcast
+# build side before it ships.
+# --------------------------------------------------------------------------
+@query(
+    "product_profit_by_nation",
+    oracle="""
+SELECT n_name AS nation_name,
+       year(o_orderdate) AS o_year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT))
+            AS BIGINT) / 100.0 AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY nation_name, o_year
+ORDER BY nation_name, o_year DESC
+""",
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # exact-cents discipline: rounding each row to integer cents and summing
+    # as int64 makes the aggregate independent of summation order — float
+    # sums differ in the last cent between engines at this cardinality
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supplier), supplier.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), nation.n_nationkey == supplier.s_nationkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_cents) / 100.0).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("nation_name"), F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: returnflag_priority_classes — TPC-H Q12 shape: join the fact to orders
+# and split a count by order-priority class with conditional aggregation.
+# l_returnflag stands in for l_shipmode (the synthetic lineitem has no
+# shipmode/commitdate columns); the physical shape — shuffle join on
+# orderkey, map-side partial agg of two CASE counts — is Q12's.
+# --------------------------------------------------------------------------
+@query(
+    "returnflag_priority_classes",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def returnflag_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_returnflag").isin("A", "R")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_count_by_part_attrs — TPC-H Q16 shape: how many distinct
+# suppliers ship each (brand, type, size) bucket, excluding one brand, a
+# type prefix, and "complaint" suppliers (stand-in: negative account
+# balance, excluded with a broadcast anti-join — TPC-H uses NOT IN over a
+# LIKE subquery).
+# Scale: the distinct pair set (l_partkey, l_suppkey) is reduced BEFORE the
+# part join (dropDuplicates partial-aggregates map-side); part and the
+# exclusion list broadcast; the count-distinct agg runs on the already
+# deduplicated pairs.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_count_by_part_attrs",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50)
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(
+            F.broadcast(complaints),
+            pairs.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), part.p_partkey == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: dominant_part_suppliers — TPC-H Q20 shape: suppliers who shipped more
+# than half of a filtered part's 1997 volume (partsupp's availqty>0.5*sum
+# becomes supplier-share>0.5 of the part's shipped quantity — same nested
+# aggregate-vs-aggregate comparison), surfaced with name/balance via a
+# semi-join into supplier.
+# Scale: both aggregates shuffle on l_partkey(+l_suppkey) with map-side
+# partials; the share comparison joins two already-reduced aggregates on
+# the same key (co-partitioned); the final supplier lookup is a broadcast
+# semi-join of a tiny qualifying set.
+# --------------------------------------------------------------------------
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+  GROUP BY l_partkey, l_suppkey
+),
+totals AS (
+  SELECT l_partkey, sum(supp_qty) AS part_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped JOIN totals USING (l_partkey)
+  WHERE supp_qty > 0.5 * part_qty
+)
+ORDER BY s_name
+""",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bolt_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(bolt_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
