@@ -599,3 +599,119 @@ def key_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders.o_orderkey", orders, "o_orderkey"))
         .orderBy("key_col")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: price_equidepth_histogram — equi-DEPTH histogram (equal row count per
+# bucket) via ntile over a UNIQUE sort key, complementing the equi-width
+# histogram in timeseries.py. Equi-depth is the layout primitive behind
+# range-partitioning boundaries: the per-bucket [lo, hi] spans ARE the
+# partition split points a 100 TB range-shuffle would use (Spark computes
+# them the same way by sampling inside RangePartitioner).
+# Scale: one reduction to (o_totalprice, o_orderkey) pairs, one global sort
+# for the window — at full scale you'd sample instead (approx boundaries),
+# which is exactly what the plan's RangePartitioner does; cardinality here
+# is one row per order, already the reduced side.
+# --------------------------------------------------------------------------
+@query(
+    "price_equidepth_histogram",
+    oracle="""
+SELECT bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice,
+         ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: zorder_part_layout — Z-order (Morton) clustering key: interleave the
+# bits of two filter dimensions (p_size, and an equi-width bucket of
+# p_retailprice) so a sort by the interleaved key co-locates rows that are
+# close in BOTH dimensions. This is the layout operator behind multi-
+# dimensional data skipping (Delta OPTIMIZE ZORDER BY): after writing the
+# table sorted by z_key, parquet row-group min/max stats prune scans on
+# EITHER predicate column, not just the leading sort key.
+# The query emits per-z-range row-group stats (min/max of both dims for
+# each run of 64 consecutive z-ordered rows) — exactly the skipping index a
+# scan would consult; the oracle replicates the bit math in SQL.
+# Scale: computing z_key is a pure map; the sort is the same range exchange
+# any clustered write pays. 6 bits/dim here; production uses 16-21.
+# --------------------------------------------------------------------------
+@query(
+    "zorder_part_layout",
+    oracle="""
+WITH z AS (
+  SELECT p_partkey, p_size,
+         CAST(floor(p_retailprice / 40.0) AS INTEGER) AS price_bucket,
+         -- interleave 6 bits of p_size (x) and price_bucket (y):
+         -- z = sum over i of bit_i(x)<<(2i) | bit_i(y)<<(2i+1)
+         ((p_size & 1) << 0) | ((p_size & 2) << 1) | ((p_size & 4) << 2)
+           | ((p_size & 8) << 3) | ((p_size & 16) << 4) | ((p_size & 32) << 5)
+           | (((CAST(floor(p_retailprice / 40.0) AS INTEGER) & 1)) << 1)
+           | (((CAST(floor(p_retailprice / 40.0) AS INTEGER) & 2)) << 2)
+           | (((CAST(floor(p_retailprice / 40.0) AS INTEGER) & 4)) << 3)
+           | (((CAST(floor(p_retailprice / 40.0) AS INTEGER) & 8)) << 4)
+           | (((CAST(floor(p_retailprice / 40.0) AS INTEGER) & 16)) << 5)
+           | (((CAST(floor(p_retailprice / 40.0) AS INTEGER) & 32)) << 6)
+         AS z_key
+  FROM part
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY z_key, p_partkey) - 1 AS pos
+  FROM z
+)
+SELECT CAST(floor(pos / 64.0) AS INTEGER) AS row_group,
+       count(*) AS n_rows,
+       min(p_size) AS size_min, max(p_size) AS size_max,
+       min(price_bucket) AS price_min, max(price_bucket) AS price_max
+FROM ranked
+GROUP BY row_group
+ORDER BY row_group
+""",
+)
+def zorder_part_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    x = F.col("p_size")
+    y = F.floor(F.col("p_retailprice") / 40.0).cast("int")
+    z_key = F.lit(0)
+    for i in range(6):
+        z_key = z_key.bitwiseOR(
+            F.shiftleft(x.bitwiseAND(F.lit(1 << i)), i)
+        ).bitwiseOR(F.shiftleft(y.bitwiseAND(F.lit(1 << i)), i + 1))
+    z = part.select(
+        "p_partkey", "p_size", y.alias("price_bucket"), z_key.alias("z_key")
+    )
+    pos = F.row_number().over(Window.orderBy("z_key", "p_partkey")) - 1
+    return (
+        z.select("*", pos.alias("pos"))
+        .groupBy(F.floor(F.col("pos") / 64).cast("int").alias("row_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p_size").alias("size_min"),
+            F.max("p_size").alias("size_max"),
+            F.min("price_bucket").alias("price_min"),
+            F.max("price_bucket").alias("price_max"),
+        )
+        .orderBy("row_group")
+    )

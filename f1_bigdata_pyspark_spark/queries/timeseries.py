@@ -596,3 +596,66 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: incremental_daily_rollup — incremental materialized-view maintenance
+# with mergeable partial aggregates: the standing daily rollup state
+# (count / sum / sum-of-squares per (day, event_type) for days before a
+# cutoff) is MERGED with partials computed over only the new tail — never
+# re-scanning history — and the merged result equals a full recompute,
+# which is exactly what the oracle runs. count+sum+max are mergeable
+# statistics (avg derives from them), the same algebra behind Spark's own
+# partial/final HashAggregate split.
+# Scale: at 100 TB the "state" side is the stored rollup table (tiny — one
+# row per day×type) and only the new partition is scanned; the merge is a
+# groupBy over rows proportional to DAYS, not events. This query proves the
+# merge algebra end-to-end on one engine pass.
+# --------------------------------------------------------------------------
+@query(
+    "incremental_daily_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("mx"),
+        )
+
+    state = partials(events.filter(F.col("ts") < cutoff))  # standing rollup
+    fresh = partials(events.filter(F.col("ts") >= cutoff))  # new batch only
+    merged = (
+        state.unionByName(fresh)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    mean = F.col("s") / F.col("n_events")
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round("s", 2).alias("sum_value"),
+        F.round(mean, 6).alias("avg_value"),
+        F.round("mx", 2).alias("max_value"),
+    ).orderBy("day", "event_type")
