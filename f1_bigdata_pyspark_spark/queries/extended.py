@@ -715,3 +715,124 @@ def zorder_part_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_group")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: bloom_prefilter_revenue — runtime bloom-filter join pruning, built
+# from scratch relationally: the reduced dimension side's join keys
+# (high-priority orders) are hashed to k=3 bit positions (portable md5
+# math), OR-folded into a 4096-bit filter as 64 int64 words with a bit_or
+# aggregate, collected ONCE driver-side (64 longs — the same driver hop
+# Spark's own runtime row-level filtering does), and injected as a literal
+# array into the fact scan's filter. The bloom pass discards most fact
+# rows map-side before the join exchange; false positives are eliminated
+# by the exact join, so the result is identical to the plain join — which
+# is exactly what the oracle runs. At 100 TB this is the difference
+# between shuffling the full fact table and shuffling the ~matching
+# fraction (plus a 32 KB broadcast).
+# --------------------------------------------------------------------------
+@query(
+    "bloom_prefilter_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    N_BITS, N_WORDS, K = 4096, 64, 3
+
+    def probes(key):
+        return [
+            md5_long(F.concat_ws("#", key.cast("string"), F.lit(i))) % N_BITS
+            for i in range(K)
+        ]
+
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    words_rows = (
+        urgent.select(
+            F.explode(F.array(*probes(F.col("o_orderkey")))).alias("bitpos")
+        )
+        .select(
+            (F.col("bitpos") / N_WORDS).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bloom = [0] * N_WORDS
+    for r in words_rows:
+        bloom[r["word"]] = r["bits"]
+    bloom_lit = F.array(*[F.lit(w).cast("long") for w in bloom])
+    li = load_table(spark, sf_dir, "lineitem")
+    for i, p in enumerate(probes(F.col("l_orderkey"))):
+        li = li.withColumn(f"bp{i}", p)
+    might_contain = None
+    for i in range(K):
+        word = (F.col(f"bp{i}") / N_WORDS).cast("int")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bp{i} % 64 AS INT))")
+        hit = F.element_at(bloom_lit, word + 1).bitwiseAND(mask) != 0
+        might_contain = hit if might_contain is None else (might_contain & hit)
+    pref = li.filter(might_contain).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        pref.join(urgent, urgent.o_orderkey == pref.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: approx_quantile_accuracy — the approximate-percentile face with a
+# checkable contract: alongside the EXACT median (interpolated, same
+# algorithm as DuckDB quantile_cont), emit whether percentile_approx at
+# accuracy 10000 lands within 1% relative error. The oracle states the
+# exact median and literal TRUE — so the driver hash fails if the sketch
+# ever drifts out of tolerance. At 100 TB the approx path is the one you
+# run (single-pass, mergeable GK sketch, no global sort); this query pins
+# its error budget as part of the contract instead of leaving the sketch
+# unchecked.
+# --------------------------------------------------------------------------
+@query(
+    "approx_quantile_accuracy",
+    oracle="""
+SELECT p_brand,
+       round(quantile_cont(p_retailprice, 0.5), 6) AS exact_p50,
+       TRUE AS approx_within_1pct
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    exact = F.expr("percentile(p_retailprice, 0.5)")
+    approx = F.percentile_approx("p_retailprice", F.lit(0.5), F.lit(10000))
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.round(exact, 6).alias("exact_p50"),
+            (F.abs(approx - exact) <= 0.01 * exact).alias("approx_within_1pct"),
+        )
+        .orderBy("p_brand")
+    )

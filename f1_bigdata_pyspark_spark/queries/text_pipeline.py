@@ -445,3 +445,66 @@ def redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: negative_sampling_pairs — deterministic negative sampling for
+# contrastive training data: each anchor document draws k=4 pseudo-random
+# negatives via the portable md5 hash of (doc_id, draw index), mod the key
+# span, keeping only draws that hit an existing non-self document (exact
+# semantics DuckDB replicates bit-for-bit — no rand()). At 100 TB this is
+# a pure map over anchors plus a broadcast-able semi-join on the candidate
+# ids; nothing global, no sampling state, fully re-runnable.
+# --------------------------------------------------------------------------
+@query(
+    "negative_sampling_pairs",
+    oracle="""
+WITH span AS (SELECT max(doc_id) AS mx FROM documents),
+draws AS (
+  SELECT d.doc_id,
+         i,
+         1 + CAST('0x' || substr(md5(d.doc_id || '#' || i), 1, 15) AS BIGINT)
+             % (SELECT mx FROM span) AS neg_id
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(4)) AS i)
+  WHERE d.doc_id <= 50
+)
+SELECT doc_id, i AS draw, neg_id
+FROM draws
+WHERE neg_id <> doc_id
+  AND neg_id IN (SELECT doc_id FROM documents)
+ORDER BY doc_id, draw
+""",
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    span = ids.agg(F.max("doc_id").alias("mx"))
+    anchors = ids.filter(F.col("doc_id") <= 50)
+    draws = (
+        anchors.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("draw")
+        )
+        .join(F.broadcast(span))  # 1-row span: broadcast product
+        .select(
+            "doc_id",
+            "draw",
+            (
+                F.lit(1)
+                + md5_long(F.concat_ws("#", F.col("doc_id"), F.col("draw")))
+                % F.col("mx")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    return (
+        draws.join(
+            F.broadcast(ids.select(F.col("doc_id").alias("neg_id"))),
+            "neg_id",
+            "left_semi",
+        )
+        .select("doc_id", "draw", "neg_id")
+        .orderBy("doc_id", "draw")
+    )

@@ -138,3 +138,55 @@ def session_rollup_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
             "n_events",
         )
     )
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream interval join: each click joins purchases by the same
+    user landing within ``horizon`` AFTER the click. Both sides carry
+    watermarks and the join predicate carries the time bound — together
+    they let Spark expire join state (a click older than watermark+horizon
+    can never match a future purchase), which is what makes a stream–stream
+    join runnable forever at scale instead of accumulating unbounded state.
+
+    Scale notes: state is hash-partitioned by user_id (the equi-key); the
+    per-key state size is bounded by the horizon window, independent of
+    stream length. The batch twin (same join predicate on the static table)
+    must produce the identical row set — pinned in tests."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("amount", 2).alias("amount"),
+    )

@@ -175,6 +175,16 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "local_supplier_revenue": 2,
         "bilateral_trade_volume": 2,
         "daily_revenue_spine": 2,
+        "product_profit_by_nation": 2,  # li⋈orders SMJ + agg; dims broadcast
+        "returnflag_priority_classes": 2,
+        "supplier_count_by_part_attrs": 4,  # pair-dedup + distinct expand
+        "dominant_part_suppliers": 4,  # two rollup levels + share join
+        "price_equidepth_histogram": 1,  # post-window stages stay single-part
+        "zorder_part_layout": 1,
+        "incremental_daily_rollup": 3,  # two partial sides + merge agg
+        "bloom_prefilter_revenue": 2,  # bloom probe is map-side only
+        "approx_quantile_accuracy": 2,
+        "negative_sampling_pairs": 2,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)

@@ -196,3 +196,43 @@ def test_stateful_running_totals_match_batch(spark, sf_smoke, events_batch):
         gn, gs = got[u]
         assert gn == n, (u, gn, n)
         assert abs(gs - s) < 1e-6, (u, gs, s)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_batch):
+    from f1_bigdata_pyspark_spark.streaming.events_stream import (
+        click_purchase_join_stream,
+    )
+
+    joined = click_purchase_join_stream(
+        read_events_stream(spark, sf_smoke), read_events_stream(spark, sf_smoke)
+    )
+    q = run_to_memory(joined, "ss_join_stream", output_mode="append")
+    try:
+        got = {
+            (r["click_id"], r["purchase_id"]): (r["user_id"], r["amount"])
+            for r in spark.sql("SELECT * FROM ss_join_stream").collect()
+        }
+    finally:
+        q.stop()
+    c = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"]): (r["c_user"], round(r["amount"], 2))
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
