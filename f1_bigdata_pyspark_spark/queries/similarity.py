@@ -11,6 +11,7 @@ the bucketing/assignment is engine-independent and hash-checkable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -299,4 +300,60 @@ def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cos_sim"), 6).alias("avg_cos"),
         )
         .orderBy("centroid_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: pandas_scalar_qnorm — the Arrow-batched SCALAR pandas UDF face
+# (SURVEY.md §2.10): vectorized numpy over whole Arrow batches, the
+# sanctioned escape hatch when an expression genuinely can't be said with
+# built-ins. The computation is integer-quantized (round each float32
+# component to 1e-3, square, sum as int64) precisely so the Python path
+# is EXACTLY replicable by the oracle — integer sums are order-independent,
+# unlike float dot products whose summation order differs between numpy
+# BLAS and sequential SQL evaluation.
+# --------------------------------------------------------------------------
+@query(
+    "pandas_scalar_qnorm",
+    oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       min(qn) AS min_qnorm,
+       max(qn) AS max_qnorm,
+       round(avg(qn), 6) AS avg_qnorm
+FROM (
+  SELECT label,
+         list_sum(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                  * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qn
+  FROM embeddings
+)
+GROUP BY label
+ORDER BY label
+""",
+)
+def pandas_scalar_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def qnorm(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(v):
+            q = np.rint(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64)
+            return int((q * q).sum())
+
+        return emb.map(one)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", qnorm("embedding").alias("qn"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("qn").alias("min_qnorm"),
+            F.max("qn").alias("max_qnorm"),
+            F.round(F.avg("qn"), 6).alias("avg_qnorm"),
+        )
+        .orderBy("label")
     )

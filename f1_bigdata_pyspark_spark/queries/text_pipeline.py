@@ -508,3 +508,111 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "draw", "neg_id")
         .orderBy("doc_id", "draw")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: udtf_chunk_stats — Python UDTF face (Spark 4 user-defined TABLE
+# function): fixed-size token chunking of documents — the canonical
+# LLM-context-window preparation step — as a lateral table function
+# yielding one row per chunk. The chunking rule (split on single spaces,
+# 32 tokens per chunk) is deterministic, so DuckDB replicates it exactly
+# with list_slice over generate_series — a full hash check, unusual for a
+# Python-UDF-family operator.
+# Scale notes: a UDTF is row-at-a-time Python — the SLOW path (SURVEY.md
+# §2.10); it exists to pin the API face and its exact semantics. The
+# production chunker for 100 TB is the relational twin (posexplode +
+# integer-division bucket + concat_ws groupBy), same shape as
+# operators/dedup._raw_shingles.
+# --------------------------------------------------------------------------
+@query(
+    "udtf_chunk_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id <= 30
+),
+chunks AS (
+  SELECT doc_id,
+         i AS chunk_idx,
+         list_slice(toks, i * 32 + 1, (i + 1) * 32) AS chunk_toks
+  FROM t, (SELECT unnest(range(100)) AS i)
+  WHERE i * 32 < len(toks)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk_toks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk_toks, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, n_tokens: bigint, chunk: string")
+    class ChunkText:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(0, (len(toks) + 31) // 32):
+                chunk = toks[i * 32 : (i + 1) * 32]
+                yield doc_id, i, len(chunk), " ".join(chunk)
+
+    spark.udtf.register("chunk_text", ChunkText)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, md5(c.chunk) AS chunk_md5
+        FROM docs_v, LATERAL chunk_text(doc_id, text) c
+        WHERE docs_v.doc_id <= 30
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: bottomk_sample_merge — mergeable uniform sampling (bottom-k sketch):
+# assign every event a deterministic md5 priority, keep the k smallest per
+# day (a window over the daily partition), then reduce the merged daily
+# sketches to the global bottom-k. Bottom-k is the mergeable form of
+# uniform-without-replacement sampling: min-k of a union == min-k of the
+# per-partition min-k's, so a 100 TB corpus samples with one narrow pass
+# per partition plus a tiny merge — no global shuffle of raw rows. The
+# oracle computes the global bottom-k DIRECTLY over all events; equality
+# proves the merge identity, same discipline as incremental_daily_rollup.
+# --------------------------------------------------------------------------
+@query(
+    "bottomk_sample_merge",
+    oracle="""
+SELECT CAST(rank AS BIGINT) AS rank, event_id
+FROM (
+  SELECT event_id,
+         row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                         AS BIGINT), event_id) AS rank
+  FROM events
+)
+WHERE rank <= 16
+ORDER BY rank
+""",
+)
+def bottomk_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    prio = events.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        md5_long(F.col("event_id").cast("string")).alias("priority"),
+    )
+    daily_w = Window.partitionBy("day").orderBy("priority", "event_id")
+    daily_bottomk = prio.select(
+        "*", F.row_number().over(daily_w).alias("rn")
+    ).filter(F.col("rn") <= 16)
+    global_w = Window.orderBy("priority", "event_id")
+    return (
+        daily_bottomk.select(
+            F.row_number().over(global_w).cast("long").alias("rank"), "event_id"
+        )
+        .filter(F.col("rank") <= 16)
+        .orderBy("rank")
+    )

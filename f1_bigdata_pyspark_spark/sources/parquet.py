@@ -75,3 +75,39 @@ def write_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def compact_table(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into files sized for
+    scan efficiency. Returns the number of output files written.
+
+    The file count is derived from the SOURCE's actual on-disk bytes (file
+    listing only — no data pass), so compaction cost is one read + one
+    write of the table. Small-file proliferation is the classic failure
+    mode of incremental ingestion (the reference's per-race upsert batches
+    would create one file per race per run); at 100 TB, 1000s of KB-sized
+    files turn a scan into a metadata storm — periodic compaction to
+    ~128 MB files keeps scan task counts proportional to data, and the
+    repartition here is a round-robin exchange, the only shuffle.
+    """
+    import math
+
+    from pyspark.sql.functions import spark_partition_id
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    return out.select(spark_partition_id()).distinct().count()

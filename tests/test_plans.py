@@ -185,6 +185,9 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "bloom_prefilter_revenue": 2,  # bloom probe is map-side only
         "approx_quantile_accuracy": 2,
         "negative_sampling_pairs": 2,
+        "udtf_chunk_stats": 1,
+        "bottomk_sample_merge": 2,  # daily-partition window + global merge
+        "pandas_scalar_qnorm": 2,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)
