@@ -323,9 +323,10 @@ SELECT label,
        round(avg(qn), 6) AS avg_qnorm
 FROM (
   SELECT label,
-         list_sum(list_transform(embedding,
+         CAST(list_sum(list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-                  * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qn
+                  * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+              AS BIGINT) AS qn
   FROM embeddings
 )
 GROUP BY label

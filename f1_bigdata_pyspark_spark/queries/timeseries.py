@@ -659,3 +659,92 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("avg_value"),
         F.round("mx", 2).alias("max_value"),
     ).orderBy("day", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: bitmap_distinct_rollup — EXACT mergeable count-distinct via bitmaps:
+# users hash into (bucket, bit) positions; per (event_type, day, bucket)
+# partial bitmaps are built with bitmap_construct_agg, merged across days
+# with bitmap_or_agg, and counted. This is the exact-arithmetic sibling of
+# the portable HLL rollup (queries/sketches.py): OR of bitmaps loses
+# nothing, so the oracle is plain count(DISTINCT) — a full hash check on a
+# sketch-merge pipeline. At 100 TB the daily partial bitmaps are the
+# stored rollup state: distinct-users-to-date needs only an OR over tiny
+# bitmaps, never a re-scan of raw events (same merge algebra Spark uses
+# for its own partial aggregates).
+# --------------------------------------------------------------------------
+@query(
+    "bitmap_distinct_rollup",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return (
+        merged.select("event_type", F.expr("bitmap_count(bm)").alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: variant_props_stats — the Spark 4 VARIANT face for semi-structured
+# JSON: parse_json once into the binary variant encoding, then typed
+# variant_get extraction (no per-access re-parse, unlike
+# get_json_object — the batch twin of shredded JSON columns at scale).
+# The sibling event_props_json covers the string-functions path; this
+# pins the variant path to the same oracle semantics.
+# --------------------------------------------------------------------------
+@query(
+    "variant_props_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(sum(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -188,6 +188,8 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "udtf_chunk_stats": 1,
         "bottomk_sample_merge": 2,  # daily-partition window + global merge
         "pandas_scalar_qnorm": 2,
+        "bitmap_distinct_rollup": 4,  # daily partials + OR-merge + count + sort
+        "variant_props_stats": 2,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)

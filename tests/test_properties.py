@@ -141,3 +141,142 @@ def test_connected_components_match_union_find(spark, edges):
         groups.setdefault(find(node), []).append(node)
     want = {n: min(members) for members in groups.values() for n in members}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Bloom pre-filter: NO false negatives — every key on the build side must
+# pass might_contain on the probe side (false positives are fine; they are
+# removed by the exact join downstream).
+# --------------------------------------------------------------------------
+_keys = st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_keys)
+def test_bloom_prefilter_no_false_negatives(spark, keys):
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    N_BITS, N_WORDS, K = 4096, 64, 3
+
+    def probes(key):
+        return [
+            md5_long(F.concat_ws("#", key.cast("string"), F.lit(i))) % N_BITS
+            for i in range(K)
+        ]
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], ["k"])
+    words_rows = (
+        df.select(F.explode(F.array(*probes(F.col("k")))).alias("bitpos"))
+        .select(
+            (F.col("bitpos") / N_WORDS).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bloom = [0] * N_WORDS
+    for r in words_rows:
+        bloom[r["word"]] = r["bits"]
+    arr = F.array(*[F.lit(w).cast("long") for w in bloom])
+    probe_df = df
+    for i, p in enumerate(probes(F.col("k"))):
+        probe_df = probe_df.withColumn(f"bp{i}", p)
+    cond = None
+    for i in range(K):
+        word = (F.col(f"bp{i}") / N_WORDS).cast("int")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bp{i} % 64 AS INT))")
+        hit = F.element_at(arr, word + 1).bitwiseAND(mask) != 0
+        cond = hit if cond is None else (cond & hit)
+    assert probe_df.filter(~cond).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sampling merge identity: min-k of per-partition min-k's equals
+# the global min-k, for ANY partition assignment (the mergeability that
+# makes bottom-k a distributed sampling sketch).
+# --------------------------------------------------------------------------
+_ids_parts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_ids_parts)
+def test_bottomk_merge_identity(spark, rows):
+    import hashlib
+
+    k = 8
+    uniq = {}
+    for key, part in rows:
+        uniq.setdefault(key, part)
+
+    def prio(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    direct = sorted(uniq, key=lambda x: (prio(x), x))[:k]
+    per_part: dict[int, list] = {}
+    for key, part in uniq.items():
+        per_part.setdefault(part, []).append(key)
+    merged_pool = [
+        x
+        for part_keys in per_part.values()
+        for x in sorted(part_keys, key=lambda x: (prio(x), x))[:k]
+    ]
+    merged = sorted(merged_pool, key=lambda x: (prio(x), x))[:k]
+    assert merged == direct
+
+
+# --------------------------------------------------------------------------
+# UDTF chunking is a partition of the token stream: concatenating chunks in
+# index order reconstructs the document exactly, and every chunk except the
+# last is full-size.
+# --------------------------------------------------------------------------
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),
+        min_size=0,
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_texts)
+def test_udtf_chunks_reconstruct_document(spark, texts):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, n_tokens: bigint, chunk: string")
+    class ChunkText:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            for i in range(0, (len(toks) + 31) // 32):
+                chunk = toks[i * 32 : (i + 1) * 32]
+                yield doc_id, i, len(chunk), " ".join(chunk)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.createOrReplaceTempView("prop_docs")
+    spark.udtf.register("chunk_text_prop", ChunkText)
+    got = spark.sql(
+        "SELECT c.* FROM prop_docs, LATERAL chunk_text_prop(doc_id, text) c"
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert " ".join(c["chunk"] for c in chunks) == text
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == 32
