@@ -35,8 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL twins. Hash-derived ops (MinHash/SimHash/LSH/IVF)
-    use portable md5/sin-based math, so they carry full oracles too; only
-    the two HLL sketch queries are intentionally absent (approximate by
-    definition) → rows-only checks with accuracy pinned in tests."""
+    """DuckDB oracle SQL twins — one per declared query, no exceptions.
+    Hash-derived ops (MinHash/SimHash/LSH/IVF) use portable md5/sin-based
+    math; engine-specific sketches (DataSketches HLL, percentile_approx)
+    declare exact values plus within-tolerance booleans, so even the
+    approximate paths sit under the driver's value-hash gate."""
     return all_oracles()

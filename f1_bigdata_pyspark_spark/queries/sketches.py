@@ -8,12 +8,13 @@ union into exact-shape global estimates without touching raw data again.
 ``sketch_merge_rollup`` demonstrates exactly that pattern (daily sketches →
 union → global estimate), the sketch twin of ``events_multires_rollup``.
 
-The two DataSketches queries carry no SQL oracle — their estimates are
-engine/seed-specific — so accuracy is pinned in ``tests/test_sketches.py``
-against the exact distinct (≤2% relative error, far looser than HLL's
+The DataSketches estimates are engine/seed-specific, so their DECLARED
+faces state exact distincts plus within-tolerance booleans (oracle asserts
+TRUE) and the raw estimates are additionally pinned in
+``tests/test_sketches.py`` (≤2% relative error, far looser than HLL's
 actual guarantee at lgK=12). ``portable_hll_users_by_type`` is the
 counterpoint: a from-scratch HLL over portable md5-derived hashes whose
-estimate IS deterministic, and therefore fully oracle-checked.
+estimate IS deterministic, and therefore oracle-checked bit-for-bit.
 """
 
 from __future__ import annotations
@@ -27,19 +28,39 @@ from f1_bigdata_pyspark_spark.queries.registry import query
 
 # --------------------------------------------------------------------------
 # Q: hll_users_by_type — per-group approximate distinct via HLL sketch,
-# alongside HLL++ (approx_count_distinct) for comparison.
+# alongside HLL++ (approx_count_distinct) for comparison. The raw
+# estimates are engine/seed-specific, so the DECLARED face states the
+# exact distinct plus within-tolerance booleans (2% for DataSketches at
+# lgK=12, 5% = default rsd for HLL++) — the oracle asserts TRUE, putting
+# the sketches' error budgets under the driver's value-hash gate (same
+# contract pattern as approx_quantile_accuracy). The raw estimates stay
+# pinned in tests/test_sketches.py.
 # --------------------------------------------------------------------------
-@query("hll_users_by_type", oracle=None)
+@query(
+    "hll_users_by_type",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       TRUE AS sketch_within_2pct,
+       TRUE AS hllpp_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id").cast("double")
+    sketch = F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("double")
+    hllpp = F.approx_count_distinct("user_id").cast("double")
     return (
         events.groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
-                "approx_users"
-            ),
-            F.approx_count_distinct("user_id").alias("hllpp_users"),
+            F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
+            (F.abs(sketch - exact) <= 0.02 * exact).alias("sketch_within_2pct"),
+            (F.abs(hllpp - exact) <= 0.05 * exact).alias("hllpp_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -47,20 +68,38 @@ def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q: sketch_merge_rollup — build per-day HLL sketches, then MERGE them into
-# the global distinct-user estimate. The raw data is scanned once; the
-# rollup row is produced purely from the daily sketch table.
+# the global distinct-user estimate; the rollup row is produced purely
+# from the daily sketch table. The declared face adds the exact global
+# distinct (one extra aggregate — at 100 TB you would NOT run it; it
+# exists here only to state the merged estimate's 2% budget as an
+# oracle-checkable boolean).
 # --------------------------------------------------------------------------
-@query("sketch_merge_rollup", oracle=None)
+@query(
+    "sketch_merge_rollup",
+    oracle="""
+SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS merged_within_2pct
+FROM events
+""",
+)
 def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
-    return daily.agg(
+    merged = daily.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-            "approx_total_users"
-        ),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("n_users"))
+    return merged.join(F.broadcast(exact)).select(
+        "n_days",
+        "n_users",
+        (
+            F.abs(F.col("est").cast("double") - F.col("n_users").cast("double"))
+            <= 0.02 * F.col("n_users").cast("double")
+        ).alias("merged_within_2pct"),
     )
 
 
