@@ -358,3 +358,111 @@ def pandas_scalar_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: int8_quant_recall — embedding QUANTIZATION with a measurable quality
+# contract: symmetric per-vector int8 quantization (scale = max|x|,
+# q_i = round(x_i/scale*127)), integer dot products for the quantized
+# cosine, top-10 by quantized similarity, each row flagged whether it also
+# appears in the FLOAT top-10 — recall@10 of the quantized index read
+# directly off the result. Integer dots are order-independent (exact), so
+# the oracle replicates the whole pipeline bit-for-bit; ranking happens on
+# rounded scores with vec_id tiebreaks (cross-engine-stable, SURVEY §7).
+# At 100 TB int8 cuts the vector store 4× and the dot product to integer
+# SIMD; this query pins what that costs in retrieval quality.
+# --------------------------------------------------------------------------
+@query(
+    "int8_quant_recall",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / list_max(list_transform(v, y -> abs(y)))
+                                           * 127) AS BIGINT)) AS q
+  FROM base
+  WHERE list_max(list_transform(v, y -> abs(y))) > 0
+),
+qv AS (SELECT q AS qq FROM quant WHERE vec_id = {_QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(q, qq)
+               / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(qq, qq))),
+               6) AS q_cos
+  FROM quant, qv
+),
+fv AS (SELECT v AS fq FROM base WHERE vec_id = {_QUERY_VEC_ID}),
+float10 AS (
+  SELECT vec_id
+  FROM base, fv
+  ORDER BY round(list_cosine_similarity(v, fq), 6) DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY q_cos DESC, vec_id ASC) AS rank,
+       vec_id, q_cos,
+       vec_id IN (SELECT vec_id FROM float10) AS in_float_top10
+FROM scored
+ORDER BY q_cos DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs))
+    quant = base.filter(scale > 0).select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: F.round(x / scale * 127).cast("long")
+        ).alias("q"),
+    )
+    qq = quant.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("q").alias("qq")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — integer dot product
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    scored = quant.join(F.broadcast(qq)).select(
+        "vec_id",
+        F.round(
+            idot(F.col("q"), F.col("qq"))
+            / (
+                F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))
+                * F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double"))
+            ),
+            6,
+        ).alias("q_cos"),
+    )
+    fq = base.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("fq")
+    )
+    float10 = (
+        base.join(F.broadcast(fq))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("fq")), 6).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    w = Window.orderBy(F.col("q_cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.join(
+            F.broadcast(float10.withColumn("in_float_top10", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "vec_id",
+            "q_cos",
+            F.coalesce("in_float_top10", F.lit(False)).alias("in_float_top10"),
+        )
+        .orderBy(F.col("q_cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -616,3 +616,229 @@ def bottomk_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 16)
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: tfidf_topk_retrieval — classic TF-IDF relevance scoring, fully
+# relational: token TF per doc (explode + groupBy), smoothed IDF from
+# document frequency, score = sum over query terms of tf * idf, top-10
+# docs. No vocabulary object, no fitted model — the "model" IS a table of
+# per-term IDF weights, which is how term-weighted retrieval should look
+# on an engine: at 100 TB the IDF table is a broadcast dim keyed by term,
+# the TF table a narrow groupBy over the posting explosion, and scoring a
+# broadcast join + groupBy — one shuffle per aggregate, nothing global.
+# Rounding before ranking keeps the rank stable cross-engine.
+# --------------------------------------------------------------------------
+@query(
+    "tfidf_topk_retrieval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT t, ln((SELECT n FROM n_docs) / (1.0 + count(DISTINCT doc_id))) AS idf
+  FROM toks GROUP BY t
+),
+scores AS (
+  SELECT doc_id, round(sum(tf * idf), 6) AS score
+  FROM tf JOIN idf USING (t)
+  WHERE t IN ('fast', 'join', 'shuffle')
+  GROUP BY doc_id
+)
+SELECT doc_id, score
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def tfidf_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()  # scalar for the IDF constant (metadata-cheap)
+    idf = toks.groupBy("t").agg(
+        F.log(
+            F.lit(float(n_docs)) / (F.lit(1.0) + F.countDistinct("doc_id"))
+        ).alias("idf")
+    )
+    query_terms = ("fast", "join", "shuffle")
+    return (
+        tf.filter(F.col("t").isin(*query_terms))
+        .join(F.broadcast(idf.filter(F.col("t").isin(*query_terms))), "t")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: split_contamination_check — train/test DECONTAMINATION audit: after
+# the deterministic hash split (same md5 rule as train_test_split_stats),
+# count test documents sharing any 3-gram shingle with a train document,
+# per source. This is the n-gram-overlap contamination check every
+# training-data pipeline runs before evaluation; here it is one
+# distinct-shingle self-join, scaled by hashing shingles BEFORE the join
+# (8-byte keys, not strings) — the same discipline as the MinHash path.
+# The oracle replicates split, shingles, and overlap in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "split_contamination_check",
+    oracle="""
+WITH splitdoc AS (
+  SELECT doc_id, source, text,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, split, source, string_split(text, ' ') AS w FROM splitdoc
+),
+shingles AS (
+  SELECT DISTINCT doc_id, split, source,
+         CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)
+              AS BIGINT) AS sh
+  FROM toks, (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i + 2 <= len(w)
+),
+contaminated AS (
+  SELECT DISTINCT te.doc_id
+  FROM shingles te
+  JOIN (SELECT DISTINCT sh FROM shingles WHERE split = 'train') tr
+    ON te.sh = tr.sh
+  WHERE te.split = 'test'
+)
+SELECT source,
+       CAST(count(*) FILTER (split = 'test') AS BIGINT) AS n_test_docs,
+       CAST(count(*) FILTER (split = 'test'
+            AND doc_id IN (SELECT doc_id FROM contaminated)) AS BIGINT)
+         AS n_contaminated
+FROM splitdoc
+GROUP BY source
+ORDER BY source
+""",
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from f1_bigdata_pyspark_spark.operators.dedup import shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        md5_long(F.col("doc_id").cast("string")) % 100 < 80, "train"
+    ).otherwise("test")
+    docs = docs.withColumn("split", split)
+    sh = shingle_hashes(docs, "doc_id", "text", 3)  # distinct (doc, hash)
+    labeled = sh.join(
+        F.broadcast(docs.select("doc_id", "split").withColumnRenamed("doc_id", "doc")),
+        "doc",
+    )
+    train_sh = labeled.filter(F.col("split") == "train").select("xm").distinct()
+    test_sh = labeled.filter(F.col("split") == "test")
+    contaminated = (
+        test_sh.join(train_sh, "xm", "left_semi").select("doc").distinct()
+    )
+    test_docs = docs.filter(F.col("split") == "test")
+    return (
+        test_docs.join(
+            contaminated.withColumnRenamed("doc", "doc_id").withColumn(
+                "is_cont", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.when(F.col("is_cont").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: bigram_pmi_topk — collocation mining via pointwise mutual information:
+# PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) over adjacent token pairs, top-15
+# bigrams with a minimum support floor of 10 (PMI is unstable on rare pairs —
+# the floor is part of the operator's contract, not a convenience).
+# Everything is counting + one log: two narrow groupBys over the token
+# explosion and a broadcast join of unigram counts onto bigram counts. At
+# 100 TB the unigram table is the only sharable state and it's tiny; this
+# is the standard phrase-vocabulary induction step of a corpus pipeline.
+# --------------------------------------------------------------------------
+@query(
+    "bigram_pmi_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS t, w[i+1] AS t2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i <= len(w)
+),
+uni AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+n_uni AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT t, t2, count(*) AS c2 FROM toks WHERE t2 IS NOT NULL GROUP BY t, t2
+),
+n_big AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM big)
+SELECT big.t AS w1, big.t2 AS w2, CAST(c2 AS BIGINT) AS n_pair,
+       round(ln( (c2 * 1.0 / (SELECT n2 FROM n_big))
+                 / ( (ua.c * 1.0 / (SELECT n FROM n_uni))
+                   * (ub.c * 1.0 / (SELECT n FROM n_uni)) ) ), 6) AS pmi
+FROM big
+JOIN uni ua ON big.t = ua.t
+JOIN uni ub ON big.t2 = ub.t
+WHERE c2 >= 10
+ORDER BY pmi DESC, w1, w2
+LIMIT 15
+""",
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select("t", F.lead("t").over(w).alias("t2"))
+    # unigram counts come straight off the token stream — every token is
+    # exactly one pair-head, so this equals counting pairs' t without
+    # re-running the window stage for a second consumer
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n"))
+    big_all = (
+        pairs.filter(F.col("t2").isNotNull())
+        .groupBy("t", "t2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    n_big = big_all.agg(F.sum("c2").cast("long").alias("n2"))
+    big = big_all.filter(F.col("c2") >= 10)
+    ua = uni.select(F.col("t").alias("t"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("t").alias("t2"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("c2") / F.col("n2"))
+        / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+    )
+    return (
+        big.join(F.broadcast(ua), "t")
+        .join(F.broadcast(ub), "t2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_big))
+        .select(
+            F.col("t").alias("w1"),
+            F.col("t2").alias("w2"),
+            F.col("c2").cast("long").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(15)
+    )

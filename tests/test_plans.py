@@ -137,7 +137,7 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "dispersion_family": 2,
         "string_functions_probe": 2,
         "embedding_component_stats": 2,
-        "hll_users_by_type": 2,
+        "hll_users_by_type": 3,  # countDistinct expand beside the sketches
         "sketch_merge_rollup": 2,
         "grouping_sets_revenue": 2,
         "orders_trailing_90d": 2,
@@ -190,6 +190,10 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "pandas_scalar_qnorm": 2,
         "bitmap_distinct_rollup": 4,  # daily partials + OR-merge + count + sort
         "variant_props_stats": 2,
+        "tfidf_topk_retrieval": 4,  # tf + idf aggs + score agg + top-k
+        "split_contamination_check": 8,  # shingle window + split branches
+        "int8_quant_recall": 1,  # broadcast probes; one top-k exchange
+        "bigram_pmi_topk": 9,  # pair window + uni/big/n aggs (tiny post-agg)
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)
