@@ -138,7 +138,7 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "string_functions_probe": 2,
         "embedding_component_stats": 2,
         "hll_users_by_type": 3,  # countDistinct expand beside the sketches
-        "sketch_merge_rollup": 2,
+        "sketch_merge_rollup": 4,  # daily sketches + union + exact-distinct side
         "grouping_sets_revenue": 2,
         "orders_trailing_90d": 2,
         "disjunctive_brand_revenue": 1,
