@@ -842,3 +842,78 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: sequence_packing_stats — LLM batch preparation: pack 32-token chunks
+# into 512-token training sequences by contiguous-stream assignment (a
+# chunk belongs to the pack containing its START offset in the
+# concatenated token stream — deterministic, no bin-packing heuristics to
+# diverge between engines). Emits per-pack chunk/token counts and fill
+# ratio: the padding-waste report that decides packing strategy.
+# Scale: chunk derivation is a pure map (no UDTF — arithmetic on token
+# counts); the running offset is a window over the (doc, chunk) order. At
+# 100 TB you pack within shards (pack key = (shard, local_pack)) so the
+# cumsum window partitions by shard instead of running globally; the
+# global form here is the per-shard computation verbatim.
+# --------------------------------------------------------------------------
+@query(
+    "sequence_packing_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         CAST(least(32, n - i * 32) AS BIGINT) AS n_tokens
+  FROM t, (SELECT unnest(range(1000)) AS i)
+  WHERE i * 32 < n
+),
+offs AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx) - n_tokens AS start_off
+  FROM chunks
+)
+SELECT CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id,
+       count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(n_tokens) AS BIGINT) / 512.0, 6) AS fill_ratio
+FROM offs
+GROUP BY pack_id
+ORDER BY pack_id
+""",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n"))
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / 32).cast("int"))
+        ).alias("chunk_idx"),
+        "n",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(32), F.col("n") - F.col("chunk_idx") * 32)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id", "chunk_idx")
+    offs = chunks.select(
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    return (
+        offs.groupBy(
+            F.floor(F.col("start_off") / 512.0).cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / 512.0, 6).alias("fill_ratio"),
+        )
+        .orderBy("pack_id")
+    )

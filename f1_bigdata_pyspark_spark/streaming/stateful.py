@@ -47,3 +47,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 successor to
+# applyInPandasWithState: typed state handles (value/list/map state),
+# explicit init/close lifecycle, timers. Same operational shape (state
+# partitioned by key, one shuffle, O(#keys) store); richer state API.
+# The demo keeps per-user (count, max value) in a ValueState and emits the
+# running totals each micro-batch — batch-equivalence pinned in tests
+# (skipped where the runner's google-protobuf wheel is absent, as in this
+# container — same gating policy as the multimodal codec stubs).
+# --------------------------------------------------------------------------
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserMaxProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (
+                self._state.get() if self._state.exists() else (0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_max(events: DataFrame) -> DataFrame:
+        """Per-user running (count, max) via the transformWithStateInPandas
+        typed-state API."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            UserMaxProcessor(),
+            outputStructType="user_id long, n_events long, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover — older Spark
+    UserMaxProcessor = None
+
+    def running_user_max(events: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithStateInPandas requires Spark 4")

@@ -194,6 +194,7 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "split_contamination_check": 8,  # shingle window + split branches
         "int8_quant_recall": 1,  # broadcast probes; one top-k exchange
         "bigram_pmi_topk": 9,  # pair window + uni/big/n aggs (tiny post-agg)
+        "sequence_packing_stats": 1,  # post-window stages stay single-part
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)

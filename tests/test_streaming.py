@@ -236,3 +236,32 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_batch
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_transform_with_state_matches_batch(spark, sf_smoke, events_batch):
+    # the transformWithStateInPandas runner speaks protobuf to the JVM;
+    # the wheel isn't in this container (same policy as the multimodal
+    # codec stubs: the face is implemented, the env dependency is gated)
+    pytest.importorskip("google.protobuf.descriptor")
+    from f1_bigdata_pyspark_spark.streaming.stateful import running_user_max
+
+    stream = read_events_stream(spark, sf_smoke)
+    q = run_to_memory(
+        running_user_max(stream), "twsip_stream", output_mode="update"
+    )
+    try:
+        # update mode: keep the LAST emission per user (running totals)
+        rows = spark.sql("SELECT * FROM twsip_stream").collect()
+    finally:
+        q.stop()
+    got = {}
+    for r in rows:  # later emissions overwrite earlier ones
+        got[r["user_id"]] = (r["n_events"], round(r["max_value"], 6))
+    want = {
+        r["user_id"]: (r["n"], round(r["mx"], 6))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
