@@ -95,3 +95,68 @@ def test_bucketed_join_no_fact_shuffle(spark, sf_smoke, tmpdir):
         )
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_smoke):
+    """The Z-order claim, quantified: per-64-row-group (size span × price
+    span) area under the Morton sort must be far below the same metric
+    under natural (p_partkey) order — i.e., the layout actually co-locates
+    rows in BOTH dimensions, which is what makes row-group min/max stats
+    prunable on either predicate."""
+    from pyspark.sql import Window, functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+
+    z = _REGISTRY["zorder_part_layout"].fn(spark, sf_smoke)
+    z_area = (
+        z.select(
+            (
+                (F.col("size_max") - F.col("size_min") + 1)
+                * (F.col("price_max") - F.col("price_min") + 1)
+            ).alias("area")
+        )
+        .agg(F.avg("area"))
+        .first()[0]
+    )
+    part = load_table(spark, sf_smoke, "part")
+    nat = part.select(
+        "p_size",
+        F.floor(F.col("p_retailprice") / 40.0).cast("int").alias("pb"),
+        ((F.row_number().over(Window.orderBy("p_partkey")) - 1) / 64)
+        .cast("int")
+        .alias("rg"),
+    )
+    nat_area = (
+        nat.groupBy("rg")
+        .agg(
+            (
+                (F.max("p_size") - F.min("p_size") + 1)
+                * (F.max("pb") - F.min("pb") + 1)
+            ).alias("area")
+        )
+        .agg(F.avg("area"))
+        .first()[0]
+    )
+    assert z_area * 2 < nat_area, (z_area, nat_area)
+
+
+def test_bloom_prefilter_join_is_exact(spark, sf_smoke):
+    """The exact join after the bloom pass removes every false positive:
+    the aggregated item count equals the true semi-join count (the
+    no-false-negatives side is property-tested in test_properties.py)."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders")
+    urgent = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    true_match = li.join(
+        urgent, urgent.o_orderkey == li.l_orderkey, "left_semi"
+    ).count()
+    from f1_bigdata_pyspark_spark.queries.extended import bloom_prefilter_revenue
+
+    agg = bloom_prefilter_revenue(spark, sf_smoke)
+    n_after_join = agg.agg(F.sum("n_items")).first()[0]
+    assert n_after_join == true_match
