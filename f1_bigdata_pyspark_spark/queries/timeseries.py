@@ -748,3 +748,61 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: late_arrival_audit — the batch face of watermarking: replay events in
+# ARRIVAL order (event_id is the ingest sequence), track the running
+# maximum event time, and measure each event's lateness = running_max −
+# its own timestamp. Events late beyond the watermark delay are exactly
+# the rows a streaming query with that watermark would drop — so this
+# audit, per event type, is how you CHOOSE a watermark: the drop rate at
+# each candidate delay. Oracle replicates the running max in SQL.
+# Scale: the running max is a window over arrival order — global here
+# (one sequence); a sharded ingest audits per shard (partition the window
+# by shard), which is also the semantically right watermark domain.
+# --------------------------------------------------------------------------
+@query(
+    "late_arrival_audit",
+    oracle="""
+WITH arr AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id) AS high_water
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN ts < high_water - INTERVAL 2 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_at_2h,
+       CAST(sum(CASE WHEN ts < high_water - INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_at_30m,
+       round(max(date_diff('second', ts, high_water)) / 3600.0, 6)
+         AS max_lateness_h
+FROM arr
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arr = events.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late_by = F.col("high_water").cast("long") - F.col("ts").cast("long")  # s
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late_by > 2 * 3600, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_at_2h"),
+            F.sum(F.when(late_by > 30 * 60, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_at_30m"),
+            F.round(F.max(late_by) / 3600.0, 6).alias("max_lateness_h"),
+        )
+        .orderBy("event_type")
+    )

@@ -196,6 +196,7 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "bigram_pmi_topk": 9,  # pair window + uni/big/n aggs (tiny post-agg)
         "sequence_packing_stats": 1,  # post-window stages stay single-part
         "crossmodal_retrieval_topk": 0,  # broadcast join + TakeOrdered only
+        "late_arrival_audit": 1,  # arrival-order window; agg stays single-part
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)

@@ -63,3 +63,31 @@ def test_compact_table_reduces_files(spark, sf_smoke, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == events.count()
     assert set(got.columns) == set(events.columns)
+
+
+def test_schema_evolution_merge_read(spark, sf_smoke, tmp_path):
+    """Schema-drift tolerance at the storage layer — the reference's
+    'extendable with no schema changes' claim (SURVEY.md §1.4) expressed
+    as parquet schema evolution: a later batch adds a column; a
+    mergeSchema read unifies both generations, with NULLs for the old
+    batch's missing column, and the query layer's has_column guard sees
+    the merged schema."""
+    from f1_bigdata_pyspark_spark.catalog import has_column
+
+    base = str(tmp_path / "evolving")
+    events = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "value"
+    )
+    events.filter("event_id % 2 = 0").write.parquet(f"{base}/gen=1")
+    from pyspark.sql import functions as F
+
+    events.filter("event_id % 2 = 1").withColumn(
+        "quality_score", F.round(F.col("value") / 100.0, 6)
+    ).write.parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert has_column(merged, "quality_score")
+    assert merged.count() == events.count()
+    old_gen = merged.filter("gen = 1")
+    assert old_gen.filter(F.col("quality_score").isNotNull()).count() == 0
+    new_gen = merged.filter("gen = 2")
+    assert new_gen.filter(F.col("quality_score").isNull()).count() == 0
