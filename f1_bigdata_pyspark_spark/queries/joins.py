@@ -188,3 +188,107 @@ def part_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: pagerank_suppliers — iterative graph algorithm as unrolled dataflow:
+# 3 PageRank iterations (damping 0.85) over the co-supplier graph (edge
+# between suppliers shipping the same part; symmetric, so there are no
+# dangling nodes and the plain update rule is exact). The Spark side
+# builds the iteration by LOOP-UNROLLING into one declarative plan — the
+# idiomatic Spark form for a FIXED iteration count (contrast
+# operators/graph.connected_components, which iterates to convergence
+# with checkpoints); the oracle unrolls the same three steps as chained
+# CTEs. Rounding happens ONCE at the end so iteration arithmetic is
+# bit-comparable.
+# Scale: each iteration is one shuffle on dst (map-side combined sum);
+# the rank and degree tables are O(#suppliers) — broadcastable; the edge
+# table partitions by src and is reused across iterations (at 100 TB
+# you'd checkpoint it once, as the docstring of graph.py discusses).
+# --------------------------------------------------------------------------
+@query(
+    "pagerank_suppliers",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM pairs a JOIN pairs b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS pr FROM nodes),
+r1 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM n)
+         + 0.85 * sum(r0.pr / deg.outdeg) AS pr
+  FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM n)
+         + 0.85 * sum(r1.pr / deg.outdeg) AS pr
+  FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM n)
+         + 0.85 * sum(r2.pr / deg.outdeg) AS pr
+  FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)
+SELECT node AS s_suppkey, round(pr, 6) AS pagerank
+FROM r3
+ORDER BY pagerank DESC, s_suppkey ASC
+LIMIT 20
+""",
+)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    a = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "pk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    edges = materialize(edges)  # reused by deg + all three iterations
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # driver-side scalar: the PageRank base constant
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_edges = edges.join(F.broadcast(deg), "src")
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(3):
+        pr = (
+            contrib_edges.join(
+                F.broadcast(pr), pr.node == contrib_edges.src
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(0.85) * F.sum(F.col("pr") / F.col("outdeg"))
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+        )
+    return (
+        pr.select(
+            F.col("node").alias("s_suppkey"), F.round("pr", 6).alias("pagerank")
+        )
+        .orderBy(F.col("pagerank").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )

@@ -197,6 +197,7 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "sequence_packing_stats": 1,  # post-window stages stay single-part
         "crossmodal_retrieval_topk": 0,  # broadcast join + TakeOrdered only
         "late_arrival_audit": 1,  # arrival-order window; agg stays single-part
+        "pagerank_suppliers": 7,  # deg + 3 unrolled iteration aggs + top-k
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)
