@@ -31,8 +31,11 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimensions that should always be broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+# Broadcast decisions are SIZE-based, not name-based: a table that is a
+# broadcast dimension at sf0.1 (customer, ~15k rows) is a 15M-row shuffle
+# join at sf100. See operators/join_policy.broadcast_if_small — the hint is
+# applied iff Catalyst's size estimate is under
+# spark.sql.autoBroadcastJoinThreshold.
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(

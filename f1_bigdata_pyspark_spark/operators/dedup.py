@@ -105,6 +105,20 @@ def shingle_hashes(
     return raw.select("doc", (md5_long(F.col("s")) % _P).alias("xm")).distinct()
 
 
+def raw_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (doc, xm) shingle hashes in the RAW 60-bit md5 domain (no
+    mod-P reduction). Use this when the hash is compared against an oracle
+    that hashes in the same 60-bit domain (e.g. contamination checks):
+    reducing mod P on one side only would turn a mod-P birthday collision
+    into a cross-engine mismatch. ``shingle_hashes`` keeps the mod-P form
+    because MinHash's affine rehash needs xm < P for overflow-free int64
+    products."""
+    raw = _raw_shingles(docs, id_col, text_col, n)
+    return raw.select("doc", md5_long(F.col("s")).alias("xm")).distinct()
+
+
 def minhash_signatures(xs: DataFrame, num_hashes: int = 32) -> DataFrame:
     """Long-form MinHash signature from a (doc, xm) shingle-hash table
     (``shingle_hashes``): one row per (doc, hash index) with the min over

@@ -3,22 +3,27 @@ near-dup pipeline: candidate PAIRS (MinHash/Jaccard output) become dedup
 GROUPS by taking connected components, then one representative per
 component survives.
 
-Implemented as iterative min-label propagation on DataFrames: each round
-every node takes the minimum label among itself and its neighbors;
-converged when no label changes. Rounds = graph diameter, which for
-near-dup graphs is small (clusters are cliques-ish). Each round is one
-keyed join + one keyed aggregation — both map-side combined, no driver-side
-graph state.
+Primary implementation: alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — each round is a
+pair of groupBy-min + join steps over the edge set, and the number of
+rounds is O(log² n) worst-case / O(log n) in practice, INDEPENDENT of the
+graph diameter. That is the property that matters at 100 TB: a near-dup
+graph with an adversarial chain (docs A~B~C~… each within threshold of the
+next) has diameter O(n), which makes per-round label propagation a
+driver-serialized O(n)-round loop; the star algorithm collapses the same
+chain in ~log n rounds. The round cap is computed once from the node count
+(one upfront action), so the driver interaction is bounded by O(log n)
+convergence probes, not by the data's shape.
 
-Scale notes (100 TB): min-label propagation's round count is bounded by the
-longest chain; for adversarial long-chain graphs the production upgrade is
-the large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond"), same join/agg primitives with O(log n) rounds.
-The convergence test is one count() action per round on a label-change
-anti-join — the only driver interaction.
+``connected_components_propagation`` keeps the simpler min-label
+propagation form (rounds = diameter) — used as the cross-check in
+``tests/test_operators.py`` which proves label-equivalence on a chain
+graph far deeper than the star round cap.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,16 +31,109 @@ from pyspark.sql import functions as F
 from f1_bigdata_pyspark_spark.utils import materialize
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round. Input: symmetric neighbor pairs (u, v).
+    For each u with m = min(N(u) ∪ {u}), emit (v, m) for every strictly
+    larger neighbor v > u. Output pairs are oriented big→small."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round. Input: pairs (u, v) oriented u > v.
+    For each u with m = min(N(u)), re-point every other small neighbor at m
+    and keep (u, m). Output stays oriented big→small."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    moved = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    kept = mins.select("u", F.col("mn").alias("v"))
+    return (
+        moved.unionByName(kept).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
 def connected_components(
+    edges: DataFrame,
+    src_col: str = "d1",
+    dst_col: str = "d2",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """Components of the undirected graph given by (src_col, dst_col) pairs
+    via alternating large-star/small-star. Returns (node, comp) where comp
+    is the component's minimum node id — deterministic, engine-independent.
+    Only nodes appearing in edges are labeled (singletons carry no dedup
+    information).
+
+    ``max_iter`` caps star ROUND PAIRS; by default it is computed as
+    2·⌈log₂ n⌉ + 4 from the node count — generous against the paper's
+    practical O(log n) convergence, and the only data-dependent driver
+    action besides the per-round convergence probe (one isEmpty on the
+    round's change set)."""
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = materialize(und)
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    nodes = materialize(nodes)
+
+    if max_iter is None:
+        n = nodes.count()
+        max_iter = 2 * math.ceil(math.log2(max(n, 2))) + 4
+
+    # Orient big→small for the first small-star by one large-star pass.
+    e = materialize(_large_star(und))
+    for _ in range(max_iter):
+        e2 = materialize(_small_star(e))
+        e3 = materialize(_large_star(e2.unionByName(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))))
+        # Converged when a full large+small round leaves the edge set fixed.
+        if (
+            e3.count() == e.count()
+            and e3.exceptAll(e).isEmpty()
+        ):
+            e = e3
+            break
+        e = e3
+
+    # At convergence e is a star forest oriented (node → component min).
+    star = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    # Centers (component minima) and degenerate self-loop-only nodes have no
+    # outgoing pair — label them with themselves. Materialized like the
+    # rounds: labels are consumed repeatedly downstream (size roll-ups,
+    # joins back onto the doc table), and this keeps the consumer's plan a
+    # scan of the label table rather than a replay of the label join.
+    return materialize(
+        nodes.join(star, "node", "left").select(
+            "node", F.coalesce(F.col("comp"), F.col("node")).alias("comp")
+        )
+    )
+
+
+def connected_components_propagation(
     edges: DataFrame,
     src_col: str = "d1",
     dst_col: str = "d2",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Components of the undirected graph given by (src_col, dst_col) pairs.
-    Returns (node, comp) where comp is the component's minimum node id —
-    deterministic, engine-independent. Only nodes appearing in edges are
-    labeled (singletons carry no dedup information)."""
+    """Min-label propagation form — each round every node takes the minimum
+    label among itself and its neighbors; converged when no label changes.
+    Rounds = graph diameter, so this is the CROSS-CHECK implementation (and
+    fine for clique-ish near-dup graphs); production path is
+    ``connected_components`` above."""
     und = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))

@@ -6,9 +6,11 @@ data, linear scan, trivially parallel at 100 TB.
 
 The scale path bounds the scanned set instead:
 - ``lsh_buckets``: random-hyperplane LSH — sign bits of dot(v, h_i) for
-  deterministic pseudo-random hyperplanes derived from xxhash64, giving a
-  b-bit bucket id; search only the query's bucket (and neighbors at higher
-  recall). Bucketing is again one narrow map.
+  deterministic pseudo-random hyperplanes from a closed-form sin sequence
+  (component j of plane p is sin(1000003·p + j), chosen so the oracle can
+  regenerate the exact planes in SQL), giving a b-bit bucket id; search
+  only the query's bucket (and neighbors at higher recall). Bucketing is
+  again one narrow map.
 - ``ivf_assign``: IVF-style coarse quantization — assign each vector to the
   nearest of k fixed centroids (first-k-by-id here; k-means on a sample in a
   real pipeline), search only the query's cell.

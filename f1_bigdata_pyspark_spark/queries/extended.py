@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from f1_bigdata_pyspark_spark.catalog import load_table
 from f1_bigdata_pyspark_spark.queries.registry import query
+from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
 
 
 # --------------------------------------------------------------------------
@@ -272,7 +273,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(broadcast_if_small(cust), F.col("o_custkey") == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -316,8 +317,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(broadcast_if_small(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(broadcast_if_small(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
@@ -541,7 +542,7 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     pr = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(broadcast_if_small(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_rev"))
     )
@@ -747,7 +748,13 @@ ORDER BY o_orderpriority
 def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from f1_bigdata_pyspark_spark.functions.text import md5_long
 
-    N_BITS, N_WORDS, K = 4096, 64, 3
+    # Filter geometry: N_BITS bits stored as N_WORDS int64 words. Word index
+    # is bitpos / BITS_PER_WORD (bits per int64 word, always 64) — NOT
+    # bitpos / N_WORDS, which only coincides while N_BITS == N_WORDS * 64
+    # happens to make both equal 64.
+    BITS_PER_WORD = 64
+    N_BITS, K = 4096, 3
+    N_WORDS = N_BITS // BITS_PER_WORD
 
     def probes(key):
         return [
@@ -763,10 +770,10 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(*probes(F.col("o_orderkey")))).alias("bitpos")
         )
         .select(
-            (F.col("bitpos") / N_WORDS).cast("int").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))").alias(
-                "mask"
-            ),
+            (F.col("bitpos") / BITS_PER_WORD).cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
@@ -781,8 +788,10 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = li.withColumn(f"bp{i}", p)
     might_contain = None
     for i in range(K):
-        word = (F.col(f"bp{i}") / N_WORDS).cast("int")
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bp{i} % 64 AS INT))")
+        word = (F.col(f"bp{i}") / BITS_PER_WORD).cast("int")
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(bp{i} % {BITS_PER_WORD} AS INT))"
+        )
         hit = F.element_at(bloom_lit, word + 1).bitwiseAND(mask) != 0
         might_contain = hit if might_contain is None else (might_contain & hit)
     pref = li.filter(might_contain).select(

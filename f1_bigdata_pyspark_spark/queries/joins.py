@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from f1_bigdata_pyspark_spark.catalog import load_table
 from f1_bigdata_pyspark_spark.queries.registry import query
+from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
 
 
 # --------------------------------------------------------------------------
@@ -51,9 +52,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey, "inner")
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey, "inner")
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey, "inner")
+        .join(broadcast_if_small(customer), F.col("o_custkey") == customer.c_custkey, "inner")
+        .join(broadcast_if_small(nation), F.col("c_nationkey") == nation.n_nationkey, "inner")
+        .join(broadcast_if_small(region), F.col("n_regionkey") == region.r_regionkey, "inner")
     )
     return (
         joined.groupBy("n_name")
@@ -179,8 +180,8 @@ def part_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
     supplier = load_table(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "inner")
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey, "inner")
+        .join(broadcast_if_small(supplier), li.l_suppkey == supplier.s_suppkey, "inner")
         .groupBy("p_brand", "s_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

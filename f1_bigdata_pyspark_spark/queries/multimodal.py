@@ -17,6 +17,7 @@ from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
     media_from_documents,
 )
 from f1_bigdata_pyspark_spark.queries.registry import query
+from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
 
 
 # --------------------------------------------------------------------------
@@ -43,7 +44,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     src = docs.select(F.col("doc_id").alias("media_id"), "source")
     return (
-        feats.join(F.broadcast(src), "media_id")
+        feats.join(broadcast_if_small(src), "media_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),

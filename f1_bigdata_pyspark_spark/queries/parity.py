@@ -26,6 +26,7 @@ from f1_bigdata_pyspark_spark.functions.stats import (
     stddev_pop,
 )
 from f1_bigdata_pyspark_spark.queries.registry import query
+from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
 
 
 def not_missing(c: Column) -> Column:
@@ -172,7 +173,7 @@ def two_level_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_cust.join(
-            F.broadcast(customer), per_cust.o_custkey == customer.c_custkey, "inner"
+            broadcast_if_small(customer), per_cust.o_custkey == customer.c_custkey, "inner"
         )
         .groupBy("c_mktsegment")
         .agg(

@@ -341,7 +341,13 @@ def pandas_scalar_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         def one(v):
-            q = np.rint(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64)
+            # Round half-AWAY-from-zero (floor(|x|+0.5)·sign) — the rounding
+            # DuckDB round() and Spark F.round use. np.rint is half-to-even,
+            # which diverges whenever x*1000 lands exactly on .5; this keeps
+            # the "exactly replicable" contract literal, and consistent with
+            # int8_quant_recall's F.round-based quantizer.
+            x = np.asarray(v, dtype=np.float64) * 1000
+            q = (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
             return int((q * q).sum())
 
         return emb.map(one)

@@ -727,14 +727,18 @@ ORDER BY source
 )
 def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from f1_bigdata_pyspark_spark.functions.text import md5_long
-    from f1_bigdata_pyspark_spark.operators.dedup import shingle_hashes
+    from f1_bigdata_pyspark_spark.operators.dedup import raw_shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
     split = F.when(
         md5_long(F.col("doc_id").cast("string")) % 100 < 80, "train"
     ).otherwise("test")
     docs = docs.withColumn("split", split)
-    sh = shingle_hashes(docs, "doc_id", "text", 3)  # distinct (doc, hash)
+    # Raw 60-bit hashes — the SAME domain the oracle hashes in. The mod-P
+    # form used for MinHash would admit mod-P collisions on the Spark side
+    # only (a ~16% birthday chance per testdata regeneration at sf0.1),
+    # silently inflating n_contaminated relative to the oracle.
+    sh = raw_shingle_hashes(docs, "doc_id", "text", 3)  # distinct (doc, hash)
     labeled = sh.join(
         F.broadcast(docs.select("doc_id", "split").withColumnRenamed("doc_id", "doc")),
         "doc",

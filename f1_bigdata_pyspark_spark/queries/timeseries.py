@@ -791,18 +791,25 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.max("ts").over(w).alias("high_water"),
     )
-    late_by = F.col("high_water").cast("long") - F.col("ts").cast("long")  # s
+    # Drop conditions at FULL microsecond precision — the oracle's
+    # ``ts < high_water - INTERVAL 2 HOUR`` compares whole timestamps, so a
+    # second-truncated lateness would miscount events whose lateness lands
+    # inside (threshold, threshold + 1 s). max_lateness_h stays in truncated
+    # seconds to match the oracle's date_diff('second', ...) semantics
+    # (both are truncate-to-second, then subtract).
+    late_us = F.unix_micros(F.col("high_water")) - F.unix_micros(F.col("ts"))
+    late_s = F.col("high_water").cast("long") - F.col("ts").cast("long")
     return (
         arr.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(late_by > 2 * 3600, 1).otherwise(0))
+            F.sum(F.when(late_us > 2 * 3600 * 1_000_000, 1).otherwise(0))
             .cast("long")
             .alias("dropped_at_2h"),
-            F.sum(F.when(late_by > 30 * 60, 1).otherwise(0))
+            F.sum(F.when(late_us > 30 * 60 * 1_000_000, 1).otherwise(0))
             .cast("long")
             .alias("dropped_at_30m"),
-            F.round(F.max(late_by) / 3600.0, 6).alias("max_lateness_h"),
+            F.round(F.max(late_s) / 3600.0, 6).alias("max_lateness_h"),
         )
         .orderBy("event_type")
     )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from f1_bigdata_pyspark_spark.catalog import load_table
 from f1_bigdata_pyspark_spark.queries.registry import query
+from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
 
 
 # --------------------------------------------------------------------------
@@ -94,7 +95,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey).agg(
         F.round(
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
@@ -133,7 +134,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(cuts, F.col("a_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
@@ -172,7 +173,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
+        .join(broadcast_if_small(customer), customer.c_custkey == orders.o_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -216,9 +217,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(supplier), supplier.s_suppkey == li.l_suppkey)
-        .join(F.broadcast(nation), nation.n_nationkey == supplier.s_nationkey)
-        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .join(broadcast_if_small(supplier), supplier.s_suppkey == li.l_suppkey)
+        .join(broadcast_if_small(nation), nation.n_nationkey == supplier.s_nationkey)
+        .join(broadcast_if_small(region), region.r_regionkey == nation.n_regionkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -488,7 +489,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .filter(clause)
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -659,7 +660,7 @@ def sole_big_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole.join(
-            F.broadcast(supplier),
+            broadcast_if_small(supplier),
             F.col("b1.l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -711,7 +712,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_small(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
@@ -767,8 +768,8 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bk") == F.col("l_partkey"))
             & (F.col("unit_cost") == F.col("mc")),
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_small(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_small(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "unit_cost")
         .orderBy("p_partkey", "s_name")
     )
@@ -804,10 +805,10 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(broadcast_if_small(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(broadcast_if_small(supplier), li["l_suppkey"] == supplier["s_suppkey"])
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast_if_small(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
         joined.groupBy("n_name")
@@ -861,10 +862,10 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(broadcast_if_small(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(broadcast_if_small(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(broadcast_if_small(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(broadcast_if_small(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -928,9 +929,9 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 100
     ).cast("long")
     return (
-        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
-        .join(F.broadcast(supplier), supplier.s_suppkey == li.l_suppkey)
-        .join(F.broadcast(nation), nation.n_nationkey == supplier.s_nationkey)
+        li.join(broadcast_if_small(part), part.p_partkey == li.l_partkey)
+        .join(broadcast_if_small(supplier), supplier.s_suppkey == li.l_suppkey)
+        .join(broadcast_if_small(nation), nation.n_nationkey == supplier.s_nationkey)
         .join(orders, orders.o_orderkey == li.l_orderkey)
         .groupBy(
             F.col("n_name").alias("nation_name"),
@@ -1031,11 +1032,11 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(complaints),
+            broadcast_if_small(complaints),
             pairs.l_suppkey == complaints.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(part), part.p_partkey == F.col("l_partkey"))
+        .join(broadcast_if_small(part), part.p_partkey == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -1091,7 +1092,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(bolt_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(broadcast_if_small(bolt_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
@@ -1103,7 +1104,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(broadcast_if_small(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )

@@ -97,8 +97,6 @@ def compact_table(
     """
     import math
 
-    from pyspark.sql.functions import spark_partition_id
-
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total = sum(
@@ -109,5 +107,14 @@ def compact_table(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
-    out = spark.read.parquet(dst_path)
-    return out.select(spark_partition_id()).distinct().count()
+    # Count actual files via the same FileSystem API used for the source —
+    # re-reading and counting scan partitions would miscount whenever the
+    # scan packs several small files into one partition (maxPartitionBytes)
+    # or splits a large file across several.
+    dst_jvm = spark._jvm.org.apache.hadoop.fs.Path(dst_path)
+    dst_fs = dst_jvm.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for f in dst_fs.listStatus(dst_jvm)
+        if f.getPath().getName().endswith(".parquet")
+    )

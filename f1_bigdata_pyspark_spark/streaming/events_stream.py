@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from f1_bigdata_pyspark_spark.catalog import SCHEMAS
+from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
 
 
 def read_events_stream(
@@ -91,14 +92,18 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
 
 def enrich_stream(events: DataFrame, dim: DataFrame, key_col: str) -> DataFrame:
     """Stream–static enrichment join: each micro-batch of the stream joins
-    the (broadcast) static dimension — the standard pattern for attaching
+    the static dimension — the standard pattern for attaching
     slowly-changing reference data to an event stream without any stateful
     join machinery. The static side is planned per micro-batch, so a
     refreshed dim table is picked up on the next trigger.
 
-    Scale notes: the stream side never shuffles for this join (broadcast
-    hash); state is zero because the static side is not a stream."""
-    return events.join(F.broadcast(dim), events["user_id"] == dim[key_col], "left")
+    Scale notes: the dim side is broadcast iff its size estimate is under
+    the session broadcast threshold (see operators/join_policy) — under it
+    the stream side never shuffles for this join; over it the join degrades
+    to a shuffle join per micro-batch, which is survivable where an
+    oversized broadcast is not. State is zero because the static side is
+    not a stream."""
+    return events.join(broadcast_if_small(dim), events["user_id"] == dim[key_col], "left")
 
 
 def run_to_memory(

@@ -201,6 +201,38 @@ def test_connected_components_chain_and_islands(spark):
     assert sizes == {1: 4, 10: 2}
 
 
+def test_connected_components_star_matches_propagation_on_deep_chain(spark):
+    """Large-star/small-star must label a chain FAR deeper than its round
+    cap identically to min-label propagation (which needs rounds ≈ depth).
+    Chain depth 120 ≫ star cap 2·⌈log₂ 121⌉ + 4 = 18 round pairs — if the
+    star algorithm were secretly diameter-bound it could not converge."""
+    import math
+
+    from f1_bigdata_pyspark_spark.operators.graph import (
+        connected_components,
+        connected_components_propagation,
+    )
+
+    depth = 120
+    chain = [(i, i + 1) for i in range(depth)]
+    extra = [(500, 501), (501, 502), (700, 700 + 1)]
+    edges = spark.createDataFrame(chain + extra, "d1 long, d2 long")
+
+    star_cap = 2 * math.ceil(math.log2(depth + len(extra) * 2 + 1)) + 4
+    assert star_cap < depth  # the point of the test
+
+    star = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    prop = {
+        r["node"]: r["comp"]
+        for r in connected_components_propagation(
+            edges, max_iter=depth + 5
+        ).collect()
+    }
+    assert star == prop
+    assert star[depth] == 0  # deepest chain node reaches the component min
+    assert star[502] == 500 and star[701] == 700
+
+
 def test_audio_features_match_numpy(spark, sf_smoke):
     import numpy as np
 

@@ -158,7 +158,9 @@ def test_bloom_prefilter_no_false_negatives(spark, keys):
 
     from f1_bigdata_pyspark_spark.functions.text import md5_long
 
-    N_BITS, N_WORDS, K = 4096, 64, 3
+    BITS_PER_WORD = 64
+    N_BITS, K = 4096, 3
+    N_WORDS = N_BITS // BITS_PER_WORD
 
     def probes(key):
         return [
@@ -170,10 +172,10 @@ def test_bloom_prefilter_no_false_negatives(spark, keys):
     words_rows = (
         df.select(F.explode(F.array(*probes(F.col("k")))).alias("bitpos"))
         .select(
-            (F.col("bitpos") / N_WORDS).cast("int").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))").alias(
-                "mask"
-            ),
+            (F.col("bitpos") / BITS_PER_WORD).cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
@@ -188,8 +190,10 @@ def test_bloom_prefilter_no_false_negatives(spark, keys):
         probe_df = probe_df.withColumn(f"bp{i}", p)
     cond = None
     for i in range(K):
-        word = (F.col(f"bp{i}") / N_WORDS).cast("int")
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bp{i} % 64 AS INT))")
+        word = (F.col(f"bp{i}") / BITS_PER_WORD).cast("int")
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(bp{i} % {BITS_PER_WORD} AS INT))"
+        )
         hit = F.element_at(arr, word + 1).bitwiseAND(mask) != 0
         cond = hit if cond is None else (cond & hit)
     assert probe_df.filter(~cond).count() == 0

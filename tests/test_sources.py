@@ -56,10 +56,12 @@ def test_compact_table_reduces_files(spark, sf_smoke, tmp_path):
     import glob
 
     assert len(glob.glob(f"{src}/*.parquet")) == 64
-    compact_table(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    n_written = compact_table(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
     out_files = glob.glob(f"{dst}/*.parquet")
     # sf0.001 events are far below one 64 MB target file
     assert len(out_files) == 1
+    # the return value is the actual file count, not scan-partition count
+    assert n_written == len(out_files)
     got = spark.read.parquet(dst)
     assert got.count() == events.count()
     assert set(got.columns) == set(events.columns)
