@@ -10,6 +10,12 @@ hypervisor noisy-neighbor inflation) — invoked the same way the correctness
 driver invokes queries. Headline set = the ``bench=True`` queries in the registry (one per
 operator family: agg, having-agg, nested agg, slope, window dedup, star join,
 time window, text, near-dup, vector search).
+
+``--sweep``: additionally time the same queries at the sibling sf0.01
+directory and emit a second JSON line {"metric": "sf_scaling_ratio", ...}
+with per-query t(sf0.1)/t(sf0.01). Data grows 10× between the two points;
+a query whose ratio exceeds ~25 (10× data, plus noise headroom) is
+super-linear — the accidental all-pairs regression detector.
 """
 
 from __future__ import annotations
@@ -60,16 +66,20 @@ def main() -> None:
     # three passes, per-query min: the host occasionally steals CPU for a
     # minute or more (hypervisor noisy neighbor), inflating whichever queries
     # it overlaps; the min across sweeps reports steady-state execution.
-    timings: dict[str, float] = {}
-    for _ in range(3):
-        for q in _REGISTRY.values():
-            if not q.bench:
-                continue
-            t0 = time.perf_counter()
-            rows = q.fn(spark, sf_dir).collect()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[q.name] = min(timings.get(q.name, float("inf")), elapsed)
-            assert rows is not None
+    def time_queries(target_dir: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for _ in range(3):
+            for q in _REGISTRY.values():
+                if not q.bench:
+                    continue
+                t0 = time.perf_counter()
+                rows = q.fn(spark, target_dir).collect()
+                elapsed = round(time.perf_counter() - t0, 3)
+                timings[q.name] = min(timings.get(q.name, float("inf")), elapsed)
+                assert rows is not None
+        return timings
+
+    timings = time_queries(sf_dir)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -82,6 +92,26 @@ def main() -> None:
             }
         )
     )
+
+    if "--sweep" in sys.argv:
+        small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+        small = time_queries(small_dir)
+        ratios = {
+            name: round(timings[name] / small[name], 2) if small[name] > 0 else None
+            for name in timings
+        }
+        worst = max((r for r in ratios.values() if r is not None), default=None)
+        print(
+            json.dumps(
+                {
+                    "metric": "sf_scaling_ratio",
+                    "value": worst,
+                    "unit": "x per 10x data",
+                    "queries": ratios,
+                    "small_sf_sec": small,
+                }
+            )
+        )
     spark.stop()
 
 

@@ -63,8 +63,12 @@ def _raw_shingles(
     with an array-lambda over ``split(text)``: a lambda body referencing the
     split as a free variable re-evaluates the regex split per element (~3×
     tokens per doc — measured 13 ms/doc at 500-char docs), while the
-    relational form splits once per row. The per-doc window is keyed by doc
-    id, so it scales horizontally."""
+    relational form splits once per row. A fully narrow variant (tokenize
+    to an array column, then transform over an index sequence with
+    element_at) avoids the doc-keyed exchange but measured ~2× SLOWER end
+    to end at sf0.1 — higher-order array functions evaluate their lambda
+    interpreted per element, while the window form stays inside codegen.
+    The per-doc window is keyed by doc id, so it scales horizontally."""
     from pyspark.sql import Window
 
     tok = docs.select(
@@ -152,6 +156,44 @@ def minhash_signatures(xs: DataFrame, num_hashes: int = 32) -> DataFrame:
     )
 
 
+def minhash_signature_arrays(xs: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(doc, sig) MinHash signatures as a ``num_hashes``-long array column,
+    from a distinct (doc, xm) shingle-hash table. Same portable affine
+    rehash as ``minhash_signatures`` (h_i = (a_i·xm + b·i) mod P over md5
+    hashes — a DuckDB oracle recomputes it exactly), different dataflow:
+    collect each doc's shingle hashes once and compute all N minima per doc
+    with array lambdas, instead of exploding num_hashes× and re-aggregating.
+    Cuts the signature build's shuffled row count from N·|shingles| to
+    |docs| — measured ~2× on the LSH headline at sf0.1, and the gap widens
+    with N. The lambdas reference only plain columns and lambda variables
+    (no computed-array free variables), so nothing re-evaluates per element.
+
+    ``collect_set`` (not list) so NON-distinct hash streams are accepted:
+    min over a set equals min over the multiset, and folding the dedup into
+    the aggregation's partial step is one exchange cheaper than a separate
+    distinct — when the input is already partitioned by doc (the shingle
+    window's layout), the groupBy reuses that partitioning and the whole
+    signature build adds no exchange at all.
+    """
+    sigs = xs.groupBy("doc").agg(F.collect_set("xm").alias("xms"))
+    a_seed = F.lit(_A_SEED).cast("long")
+    b_step = F.lit(_B_STEP).cast("long")
+
+    def rehash_min(i):
+        il = i.cast("long")
+        a_i = (a_seed * (il + 1)) % _P
+        return F.array_min(
+            F.transform(F.col("xms"), lambda x: (a_i * x + b_step * il) % _P)
+        )
+
+    return sigs.select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)), rehash_min
+        ).alias("sig"),
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -164,30 +206,37 @@ def minhash_candidates(
     sharing any band, estimate Jaccard as the fraction of matching signature
     positions. Columns: d1, d2, est_jaccard."""
     rows_per_band = num_hashes // n_bands
-    sig = materialize(
-        minhash_signatures(
-            shingle_hashes(docs, id_col, text_col, shingle_n), num_hashes
-        )
+    # One signature table, materialized once, read three times (band build +
+    # both sides of the verify join) — the production shape would persist it
+    # columnar; localCheckpoint is the local-mode stand-in for that persist.
+    # The RAW hash stream feeds the signature build (collect_set dedups
+    # inside the aggregation) — a separate distinct would add an exchange.
+    raw_hashes = _raw_shingles(docs, id_col, text_col, shingle_n).select(
+        "doc", (md5_long(F.col("s")) % _P).alias("xm")
     )
+    sig = materialize(minhash_signature_arrays(raw_hashes, num_hashes))
     # band bucket = md5 of the band's min-hashes in index order (md5, not
     # xxhash64, so the oracle computes the identical bucket).
-    # Materialized too: the self-join below reads it on BOTH sides, and
-    # without a checkpoint each side re-runs the groupBy/collect_list from
-    # sig — one redundant pass over num_hashes × n_docs rows.
-    band_sig = materialize(
-        sig.withColumn("band", F.expr(f"i DIV {rows_per_band}"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda x: x["mh"].cast("string"),
+    band_sig = sig.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("sig"),
+                        F.col("band") * rows_per_band + 1,
+                        rows_per_band,
                     ),
-                )
-            ).alias("bucket")
-        )
+                    lambda m: m.cast("string"),
+                ),
+            )
+        ).alias("bucket"),
     )
     pairs = (
         band_sig.alias("x")
@@ -196,18 +245,22 @@ def minhash_candidates(
         .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
         .dropDuplicates()
     )
-    s1 = sig.select(F.col("doc").alias("d1"), "i", F.col("mh").alias("mh1"))
-    s2 = sig.select(F.col("doc").alias("d2"), "i", F.col("mh").alias("mh2"))
+    s1 = sig.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc").alias("d2"), F.col("sig").alias("sig2"))
+    n_match = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
         pairs.join(s1, "d1")
-        .join(s2, ["d2", "i"])
-        .groupBy("d1", "d2")
-        .agg(
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
             F.round(
-                F.sum((F.col("mh1") == F.col("mh2")).cast("int")).cast("double")
-                / F.lit(float(num_hashes)),
-                6,
-            ).alias("est_jaccard")
+                n_match.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
         )
     )
 

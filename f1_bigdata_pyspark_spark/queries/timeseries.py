@@ -332,6 +332,69 @@ def skew_safe_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: skew_join_hot_users — the skewed-JOIN face next to the salted-agg face
+# above: a fact⋈dim join where a known-hot key set would overload its
+# shuffle partitions. operators/skew.salted_join_broadcast_hot_keys routes
+# the hot keys through a broadcast join (hot dim slice is bounded by the
+# hot-key count — broadcastable by construction) and the long tail through
+# the normal shuffle join, then unions. The hot set here is detected from
+# the fact itself (top-3 users by event count, deterministic user_id
+# tie-break) — a 3-row driver hop, the same bounded pattern as runtime
+# bloom-filter construction. The oracle is the PLAIN join: like the salted
+# agg, the mitigation must be invisible in results. The value sum is
+# integer-quantized (milli units) so the split-union's different float
+# summation order cannot flip a rounded digit cross-engine.
+# At 100 TB this is the classic production incident (one user = 10% of the
+# fact) and this query is the repertoire fix; plan shape pinned in
+# tests/test_plans.py (hot branch stays BroadcastHashJoin even with
+# auto-broadcast disabled, cold branch degrades to shuffle join).
+# --------------------------------------------------------------------------
+@query(
+    "skew_join_hot_users",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_value_milli
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def skew_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.skew import (
+        salted_join_broadcast_hot_keys,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot = [
+        r["user_id"]
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(3)
+        .collect()
+    ]
+    joined = salted_join_broadcast_hot_keys(events, dim, "user_id", hot)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("sum_value_milli"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: user_state_history — SCD2-style history building: each user's event
 # stream becomes validity intervals [valid_from, valid_to) of their
 # then-current event_type via lead() over the per-user window — the

@@ -88,3 +88,20 @@ def test_customer_join_broadcasts_under_default_threshold(spark, sf_smoke):
     degrades when the dim outgrows the threshold."""
     df = _REGISTRY["revenue_by_nation"].fn(spark, sf_smoke)
     assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_skew_join_routes_hot_keys_through_broadcast(spark, sf_smoke):
+    """The skewed-join split must keep its SHAPE with auto-broadcast
+    disabled: the hot-key branch is an explicit broadcast (its dim slice is
+    bounded by the hot-key count), the cold branch degrades to a shuffle
+    join, and the two unite. Results must equal the plain-join baseline."""
+    fn = _REGISTRY["skew_join_hot_users"].fn
+    baseline = [tuple(r) for r in fn(spark, sf_smoke).collect()]
+    with _with_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        df = fn(spark, sf_smoke)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, plan  # hot branch: explicit hint
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Union" in plan, plan
+        got = [tuple(r) for r in df.collect()]
+    assert got == baseline

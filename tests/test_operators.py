@@ -67,6 +67,33 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_smoke):
     assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} exact pairs"
 
 
+def test_minhash_signature_forms_agree(spark, sf_smoke):
+    """The array-form signature builder (collect_set + array-lambda minima,
+    the production path) must produce bit-identical signatures to the
+    long-form explode/groupBy builder for every doc and hash index — same
+    affine rehash, different dataflow."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.operators.dedup import (
+        minhash_signature_arrays,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    xs = shingle_hashes(docs, "doc_id", "text", 3)
+    long_form = {
+        (r["doc"], r["i"]): r["mh"]
+        for r in minhash_signatures(xs, num_hashes=16).collect()
+    }
+    arr_form = {
+        (r["doc"], i): mh
+        for r in minhash_signature_arrays(xs, num_hashes=16).collect()
+        for i, mh in enumerate(r["sig"])
+    }
+    assert long_form == arr_form and len(long_form) > 0
+
+
 def test_simhash_near_dups_close_hamming(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     sim = {r["doc"]: r["simhash"] for r in simhash_table(docs).collect()}

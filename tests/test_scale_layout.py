@@ -7,6 +7,7 @@ assumed.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -160,3 +161,34 @@ def test_bloom_prefilter_join_is_exact(spark, sf_smoke):
     agg = bloom_prefilter_revenue(spark, sf_smoke)
     n_after_join = agg.agg(F.sum("n_items")).first()[0]
     assert n_after_join == true_match
+
+
+def test_sf_scaling_sub_quadratic(spark):
+    """Anti-all-pairs regression gate: the most data-bound headline queries
+    must scale sub-quadratically from sf0.01 to sf0.1 (10× the data). An
+    accidental all-pairs path (the LSH/Jaccard family is one refactor away
+    from one) shows up as ~100×; the bound here is a generous 50× so
+    hypervisor noise cannot flake the suite — bench.py --sweep reports the
+    precise per-query ratios (typically <6×).
+    """
+    import time
+
+    from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+
+    testdata = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    dirs = (f"{testdata}/sf0.01", f"{testdata}/sf0.1")
+
+    def best_of_two(fn, d):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, d).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for name in ("pricing_summary", "dedup_keep_first", "minhash_lsh_candidates"):
+        fn = _REGISTRY[name].fn
+        t_small = best_of_two(fn, dirs[0])
+        t_big = best_of_two(fn, dirs[1])
+        ratio = t_big / max(t_small, 1e-9)
+        assert ratio < 50, (name, round(t_small, 3), round(t_big, 3), ratio)

@@ -160,6 +160,85 @@ def test_foreach_batch_upsert_idempotent(spark, sf_smoke, events_batch, tmp_path
     assert final.select("event_id").distinct().count() == final.count()
 
 
+def test_file_stream_two_drops_keep_latest(spark, tmp_path):
+    """True file-stream integration: a LIVE readStream on a directory, two
+    file drops processed as separate micro-batches through the foreachBatch
+    keep-latest upsert sink, with the target state asserted after EACH
+    micro-batch (not just batch-equivalence at the end). Drop 2 overlaps
+    drop 1 on a key with a newer timestamp — the overlap must update, the
+    untouched key must survive, the new key must appear."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.streaming.upsert_sink import foreach_batch_upsert
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    target = str(tmp_path / "state")
+
+    def write_drop(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, incoming / name)
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t1 = dt.datetime(2026, 1, 1, 13, 0, 0)
+    write_drop(
+        "drop1.parquet",
+        [(1, t0, 10, "view", 1.0, "{}"), (2, t0, 11, "click", 2.0, "{}")],
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(incoming))
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(target, ["event_id"], "ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: drop1 only
+        state = {
+            r["event_id"]: (r["ts"], r["event_type"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert state == {1: (t0, "view"), 2: (t0, "click")}
+
+        # drop 2: key 2 re-arrives NEWER (must replace), key 3 is new
+        write_drop(
+            "drop2.parquet",
+            [(2, t1, 11, "purchase", 9.0, "{}"), (3, t1, 12, "view", 3.0, "{}")],
+        )
+        q.processAllAvailable()  # micro-batch 2
+        state = {
+            r["event_id"]: (r["ts"], r["event_type"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert state == {
+            1: (t0, "view"),  # untouched key survives the second merge
+            2: (t1, "purchase"),  # overlapping key keeps the LATEST row
+            3: (t1, "view"),
+        }
+    finally:
+        q.stop()
+
+
 def test_stateful_running_totals_match_batch(spark, sf_smoke, events_batch):
     """applyInPandasWithState per-user running totals: after consuming the
     whole stream, the last emitted row per user equals the batch aggregate."""
