@@ -254,3 +254,88 @@ def portable_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("long").alias("n_days"),
         F.round(estimate, 4).alias("total_users_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: countmin_heavy_hitters — a Count-Min sketch (depth 3 × width 64, the
+# streaming frequency-estimation sketch) built relationally over portable
+# md5 row-hashes: each event increments one counter per row, counters are
+# a groupBy-sum (map-side combinable, mergeable across partitions/days
+# exactly like the HLL faces above), and a key's estimate is the MIN over
+# its row counters. CM guarantees no undercount (est ≥ true count), stated
+# as a driver-checked boolean per key; estimates here are exact-match
+# oracle values because the hash is engine-portable. At 100 TB the sketch
+# is d×w integers of shared state — the frequency answer when the key
+# cardinality is too large for an exact groupBy, with heavy hitters read
+# back by probing candidate keys (here: the event types themselves).
+# --------------------------------------------------------------------------
+@query(
+    "countmin_heavy_hitters",
+    oracle="""
+WITH probes AS (
+  SELECT event_type, r.r AS r,
+         CAST('0x' || substr(md5(event_type || '#' || CAST(r.r AS VARCHAR)),
+              1, 15) AS BIGINT) % 64 AS col
+  FROM events CROSS JOIN range(3) AS r(r)
+),
+counters AS (
+  SELECT r, col, count(*) AS cnt FROM probes GROUP BY r, col
+),
+exact AS (
+  SELECT event_type, count(*) AS exact_n FROM events GROUP BY event_type
+),
+cand AS (
+  SELECT event_type, r.r AS r,
+         CAST('0x' || substr(md5(event_type || '#' || CAST(r.r AS VARCHAR)),
+              1, 15) AS BIGINT) % 64 AS col
+  FROM exact CROSS JOIN range(3) AS r(r)
+),
+est AS (
+  SELECT event_type, min(cnt) AS cm_estimate
+  FROM cand JOIN counters USING (r, col)
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(x.exact_n AS BIGINT) AS exact_n,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       e.cm_estimate >= x.exact_n AS no_undercount
+FROM est e JOIN exact x USING (event_type)
+ORDER BY event_type
+""",
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    DEPTH, WIDTH = 3, 64
+
+    def col_for(key, r):
+        return md5_long(F.concat_ws("#", key, r.cast("string"))) % WIDTH
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    probes = ev.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(DEPTH - 1))).alias("r"),
+    ).select("r", col_for(F.col("event_type"), F.col("r")).alias("col"))
+    counters = probes.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    cand = exact.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(DEPTH - 1))).alias("r"),
+    ).select(
+        "event_type", "r", col_for(F.col("event_type"), F.col("r")).alias("col")
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["r", "col"])  # ≤ DEPTH×WIDTH rows
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") >= F.col("exact_n")).alias("no_undercount"),
+        )
+        .orderBy("event_type")
+    )

@@ -921,3 +921,69 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: repetition_quality — the Gopher-style repetition signal of a corpus
+# quality pipeline: per doc, the duplicate-bigram fraction
+# 1 − distinct_bigrams/total_bigrams (high ⇒ boilerplate/spam loops), rolled
+# up per source with a flag-rate at the 0.2 threshold. Pure built-ins: one
+# bigram stream (shared shingle machinery, n=2), one per-doc aggregate, one
+# per-source aggregate — two keyed exchanges total, no Python in the path.
+# Docs with <2 tokens carry no bigrams and drop out in BOTH engines.
+# At 100 TB this is a standard pre-training filter pass; the per-doc state
+# is two counters, so the shuffle moves (doc, int, int) rows only.
+# --------------------------------------------------------------------------
+@query(
+    "repetition_quality",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS b
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+),
+per AS (
+  SELECT doc_id, source,
+         count(*) AS n_big,
+         count(DISTINCT b) AS n_uniq
+  FROM big GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(1.0 - n_uniq * 1.0 / n_big), 6) AS avg_dup_frac,
+       CAST(sum(CASE WHEN 1.0 - n_uniq * 1.0 / n_big > 0.2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM per
+GROUP BY source
+ORDER BY source
+""",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.dedup import _raw_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = _raw_shingles(docs, "doc_id", "text", 2)  # non-distinct bigrams
+    per = big.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_big"),
+        F.countDistinct("s").alias("n_uniq"),
+    )
+    dup_frac = F.lit(1.0) - F.col("n_uniq") / F.col("n_big")
+    return (
+        per.join(
+            F.broadcast(
+                docs.select(F.col("doc_id").alias("doc"), "source")
+            ),
+            "doc",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(dup_frac), 6).alias("avg_dup_frac"),
+            F.sum(F.when(dup_frac > 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )

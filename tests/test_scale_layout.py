@@ -163,6 +163,64 @@ def test_bloom_prefilter_join_is_exact(spark, sf_smoke):
     assert n_after_join == true_match
 
 
+def test_aqe_splits_skewed_join_partition(spark, tmpdir):
+    """AQE's runtime skew-join handling is the OTHER half of the skew story
+    (operators/skew covers the planned mitigations): a fact⋈fact sort-merge
+    join where one key holds most rows must get its oversized partition
+    split at runtime — asserted on the adaptive plan's `skew=true` marker,
+    with results identical to the unskewed plan. At 100 TB this is the
+    mitigation that needs NO code change, which is why the thresholds are
+    session confs — tuned low here so a local-mode fixture can trip it."""
+    from pyspark.sql import functions as F
+
+    # 1M-row hot key with an incompressible payload: the skew detector
+    # compares COMPRESSED shuffle-partition bytes against the threshold, so
+    # a constant/cyclic payload lz4-compresses below any realistic
+    # threshold and never trips it
+    n_hot, n_cold = 1_000_000, 1_000
+    fact = spark.range(n_hot + n_cold).select(
+        F.when(F.col("id") < n_hot, 0).otherwise(F.col("id")).alias("k"),
+        F.xxhash64("id").alias("v"),
+    )
+    # one row per key — precomputed to parquet so BOTH join inputs are bare
+    # shuffled scans: OptimizeSkewedJoin only matches
+    # SMJ(sort(shuffle), sort(shuffle)); an aggregate between sort and
+    # shuffle on either side disqualifies the rewrite
+    dim = spark.range(n_hot + n_cold).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("w")
+    ).filter((F.col("k") == 0) | (F.col("k") >= n_hot))
+    fact.write.mode("overwrite").parquet(f"{tmpdir}/skew_fact")
+    dim.write.mode("overwrite").parquet(f"{tmpdir}/skew_dim")
+    f1 = spark.read.parquet(f"{tmpdir}/skew_fact")
+    f2 = spark.read.parquet(f"{tmpdir}/skew_dim")
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = f1.join(f2, "k").groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        rows = {tuple(r) for r in joined.collect()}
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan
+        assert "AQEShuffleRead skewed" in final_plan, final_plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    # results identical without any of the skew machinery
+    want = {tuple(r) for r in joined.collect()}
+    assert rows == want
+
+
 def test_sf_scaling_sub_quadratic(spark):
     """Anti-all-pairs regression gate: the most data-bound headline queries
     must scale sub-quadratically from sf0.01 to sf0.1 (10× the data). An
