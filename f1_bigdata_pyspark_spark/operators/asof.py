@@ -1,0 +1,66 @@
+"""As-of (point-in-time) join — for each probe row, the most recent state
+row of the same key at or before the probe's timestamp. The temporal join
+financial ticks, feature stores, and SCD lookups need, and one Spark has no
+native operator for.
+
+Implemented the SCALABLE way: tag both inputs, union them, and run a single
+per-key ``last(..., ignorenulls=True)`` window ordered by (ts, tag) — every
+probe row then carries the latest preceding state values. One hash exchange
+on the key, one per-key sort, zero row multiplication. The naive
+alternative — an inequality join ``p.ts >= s.ts`` + keep-latest — explodes
+to |probes|·|states| rows per key before pruning, which at 100 TB turns a
+hot key into a cross product; the union form's cost is (|probes|+|states|)
+log per key, the same as sorting the inputs.
+
+Tie semantics: state rows order BEFORE probe rows at equal timestamps, so a
+state exactly at the probe time is visible (ts_state <= ts_probe — matching
+DuckDB's ``ASOF JOIN ... ON p.ts >= s.ts``, which the oracle uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    probes: DataFrame,
+    states: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every probe row, plus ``state_cols`` from the latest
+    state row with the same ``key_col`` and state ts <= probe ts (NULL when
+    no state precedes). ``states`` must be unique per (key, ts) for
+    deterministic output — pre-aggregate if it isn't.
+
+    ``tolerance_seconds`` bounds the lookback (the feature-store staleness
+    guard): a match older than the tolerance is nulled out, exactly like
+    pandas ``merge_asof(tolerance=...)``. Applied as a post-window null-out
+    of the carried state timestamp, so it adds no exchange."""
+    overlap = set(probes.columns) & set(state_cols)
+    if overlap:
+        raise ValueError(f"state_cols {sorted(overlap)} collide with probe columns")
+    p = probes.withColumn("__is_probe", F.lit(1))
+    s = states.select(key_col, ts_col, *state_cols).withColumn(
+        "__is_probe", F.lit(0)
+    )
+    u = p.unionByName(s, allowMissingColumns=True)
+    u = u.withColumn("__state_ts", F.when(F.col("__is_probe") == 0, F.col(ts_col)))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("__is_probe"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in [*state_cols, "__state_ts"]:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = u.filter(F.col("__is_probe") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__state_ts"))
+        ) <= int(tolerance_seconds * 1_000_000)
+        for c in state_cols:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out.drop("__is_probe", "__state_ts")

@@ -395,6 +395,68 @@ def skew_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: asof_view_before_purchase — point-in-time (AS-OF) join, the temporal
+# operator Spark lacks natively: each purchase event is joined to the SAME
+# user's most recent view at or before it. operators/asof implements it as
+# tag → union → per-key last(ignorenulls) window: ONE exchange on user_id,
+# no |probes|×|states| inequality-join blowup (the naive form's hot-key
+# cross product at 100 TB). The oracle is DuckDB's NATIVE ASOF LEFT JOIN —
+# an independent implementation of the same semantics, including the
+# ts-tie rule (state at exactly the probe time matches). Gap stats are
+# integer-microsecond sums (exact in both engines); the average is derived
+# from those exact integers with a single float division.
+# --------------------------------------------------------------------------
+@query(
+    "asof_view_before_purchase",
+    oracle="""
+WITH v AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.ts AS pts, v.ts AS vts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(vts) AS BIGINT) AS n_with_prior_view,
+       CAST(sum(epoch_us(pts) - epoch_us(vts)) AS BIGINT) AS sum_gap_us,
+       CASE WHEN count(vts) = 0 THEN NULL
+            ELSE round(CAST(sum(epoch_us(pts) - epoch_us(vts)) AS BIGINT)
+                       / count(vts) / 1000000.0, 6) END AS avg_gap_s,
+       CAST(max(epoch_us(pts) - epoch_us(vts)) AS BIGINT) AS max_gap_us
+FROM j
+""",
+)
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    states = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .distinct()  # unique per (key, ts) → deterministic match payload
+        .withColumn("view_ts", F.col("ts"))
+    )
+    joined = asof_join_backward(probes, states, "user_id", "ts", ["view_ts"])
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts"))
+    n_matched = F.count("view_ts")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        n_matched.cast("long").alias("n_with_prior_view"),
+        F.sum(gap_us).cast("long").alias("sum_gap_us"),
+        F.when(n_matched == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum(gap_us).cast("long") / n_matched / 1e6, 6))
+        .alias("avg_gap_s"),
+        F.max(gap_us).cast("long").alias("max_gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: user_state_history — SCD2-style history building: each user's event
 # stream becomes validity intervals [valid_from, valid_to) of their
 # then-current event_type via lead() over the per-user window — the

@@ -67,6 +67,52 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_smoke):
     assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} exact pairs"
 
 
+def test_asof_join_backward_semantics(spark):
+    """Point-in-time join edge cases: exact-tie matches (state at the probe
+    ts IS visible), no-prior-state → NULL, keys never mixed, latest-of-many
+    wins."""
+    import datetime as dt
+
+    from f1_bigdata_pyspark_spark.operators.asof import asof_join_backward
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)  # noqa: E731
+    probes = spark.createDataFrame(
+        [(1, t(5)), (1, t(10)), (1, t(0)), (2, t(30))],
+        "user_id long, ts timestamp",
+    )
+    states = spark.createDataFrame(
+        [(1, t(5), "s@5"), (1, t(2), "s@2"), (2, t(31), "s@31")],
+        "user_id long, ts timestamp, st string",
+    )
+    got = {
+        (r["user_id"], r["ts"]): r["st"]
+        for r in asof_join_backward(
+            probes, states, "user_id", "ts", ["st"]
+        ).collect()
+    }
+    assert got == {
+        (1, t(0)): None,  # nothing at or before
+        (1, t(5)): "s@5",  # exact tie: state at probe ts matches
+        (1, t(10)): "s@5",  # latest of {s@2, s@5}
+        (2, t(30)): None,  # key 2's only state is later
+    }
+
+    # staleness tolerance: the t(10) probe's match (s@5, 300 s old) must
+    # null out under a 60 s tolerance; the exact tie (0 s old) survives
+    bounded = {
+        (r["user_id"], r["ts"]): r["st"]
+        for r in asof_join_backward(
+            probes, states, "user_id", "ts", ["st"], tolerance_seconds=60
+        ).collect()
+    }
+    assert bounded == {
+        (1, t(0)): None,
+        (1, t(5)): "s@5",
+        (1, t(10)): None,
+        (2, t(30)): None,
+    }
+
+
 def test_minhash_signature_forms_agree(spark, sf_smoke):
     """The array-form signature builder (collect_set + array-lambda minima,
     the production path) must produce bit-identical signatures to the
