@@ -987,3 +987,175 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: doc_char_entropy — Shannon character entropy per doc, the
+# perplexity-proxy quality signal of a corpus pipeline: near-zero entropy
+# flags repeated-character boilerplate, unusually high entropy flags
+# random gibberish / binary-in-text. Relational shape: explode to (doc,
+# char) → per-(doc,char) counts → per-doc total via a doc-keyed window →
+# H = −Σ (c/n)·log2(c/n) → per-source rollup. Entropy terms are O(1)
+# magnitudes summed ~10²-fold, so cross-engine float summation-order noise
+# is ~1e-14 — far inside the 6 dp rounding contract (unlike money sums,
+# which this repo integer-quantizes). Spark split('') and DuckDB
+# string_split_regex('') agree char-for-char (verified incl. the
+# empty-string edge).
+# --------------------------------------------------------------------------
+@query(
+    "doc_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, source, unnest(string_split_regex(text, '')) AS ch
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, source, ch, count(*) AS c FROM chars GROUP BY doc_id, source, ch
+),
+tot AS (
+  SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id
+),
+ent AS (
+  SELECT cnt.doc_id, source,
+         -sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS h
+  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+  GROUP BY cnt.doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(h), 6) AS avg_entropy,
+       round(min(h), 6) AS min_entropy,
+       round(max(h), 6) AS max_entropy,
+       CAST(sum(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM ent
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", "source", F.explode(F.split("text", "")).alias("ch")
+    )
+    cnt = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        cnt.withColumn("n", n)
+        .groupBy("doc_id", "source")
+        .agg((-F.sum(p * F.log2(p))).alias("h"))
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("avg_entropy"),
+            F.round(F.min("h"), 6).alias("min_entropy"),
+            F.round(F.max("h"), 6).alias("max_entropy"),
+            F.sum(F.when(F.col("h") < 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: chunking_with_overlap — the context-window chunker of an embedding /
+# RAG pipeline: token windows of W=64 with stride S=48 (16-token overlap),
+# last window ragged. Chunk COUNTS and sizes are closed-form integer
+# functions of each doc's token count (n_chunks = 1 + ceil(max(n−W,0)/S),
+# chunk i holds min(W, n − i·S) tokens), so the whole pass is arithmetic +
+# one explode over chunk indices — no token materialization, no shuffle
+# before the final rollup. The overlap ratio (duplicated token slots /
+# total emitted slots) is THE storage-planning number for the downstream
+# embedding store. All-integer math → exact oracle; the sibling UDTF face
+# (udtf_chunk_stats) materializes real chunk text where content is needed.
+# --------------------------------------------------------------------------
+@query(
+    "chunking_with_overlap",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n,
+         1 + CAST(ceil(greatest(len(string_split(text, ' ')) - 64, 0) / 48.0)
+                  AS BIGINT) AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, n,
+         least(64, n - i.i * 48) AS chunk_tokens
+  FROM d, UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS i(i)
+),
+per_chunk AS (
+  SELECT source,
+         count(*) AS total_chunks,
+         CAST(sum(chunk_tokens) AS BIGINT) AS total_token_slots
+  FROM chunks GROUP BY source
+),
+per_doc AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, total_chunks, total_token_slots,
+       round(total_token_slots / total_chunks / 1.0, 6) AS avg_chunk_tokens,
+       round(1.0 - total_tokens * 1.0 / total_token_slots, 6) AS overlap_ratio
+FROM per_doc JOIN per_chunk USING (source)
+ORDER BY source
+""",
+)
+def chunking_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import token_count
+
+    W, S = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n"),
+    ).withColumn(
+        "n_chunks",
+        (
+            F.lit(1)
+            + F.ceil(F.greatest(F.col("n") - W, F.lit(0)) / F.lit(float(S)))
+        ).cast("long"),
+    )
+    chunks = d.select(
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
+            "i"
+        ),
+    ).withColumn("chunk_tokens", F.least(F.lit(W), F.col("n") - F.col("i") * S))
+    per_chunk = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("total_token_slots"),
+    )
+    per_doc = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+    return (
+        per_doc.join(per_chunk, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chunks",
+            "total_token_slots",
+            F.round(
+                F.col("total_token_slots") / F.col("total_chunks") / 1.0, 6
+            ).alias("avg_chunk_tokens"),
+            F.round(
+                F.lit(1.0) - F.col("total_tokens") / F.col("total_token_slots"),
+                6,
+            ).alias("overlap_ratio"),
+        )
+        .orderBy("source")
+    )

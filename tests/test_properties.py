@@ -284,3 +284,56 @@ def test_udtf_chunks_reconstruct_document(spark, texts):
         assert " ".join(c["chunk"] for c in chunks) == text
         for c in chunks[:-1]:
             assert c["n_tokens"] == 32
+
+
+# ------------------------------------------------------------------ asof join
+_asof_probes = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+)
+_asof_states = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_asof_probes, _asof_states)
+def test_asof_join_matches_pandas_merge_asof(spark, probes, states):
+    """The union+window as-of join == pandas.merge_asof (an independent
+    reference implementation) on arbitrary random key/timestamp sets,
+    including duplicate probe timestamps and exact ties."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.operators.asof import asof_join_backward
+
+    base = dt.datetime(2026, 1, 1)
+    to_ts = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    p_rows = [(k, to_ts(m)) for k, m in probes]
+    s_rows = sorted({(k, to_ts(m)) for k, m in states})  # unique per (key, ts)
+
+    pdf = spark.createDataFrame(p_rows, "k long, ts timestamp")
+    sdf = spark.createDataFrame(
+        s_rows, "k long, ts timestamp"
+    ).withColumn("state_ts", F.col("ts"))
+    got = sorted(
+        (r["k"], r["ts"], r["state_ts"])
+        for r in asof_join_backward(pdf, sdf, "k", "ts", ["state_ts"]).collect()
+    )
+
+    pd_p = pd.DataFrame(p_rows, columns=["k", "ts"]).sort_values("ts")
+    pd_s = (
+        pd.DataFrame(s_rows, columns=["k", "state_ts"])
+        .sort_values("state_ts")
+    )
+    merged = pd.merge_asof(
+        pd_p, pd_s, left_on="ts", right_on="state_ts", by="k",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = sorted(
+        (int(r.k), r.ts.to_pydatetime(),
+         None if pd.isna(r.state_ts) else r.state_ts.to_pydatetime())
+        for r in merged.itertuples()
+    )
+    assert got == want
