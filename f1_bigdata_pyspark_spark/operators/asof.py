@@ -43,24 +43,35 @@ def asof_join_backward(
     overlap = set(probes.columns) & set(state_cols)
     if overlap:
         raise ValueError(f"state_cols {sorted(overlap)} collide with probe columns")
+    # The matched state travels as ONE struct (its ts + all payload cols),
+    # carried by a single last(ignorenulls) — so the probe receives the
+    # entire latest row, NULL payload fields included. Forward-filling each
+    # payload column independently would resurrect values from OLDER rows
+    # whenever the latest row holds a NULL (and could stitch together
+    # fields of different rows) — diverging from ASOF-join semantics.
     p = probes.withColumn("__is_probe", F.lit(1))
-    s = states.select(key_col, ts_col, *state_cols).withColumn(
-        "__is_probe", F.lit(0)
-    )
+    s = states.select(
+        key_col,
+        ts_col,
+        F.struct(F.col(ts_col).alias("__ts"), *state_cols).alias("__state"),
+    ).withColumn("__is_probe", F.lit(0))
     u = p.unionByName(s, allowMissingColumns=True)
-    u = u.withColumn("__state_ts", F.when(F.col("__is_probe") == 0, F.col(ts_col)))
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col(ts_col), F.col("__is_probe"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in [*state_cols, "__state_ts"]:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("__state", F.last("__state", ignorenulls=True).over(w))
     out = u.filter(F.col("__is_probe") == 1)
+    matched = F.col("__state").isNotNull()
     if tolerance_seconds is not None:
-        fresh = (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__state_ts"))
-        ) <= int(tolerance_seconds * 1_000_000)
-        for c in state_cols:
-            out = out.withColumn(c, F.when(fresh, F.col(c)))
-    return out.drop("__is_probe", "__state_ts")
+        matched = matched & (
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.col("__state.__ts"))
+            )
+            <= int(tolerance_seconds * 1_000_000)
+        )
+    for c in state_cols:
+        out = out.withColumn(c, F.when(matched, F.col("__state")[c]))
+    return out.drop("__is_probe", "__state")

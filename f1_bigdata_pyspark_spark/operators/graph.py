@@ -75,28 +75,28 @@ def connected_components(
     information).
 
     ``max_iter`` caps star ROUND PAIRS; by default it is computed as
-    2·⌈log₂ n⌉ + 4 from the node count — generous against the paper's
-    practical O(log n) convergence, and the only data-dependent driver
-    action besides the per-round convergence probe (one isEmpty on the
-    round's change set)."""
-    und = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    und = materialize(und)
-    nodes = und.select(F.col("u").alias("node")).distinct()
-    nodes = materialize(nodes)
+    4·⌈log₂ n⌉ + 8 from the node count — generous against the paper's
+    practical O(log n) convergence (worst case is O(log² n); exceeding the
+    cap RAISES rather than returning possibly-corrupt labels). The node
+    count is the only data-dependent driver action besides the per-round
+    convergence probe (one isEmpty on the round's change set)."""
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+    # Node set from the UNFILTERED pairs: a node appearing only in
+    # self-loops still gets a (node, node) label, matching the propagation
+    # form's contract. Self-loop edges themselves carry no connectivity and
+    # are dropped from the star iteration.
+    nodes = materialize(sym.select(F.col("u").alias("node")).distinct())
+    und = materialize(sym.filter(F.col("u") != F.col("v")).distinct())
 
     if max_iter is None:
         n = nodes.count()
-        max_iter = 2 * math.ceil(math.log2(max(n, 2))) + 4
+        max_iter = 4 * math.ceil(math.log2(max(n, 2))) + 8
 
     # Orient big→small for the first small-star by one large-star pass.
     e = materialize(_large_star(und))
+    converged = False
     for _ in range(max_iter):
         e2 = materialize(_small_star(e))
         e3 = materialize(_large_star(e2.unionByName(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))))
@@ -106,8 +106,17 @@ def connected_components(
             and e3.exceptAll(e).isEmpty()
         ):
             e = e3
+            converged = True
             break
         e = e3
+    if not converged:
+        # Never return labels from a non-star edge set: a node with two
+        # outgoing pairs would emit conflicting (node, comp) rows and
+        # silently corrupt downstream dedup grouping.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} star round"
+            " pairs (practical graphs need ~log2(n)); pass a larger max_iter"
+        )
 
     # At convergence e is a star forest oriented (node → component min).
     star = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))

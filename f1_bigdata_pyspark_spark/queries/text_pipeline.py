@@ -20,6 +20,7 @@ from f1_bigdata_pyspark_spark.functions.text import (
     token_count,
 )
 from f1_bigdata_pyspark_spark.queries.registry import query
+from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
 
 
 def _sql_list(words) -> str:
@@ -740,7 +741,9 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently inflating n_contaminated relative to the oracle.
     sh = raw_shingle_hashes(docs, "doc_id", "text", 3)  # distinct (doc, hash)
     labeled = sh.join(
-        F.broadcast(docs.select("doc_id", "split").withColumnRenamed("doc_id", "doc")),
+        broadcast_if_small(
+            docs.select("doc_id", "split").withColumnRenamed("doc_id", "doc")
+        ),
         "doc",
     )
     train_sh = labeled.filter(F.col("split") == "train").select("xm").distinct()
@@ -972,7 +975,7 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac = F.lit(1.0) - F.col("n_uniq") / F.col("n_big")
     return (
         per.join(
-            F.broadcast(
+            broadcast_if_small(
                 docs.select(F.col("doc_id").alias("doc"), "source")
             ),
             "doc",

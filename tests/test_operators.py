@@ -81,7 +81,7 @@ def test_asof_join_backward_semantics(spark):
         "user_id long, ts timestamp",
     )
     states = spark.createDataFrame(
-        [(1, t(5), "s@5"), (1, t(2), "s@2"), (2, t(31), "s@31")],
+        [(1, t(5), "s@5"), (1, t(2), "s@2"), (1, t(8), None), (2, t(31), "s@31")],
         "user_id long, ts timestamp, st string",
     )
     got = {
@@ -93,7 +93,9 @@ def test_asof_join_backward_semantics(spark):
     assert got == {
         (1, t(0)): None,  # nothing at or before
         (1, t(5)): "s@5",  # exact tie: state at probe ts matches
-        (1, t(10)): "s@5",  # latest of {s@2, s@5}
+        # the MATCHED row is s@8 whose payload is NULL — ASOF semantics
+        # carry that NULL; forward-filling s@5's value here would be wrong
+        (1, t(10)): None,
         (2, t(30)): None,  # key 2's only state is later
     }
 
@@ -288,10 +290,10 @@ def test_connected_components_star_matches_propagation_on_deep_chain(spark):
 
     depth = 120
     chain = [(i, i + 1) for i in range(depth)]
-    extra = [(500, 501), (501, 502), (700, 700 + 1)]
+    extra = [(500, 501), (501, 502), (700, 700 + 1), (900, 900)]
     edges = spark.createDataFrame(chain + extra, "d1 long, d2 long")
 
-    star_cap = 2 * math.ceil(math.log2(depth + len(extra) * 2 + 1)) + 4
+    star_cap = 4 * math.ceil(math.log2(depth + len(extra) * 2 + 1)) + 8
     assert star_cap < depth  # the point of the test
 
     star = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
@@ -304,6 +306,7 @@ def test_connected_components_star_matches_propagation_on_deep_chain(spark):
     assert star == prop
     assert star[depth] == 0  # deepest chain node reaches the component min
     assert star[502] == 500 and star[701] == 700
+    assert star[900] == 900  # self-loop-only node keeps its label
 
 
 def test_audio_features_match_numpy(spark, sf_smoke):
