@@ -1162,3 +1162,65 @@ def chunking_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: weighted_sample_ares — WEIGHTED sampling without replacement
+# (Efraimidis–Spirakis A-Res), the length-weighted cousin of
+# bottomk_sample_merge: each doc draws u ∈ (0,1) from its md5 hash and
+# ranks by ln(u)/weight (monotone equivalent of u^(1/w)); the top-k by
+# that key is a weighted sample where longer docs (weight = n_chars) are
+# proportionally more likely — how a corpus pipeline samples documents
+# with probability proportional to token mass. Fully mergeable (top-k of
+# per-partition top-k's, same as bottom-k) and deterministic: u is
+# md5-derived, and the rank key is rounded to 9 dp in BOTH engines with a
+# doc_id tiebreak so cross-engine transcendental last-ulp noise cannot
+# reorder the cut (same contract as the cosine rankings). One TakeOrdered,
+# no shuffle of the corpus.
+# --------------------------------------------------------------------------
+@query(
+    "weighted_sample_ares",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 1.0) / 1152921504606846977.0)
+               / n_chars, 9) AS rank_key
+  FROM documents
+),
+top AS (
+  SELECT * FROM keyed ORDER BY rank_key DESC, doc_id LIMIT 50
+)
+SELECT source,
+       count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       min(rank_key) AS min_rank_key
+FROM top
+GROUP BY source
+ORDER BY source
+""",
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    # u ∈ (0,1): (h+1) / (2^60 + 1) with h ∈ [0, 2^60)
+    u = (md5_long(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(2**60 + 1)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("rank_key"),
+    )
+    top = keyed.orderBy(F.col("rank_key").desc(), "doc_id").limit(50)
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.min("rank_key").alias("min_rank_key"),
+        )
+        .orderBy("source")
+    )

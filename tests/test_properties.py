@@ -104,9 +104,7 @@ def test_upsert_keep_latest_properties(spark, batches):
 
 
 _edges = st.lists(
-    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
-        lambda e: e[0] != e[1]
-    ),
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),  # self-loops included
     min_size=1,
     max_size=25,
 )
@@ -115,8 +113,9 @@ _edges = st.lists(
 @settings(max_examples=6, deadline=None)
 @given(_edges)
 def test_connected_components_match_union_find(spark, edges):
-    """Distributed min-label propagation == a driver-side union-find on
-    arbitrary random graphs (same node set, same partition, min-id label)."""
+    """Distributed large-star/small-star CC == a driver-side union-find on
+    arbitrary random graphs including self-loops (same node set, same
+    partition, min-id label)."""
     from f1_bigdata_pyspark_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(
