@@ -4,18 +4,21 @@ Exact dedup is hash-groupBy (reference analog:
 ``src/ingest/deduplicate_laps.py:17-47`` — group on key, keep first). Near-dup
 adds MinHash+LSH, SimHash and n-gram Jaccard.
 
-Design note (learned the hard way): signatures are computed *relationally* —
-explode shingles/tokens once, then groupBy with N parallel aggregates —
-rather than as N nested array-lambda expressions over the same array column.
-The lambda form duplicates the shingle subtree N× (and N×bands× after
-banding), blowing up the Catalyst expression tree and codegen; the relational
-form is one explode + one partial-aggregated shuffle regardless of N.
+Design note (learned the hard way): shingles are built relationally
+(posexplode + window — codegen) and signatures as ONE collect_set per doc
+followed by array-lambda minima (``minhash_signature_arrays``). Two
+rejected shapes, both measured: N nested array-lambdas over the same
+``split(text)`` expression re-evaluate the split per element and blow up
+the Catalyst tree; and the N×-explode long form
+(``minhash_signatures``, kept as the cross-checked reference
+implementation) shuffles N·|shingles| rows where the array form shuffles
+|docs|.
 
 Scale notes (100 TB corpus):
-- MinHash: explode is a narrow map; the signature groupBy shuffles (doc,
-  shingle-hash) pairs with map-side combine. Banding and the bucket
-  self-join only touch the signature table (#docs × N longs ≪ corpus).
-  The small signature/band tables are cached — at full scale they'd be
+- MinHash: the shingle window and signature aggregation are both keyed by
+  doc — one exchange end-to-end. Banding and the bucket self-join only
+  touch the signature table (#docs × N longs ≪ corpus). The signature
+  table is materialized once and read three times — at full scale it'd be
   persisted columnar, the same trade.
 - Exact n-gram Jaccard self-joins on shingles — quadratic in the worst case;
   at scale it is the *verifier* for LSH candidates, not the candidate
