@@ -23,8 +23,6 @@ graph far deeper than the star round cap.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,41 +72,49 @@ def connected_components(
     Only nodes appearing in edges are labeled (singletons carry no dedup
     information).
 
-    ``max_iter`` caps star ROUND PAIRS; by default it is computed as
-    4·⌈log₂ n⌉ + 8 from the node count — generous against the paper's
-    practical O(log n) convergence (worst case is O(log² n); exceeding the
-    cap RAISES rather than returning possibly-corrupt labels). The node
-    count is the only data-dependent driver action besides the per-round
-    convergence probe (one isEmpty on the round's change set)."""
+    ``max_iter`` caps star ROUND PAIRS; the default 200 is a runaway
+    backstop (covers n ≈ 2^48 at 4·log₂ n pessimism), not a budget —
+    convergence exits in ~log₂ n pairs in practice, and exceeding the cap
+    RAISES rather than returning possibly-corrupt labels. Driver
+    interaction is one count() per round pair plus one exceptAll probe on
+    the candidate final round."""
     sym = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
     # Node set from the UNFILTERED pairs: a node appearing only in
     # self-loops still gets a (node, node) label, matching the propagation
     # form's contract. Self-loop edges themselves carry no connectivity and
-    # are dropped from the star iteration.
-    nodes = materialize(sym.select(F.col("u").alias("node")).distinct())
+    # are dropped from the star iteration. Lazy — consumed once at the end.
+    nodes = sym.select(F.col("u").alias("node")).distinct()
     und = materialize(sym.filter(F.col("u") != F.col("v")).distinct())
 
     if max_iter is None:
-        n = nodes.count()
-        max_iter = 4 * math.ceil(math.log2(max(n, 2))) + 8
+        # Backstop, not a budget: convergence exits the loop in ~log₂ n
+        # round pairs in practice; 200 pairs covers n ≈ 2^48 even at the
+        # paper's 4·log₂ n pessimism, and non-convergence RAISES below —
+        # so no upfront count() action is spent sizing the cap to the data.
+        max_iter = 200
 
     # Orient big→small for the first small-star by one large-star pass.
     e = materialize(_large_star(und))
+    c_prev = e.count()
     converged = False
     for _ in range(max_iter):
-        e2 = materialize(_small_star(e))
+        # e2 stays lazy: small-star over the materialized e is two cheap
+        # stages, recomputed by large-star's two readers — cheaper than an
+        # extra eager localCheckpoint write per round.
+        e2 = _small_star(e)
         e3 = materialize(_large_star(e2.unionByName(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))))
-        # Converged when a full large+small round leaves the edge set fixed.
-        if (
-            e3.count() == e.count()
-            and e3.exceptAll(e).isEmpty()
-        ):
+        # Converged when a full large+small round leaves the edge set
+        # fixed. One count() action per round; the exceptAll probe runs
+        # only when the cardinality already matches (candidate final
+        # round), so a non-final round costs a single action.
+        c3 = e3.count()
+        if c3 == c_prev and e3.exceptAll(e).isEmpty():
             e = e3
             converged = True
             break
-        e = e3
+        e, c_prev = e3, c3
     if not converged:
         # Never return labels from a non-star edge set: a node with two
         # outgoing pairs would emit conflicting (node, comp) rows and
