@@ -12,9 +12,11 @@ to |probes|·|states| rows per key before pruning, which at 100 TB turns a
 hot key into a cross product; the union form's cost is (|probes|+|states|)
 log per key, the same as sorting the inputs.
 
-Tie semantics: state rows order BEFORE probe rows at equal timestamps, so a
-state exactly at the probe time is visible (ts_state <= ts_probe — matching
-DuckDB's ``ASOF JOIN ... ON p.ts >= s.ts``, which the oracle uses).
+Tie semantics (backward form): state rows order BEFORE probe rows at equal
+timestamps, so a state exactly at the probe time is visible (ts_state <=
+ts_probe — matching DuckDB's ``ASOF JOIN ... ON p.ts >= s.ts``, which the
+oracle uses). ``asof_join_forward`` mirrors everything toward the earliest
+following state (pandas ``merge_asof(direction='forward')``).
 """
 
 from __future__ import annotations
@@ -69,6 +71,53 @@ def asof_join_backward(
             (
                 F.unix_micros(F.col(ts_col))
                 - F.unix_micros(F.col("__state.__ts"))
+            )
+            <= int(tolerance_seconds * 1_000_000)
+        )
+    for c in state_cols:
+        out = out.withColumn(c, F.when(matched, F.col("__state")[c]))
+    return out.drop("__is_probe", "__state")
+
+
+def asof_join_forward(
+    probes: DataFrame,
+    states: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Forward as-of join: every probe row, plus ``state_cols`` from the
+    EARLIEST state row with the same key and state ts >= probe ts (pandas
+    ``merge_asof(direction='forward')``). Mirror of the backward form:
+    probe rows order BEFORE state rows at equal timestamps so an exact-tie
+    state is visible to the probe, and ``first(ignorenulls)`` over the
+    following frame picks the whole matched row as one struct."""
+    overlap = set(probes.columns) & set(state_cols)
+    if overlap:
+        raise ValueError(f"state_cols {sorted(overlap)} collide with probe columns")
+    p = probes.withColumn("__is_probe", F.lit(1))
+    s = states.select(
+        key_col,
+        ts_col,
+        F.struct(F.col(ts_col).alias("__ts"), *state_cols).alias("__state"),
+    ).withColumn("__is_probe", F.lit(0))
+    u = p.unionByName(s, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("__is_probe").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = u.withColumn(
+        "__state", F.first("__state", ignorenulls=True).over(w)
+    )
+    out = u.filter(F.col("__is_probe") == 1)
+    matched = F.col("__state").isNotNull()
+    if tolerance_seconds is not None:
+        matched = matched & (
+            (
+                F.unix_micros(F.col("__state.__ts"))
+                - F.unix_micros(F.col(ts_col))
             )
             <= int(tolerance_seconds * 1_000_000)
         )

@@ -297,15 +297,19 @@ _asof_states = st.lists(
 @settings(max_examples=6, deadline=None)
 @given(_asof_probes, _asof_states)
 def test_asof_join_matches_pandas_merge_asof(spark, probes, states):
-    """The union+window as-of join == pandas.merge_asof (an independent
-    reference implementation) on arbitrary random key/timestamp sets,
-    including duplicate probe timestamps and exact ties."""
+    """The union+window as-of join (both directions) == pandas.merge_asof
+    (an independent reference implementation) on arbitrary random
+    key/timestamp sets, including duplicate probe timestamps and exact
+    ties."""
     import datetime as dt
 
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from f1_bigdata_pyspark_spark.operators.asof import asof_join_backward
+    from f1_bigdata_pyspark_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
 
     base = dt.datetime(2026, 1, 1)
     to_ts = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
@@ -316,23 +320,26 @@ def test_asof_join_matches_pandas_merge_asof(spark, probes, states):
     sdf = spark.createDataFrame(
         s_rows, "k long, ts timestamp"
     ).withColumn("state_ts", F.col("ts"))
-    got = sorted(
-        (r["k"], r["ts"], r["state_ts"])
-        for r in asof_join_backward(pdf, sdf, "k", "ts", ["state_ts"]).collect()
-    )
-
     pd_p = pd.DataFrame(p_rows, columns=["k", "ts"]).sort_values("ts")
     pd_s = (
         pd.DataFrame(s_rows, columns=["k", "state_ts"])
         .sort_values("state_ts")
     )
-    merged = pd.merge_asof(
-        pd_p, pd_s, left_on="ts", right_on="state_ts", by="k",
-        direction="backward", allow_exact_matches=True,
-    )
-    want = sorted(
-        (int(r.k), r.ts.to_pydatetime(),
-         None if pd.isna(r.state_ts) else r.state_ts.to_pydatetime())
-        for r in merged.itertuples()
-    )
-    assert got == want
+    for direction, fn in (
+        ("backward", asof_join_backward),
+        ("forward", asof_join_forward),
+    ):
+        got = sorted(
+            (r["k"], r["ts"], r["state_ts"])
+            for r in fn(pdf, sdf, "k", "ts", ["state_ts"]).collect()
+        )
+        merged = pd.merge_asof(
+            pd_p, pd_s, left_on="ts", right_on="state_ts", by="k",
+            direction=direction, allow_exact_matches=True,
+        )
+        want = sorted(
+            (int(r.k), r.ts.to_pydatetime(),
+             None if pd.isna(r.state_ts) else r.state_ts.to_pydatetime())
+            for r in merged.itertuples()
+        )
+        assert got == want, direction
