@@ -98,9 +98,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q: asof_click_before_purchase — as-of join via tagged union + running
-# last(ignorenulls). Gap stats kept in integer microseconds until the final
-# division so both engines compute the identical double.
+# Q: asof_click_before_purchase — as-of join via operators/asof
+# (tagged union + running last(ignorenulls) — the shared operator this
+# module's original inline form grew into). Gap stats kept in integer
+# microseconds until the final division so both engines compute the
+# identical double.
 # --------------------------------------------------------------------------
 @query(
     "asof_click_before_purchase",
@@ -118,31 +120,22 @@ FROM m
 """,
 )
 def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.asof import asof_join_backward
+
     events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.unix_micros("ts").alias("click_us"),
-        F.lit(0).alias("is_p"),
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
     )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.lit(None).cast("long").alias("click_us"),
-        F.lit(1).alias("is_p"),
-    )
-    # order (ts_us, is_p) puts a simultaneous click before the purchase —
-    # the same tie rule as the oracle's `p.ts >= c.c_ts`.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "is_p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        clicks.unionByName(purchases)
-        .withColumn("last_click_us", F.last("click_us", ignorenulls=True).over(w))
-        .filter(F.col("is_p") == 1)
-        .select((F.col("ts_us") - F.col("last_click_us")).alias("gap_us"))
+    # No dedup of duplicate (user, ts) clicks: the carried payload IS the
+    # timestamp, so equal-ts duplicates are indistinguishable and the match
+    # stays deterministic — skipping the distinct saves a full exchange.
+    states = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    ).withColumn("click_ts", F.col("ts"))
+    matched = asof_join_backward(
+        probes, states, "user_id", "ts", ["click_ts"]
+    ).select(
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us")
     )
     return matched.agg(
         F.count(F.lit(1)).alias("n_purchases"),

@@ -395,16 +395,20 @@ def skew_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q: asof_view_before_purchase — point-in-time (AS-OF) join, the temporal
-# operator Spark lacks natively: each purchase event is joined to the SAME
-# user's most recent view at or before it. operators/asof implements it as
-# tag → union → per-key last(ignorenulls) window: ONE exchange on user_id,
-# no |probes|×|states| inequality-join blowup (the naive form's hot-key
-# cross product at 100 TB). The oracle is DuckDB's NATIVE ASOF LEFT JOIN —
-# an independent implementation of the same semantics, including the
-# ts-tie rule (state at exactly the probe time matches). Gap stats are
-# integer-microsecond sums (exact in both engines); the average is derived
-# from those exact integers with a single float division.
+# Q: asof_view_before_purchase — point-in-time (AS-OF) join WITH a
+# staleness tolerance, the feature-store lookup contract: each purchase
+# joins the same user's most recent view at or before it, but a match
+# older than 1 hour is treated as absent (a stale feature must not be
+# served). operators/asof implements the join as tag → union → per-key
+# last(ignorenulls) window — ONE exchange on user_id, no |probes|×|states|
+# inequality-join blowup on hot keys — and applies the tolerance as a
+# post-window null-out (the ASOF pick itself is unchanged: an old match is
+# dropped, NOT replaced by an older one). The oracle is DuckDB's NATIVE
+# ASOF LEFT JOIN with the same staleness CASE — an independent
+# implementation of the same semantics, including exact-timestamp ties.
+# Gap stats are integer-microsecond sums (exact in both engines); the
+# average derives from those exact integers with one float division.
+# The sibling asof_click_before_purchase exercises the unbounded face.
 # --------------------------------------------------------------------------
 @query(
     "asof_view_before_purchase",
@@ -416,11 +420,13 @@ p AS (
   SELECT user_id, ts FROM events WHERE event_type = 'purchase'
 ),
 j AS (
-  SELECT p.user_id, p.ts AS pts, v.ts AS vts
+  SELECT p.user_id, p.ts AS pts,
+         CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= CAST(3600 AS BIGINT) * 1000000
+              THEN v.ts END AS vts
   FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 )
 SELECT CAST(count(*) AS BIGINT) AS n_purchases,
-       CAST(count(vts) AS BIGINT) AS n_with_prior_view,
+       CAST(count(vts) AS BIGINT) AS n_with_fresh_view,
        CAST(sum(epoch_us(pts) - epoch_us(vts)) AS BIGINT) AS sum_gap_us,
        CASE WHEN count(vts) = 0 THEN NULL
             ELSE round(CAST(sum(epoch_us(pts) - epoch_us(vts)) AS BIGINT)
@@ -436,18 +442,20 @@ def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )
-    states = (
-        events.filter(F.col("event_type") == "view")
-        .select("user_id", "ts")
-        .distinct()  # unique per (key, ts) → deterministic match payload
-        .withColumn("view_ts", F.col("ts"))
+    # No dedup needed: the carried payload IS the timestamp, so duplicate
+    # (user, ts) views are indistinguishable and the match is deterministic
+    # without the distinct's extra exchange.
+    states = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    ).withColumn("view_ts", F.col("ts"))
+    joined = asof_join_backward(
+        probes, states, "user_id", "ts", ["view_ts"], tolerance_seconds=3600
     )
-    joined = asof_join_backward(probes, states, "user_id", "ts", ["view_ts"])
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts"))
     n_matched = F.count("view_ts")
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
-        n_matched.cast("long").alias("n_with_prior_view"),
+        n_matched.cast("long").alias("n_with_fresh_view"),
         F.sum(gap_us).cast("long").alias("sum_gap_us"),
         F.when(n_matched == 0, F.lit(None).cast("double"))
         .otherwise(F.round(F.sum(gap_us).cast("long") / n_matched / 1e6, 6))
