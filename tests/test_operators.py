@@ -115,6 +115,33 @@ def test_asof_join_backward_semantics(spark):
     }
 
 
+def test_minhash_signatures_incremental_union(spark, sf_smoke):
+    """Signature maintenance is embarrassingly incremental: signatures are
+    per-doc, so sig(old ∪ new) == sig(old) ∪ sig(new) for doc-disjoint
+    batches — the property that lets a 100 TB pipeline persist the
+    signature table and append per ingest batch instead of recomputing."""
+    from f1_bigdata_pyspark_spark.operators.dedup import (
+        minhash_signature_arrays,
+        shingle_hashes,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def sigs(d):
+        return {
+            r["doc"]: tuple(r["sig"])
+            for r in minhash_signature_arrays(
+                shingle_hashes(d, "doc_id", "text", 3), 16
+            ).collect()
+        }
+
+    merged = sigs(old)
+    merged.update(sigs(new))
+    assert merged == sigs(docs) and len(merged) > 0
+
+
 def test_minhash_signature_forms_agree(spark, sf_smoke):
     """The array-form signature builder (collect_set + array-lambda minima,
     the production path) must produce bit-identical signatures to the
