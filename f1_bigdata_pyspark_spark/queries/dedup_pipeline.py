@@ -489,3 +489,353 @@ def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: duplicate_passages — cross-document EXACT-SUBSTRING dedup at passage
+# granularity (the Lee et al. "Deduplicating Training Data Makes Language
+# Models Better" shape): fingerprint every 8-token window, find fingerprints
+# occurring in >= 2 distinct documents, and report per source how much of
+# the corpus carries shared passages. Whole-doc dedup (exact_dedup_docs)
+# misses copy-pasted paragraphs inside otherwise-distinct documents — this
+# face catches them. Scale discipline is the MinHash one: hash each window
+# to a 60-bit int64 BEFORE any shuffle (the groupBy moves (doc, int64)
+# rows, never window strings), one fingerprint-keyed exchange to find the
+# shared set, then semi joins back. At 100 TB the shared-fingerprint table
+# is the small side and broadcasts.
+# --------------------------------------------------------------------------
+@query(
+    "duplicate_passages",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS doc, source, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc,
+         CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+              || ' ' || w[i+7]), 1, 15)) AS BIGINT) AS xm
+  FROM toks, (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i + 7 <= len(w)
+),
+shared AS (SELECT xm FROM sh GROUP BY xm HAVING count(*) >= 2),
+affected AS (SELECT DISTINCT doc FROM sh WHERE xm IN (SELECT xm FROM shared)),
+src AS (SELECT doc_id AS doc, source FROM documents),
+aff_src AS (
+  SELECT s.source, count(*) AS n_docs_affected
+  FROM affected a JOIN src s ON a.doc = s.doc GROUP BY s.source
+),
+shared_src AS (
+  SELECT s.source, count(DISTINCT sh.xm) AS n_shared_passages
+  FROM sh JOIN src s ON sh.doc = s.doc
+  WHERE sh.xm IN (SELECT xm FROM shared)
+  GROUP BY s.source
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(any_value(a.n_docs_affected), 0) AS BIGINT)
+         AS n_docs_affected,
+       CAST(coalesce(any_value(p.n_shared_passages), 0) AS BIGINT)
+         AS n_shared_passages,
+       round(coalesce(any_value(a.n_docs_affected), 0) * 1.0 / count(*), 6)
+         AS affected_share
+FROM documents d
+LEFT JOIN aff_src a ON d.source = a.source
+LEFT JOIN shared_src p ON d.source = p.source
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.dedup import raw_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = raw_shingle_hashes(docs, "doc_id", "text", 8)  # distinct (doc, xm)
+    shared = (
+        sh.groupBy("xm")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("xm")
+    )
+    sh_shared = sh.join(shared, "xm", "left_semi")
+    src = docs.select(F.col("doc_id").alias("doc"), "source")
+    aff = (
+        sh_shared.select("doc")
+        .distinct()
+        .join(src, "doc")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_affected"))
+    )
+    shared_src = (
+        sh_shared.join(src, "doc")
+        .select("source", "xm")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(aff, "source", "left")
+        .join(shared_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_docs_affected"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.coalesce(F.col("n_shared_passages"), F.lit(0))
+            .cast("long")
+            .alias("n_shared_passages"),
+            F.round(
+                F.coalesce(F.col("n_docs_affected"), F.lit(0))
+                / F.col("n_docs"),
+                6,
+            ).alias("affected_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# Banded hyperplane LSH for embedding dedup: 2 bands x 3 planes over the
+# shared sin-plane sequence (operators/similarity._hyperplane). A pair is a
+# candidate if it agrees on ALL planes of ANY band — the same AND-then-OR
+# composition as MinHash banding, lifting recall over a single 6-bit bucket
+# (P[candidate] = 1-(1-p^3)^2 vs p^6 for per-plane agreement p).
+_LSH_DEDUP_PLANES = 6
+_LSH_DEDUP_BANDS = 2
+_EMB_DEDUP_THRESHOLD = 0.45
+
+
+def _banded_bucket_sql() -> str:
+    """DuckDB CTE fragment reproducing the banded hyperplane buckets —
+    the sin-sequence planes of operators/similarity.lsh_buckets, grouped
+    into bands of 3, so (band, bucket) pairs match Spark bit for bit."""
+    return f"""
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS j FROM e
+), bits AS (
+  SELECT x.vec_id, p.p,
+         CASE WHEN sum(x.val * sin(1000003 * p.p + x.j)) >= 0
+              THEN CAST(1 << (p.p % 3) AS INT) ELSE 0 END AS bit
+  FROM x CROSS JOIN range({_LSH_DEDUP_PLANES}) AS p(p)
+  GROUP BY x.vec_id, p.p
+), bands AS (
+  SELECT vec_id, p // 3 AS band, CAST(sum(bit) AS INT) AS bucket
+  FROM bits GROUP BY vec_id, p // 3
+)"""
+
+
+def _banded_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) from the shared sin-plane sequence: plane p
+    contributes bit (p mod 3) of band (p div 3). One narrow map — the
+    vector data itself is never shuffled to compute its buckets."""
+    from f1_bigdata_pyspark_spark.operators.similarity import _hyperplane
+    from f1_bigdata_pyspark_spark.functions.vectors import dot
+
+    per_band = []
+    for band in range(_LSH_DEDUP_BANDS):
+        bits = [
+            F.when(
+                dot(F.col("embedding"), _hyperplane(64, 3 * band + i)) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i in range(3)
+        ]
+        bucket = bits[0] + bits[1] + bits[2]
+        per_band.append(
+            emb.select(
+                "vec_id",
+                F.lit(band).alias("band"),
+                bucket.cast("int").alias("bucket"),
+            )
+        )
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _emb_with_norm(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm) — norms precomputed ONCE per vector so the
+    per-pair verify does one dot product instead of three array folds.
+    Float-identical to functions.vectors.cosine: the denominator is the
+    same norm2(a)·norm2(b) product, just computed from a column."""
+    from f1_bigdata_pyspark_spark.functions.vectors import norm2
+
+    return emb.select(
+        "vec_id", "embedding", norm2(F.col("embedding")).alias("nrm")
+    )
+
+
+def _pair_cosine() -> "F.Column":
+    from f1_bigdata_pyspark_spark.functions.vectors import dot
+
+    denom = F.col("na") * F.col("nb")
+    return F.round(
+        F.when(denom == F.lit(0.0), F.lit(None).cast("double")).otherwise(
+            dot(F.col("va"), F.col("vb")) / denom
+        ),
+        6,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_lsh_near_dup_pairs — the SCALE path for embedding-cosine
+# dedup: block vectors by banded hyperplane LSH (2 bands x 3 planes — one
+# narrow map, the vectors themselves are never shuffled to compute
+# buckets), then run the exact cosine verify ONLY within (band, bucket)
+# groups. Turns the quadratic pair space of embedding_near_dup_pairs into
+# per-bucket pair spaces, the generate-then-verify split of MinHash LSH
+# applied to the embedding modality; the band OR recovers pairs a single
+# 6-bit bucket would lose. Same threshold as the exact face, so these
+# pairs are a strict subset of embedding_near_dup_pairs (recall pinned by
+# embedding_lsh_recall). The verify reads precomputed per-vector norms, so
+# each candidate pair costs one dot product.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_lsh_near_dup_pairs",
+    oracle=f"""
+WITH {_banded_bucket_sql()}
+SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {_EMB_DEDUP_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        _lsh_candidate_pairs(emb)
+        .filter(F.col("cos_sim") >= _EMB_DEDUP_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+def _lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct banded-LSH candidate pairs with exact cosine: (d1, d2,
+    cos_sim), d1 < d2. Pairs sharing several bands are deduped BEFORE the
+    cosine verify so each pair is scored once."""
+    buckets = _banded_buckets(emb)
+    pairs = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("d1"), F.col("y.vec_id").alias("d2")
+        )
+        .dropDuplicates()
+    )
+    en = _emb_with_norm(emb)
+    a = en.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select("d1", "d2", _pair_cosine().alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_lsh_recall — the quality contract of the blocked embedding
+# dedup, as one checkable row: candidate pairs from banded LSH vs the exact
+# quadratic baseline at the same threshold, measured on a DETERMINISTIC
+# 1-in-4 hash sample of the vectors (md5(vec_id) mod 4 — the only way the
+# exact side is computable at corpus scale; a production pipeline estimates
+# blocking recall on exactly such a sample). Blocking can only LOSE pairs
+# (similar vectors split by a hyperplane in every band), never invent them,
+# so precision is 1 by construction and recall is the number a pipeline
+# tunes bands/planes/multi-probe against — the sibling of
+# lsh_quality_report on the MinHash side.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_lsh_recall",
+    oracle=f"""
+WITH samp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 4 = 0
+), x AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS j
+  FROM samp
+), bits AS (
+  SELECT x.vec_id, p.p,
+         CASE WHEN sum(x.val * sin(1000003 * p.p + x.j)) >= 0
+              THEN CAST(1 << (p.p % 3) AS INT) ELSE 0 END AS bit
+  FROM x CROSS JOIN range({_LSH_DEDUP_PLANES}) AS p(p)
+  GROUP BY x.vec_id, p.p
+), bands AS (
+  SELECT vec_id, p // 3 AS band, CAST(sum(bit) AS INT) AS bucket
+  FROM bits GROUP BY vec_id, p // 3
+),
+exact AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_EMB_DEDUP_THRESHOLD}
+),
+blocked AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id
+  JOIN samp ea ON ea.vec_id = a.vec_id
+  JOIN samp eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+        >= {_EMB_DEDUP_THRESHOLD}
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+       CAST((SELECT count(*) FROM blocked) AS BIGINT) AS n_lsh_pairs,
+       round((SELECT count(*) FROM blocked) * 1.0
+             / nullif((SELECT count(*) FROM exact), 0), 6) AS recall
+""",
+)
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    samp = emb.filter(md5_long(F.col("vec_id").cast("string")) % 4 == 0)
+    en = _emb_with_norm(samp)
+    a = en.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    exact = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(_pair_cosine().alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _EMB_DEDUP_THRESHOLD)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    )
+    lsh = (
+        _lsh_candidate_pairs(samp)
+        .filter(F.col("cos_sim") >= _EMB_DEDUP_THRESHOLD)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(lsh)).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        F.round(
+            F.col("n_lsh_pairs")
+            / F.nullif(F.col("n_exact_pairs"), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall"),
+    )

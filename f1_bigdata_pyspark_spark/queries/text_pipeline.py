@@ -1224,3 +1224,100 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: ngram_lm_perplexity — corpus-LM quality scoring (the CCNet/Gopher
+# filter family): train an add-1-smoothed bigram language model ON the
+# corpus itself (unigram counts, bigram counts, vocab size — three narrow
+# aggregates), then score every document's cross-entropy under it,
+# xent(doc) = -mean over bigram instances of ln((C(w1,w2)+1)/(C(w1)+V)).
+# High-xent docs are the gibberish/boilerplate tail a quality gate drops.
+# Everything is counting + one log — no model runtime. The per-bigram score
+# table is bigram-keyed shared state: at 100 TB the LM is trained on a
+# sample, pruned to top-V vocab, and BROADCAST to the scoring pass; here it
+# flows through one ordinary shuffle join keyed by bigram. Docs with fewer
+# than two tokens have no bigrams and drop out of the scored set (both
+# engines agree by construction). Per-source rollup uses selection
+# statistics (min/max/median of the 6-dp per-doc scores — exact selection,
+# no cross-engine float-sum drift) plus a 4-dp mean.
+# --------------------------------------------------------------------------
+@query(
+    "ngram_lm_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, w[i] AS t, w[i+1] AS t2
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i <= len(w)
+),
+pairs AS (SELECT doc_id, source, t, t2 FROM toks WHERE t2 IS NOT NULL),
+uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+vocab AS (SELECT count(DISTINCT t) AS v FROM toks),
+big AS (SELECT t, t2, count(*) AS c2 FROM pairs GROUP BY t, t2),
+scores AS (
+  SELECT b.t, b.t2,
+         ln((b.c2 + 1.0) / (u.c1 + (SELECT v FROM vocab))) AS lnp
+  FROM big b JOIN uni u ON b.t = u.t
+),
+per_doc AS (
+  SELECT p.doc_id, p.source,
+         round(-sum(s.lnp) / count(*), 6) AS xent
+  FROM pairs p JOIN scores s ON p.t = s.t AND p.t2 = s.t2
+  GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(xent), 4) AS avg_xent,
+       round(min(xent), 6) AS min_xent,
+       round(max(xent), 6) AS max_xent,
+       round(median(xent), 6) AS median_xent
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        "doc_id", "source", "t", F.lead("t").over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    # unigram counts over ALL token instances (doc-final tokens included) —
+    # the LM denominator is the unigram count, not the pair-head count
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.select("t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    big = pairs.groupBy("t", "t2").agg(F.count(F.lit(1)).alias("c2"))
+    lnp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    scores = (
+        big.join(uni, "t")
+        .crossJoin(F.broadcast(vocab))
+        .select("t", "t2", lnp.alias("lnp"))
+    )
+    per_doc = (
+        pairs.join(scores, ["t", "t2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(-F.sum("lnp") / F.count(F.lit(1)), 6).alias("xent")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("xent"), 4).alias("avg_xent"),
+            F.round(F.min("xent"), 6).alias("min_xent"),
+            F.round(F.max("xent"), 6).alias("max_xent"),
+            F.round(F.median("xent"), 6).alias("median_xent"),
+        )
+        .orderBy("source")
+    )
