@@ -1321,3 +1321,178 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: mixture_temperature_allocation — TEMPERATURE-based mixture weighting
+# (the T5/LLaMA data-mixing rule): source weight ∝ (token count)^α with
+# α = 0.7, flattening the natural distribution so small high-quality
+# sources are upsampled relative to the crawl bulk. The float weights are
+# then turned into an INTEGER per-source document budget (total 100 000)
+# by largest-remainder apportionment — floor every share, hand the
+# leftover units to the largest remainders — so the allocations sum to the
+# budget exactly, the property the downstream sampler actually needs.
+# Everything happens on the 20-row per-source aggregate, so the windows
+# are post-agg trivia; the only corpus-scale work is one token-count
+# aggregate. Shares are rounded to 9 dp before floor/remainder on BOTH
+# engines so a ulp of pow() drift can't flip an integer boundary.
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 100_000
+
+
+@query(
+    "mixture_temperature_allocation",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens, {_MIX_ALPHA}) AS w,
+         sum(pow(n_tokens, {_MIX_ALPHA})) OVER () AS wsum
+  FROM per_src
+),
+shares AS (
+  SELECT source, n_docs, n_tokens,
+         round(w / wsum, 6) AS weight,
+         round({_MIX_BUDGET} * w / wsum, 9) AS share
+  FROM wts
+),
+floors AS (
+  SELECT source, n_docs, n_tokens, weight,
+         CAST(floor(share) AS BIGINT) AS base,
+         share - floor(share) AS rem,
+         CAST({_MIX_BUDGET} - sum(CAST(floor(share) AS BIGINT)) OVER ()
+              AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY share - floor(share) DESC, source)
+           AS rem_rank
+  FROM shares
+)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_docs
+FROM floors
+ORDER BY source
+""",
+)
+def mixture_temperature_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # Unpartitioned windows are safe here: the frame is the 20-row
+    # per-source aggregate, not the corpus (same pattern as pareto_rank).
+    wall = Window.partitionBy()
+    w = F.pow(F.col("n_tokens"), _MIX_ALPHA)
+    shares = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w / F.sum(w).over(wall), 6).alias("weight"),
+        F.round(F.lit(_MIX_BUDGET) * w / F.sum(w).over(wall), 9).alias(
+            "share"
+        ),
+    )
+    floors = shares.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.floor("share").cast("long").alias("base"),
+        (F.col("share") - F.floor("share")).alias("rem"),
+    )
+    ranked = floors.select(
+        "*",
+        (F.lit(_MIX_BUDGET) - F.sum("base").over(wall)).alias("leftover"),
+        F.row_number()
+        .over(wall.orderBy(F.col("rem").desc(), "source"))
+        .alias("rem_rank"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_docs"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q: length_bucket_padding_stats — sequence-length BUCKETING for batched
+# training/inference: assign each document to the smallest power-of-two
+# length bucket that fits it (16..1024, via an exact CASE ladder — no
+# float log2 at bucket boundaries) and report the padding waste per
+# bucket: tokens of padding a fixed-shape batch of that bucket would
+# carry. This is the measurement that decides bucket boundaries for a
+# packing-free batching scheme (the alternative sequence_packing_stats
+# measures); one narrow map + one aggregate, no shuffle beyond the
+# 7-group rollup.
+# --------------------------------------------------------------------------
+_LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+@query(
+    "length_bucket_padding_stats",
+    oracle=f"""
+WITH lens AS (
+  SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+),
+bucketed AS (
+  SELECT n_tok,
+         CASE {' '.join(f'WHEN n_tok <= {b} THEN {b}' for b in _LEN_BUCKETS)}
+              ELSE 2048 END AS bucket_cap
+  FROM lens
+)
+SELECT bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(bucket_cap - n_tok) AS BIGINT) AS total_padding,
+       round(sum(bucket_cap - n_tok) * 1.0 / sum(bucket_cap), 6)
+         AS waste_share
+FROM bucketed
+GROUP BY bucket_cap
+ORDER BY bucket_cap
+""",
+)
+def length_bucket_padding_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    cap = F.lit(2048)
+    for b in reversed(_LEN_BUCKETS):
+        cap = F.when(n_tok <= b, F.lit(b)).otherwise(cap)
+    bucketed = docs.select(
+        n_tok.alias("n_tok"), cap.cast("long").alias("bucket_cap")
+    )
+    return (
+        bucketed.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("n_tok"))
+            .cast("long")
+            .alias("total_padding"),
+            F.round(
+                F.sum(F.col("bucket_cap") - F.col("n_tok"))
+                / F.sum("bucket_cap"),
+                6,
+            ).alias("waste_share"),
+        )
+        .orderBy("bucket_cap")
+    )
