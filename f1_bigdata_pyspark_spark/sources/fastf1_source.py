@@ -1,0 +1,144 @@
+"""FastF1-shaped laps ingest as a first-class Spark Python DataSource.
+
+The reference's ingest boundary is a per-race fetch: FastF1 downloads one
+session at a time and the season loop iterates races
+(reference: ``src/ingest/ingest_season_laps.py:44-67`` — one
+``ingest_one_race`` call per (year, event) pair). This module re-expresses
+that boundary Spark-first with the Spark 4 Python Data Source API
+(``pyspark.sql.datasource``): a ``fastf1_laps`` format whose unit of
+parallelism IS the race — one ``InputPartition`` per race file, so a
+season's ingest fans out across executors instead of looping on a driver,
+and a 1000-race backfill scales exactly like any other partitioned scan.
+
+The network itself cannot run in this environment (SURVEY §1/§7), so the
+"fetch" reads a per-race JSON-lines fixture file — the partition/schema/
+pushdown plumbing is the real, portable engine code; swapping the body of
+``_read_race_file`` for a FastF1 session call is the only production delta.
+
+Filter pushdown: races are addressed by file, so equality/IN filters on
+``GrandPrix`` prune whole files before any byte is read — the custom-source
+analog of parquet partition pruning. All other filters are returned to
+Spark to evaluate post-scan (the API contract: yield what you can't
+serve).
+
+Rows stream out as plain tuples in declared-schema order; Spark applies the
+schema, so the reader needs no pandas/Arrow dependency and a malformed
+record fails loudly at the boundary instead of corrupting downstream laps
+analytics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# Declared schema == the ingest keep-list + session key + metadata
+# (sources/laps_ingest.py LAP_COLUMNS / LAP_KEY; reference
+# ingest_laps.py:37-50). DDL form so the source is usable from pure SQL.
+FASTF1_LAPS_SCHEMA_DDL = (
+    "Driver string, Team string, LapNumber double, Stint double, "
+    "Compound string, TyreLife double, LapTime double, "
+    "Sector1Time double, Sector2Time double, Sector3Time double, "
+    "PitInTime double, PitOutTime double, IsAccurate boolean, "
+    "TrackStatus string, Year int, GrandPrix string, Session string, "
+    "IngestedAt string"
+)
+
+
+def race_file_name(grand_prix: str) -> str:
+    """Race → fixture file slug (spaces to underscores, lowered). The file
+    name is the pushdown key, so it must be a pure function of the
+    GrandPrix value."""
+    return grand_prix.replace(" ", "_").lower() + ".jsonl"
+
+
+class RacePartition(InputPartition):
+    """One race file = one input partition = one ingest task."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+
+class FastF1LapsReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        root = options.get("path")
+        if not root:
+            raise ValueError("fastf1_laps requires .option('path', <dir>)")
+        self._root = root
+        self._fields = [f.name for f in schema.fields]
+        self._wanted_races: set[str] | None = None  # None = all races
+
+    # -- pushdown -----------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Serve GrandPrix equality/IN at file granularity; everything else
+        goes back to Spark. Accepted filters prune ``partitions()`` below —
+        a pruned race file is never opened."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("GrandPrix",):
+                self._intersect_races({str(f.value)})
+            elif isinstance(f, In) and f.attribute == ("GrandPrix",):
+                self._intersect_races({str(v) for v in f.value})
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def _intersect_races(self, races: set[str]) -> None:
+        names = {race_file_name(r) for r in races}
+        if self._wanted_races is None:
+            self._wanted_races = names
+        else:
+            self._wanted_races &= names
+
+    # -- planning -----------------------------------------------------------
+    def partitions(self) -> Sequence[RacePartition]:
+        files = sorted(
+            n for n in os.listdir(self._root) if n.endswith(".jsonl")
+        )
+        if self._wanted_races is not None:
+            files = [n for n in files if n in self._wanted_races]
+        return [RacePartition(os.path.join(self._root, n)) for n in files]
+
+    # -- execution (runs on executors) --------------------------------------
+    def read(self, partition: RacePartition) -> Iterator[tuple]:
+        yield from _read_race_file(partition.path, self._fields)
+
+
+def _read_race_file(path: str, fields: list[str]) -> Iterator[tuple]:
+    """The per-race 'fetch'. Production would call
+    ``fastf1.get_session(...).load()`` here; the fixture form reads the
+    race's JSON-lines dump. Missing keys surface as NULL (same contract as
+    the reference's mongo_safe None mapping)."""
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            yield tuple(rec.get(name) for name in fields)
+
+
+class FastF1LapsDataSource(DataSource):
+    """``spark.read.format("fastf1_laps").option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fastf1_laps"
+
+    def schema(self) -> str:
+        return FASTF1_LAPS_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> FastF1LapsReader:
+        return FastF1LapsReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(FastF1LapsDataSource)

@@ -1,0 +1,138 @@
+"""Custom Python DataSource (``fastf1_laps``) — partition-per-race reads,
+file-granular GrandPrix pushdown, and composition with the normalization
+pipeline (the reference's ingest boundary re-expressed on the Spark 4
+Python Data Source API; reference loop: ingest_season_laps.py:44-67)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+from f1_bigdata_pyspark_spark.sources.fastf1_source import (
+    FASTF1_LAPS_SCHEMA_DDL,
+    FastF1LapsDataSource,
+    race_file_name,
+)
+from tests.laps_fixture import COLUMNS, EVENTS, SPARK_SCHEMA, build_laps_rows
+
+
+def _jsonable(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and math.isnan(v):
+        return float("nan")  # json module round-trips NaN (non-strict mode)
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
+@pytest.fixture(scope="module")
+def race_dir(tmp_path_factory):
+    """One JSON-lines file per race, the fixture stand-in for the per-race
+    FastF1 fetch."""
+    root = tmp_path_factory.mktemp("fastf1_races")
+    rows = build_laps_rows()
+    by_race: dict[str, list] = {}
+    for row in rows:
+        rec = dict(zip(COLUMNS, row))
+        by_race.setdefault(rec["GrandPrix"], []).append(rec)
+    for gp, recs in by_race.items():
+        with open(root / race_file_name(gp), "w", encoding="utf-8") as fh:
+            for rec in recs:
+                fh.write(
+                    json.dumps({k: _jsonable(v) for k, v in rec.items()})
+                    + "\n"
+                )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    # a reader implementing pushFilters() requires the conf at PLAN time —
+    # Spark refuses the scan outright when it's off, rather than silently
+    # skipping pushdown
+    spark.dataSource.register(FastF1LapsDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def _load(spark, race_dir):
+    return (
+        spark.read.format("fastf1_laps").option("path", race_dir).load()
+    )
+
+
+def test_schema_matches_declared(registered, race_dir):
+    df = _load(registered, race_dir)
+    expected = registered.createDataFrame([], FASTF1_LAPS_SCHEMA_DDL).schema
+    assert df.schema == expected
+
+
+def test_reads_all_races_one_partition_each(registered, race_dir):
+    df = _load(registered, race_dir)
+    # unit of parallelism is the race: one input partition per race file
+    assert df.rdd.getNumPartitions() == len(EVENTS)
+    assert df.count() == len(build_laps_rows())
+
+
+def test_contents_match_direct_dataframe(registered, race_dir):
+    df = _load(registered, race_dir)
+    expected = registered.createDataFrame(build_laps_rows(), SPARK_SCHEMA)
+    key = ["Year", "GrandPrix", "Session", "Driver", "LapNumber"]
+    got = {tuple(r[k] for k in key): r for r in df.collect()}
+    want = {tuple(r[k] for k in key): r for r in expected.collect()}
+    assert set(got) == set(want)
+    probe = next(iter(want))
+    for col in ("Team", "Compound", "LapTime", "IsAccurate"):
+        gv, wv = got[probe][col], want[probe][col]
+        if isinstance(wv, float) and math.isnan(wv):
+            assert math.isnan(gv)
+        else:
+            assert gv == wv
+
+
+def test_grandprix_filter_prunes_files(registered, race_dir):
+    """EqualTo/In on GrandPrix prunes whole race files at planning time —
+    observable as the scan's partition count (the custom-source analog of
+    partition pruning)."""
+    one = _load(registered, race_dir).filter(f"GrandPrix = '{EVENTS[3]}'")
+    assert one.rdd.getNumPartitions() == 1
+    assert one.select("GrandPrix").distinct().collect()[0][0] == EVENTS[3]
+
+    two = _load(registered, race_dir).filter(
+        f"GrandPrix IN ('{EVENTS[0]}', '{EVENTS[7]}')"
+    )
+    assert two.rdd.getNumPartitions() == 2
+    assert two.count() > 0
+
+
+def test_unsupported_filter_still_correct(registered, race_dir):
+    """Filters the source can't serve are returned to Spark and applied
+    post-scan — rows must match the plain-DataFrame evaluation."""
+    df = _load(registered, race_dir).filter("IsAccurate AND LapNumber <= 3")
+    expected = (
+        registered.createDataFrame(build_laps_rows(), SPARK_SCHEMA)
+        .filter("IsAccurate AND LapNumber <= 3")
+        .count()
+    )
+    assert df.count() == expected
+
+
+def test_composes_with_normalization(registered, race_dir):
+    """The custom source feeds the same normalization layer the parquet
+    path uses (sources/laps_ingest.py) — NaNs become NULLs downstream."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.sources.laps_ingest import nan_to_null
+
+    df = _load(registered, race_dir).withColumn(
+        "LapTime", nan_to_null(F.col("LapTime"))
+    )
+    assert df.filter(F.isnan("LapTime")).count() == 0
+    assert df.filter(F.col("LapTime").isNull()).count() > 0
