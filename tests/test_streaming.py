@@ -344,3 +344,79 @@ def test_transform_with_state_matches_batch(spark, sf_smoke, events_batch):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_file_stream_corpus_dedup_append(spark, tmp_path):
+    """Streaming corpus ingestion with insert-if-absent content dedup: two
+    crawl drops as separate micro-batches; drop 2 repeats a drop-1 document
+    VERBATIM under a different doc_id (must not re-append), repeats one
+    intra-batch (one survivor), and brings one new text. State asserted
+    after each micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.streaming.corpus_ingest import (
+        foreach_batch_dedup_append,
+        with_fingerprint,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    target = str(tmp_path / "corpus")
+
+    def write_drop(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, incoming / name)
+
+    write_drop(
+        "drop1.parquet",
+        [(1, "alpha beta gamma", "crawlA"), (2, "delta epsilon", "crawlA")],
+    )
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).parquet(str(incoming))
+    q = (
+        with_fingerprint(stream)
+        .writeStream.foreachBatch(foreach_batch_dedup_append(target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state = {
+            r["text"]: r["doc_id"] for r in spark.read.parquet(target).collect()
+        }
+        assert state == {"alpha beta gamma": 1, "delta epsilon": 2}
+
+        # drop 2: doc 3 duplicates doc 1's CONTENT (new id — must be
+        # dropped by the cross-batch anti join), docs 4/5 duplicate each
+        # other inside the batch (lowest id survives), doc 6 is new
+        write_drop(
+            "drop2.parquet",
+            [
+                (3, "alpha beta gamma", "crawlB"),
+                (4, "zeta eta", "crawlB"),
+                (5, "zeta eta", "crawlB"),
+                (6, "theta iota", "crawlB"),
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.read.parquet(target).collect()
+        state = {r["text"]: r["doc_id"] for r in rows}
+        assert state == {
+            "alpha beta gamma": 1,  # cross-batch duplicate NOT re-appended
+            "delta epsilon": 2,
+            "zeta eta": 4,  # intra-batch keep-first by doc_id
+            "theta iota": 6,
+        }
+        # content fingerprints are unique in the accumulated corpus
+        assert len(rows) == len({r["fp"] for r in rows})
+    finally:
+        q.stop()
