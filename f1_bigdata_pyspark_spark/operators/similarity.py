@@ -207,3 +207,46 @@ def ivf_assign(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def lsh_multiprobe_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN top-k: score the query's bucket AND every bucket
+    at Hamming distance 1 (one sign bit flipped). The near-miss failure of
+    single-bucket LSH is a vector sitting just across ONE hyperplane from
+    the query; probing the n_planes single-flip neighbors recovers exactly
+    those, multiplying recall for ~(n_planes+1)/2^n_planes of the scan a
+    full sweep would cost — without building more hash tables (the
+    Lv et al. multi-probe trade). Same probe trick a production IVF search
+    applies as nprobe > 1."""
+    dim = len(query_vec)
+    buckets = lsh_buckets(vectors, n_planes, id_col, vec_col, dim=dim)
+    q = F.lit(query_vec).cast("array<double>")
+    one = vectors.sparkSession.range(1).select(q.alias("qv"))
+    qbucket_bits = [
+        F.when(dot(F.col("qv"), _hyperplane(dim, p)) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        for p in range(n_planes)
+    ]
+    qb = qbucket_bits[0]
+    for b in qbucket_bits[1:]:
+        qb = qb + b
+    qbucket = one.select(qb.cast("int").alias("b")).collect()[0]["b"]
+    probes = [qbucket] + [qbucket ^ (1 << p) for p in range(n_planes)]
+    return (
+        vectors.join(buckets, id_col)
+        .filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

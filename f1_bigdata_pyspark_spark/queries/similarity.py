@@ -472,3 +472,47 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("q_cos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: ann_multiprobe_topk — MULTI-PROBE LSH ANN (Lv et al.): search the
+# query's bucket plus all 6 Hamming-distance-1 buckets (one sign bit
+# flipped), recovering exactly the near-misses single-bucket LSH loses —
+# vectors just across one hyperplane from the query — at 7/64ths of a full
+# scan and zero extra hash tables. The probe set in SQL is the clean
+# formulation: candidate iff xor(bucket, query_bucket) ∈ {0,1,2,4,8,16,32}
+# (xor is 0 or a single power of two ⟺ Hamming ≤ 1). Same top-k contract
+# and tie-break as ann_lsh_topk, so the two faces diff directly.
+# --------------------------------------------------------------------------
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS j FROM e
+), bits AS (
+  SELECT x.vec_id, p.p,
+         CASE WHEN sum(x.val * sin(1000003 * p.p + x.j)) >= 0
+              THEN CAST(1 << p.p AS INT) ELSE 0 END AS bit
+  FROM x CROSS JOIN range(6) AS p(p)
+  GROUP BY x.vec_id, p.p
+), buckets AS (
+  SELECT vec_id, CAST(sum(bit) AS INT) AS bucket FROM bits GROUP BY vec_id
+), q AS (
+  SELECT e.v AS qv, b.bucket AS qb
+  FROM e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e JOIN buckets b ON e.vec_id = b.vec_id CROSS JOIN q
+WHERE xor(b.bucket, q.qb) IN (0, 1, 2, 4, 8, 16, 32)
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 20
+""",
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return lsh_multiprobe_topk(emb, qv, k=20, n_planes=6)

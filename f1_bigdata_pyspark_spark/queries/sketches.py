@@ -339,3 +339,136 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: kmv_user_overlap — SET-OPERATION cardinality from mergeable sketches:
+# a K-minimum-values (theta) sketch per cohort (1995 vs 1996 buyers,
+# k = 64 smallest md5-derived hashes of the custkey), union by re-minning,
+# and the standard KMV estimators: |S| ≈ (k-1)·2^60 / kth_min_hash,
+# |A∩B| ≈ (|KMV_union ∩ KMV_A ∩ KMV_B| / k) · est_union. Intersection
+# membership is tested against the SKETCHES only — sound because
+# θ_union ≤ min(θ_A, θ_B), so every union-sketch element lies below both
+# per-set thresholds, where sketch membership equals set membership.
+# This is the audience-overlap question (retention, cross-sell, dedup
+# across crawls) answered from two 64-row summaries instead of a
+# re-shuffle of raw keys — the set-algebra power HLL alone lacks.
+# Hashes are portable md5 math, so ESTIMATES are oracle-checked exactly,
+# not just bounded; the _ok booleans state the accuracy contract
+# (k = 64 → RSE ≈ 1/√62 ≈ 13%).
+# --------------------------------------------------------------------------
+_KMV_K = 64
+
+
+@query(
+    "kmv_user_overlap",
+    oracle=f"""
+WITH a_h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM orders WHERE year(o_orderdate) = 1995
+),
+b_h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM orders WHERE year(o_orderdate) = 1996
+),
+kmv_a AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+kmv_b AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+u_h AS (SELECT h FROM kmv_a UNION SELECT h FROM kmv_b),
+kmv_u AS (SELECT h FROM u_h ORDER BY h LIMIT {_KMV_K}),
+est AS (
+  SELECT ({_KMV_K} - 1) * 1152921504606846976.0
+           / CAST((SELECT max(h) FROM kmv_a) AS DOUBLE) AS est_a,
+         ({_KMV_K} - 1) * 1152921504606846976.0
+           / CAST((SELECT max(h) FROM kmv_b) AS DOUBLE) AS est_b,
+         ({_KMV_K} - 1) * 1152921504606846976.0
+           / CAST((SELECT max(h) FROM kmv_u) AS DOUBLE) AS est_u,
+         (SELECT count(*) FROM kmv_u
+          WHERE h IN (SELECT h FROM kmv_a)
+            AND h IN (SELECT h FROM kmv_b)) AS rho
+),
+exact AS (
+  SELECT (SELECT count(*) FROM a_h) AS n_a,
+         (SELECT count(*) FROM b_h) AS n_b,
+         (SELECT count(*) FROM (SELECT h FROM a_h UNION SELECT h FROM b_h))
+           AS n_union,
+         (SELECT count(*) FROM a_h WHERE h IN (SELECT h FROM b_h))
+           AS n_inter
+)
+SELECT CAST(n_a AS BIGINT) AS n_a_exact,
+       CAST(n_b AS BIGINT) AS n_b_exact,
+       CAST(n_union AS BIGINT) AS union_exact,
+       round(est_u, 2) AS union_est,
+       CAST(n_inter AS BIGINT) AS inter_exact,
+       round(rho * est_u / {_KMV_K}, 2) AS inter_est,
+       abs(est_u - n_union) <= 0.35 * n_union AS union_ok,
+       abs(rho * est_u / {_KMV_K} - n_inter) <= 0.5 * n_inter AS inter_ok
+FROM est, exact
+""",
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = md5_long(F.col("o_custkey").cast("string")).alias("h")
+
+    def hashes(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(h)
+            .distinct()
+        )
+
+    a_h, b_h = hashes(1995), hashes(1996)
+    kmv_a = a_h.orderBy("h").limit(_KMV_K)
+    kmv_b = b_h.orderBy("h").limit(_KMV_K)
+    kmv_u = kmv_a.union(kmv_b).distinct().orderBy("h").limit(_KMV_K)
+
+    theta = F.lit(float(2**60))
+
+    def est_of(kmv: DataFrame, name: str) -> DataFrame:
+        return kmv.agg(
+            ((_KMV_K - 1) * theta / F.max("h").cast("double")).alias(name)
+        )
+
+    rho = (
+        kmv_u.join(kmv_a, "h", "left_semi")
+        .join(kmv_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    exact = (
+        a_h.withColumn("in_a", F.lit(1))
+        .join(b_h.withColumn("in_b", F.lit(1)), "h", "full")
+        .agg(
+            F.sum("in_a").cast("long").alias("n_a_exact"),
+            F.sum("in_b").cast("long").alias("n_b_exact"),
+            F.count(F.lit(1)).alias("union_exact"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+                "inter_exact"
+            ),
+        )
+    )
+    inter_est = F.col("rho") * F.col("est_u") / _KMV_K
+    return (
+        exact.crossJoin(F.broadcast(est_of(kmv_a, "est_a")))
+        .crossJoin(F.broadcast(est_of(kmv_b, "est_b")))
+        .crossJoin(F.broadcast(est_of(kmv_u, "est_u")))
+        .crossJoin(F.broadcast(rho))
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "union_exact",
+            F.round("est_u", 2).alias("union_est"),
+            "inter_exact",
+            F.round(inter_est, 2).alias("inter_est"),
+            (
+                F.abs(F.col("est_u") - F.col("union_exact"))
+                <= 0.35 * F.col("union_exact")
+            ).alias("union_ok"),
+            (
+                F.abs(inter_est - F.col("inter_exact"))
+                <= 0.5 * F.col("inter_exact")
+            ).alias("inter_ok"),
+        )
+    )
