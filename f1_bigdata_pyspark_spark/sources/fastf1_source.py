@@ -32,14 +32,17 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -139,6 +142,88 @@ class FastF1LapsDataSource(DataSource):
     def reader(self, schema: StructType) -> FastF1LapsReader:
         return FastF1LapsReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return FastF1LapsWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(FastF1LapsDataSource)
+
+
+# -- write side --------------------------------------------------------------
+#
+# The reference's ingest also PUBLISHES (Mongo bulk upserts,
+# ingest_season_laps.py:80-108). The sink half of the custom source mirrors
+# that boundary with the DataSourceWriter two-phase commit: every task
+# stages its rows as a private JSONL file, the driver's commit() publishes
+# the staged files atomically-enough (rename + _SUCCESS manifest) only
+# when ALL tasks succeeded, and abort() removes the stage — so a failed
+# job never leaves a half-written season visible to the reader, the same
+# all-or-nothing contract a FileOutputCommitter gives parquet. Round-trips
+# with the reader above: published files are ordinary per-partition
+# ``*.jsonl`` drops.
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+    final_name: str
+    n_rows: int
+
+
+class FastF1LapsWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        root = options.get("path")
+        if not root:
+            raise ValueError("fastf1_laps requires .option('path', <dir>)")
+        self._root = root
+        self._overwrite = overwrite
+
+    # executor side: stage one private file per task
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        stage_dir = os.path.join(self._root, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        token = uuid.uuid4().hex
+        staged = os.path.join(stage_dir, f"part-{token}.jsonl.tmp")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=float) + "\n")
+                n += 1
+        return _StagedFile(
+            staged_path=staged, final_name=f"part-{token}.jsonl", n_rows=n
+        )
+
+    # driver side: publish all staged files, or none
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for name in os.listdir(self._root):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self._root, name))
+        total = 0
+        published = []
+        for m in messages:
+            os.replace(
+                m.staged_path, os.path.join(self._root, m.final_name)
+            )
+            published.append(m.final_name)
+            total += m.n_rows
+        manifest = {"files": sorted(published), "rows": total}
+        with open(
+            os.path.join(self._root, "_SUCCESS"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(json.dumps(manifest))
+        self._cleanup_stage()
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+        self._cleanup_stage()
+
+    def _cleanup_stage(self) -> None:
+        stage_dir = os.path.join(self._root, "_staging")
+        if os.path.isdir(stage_dir) and not os.listdir(stage_dir):
+            os.rmdir(stage_dir)

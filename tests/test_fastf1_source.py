@@ -136,3 +136,43 @@ def test_composes_with_normalization(registered, race_dir):
     )
     assert df.filter(F.isnan("LapTime")).count() == 0
     assert df.filter(F.col("LapTime").isNull()).count() > 0
+
+
+def test_writer_roundtrip(registered, tmp_path):
+    """Write side: df.write.format('fastf1_laps') stages per-task JSONL
+    files, commit publishes them with a _SUCCESS manifest, and the reader
+    round-trips the rows."""
+    out = tmp_path / "published"
+    out.mkdir()
+    df = registered.createDataFrame(build_laps_rows(), SPARK_SCHEMA)
+    df.repartition(4).write.format("fastf1_laps").option(
+        "path", str(out)
+    ).mode("append").save()
+
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    files = sorted(p.name for p in out.glob("*.jsonl"))
+    assert manifest["files"] == files
+    assert manifest["rows"] == len(build_laps_rows())
+    assert not (out / "_staging").exists()  # stage cleaned after publish
+
+    back = _load(registered, str(out))
+    assert back.count() == len(build_laps_rows())
+    assert back.rdd.getNumPartitions() == len(files)
+
+
+def test_writer_overwrite_replaces(registered, tmp_path):
+    out = tmp_path / "published"
+    out.mkdir()
+    df = registered.createDataFrame(build_laps_rows(), SPARK_SCHEMA)
+    df.write.format("fastf1_laps").option("path", str(out)).mode(
+        "append"
+    ).save()
+    first = sorted(p.name for p in out.glob("*.jsonl"))
+
+    half = df.filter("LapNumber <= 2")
+    half.write.format("fastf1_laps").option("path", str(out)).mode(
+        "overwrite"
+    ).save()
+    assert _load(registered, str(out)).count() == half.count()
+    # the first publication's files are gone, not merely shadowed
+    assert not (set(first) & {p.name for p in out.glob("*.jsonl")})
