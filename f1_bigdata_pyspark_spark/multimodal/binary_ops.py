@@ -182,3 +182,46 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         )
         .withColumn("byte_offset", F.col("frame_idx") * F.lit(every_n_bytes))
     )
+
+
+PAYLOAD_STATS_SCHEMA = (
+    "media_id long, n_bytes long, first_byte int, byte_xor int"
+)
+
+
+def payload_stats_arrow(media: DataFrame) -> DataFrame:
+    """Per-payload byte statistics via ``mapInArrow`` — the zero-copy tier
+    below mapInPandas: batches arrive as ``pyarrow.RecordBatch`` and never
+    materialize a pandas object, so binary payloads are sliced directly
+    from the Arrow buffers. Right tier for pure byte-level passes (codec
+    sniffing, magic-number checks, checksums) where pandas conversion is
+    measurable overhead at 100 TB; the stand-ins here (length, first byte,
+    xor fold) occupy the slot of those real checks."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(batch.schema.get_field_index("media_id"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n_bytes, first, xor = [], [], []
+            for p in payloads:
+                buf = p.as_py()
+                n_bytes.append(len(buf))
+                first.append(buf[0] if buf else None)
+                acc = 0
+                for b in buf:
+                    acc ^= b
+                xor.append(acc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(first, pa.int32()),
+                    pa.array(xor, pa.int32()),
+                ],
+                ["media_id", "n_bytes", "first_byte", "byte_xor"],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        batches, schema=PAYLOAD_STATS_SCHEMA
+    )

@@ -355,3 +355,56 @@ def test_audio_features_match_numpy(spark, sf_smoke):
             np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))
         )
         assert g["peak"] == int(np.max(np.abs(x)))
+
+
+def test_payload_stats_arrow_matches_python(spark, sf_smoke):
+    """mapInArrow byte-stats agree with a pure-Python recomputation over
+    the same payloads (and with the mapInPandas n_bytes)."""
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        extract_features,
+        media_from_documents,
+        payload_stats_arrow,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    media = media_from_documents(docs)
+    got = {r["media_id"]: r for r in payload_stats_arrow(media).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        buf = text.encode("utf-8")
+        acc = 0
+        for b in buf:
+            acc ^= b
+        row = got[doc_id]
+        assert row["n_bytes"] == len(buf)
+        assert row["first_byte"] == (buf[0] if buf else None)
+        assert row["byte_xor"] == acc
+    pandas_len = {
+        r["media_id"]: r["n_bytes"]
+        for r in extract_features(media).collect()
+    }
+    assert {k: v["n_bytes"] for k, v in got.items()} == pandas_len
+
+
+def test_pandas_on_spark_matches_dataframe_api(spark, sf_smoke):
+    """The reference analyzes with pandas idioms; pandas-on-Spark runs the
+    same groupby-mean SHAPE distributed. Pin that the ps face agrees with
+    the DataFrame API on a reference-shaped rollup (mean value per event
+    type)."""
+    import pyspark.pandas as ps
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    expected = {
+        r["event_type"]: round(r["m"], 9)
+        for r in events.groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    psdf = events.select("event_type", "value").pandas_api()
+    got = psdf.groupby("event_type")["value"].mean().to_pandas()
+    assert {k: round(v, 9) for k, v in got.items()} == expected
