@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -145,6 +146,9 @@ class FastF1LapsDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return FastF1LapsWriter(self.options, overwrite)
 
+    def streamReader(self, schema: StructType) -> "FastF1LapsStreamReader":
+        return FastF1LapsStreamReader(self.options, schema)
+
 
 def register(spark) -> None:
     spark.dataSource.register(FastF1LapsDataSource)
@@ -227,3 +231,50 @@ class FastF1LapsWriter(DataSourceWriter):
         stage_dir = os.path.join(self._root, "_staging")
         if os.path.isdir(stage_dir) and not os.listdir(stage_dir):
             os.rmdir(stage_dir)
+
+
+# -- stream side -------------------------------------------------------------
+#
+# A season during the season IS a stream: races publish one at a time and
+# the reference re-runs its batch ingest per race (the "simulated
+# velocity" of SURVEY §2.9). The streaming half of the source makes that
+# native: offsets are positions in the sorted race-file list, each
+# micro-batch covers the files that appeared since the last committed
+# offset (one InputPartition per new race — the same parallelism unit as
+# the batch reader), and Spark's checkpoint persists the offset, so a
+# restarted query resumes at the first unprocessed race instead of
+# re-ingesting the season. Composes with the corpus/upsert foreachBatch
+# sinks like any other stream.
+
+
+class FastF1LapsStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: StructType):
+        root = options.get("path")
+        if not root:
+            raise ValueError("fastf1_laps requires .option('path', <dir>)")
+        self._root = root
+        self._fields = [f.name for f in schema.fields]
+
+    def _files(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self._root) if n.endswith(".jsonl")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[RacePartition]:
+        files = self._files()[start["index"] : end["index"]]
+        return [RacePartition(os.path.join(self._root, n)) for n in files]
+
+    def read(self, partition: RacePartition) -> Iterator[tuple]:
+        yield from _read_race_file(partition.path, self._fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to release
+
+    def stop(self) -> None:
+        pass

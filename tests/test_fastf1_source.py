@@ -176,3 +176,104 @@ def test_writer_overwrite_replaces(registered, tmp_path):
     assert _load(registered, str(out)).count() == half.count()
     # the first publication's files are gone, not merely shadowed
     assert not (set(first) & {p.name for p in out.glob("*.jsonl")})
+
+
+def test_writer_abort_publishes_nothing(registered, tmp_path):
+    """Two-phase commit, failure path: if any task fails, abort() runs and
+    NO file is published — the reader never sees a half-written season."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    out = tmp_path / "published"
+    out.mkdir()
+
+    @F.udf(DoubleType())
+    def poison(lap_number):
+        if lap_number is not None and lap_number >= 3:
+            raise RuntimeError("synthetic task failure")
+        return lap_number
+
+    df = registered.createDataFrame(build_laps_rows(), SPARK_SCHEMA)
+    bad = df.withColumn("LapNumber", poison("LapNumber"))
+    with pytest.raises(Exception):
+        bad.repartition(4).write.format("fastf1_laps").option(
+            "path", str(out)
+        ).mode("append").save()
+    assert list(out.glob("*.jsonl")) == []
+    assert not (out / "_SUCCESS").exists()
+
+
+def test_stream_reader_ingests_race_drops(registered, tmp_path):
+    """Streaming half of the custom source: races appearing in the
+    directory are picked up as offset ranges over the sorted file list —
+    drop 1 lands in micro-batch 1, a later race in micro-batch 2, and a
+    RESTARTED query resumes from the checkpointed offset instead of
+    re-ingesting the season."""
+    rows = build_laps_rows()
+    by_race: dict[str, list] = {}
+    for row in rows:
+        rec = dict(zip(COLUMNS, row))
+        by_race.setdefault(rec["GrandPrix"], []).append(rec)
+    races = sorted(by_race)
+
+    live = tmp_path / "live"
+    live.mkdir()
+    sink = tmp_path / "sink"
+
+    def publish(gp):
+        with open(live / race_file_name(gp), "w", encoding="utf-8") as fh:
+            for rec in by_race[gp]:
+                fh.write(
+                    json.dumps({k: _jsonable(v) for k, v in rec.items()})
+                    + "\n"
+                )
+
+    def start_query():
+        stream = (
+            registered.readStream.format("fastf1_laps")
+            .option("path", str(live))
+            .load()
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    publish(races[0])
+    q = start_query()
+    try:
+        q.processAllAvailable()
+        got = registered.read.parquet(str(sink))
+        assert got.count() == len(by_race[races[0]])
+
+        publish(races[1])
+        q.processAllAvailable()
+        got = registered.read.parquet(str(sink))
+        assert sorted(
+            r["GrandPrix"]
+            for r in got.select("GrandPrix").distinct().collect()
+        ) == races[:2]
+    finally:
+        q.stop()
+
+    # restart: a new race arrives while the query is down; on resume only
+    # that race is ingested (offset came from the checkpoint)
+    publish(races[2])
+    q = start_query()
+    try:
+        q.processAllAvailable()
+        got = registered.read.parquet(str(sink))
+        assert got.count() == sum(len(by_race[r]) for r in races[:3])
+        per_race = {
+            r["GrandPrix"]: r["n"]
+            for r in got.groupBy("GrandPrix").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        # no race was double-ingested across the restart
+        assert per_race == {r: len(by_race[r]) for r in races[:3]}
+    finally:
+        q.stop()
