@@ -1381,9 +1381,17 @@ ORDER BY source
 def mixture_temperature_allocation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _temperature_allocation(docs, _MIX_BUDGET).orderBy("source")
+
+
+def _temperature_allocation(docs: DataFrame, budget: int) -> DataFrame:
+    """(source, n_docs, n_tokens, weight, alloc_docs) with
+    sum(alloc_docs) == budget exactly (largest-remainder apportionment of
+    weights ∝ n_tokens^α). Shared by the allocation face and the
+    quota-draw face."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " ")))
@@ -1399,7 +1407,7 @@ def mixture_temperature_allocation(
         "n_docs",
         "n_tokens",
         F.round(w / F.sum(w).over(wall), 6).alias("weight"),
-        F.round(F.lit(_MIX_BUDGET) * w / F.sum(w).over(wall), 9).alias(
+        F.round(F.lit(budget) * w / F.sum(w).over(wall), 9).alias(
             "share"
         ),
     )
@@ -1413,7 +1421,7 @@ def mixture_temperature_allocation(
     )
     ranked = floors.select(
         "*",
-        (F.lit(_MIX_BUDGET) - F.sum("base").over(wall)).alias("leftover"),
+        (F.lit(budget) - F.sum("base").over(wall)).alias("leftover"),
         F.row_number()
         .over(wall.orderBy(F.col("rem").desc(), "source"))
         .alias("rem_rank"),
@@ -1429,7 +1437,7 @@ def mixture_temperature_allocation(
         )
         .cast("long")
         .alias("alloc_docs"),
-    ).orderBy("source")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1495,4 +1503,111 @@ def length_bucket_padding_stats(
             ).alias("waste_share"),
         )
         .orderBy("bucket_cap")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: stratified_quota_sample — the mixture CLOSED as an actual draw: the
+# temperature allocation (same α = 0.7 largest-remainder math as
+# mixture_temperature_allocation, budget 100 docs) becomes per-source
+# quotas, and each source contributes exactly its quota of documents,
+# chosen as the quota SMALLEST md5(doc_id) hashes — a deterministic
+# uniform draw (hash order is independent of layout, so every engine,
+# shard plan, and rerun picks the identical sample, and growing the quota
+# only ever ADDS documents: bottom-k draws nest). Two corpus passes: the
+# token-count aggregate for weights and one per-source bottom-k window —
+# both keyed by source.
+# --------------------------------------------------------------------------
+_DRAW_BUDGET = 100
+
+
+@query(
+    "stratified_quota_sample",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, n_docs, pow(n_tokens, {_MIX_ALPHA}) AS w,
+         sum(pow(n_tokens, {_MIX_ALPHA})) OVER () AS wsum
+  FROM per_src
+),
+shares AS (
+  SELECT source, n_docs,
+         round({_DRAW_BUDGET} * w / wsum, 9) AS share
+  FROM wts
+),
+quota AS (
+  SELECT source, n_docs,
+         CAST(floor(share) + CASE WHEN row_number() OVER (
+                  ORDER BY share - floor(share) DESC, source)
+              <= {_DRAW_BUDGET} - sum(CAST(floor(share) AS BIGINT)) OVER ()
+              THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs
+  FROM shares
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT), doc_id) AS rn
+  FROM documents
+),
+drawn AS (
+  SELECT r.source, r.n_chars
+  FROM ranked r JOIN quota q ON r.source = q.source
+  WHERE r.rn <= q.alloc_docs
+)
+SELECT q.source,
+       q.alloc_docs AS quota,
+       CAST(count(d.n_chars) AS BIGINT) AS n_drawn,
+       CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS drawn_chars
+FROM quota q LEFT JOIN drawn d ON q.source = d.source
+GROUP BY q.source, q.alloc_docs
+ORDER BY q.source
+""",
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    quota = _temperature_allocation(docs, _DRAW_BUDGET).select(
+        "source", F.col("alloc_docs").alias("quota")
+    )
+    w = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    drawn = ranked.join(broadcast_if_small(quota), "source").filter(
+        F.col("rn") <= F.col("quota")
+    )
+    return (
+        quota.join(
+            drawn.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_drawn"),
+                F.sum("n_chars").cast("long").alias("drawn_chars"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "quota",
+            F.coalesce(F.col("n_drawn"), F.lit(0))
+            .cast("long")
+            .alias("n_drawn"),
+            F.coalesce(F.col("drawn_chars"), F.lit(0))
+            .cast("long")
+            .alias("drawn_chars"),
+        )
+        .orderBy("source")
     )

@@ -232,3 +232,40 @@ def test_range_join_broadcasts_tiers(spark, sf_smoke):
     # the non-equi join must broadcast the tiny tier table, never shuffle
     # or nested-loop the fact side against itself
     assert_broadcast_join(q("value_tier_range_join", spark, sf_smoke))
+
+
+def test_lm_perplexity_prunes_document_columns(spark, sf_smoke):
+    """The LM scoring pass may read only (doc_id, source, text) — lang and
+    n_chars must be pruned from every documents scan."""
+    plan = formatted_plan(q("ngram_lm_perplexity", spark, sf_smoke))
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln and "documents" in plan:
+            assert "lang" not in ln
+            assert "n_chars" not in ln
+
+
+def test_duplicate_passages_hashes_before_shuffle(spark, sf_smoke):
+    """Every exchange in the passage-dedup plan moves hashed rows — no
+    shingle STRING may cross a shuffle (the MinHash discipline)."""
+    df = q("duplicate_passages", spark, sf_smoke)
+    plan = formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert " s#" not in m.group(1), m.group(0)
+
+
+def test_embedding_lsh_blocks_before_cosine(spark, sf_smoke):
+    """The blocked embedding dedup must contain NO cartesian/nested-loop
+    join: candidates come only from the (band, bucket) equi-join."""
+    plan = formatted_plan(q("embedding_lsh_near_dup_pairs", spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_allocation_single_corpus_shuffle(spark, sf_smoke):
+    """Corpus-scale work is ONE token-count aggregate; the window math runs
+    on the 20-row per-source rollup."""
+    df = q("mixture_temperature_allocation", spark, sf_smoke)
+    # agg exchange + post-agg single-partition window + final sort
+    assert count_shuffles(df) <= 4
