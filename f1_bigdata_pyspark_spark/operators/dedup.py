@@ -197,6 +197,38 @@ def minhash_signature_arrays(xs: DataFrame, num_hashes: int = 32) -> DataFrame:
     )
 
 
+def band_table(
+    sig: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band, bucket) from a (doc, sig) signature table: band bucket =
+    md5 of the band's min-hashes in index order (md5, not xxhash64, so an
+    oracle computes the identical bucket). The banded index is the
+    PERSISTED state of an incremental near-dup pipeline — signatures of
+    new documents band into the same buckets regardless of when they
+    arrive, so the index is append-only."""
+    return sig.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("sig"),
+                        F.col("band") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda m: m.cast("string"),
+                ),
+            )
+        ).alias("bucket"),
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -218,29 +250,7 @@ def minhash_candidates(
         "doc", (md5_long(F.col("s")) % _P).alias("xm")
     )
     sig = materialize(minhash_signature_arrays(raw_hashes, num_hashes))
-    # band bucket = md5 of the band's min-hashes in index order (md5, not
-    # xxhash64, so the oracle computes the identical bucket).
-    band_sig = sig.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        "doc",
-        "band",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(
-                        F.col("sig"),
-                        F.col("band") * rows_per_band + 1,
-                        rows_per_band,
-                    ),
-                    lambda m: m.cast("string"),
-                ),
-            )
-        ).alias("bucket"),
-    )
+    band_sig = band_table(sig, n_bands, rows_per_band)
     pairs = (
         band_sig.alias("x")
         .join(band_sig.alias("y"), ["band", "bucket"])

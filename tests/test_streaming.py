@@ -420,3 +420,82 @@ def test_file_stream_corpus_dedup_append(spark, tmp_path):
         assert len(rows) == len({r["fp"] for r in rows})
     finally:
         q.stop()
+
+
+def test_file_stream_neardup_ingest(spark, tmp_path):
+    """Streaming NEAR-dup ingestion: the banded MinHash index persists
+    across micro-batches. Drop 2 contains an edited copy of a drop-1 doc
+    (one word changed — rejected via the index), an intra-batch near-dup
+    pair (lowest id survives), and a fresh doc (kept)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.streaming.neardup_ingest import (
+        foreach_batch_neardup_append,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge under a pale morning sky today"
+    )
+    edited = base.replace("stone", "wooden")  # near-dup of base
+    fresh1 = (
+        "completely different subject matter discussing spark shuffle "
+        "partitions adaptive execution and broadcast joins in production"
+    )
+    fresh2 = (
+        "another unrelated passage about minhash signatures banded lsh "
+        "indexes and the economics of deduplicating web scale corpora"
+    )
+    fresh2_edit = fresh2.replace("economics", "mechanics")
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    def write_drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            incoming / name,
+        )
+
+    write_drop("drop1.parquet", [(1, base), (2, fresh1)])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(incoming)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_neardup_append(corpus, index, threshold=0.5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {
+            1,
+            2,
+        }
+
+        write_drop(
+            "drop2.parquet",
+            [(3, edited), (4, fresh2), (5, fresh2_edit), (6, "short new doc about gardens and rain")],
+        )
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        # 3 rejected via the persisted index (near-copy of doc 1);
+        # 4 kept, 5 rejected as intra-batch near-dup of 4; 6 kept
+        assert kept == {1, 2, 4, 6}
+        # index state covers exactly the kept docs
+        sig_docs = {
+            r["doc"] for r in spark.read.parquet(f"{index}/sig").collect()
+        }
+        assert sig_docs == kept
+    finally:
+        q.stop()
