@@ -250,3 +250,44 @@ def lsh_multiprobe_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_probe_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with nprobe > 1: scan the cells of the query's ``nprobe``
+    nearest centroids instead of only the nearest — THE recall/cost knob of
+    inverted-file ANN (a vector near a cell boundary lives in a different
+    cell than the query; the second-nearest cell recovers it, the IVF
+    counterpart of LSH multi-probe). Cost is the probed cells' sizes; the
+    centroid table is broadcast-small by construction, so probing adds no
+    shuffle — only a wider left-semi candidate set."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    q = F.lit(query_vec).cast("array<double>")
+    qcells = (
+        centroids.select(
+            "centroid_id",
+            F.round(cosine(F.col("centroid"), q), 6).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidates = assigned.join(
+        F.broadcast(qcells), "centroid_id", "left_semi"
+    ).select(id_col)
+    return (
+        vectors.join(candidates, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -516,3 +516,58 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     return lsh_multiprobe_topk(emb, qv, k=20, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# Q: ann_ivf_nprobe_topk — IVF search with nprobe = 2 (the inverted-file
+# counterpart of ann_multiprobe_topk): rank the query against the 16
+# centroids, scan the TWO nearest cells, exact top-20 within them. A
+# vector just across a cell boundary from the query is the IVF near-miss;
+# the second cell recovers it for ~2/16ths of a full scan. Same centroid
+# construction and rounded-argmax assignment as ann_ivf_cells, same top-k
+# contract as the LSH faces.
+# --------------------------------------------------------------------------
+@query(
+    "ann_ivf_nprobe_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), best AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+  FROM scored
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}
+), qcells AS (
+  SELECT c.centroid_id
+  FROM c CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+           c.centroid_id ASC
+  LIMIT 2
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e
+JOIN best b ON b.vec_id = e.vec_id AND b.rn = 1
+CROSS JOIN q
+WHERE b.centroid_id IN (SELECT centroid_id FROM qcells)
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 20
+""",
+)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.similarity import ivf_probe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    return ivf_probe_topk(emb, centroids, qv, k=20, nprobe=2)
