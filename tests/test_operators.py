@@ -408,3 +408,48 @@ def test_pandas_on_spark_matches_dataframe_api(spark, sf_smoke):
     psdf = events.select("event_type", "value").pandas_api()
     got = psdf.groupby("event_type")["value"].mean().to_pandas()
     assert {k: round(v, 9) for k, v in got.items()} == expected
+
+
+def test_probe_widening_never_hurts_ann(spark, sf_smoke):
+    """Multi-probe LSH and nprobe-2 IVF search strict supersets of their
+    single-probe candidate sets, so the returned k-th best cosine can only
+    improve (or tie)."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.operators.similarity import (
+        ivf_probe_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+
+    single = [r["cos_sim"] for r in lsh_topk(emb, qv, k=10, n_planes=6).collect()]
+    multi = [
+        r["cos_sim"]
+        for r in lsh_multiprobe_topk(emb, qv, k=10, n_planes=6).collect()
+    ]
+    assert len(multi) >= len(single)
+    for m, s in zip(multi, single):
+        assert m >= s
+
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    one = [
+        r["cos_sim"]
+        for r in ivf_probe_topk(emb, centroids, qv, k=10, nprobe=1).collect()
+    ]
+    two = [
+        r["cos_sim"]
+        for r in ivf_probe_topk(emb, centroids, qv, k=10, nprobe=2).collect()
+    ]
+    assert len(two) >= len(one)
+    for t, o in zip(two, one):
+        assert t >= o
