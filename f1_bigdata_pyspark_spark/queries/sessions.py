@@ -362,3 +362,62 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: event_transition_matrix — first-order Markov model of user behavior:
+# P(next event type | current event type), estimated from every adjacent
+# pair in each user's timeline (lag/lead over the user_id-keyed order, the
+# sessionization exchange reused). This is the user-journey model behind
+# funnel design and next-action prediction — and the events-stream sibling
+# of the bigram LM on documents (ngram_lm_perplexity): same counting, a
+# different modality. One user-keyed window pass + one (cur, next)
+# aggregate; probabilities are exact count ratios rounded identically in
+# both engines. Ordering ties broken by event_id so both engines see the
+# same timeline.
+# --------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+row_totals AS (SELECT cur, count(*) AS n_cur FROM pairs GROUP BY cur)
+SELECT p.cur, p.nxt,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(count(*) * 1.0 / any_value(t.n_cur), 6) AS p_next
+FROM pairs p JOIN row_totals t ON p.cur = t.cur
+GROUP BY p.cur, p.nxt
+ORDER BY p.cur, p.nxt
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    row_totals = counts.groupBy("cur").agg(
+        F.sum("n_pairs").alias("n_cur")
+    )
+    return (
+        counts.join(row_totals, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("n_pairs") / F.col("n_cur"), 6).alias("p_next"),
+        )
+        .orderBy("cur", "nxt")
+    )
