@@ -839,3 +839,250 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: corpus_curation_v2 — the round-3 curation signals COMPOSED end-to-end
+# under one value-hash check (the sibling of corpus_curation_pipeline,
+# which composes the round-2 signals):
+#   1. model-based quality gate — per-doc cross-entropy under the corpus
+#      bigram LM (same math as ngram_lm_perplexity); keep docs at or below
+#      the corpus p90 (a RELATIVE gate, the actual practice — thresholds
+#      are percentiles of the scored corpus, not magic constants). p90 is
+#      linear-interpolated percentile rounded to 6 dp in both engines.
+#   2. passage-level dedup — 8-token window fingerprints; each fingerprint
+#      is OWNED by its lowest surviving doc_id; a doc where shared-later
+#      passages exceed half its fingerprints is dropped (integer-exact
+#      rule 2·c > n, no float ratio at the boundary) — the Lee et al.
+#      drop-repeated-passages approximation.
+#   3. temperature mixture draw — α = 0.7 largest-remainder quotas
+#      (budget 50) over the deduped corpus, drawn as each source's quota
+#      smallest md5(doc_id) hashes.
+# Per-source funnel stats out. 100 TB shape: the LM is broadcastable
+# shared state, passage fingerprints shuffle as int64s, quotas are 20-row
+# math, the draw is one per-source bottom-k window.
+# --------------------------------------------------------------------------
+_V2_BUDGET = 50
+
+
+@query(
+    "corpus_curation_v2",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, w[i] AS t, w[i+1] AS t2
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i <= len(w)
+),
+lm_pairs AS (SELECT doc_id, source, t, t2 FROM toks WHERE t2 IS NOT NULL),
+uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+vocab AS (SELECT count(DISTINCT t) AS v FROM toks),
+big AS (SELECT t, t2, count(*) AS c2 FROM lm_pairs GROUP BY t, t2),
+scores AS (
+  SELECT b.t, b.t2,
+         ln((b.c2 + 1.0) / (u.c1 + (SELECT v FROM vocab))) AS lnp
+  FROM big b JOIN uni u ON b.t = u.t
+),
+per_doc AS (
+  SELECT p.doc_id, p.source,
+         round(-sum(s.lnp) / count(*), 6) AS xent
+  FROM lm_pairs p JOIN scores s ON p.t = s.t AND p.t2 = s.t2
+  GROUP BY p.doc_id, p.source
+),
+cut AS (SELECT round(quantile_cont(xent, 0.9), 6) AS p90 FROM per_doc),
+gated AS (
+  SELECT d.doc_id, d.source, d.text, d.n_chars
+  FROM documents d JOIN per_doc x ON d.doc_id = x.doc_id
+  WHERE x.xent <= (SELECT p90 FROM cut)
+),
+g_toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM gated
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' '
+              || w[i+6] || ' ' || w[i+7]), 1, 15)) AS BIGINT) AS xm
+  FROM g_toks, (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i + 7 <= len(w)
+),
+owner AS (SELECT xm, min(doc_id) AS own FROM sh GROUP BY xm),
+dupstat AS (
+  SELECT sh.doc_id,
+         count(*) AS n_fp,
+         count(*) FILTER (o.own < sh.doc_id) AS c_later
+  FROM sh JOIN owner o ON sh.xm = o.xm
+  GROUP BY sh.doc_id
+),
+deduped AS (
+  SELECT g.* FROM gated g
+  LEFT JOIN dupstat d ON g.doc_id = d.doc_id
+  WHERE coalesce(2 * d.c_later > d.n_fp, FALSE) = FALSE
+),
+per_src AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS n_tokens
+  FROM deduped GROUP BY source
+),
+wts AS (
+  SELECT source, pow(n_tokens, 0.7) AS w,
+         sum(pow(n_tokens, 0.7)) OVER () AS wsum
+  FROM per_src
+),
+shares AS (
+  SELECT source, round({_V2_BUDGET} * w / wsum, 9) AS share FROM wts
+),
+quota AS (
+  SELECT source,
+         CAST(floor(share) + CASE WHEN row_number() OVER (
+                  ORDER BY share - floor(share) DESC, source)
+              <= {_V2_BUDGET} - sum(CAST(floor(share) AS BIGINT)) OVER ()
+              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+  FROM shares
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT), doc_id) AS rn
+  FROM deduped
+),
+drawn AS (
+  SELECT r.source, r.n_chars
+  FROM ranked r JOIN quota q ON r.source = q.source
+  WHERE r.rn <= q.alloc
+),
+funnel AS (
+  SELECT g.source,
+         count(*) AS n_after_gate,
+         count(*) FILTER (g.doc_id IN (SELECT doc_id FROM deduped))
+           AS n_after_dedup
+  FROM gated g GROUP BY g.source
+)
+SELECT f.source,
+       CAST(f.n_after_gate AS BIGINT) AS n_after_gate,
+       CAST(f.n_after_dedup AS BIGINT) AS n_after_dedup,
+       q.alloc AS quota,
+       CAST((SELECT count(*) FROM drawn d WHERE d.source = f.source)
+            AS BIGINT) AS n_drawn,
+       CAST(coalesce((SELECT sum(n_chars) FROM drawn d
+                      WHERE d.source = f.source), 0) AS BIGINT)
+         AS drawn_chars
+FROM funnel f JOIN quota q ON f.source = q.source
+ORDER BY f.source
+""",
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from f1_bigdata_pyspark_spark.operators.dedup import raw_shingle_hashes
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+    from f1_bigdata_pyspark_spark.queries.text_pipeline import (
+        _temperature_allocation,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. LM cross-entropy gate at the corpus p90 (same math as
+    # ngram_lm_perplexity, relative threshold)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        "doc_id", "t", F.lead("t").over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.select("t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    big = pairs.groupBy("t", "t2").agg(F.count(F.lit(1)).alias("c2"))
+    lnp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    scores = (
+        big.join(uni, "t")
+        .crossJoin(F.broadcast(vocab))
+        .select("t", "t2", lnp.alias("lnp"))
+    )
+    per_doc = (
+        pairs.join(scores, ["t", "t2"])
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum("lnp") / F.count(F.lit(1)), 6).alias("xent"))
+    )
+    cut = per_doc.agg(
+        F.round(F.percentile("xent", F.lit(0.9)), 6).alias("p90")
+    )
+    gated = materialize(
+        docs.join(per_doc, "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("xent") <= F.col("p90"))
+        .select("doc_id", "source", "text", "n_chars")
+    )
+
+    # 2. passage-level dedup: drop docs where later-owned shared
+    # fingerprints exceed half (integer-exact 2c > n)
+    sh = raw_shingle_hashes(gated, "doc_id", "text", 8)
+    owner = sh.groupBy("xm").agg(F.min("doc").alias("own"))
+    dupstat = (
+        sh.join(owner, "xm")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.when(F.col("own") < F.col("doc"), 1).otherwise(0)).alias(
+                "c_later"
+            ),
+        )
+    )
+    drop = dupstat.filter(2 * F.col("c_later") > F.col("n_fp")).select(
+        F.col("doc").alias("doc_id")
+    )
+    deduped = materialize(gated.join(drop, "doc_id", "left_anti"))
+
+    # 3. temperature quota draw (budget 50) over the deduped corpus
+    quota = _temperature_allocation(deduped, _V2_BUDGET).select(
+        "source", F.col("alloc_docs").alias("quota")
+    )
+    wr = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    drawn = (
+        deduped.select(
+            "source", "n_chars", F.row_number().over(wr).alias("rn")
+        )
+        .join(broadcast_if_small(quota), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.sum("n_chars").cast("long").alias("drawn_chars"),
+        )
+    )
+    funnel = gated.join(
+        deduped.select("doc_id").withColumn("kept", F.lit(1)), "doc_id", "left"
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_gate"),
+        F.sum(F.coalesce(F.col("kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_after_dedup"),
+    )
+    return (
+        funnel.join(quota, "source")
+        .join(drawn, "source", "left")
+        .select(
+            "source",
+            "n_after_gate",
+            "n_after_dedup",
+            "quota",
+            F.coalesce(F.col("n_drawn"), F.lit(0))
+            .cast("long")
+            .alias("n_drawn"),
+            F.coalesce(F.col("drawn_chars"), F.lit(0))
+            .cast("long")
+            .alias("drawn_chars"),
+        )
+        .orderBy("source")
+    )
