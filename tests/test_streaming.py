@@ -499,3 +499,59 @@ def test_file_stream_neardup_ingest(spark, tmp_path):
         assert sig_docs == kept
     finally:
         q.stop()
+
+
+def test_corpus_dedup_survives_checkpoint_loss(spark, tmp_path):
+    """Replay idempotence: destroying the checkpoint forces the file
+    source to reprocess EVERY drop from scratch; the fingerprint anti-join
+    must still keep the corpus duplicate-free — the batch-side guarantee
+    that does not depend on streaming offsets."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.streaming.corpus_ingest import (
+        foreach_batch_dedup_append,
+        with_fingerprint,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    target = str(tmp_path / "corpus")
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha beta", "gamma delta"], pa.string()),
+                "source": pa.array(["a", "a"], pa.string()),
+            }
+        ),
+        incoming / "drop1.parquet",
+    )
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, source string"
+        ).parquet(str(incoming))
+        q = (
+            with_fingerprint(stream)
+            .writeStream.foreachBatch(foreach_batch_dedup_append(target))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(tmp_path / "ckpt1")
+    assert spark.read.parquet(target).count() == 2
+
+    # checkpoint gone → same files replay as a brand-new stream
+    shutil.rmtree(tmp_path / "ckpt1")
+    run_once(tmp_path / "ckpt2")
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 2  # replay appended nothing
+    assert len({r["fp"] for r in rows}) == 2
