@@ -692,3 +692,47 @@ def customer_name_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_prefix")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: unpivot_priority_metrics — UNPIVOT (pandas ``melt``, the inverse of
+# pivot_status): aggregate per order priority into a WIDE row (n_orders /
+# avg_price / max_price columns), then unpivot to LONG (priority, metric,
+# value) with ``stack()``. The reference's pandas habits lean on melt for
+# exactly this reshaping before plotting; engine-side it is a zero-shuffle
+# projection — each wide row fans out to 3 long rows in place, so the only
+# exchange is the 5-group aggregate that builds the wide table.
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_priority_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(avg(o_totalprice), 4) AS avg_price,
+         round(max(o_totalprice), 2) AS max_price
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, avg_price, max_price))
+ORDER BY o_orderpriority, metric
+""",
+)
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return (
+        wide.unpivot(
+            "o_orderpriority",
+            ["n_orders", "avg_price", "max_price"],
+            "metric",
+            "value",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
