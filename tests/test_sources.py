@@ -93,3 +93,32 @@ def test_schema_evolution_merge_read(spark, sf_smoke, tmp_path):
     assert old_gen.filter(F.col("quality_score").isNotNull()).count() == 0
     new_gen = merged.filter("gen = 2")
     assert new_gen.filter(F.col("quality_score").isNull()).count() == 0
+
+
+def test_observation_metrics_piggyback_on_query(spark, sf_smoke):
+    """The Observation API: data-quality counters (row count, null count,
+    value sum) collected DURING a query's single pass — no second scan.
+    The production shape for per-job quality telemetry at 100 TB, where a
+    separate audit query would double the read."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    obs = Observation("quality")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    result = observed.groupBy("event_type").count().collect()
+    metrics = obs.get
+    assert metrics["n_rows"] == events.count()
+    assert metrics["n_null_value"] == events.filter(
+        F.col("value").isNull()
+    ).count()
+    expected_sum = events.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+    assert metrics["sum_value"] == expected_sum
+    assert sum(r["count"] for r in result) == metrics["n_rows"]

@@ -555,3 +555,51 @@ def test_corpus_dedup_survives_checkpoint_loss(spark, tmp_path):
     rows = spark.read.parquet(target).collect()
     assert len(rows) == 2  # replay appended nothing
     assert len({r["fp"] for r in rows}) == 2
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: unlike dropDuplicates, the event-time
+    column need not be part of the key, and re-arrivals of the SAME key
+    with DIFFERENT timestamps inside the watermark window still dedup —
+    the contract for at-least-once sources that restamp on retry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 1, 2], pa.int64()),
+                # same event_id retried with a restamped ts 5 min later
+                "ts": pa.array(
+                    [t0, t0 + dt.timedelta(minutes=5), t0], pa.timestamp("us")
+                ),
+                "value": pa.array([1.0, 1.0, 2.0], pa.float64()),
+            }
+        ),
+        incoming / "drop1.parquet",
+    )
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, value double"
+    ).parquet(str(incoming))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda df, _id: out.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["event_id"] for r in out) == [1, 2]
