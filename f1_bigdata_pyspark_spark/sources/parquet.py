@@ -77,6 +77,32 @@ def write_table(
     writer.parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite — the incremental BACKFILL write: only
+    the partitions present in ``df`` are replaced; every other partition's
+    files are untouched. This is how a restatement lands at 100 TB — a
+    recomputed day overwrites exactly that day's directory instead of
+    truncating the table (static overwrite) or duplicating rows (append).
+    Uses Spark's ``partitionOverwriteMode=dynamic`` session conf, scoped to
+    this write and restored after.
+
+    Note the contract difference vs ``upsert_keep_latest``: upsert merges
+    at ROW granularity (needs a key); dynamic overwrite replaces at
+    PARTITION granularity (needs only the partition columns), which is the
+    right tool when the unit of recomputation is a whole partition.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def compact_table(
     spark,
     src_path: str,

@@ -122,3 +122,59 @@ def test_observation_metrics_piggyback_on_query(spark, sf_smoke):
     expected_sum = events.agg(F.round(F.sum("value"), 2)).collect()[0][0]
     assert metrics["sum_value"] == expected_sum
     assert sum(r["count"] for r in result) == metrics["n_rows"]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_smoke, tmp_path):
+    """Backfill semantics: restating ONE day replaces only that day's
+    partition; other days' files (and rows) are byte-identical survivors —
+    neither truncated (static overwrite) nor duplicated (append)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.sources.parquet import (
+        overwrite_partitions_dynamic,
+        write_table,
+    )
+
+    events = load_table(spark, sf_smoke, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    target = str(tmp_path / "events_by_day")
+    write_table(events, target, partition_cols=["day"])
+
+    days = sorted(
+        r["day"] for r in events.select("day").distinct().collect()
+    )
+    assert len(days) >= 2
+    restate_day, keep_day = days[0], days[1]
+    before_keep_files = sorted(glob.glob(f"{target}/day={keep_day}/*.parquet"))
+
+    restated = events.filter(F.col("day") == restate_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions_dynamic(restated, target, ["day"])
+
+    after = spark.read.parquet(target)
+    # untouched day: same files on disk, same rows
+    assert (
+        sorted(glob.glob(f"{target}/day={keep_day}/*.parquet"))
+        == before_keep_files
+    )
+    assert (
+        after.filter(F.col("day") == keep_day).count()
+        == events.filter(F.col("day") == keep_day).count()
+    )
+    # restated day: replaced, not appended
+    orig = events.filter(F.col("day") == restate_day)
+    got = after.filter(F.col("day") == restate_day)
+    assert got.count() == orig.count()
+    assert (
+        got.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+        == orig.agg(F.round(F.sum("value") * 2, 2)).collect()[0][0]
+    )
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
