@@ -845,3 +845,141 @@ def approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: sql_udf_dedup_fingerprints — the Spark 4 SQL UDF surface (CREATE
+# TEMPORARY FUNCTION ... RETURN <expr>): the repo's portable 60-bit hash
+# (functions.text.md5_long) declared as a pure-SQL scalar function and
+# driven entirely from spark.sql — the path a SQL-only user takes to the
+# same dedup fingerprints the DataFrame API computes. SQL UDFs inline
+# into the plan as Catalyst expressions (no Python worker, full codegen),
+# so this face costs exactly what the DataFrame form costs. The query:
+# per-source distinct text fingerprints + min hash, value-identical to
+# the md5_long discipline used everywhere else.
+# --------------------------------------------------------------------------
+@query(
+    "sql_udf_dedup_fingerprints",
+    oracle="""
+WITH fp AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_fp,
+       CAST(min(h) AS BIGINT) AS min_fp
+FROM fp
+GROUP BY source
+ORDER BY source
+""",
+)
+def sql_udf_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_sqludf"
+    )
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS md5_long60")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION md5_long60(s STRING) RETURNS BIGINT "
+        "RETURN CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT md5_long60(text)) AS n_distinct_fp,
+               min(md5_long60(text)) AS min_fp
+        FROM documents_sqludf
+        GROUP BY source
+        ORDER BY source
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: recursive_cte_components — connected components via Spark 4's native
+# WITH RECURSIVE, the same formulation the DuckDB oracle of
+# near_dup_clusters has always used — now runnable ON the engine. The
+# edge set is the thresholded exact-Jaccard near-dup graph; each node
+# labels itself with the least node reachable from it. SCALE CAVEAT in
+# the operator hierarchy: recursion depth = graph diameter and state
+# grows with the reachability closure, so the star algorithm
+# (operators/graph.connected_components) remains the 100 TB path; this
+# face exists because chained-CTE shapes are how SQL users express it,
+# and the engine should answer it. Spark's recursion accepts only
+# UNION ALL (no fixpoint dedup), so the walk carries an explicit depth
+# bound (6 ≥ the near-dup graph's diameter — components here are 2-3
+# docs; the min-label aggregate is insensitive to the duplicated paths
+# UNION ALL leaves). Output: per-component size and min label, identical
+# to the DuckDB fixpoint recursion whenever depth covers the diameter.
+# --------------------------------------------------------------------------
+@query(
+    "recursive_cte_components",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+), und AS (
+  SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+)
+SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes
+FROM labels
+GROUP BY comp
+ORDER BY comp
+""",
+)
+def recursive_cte_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.dedup import ngram_jaccard_pairs
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = materialize(
+        ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+            "d1", "d2"
+        )
+    )
+    edges.createOrReplaceTempView("neardup_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE und AS (
+          SELECT d1 AS a, d2 AS b FROM neardup_edges
+          UNION
+          SELECT d2, d1 FROM neardup_edges
+        ),
+        r(a, b, depth) AS (
+          SELECT a, b, 1 FROM und
+          UNION ALL
+          SELECT r.a, u.b, r.depth + 1
+          FROM r JOIN und u ON r.b = u.a
+          WHERE r.depth < 6
+        ),
+        labels AS (
+          SELECT a AS node, least(a, min(b)) AS comp FROM r GROUP BY a
+        )
+        SELECT comp, count(*) AS n_nodes
+        FROM labels
+        GROUP BY comp
+        ORDER BY comp
+        """
+    )
