@@ -422,3 +422,70 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: trimmed_mean_by_type — the GROUPED_AGG pandas UDF slot (a custom
+# AGGREGATE in Python, the one Arrow-batched UDF tier not covered by the
+# mapInPandas / applyInPandas / UDTF faces): 10% trimmed mean of event
+# value per type, a robust-statistics aggregate Spark has no built-in
+# for. Arrow ships each group's values to one numpy call; trimming is
+# count-based on the value-sorted array (k = floor(n/10) off each end),
+# so equal values make the trim order-insensitive and the oracle can
+# restate it with rank arithmetic. GROUPED_AGG partials do NOT map-side
+# combine (the whole group's values reach one worker) — fine for
+# bounded-cardinality groups like these; an unbounded-group robust mean
+# at 100 TB would use the approx-percentile clip instead
+# (value_outliers_by_type shows that shape).
+# --------------------------------------------------------------------------
+@query(
+    "trimmed_mean_by_type",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n_values,
+       round(avg(value) FILTER (rn > n // 10 AND rn <= n - n // 10), 6)
+         AS trimmed_mean
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module runs under postponed annotations
+    # (PEP 563), which turns type hints into strings pandas_udf can't
+    # infer GROUPED_AGG from
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        import numpy as np
+
+        vals = np.sort(v.to_numpy(dtype="float64"))
+        k = len(vals) // 10
+        kept = vals[k : len(vals) - k] if k else vals
+        return float(np.mean(kept))
+
+    # Catalyst refuses to mix pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas agg too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_vals(v):
+        return len(v)
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            n_vals("value").alias("n_values"),
+            F.round(trimmed_mean("value"), 6).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
