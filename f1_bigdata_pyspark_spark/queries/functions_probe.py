@@ -489,3 +489,117 @@ def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: ansi_try_functions_probe — the error-safe arithmetic family
+# (try_divide / try_cast / try_add / try_to_number): under ANSI SQL mode a
+# division by zero or an overflow ABORTS the job — at 100 TB, one corrupt
+# row killing a 6-hour pipeline is the failure mode these exist to
+# prevent; try_* returns NULL instead and the audit counts them. Probed
+# over real data: zero-denominator guarded division on lineitem discounts
+# and a deliberately overflowing add, with per-flag NULL accounting the
+# oracle restates with CASE guards.
+# --------------------------------------------------------------------------
+@query(
+    "ansi_try_functions_probe",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         CASE WHEN l_discount = 0 THEN NULL
+              ELSE l_extendedprice / l_discount END AS ratio,
+         CASE WHEN l_quantity > 0
+              THEN CAST(l_quantity AS BIGINT) ELSE NULL END AS q
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_guarded,
+       round(avg(ratio), 4) AS avg_ratio,
+       CAST(sum(q) AS BIGINT) AS sum_qty
+FROM t
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def ansi_try_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    q = F.when(
+        F.col("l_quantity") > 0, F.col("l_quantity").cast("long")
+    ).otherwise(F.lit(None))
+    return (
+        li.select("l_returnflag", ratio.alias("ratio"), q.alias("q"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_div_guarded"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.sum("q").cast("long").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: collation_casefold_groups — Spark 4 string COLLATIONS: grouping and
+# distinct-counting under UTF8_LCASE collation, the declarative
+# alternative to sprinkling lower() through every comparison (and, unlike
+# lower(), collation-aware comparisons keep the ORIGINAL strings in the
+# output). The oracle states the same semantics with explicit lower();
+# group labels are canonicalized to lower case in both engines so the
+# faces hash-match. Probed over customer market segments re-cased
+# deterministically per row — the messy-categorical reality of crawled
+# data.
+# --------------------------------------------------------------------------
+@query(
+    "collation_casefold_groups",
+    oracle="""
+WITH messy AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN upper(c_mktsegment)
+              ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT seg) AS BIGINT) AS n_raw_casings,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM messy
+GROUP BY lower(seg)
+ORDER BY segment
+""",
+)
+def collation_casefold_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    messy = cust.select(
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment")
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.upper("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    folded = F.expr("seg COLLATE UTF8_LCASE")
+    return (
+        messy.groupBy(folded.alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct(F.expr("seg COLLATE UTF8_BINARY")).alias(
+                "n_raw_casings"
+            ),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .select(
+            F.lower(F.col("seg_ci")).cast("string").alias("segment"),
+            "n_customers",
+            "n_raw_casings",
+            "total_balance",
+        )
+        .orderBy("segment")
+    )
