@@ -453,3 +453,44 @@ def test_probe_widening_never_hurts_ann(spark, sf_smoke):
     assert len(two) >= len(one)
     for t, o in zip(two, one):
         assert t >= o
+
+
+def test_apply_in_arrow_group_stats(spark, sf_smoke):
+    """applyInArrow — the group-level Arrow tier (pandas-free sibling of
+    applyInPandas): per-source byte stats computed straight off Arrow
+    tables, matched against the DataFrame API."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("source", "text")
+
+    def stats(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.utf8_length(table.column("text"))
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(lens).as_py()],
+            }
+        )
+
+    got = {
+        r["source"]: (r["n_docs"], r["total_chars"])
+        for r in docs.groupBy("source")
+        .applyInArrow(stats, schema="source string, n_docs long, total_chars long")
+        .collect()
+    }
+    want = {
+        r["source"]: (r["n"], r["c"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
