@@ -269,3 +269,25 @@ def test_mixture_allocation_single_corpus_shuffle(spark, sf_smoke):
     df = q("mixture_temperature_allocation", spark, sf_smoke)
     # agg exchange + post-agg single-partition window + final sort
     assert count_shuffles(df) <= 4
+
+
+def test_join_strategy_hints_are_honored(spark, sf_smoke):
+    """The join-hint API: MERGE and SHUFFLE_HASH hints steer the planner
+    to the hinted physical join — the manual override for the cases where
+    stats mislead the optimizer (the complement of the size-aware
+    automatic policy in operators/join_policy)."""
+    from f1_bigdata_pyspark_spark.catalog import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+
+    merged = li.join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "SortMergeJoin" in formatted_plan(merged)
+
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    plan = formatted_plan(hashed)
+    assert "ShuffledHashJoin" in plan, plan
