@@ -291,3 +291,23 @@ def test_join_strategy_hints_are_honored(spark, sf_smoke):
     )
     plan = formatted_plan(hashed)
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_smoke):
+    """Registry-wide scale invariant: NO declared query may compile to a
+    CartesianProduct — every pair-space (near-dup verify, ANN, range
+    join) must be bounded by an equi-join key (bucket, band, tier) or a
+    broadcast. Scalar one-row crossJoins plan as BroadcastNestedLoopJoin
+    and are fine; an unkeyed shuffle cartesian is never fine at 100 TB.
+    Planning-only — no query executes beyond its documented bounded
+    driver probes."""
+    failures = []
+    for name in sorted(_REGISTRY):
+        try:
+            plan = formatted_plan(_REGISTRY[name].fn(spark, sf_smoke))
+        except Exception as e:  # pragma: no cover - surface planning breaks
+            failures.append(f"{name}: planning failed: {str(e)[:120]}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+    assert not failures, failures
