@@ -549,7 +549,16 @@ ORDER BY doc_id, chunk_idx
 def udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: bigint, chunk_idx: int, n_tokens: bigint, chunk: string")
+    # useArrow: without it a Python UDTF plans as BatchEvalPythonUDTF —
+    # the pickled row-at-a-time path; Arrow keeps it batch-evaluated like
+    # every other Python face here (audited registry-wide in
+    # tests/test_plans.py::test_no_query_uses_row_at_a_time_python)
+    @udtf(
+        returnType=(
+            "doc_id: bigint, chunk_idx: int, n_tokens: bigint, chunk: string"
+        ),
+        useArrow=True,
+    )
     class ChunkText:
         def eval(self, doc_id: int, text: str):
             toks = text.split(" ")

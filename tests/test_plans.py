@@ -293,21 +293,82 @@ def test_join_strategy_hints_are_honored(spark, sf_smoke):
     assert "ShuffledHashJoin" in plan, plan
 
 
-def test_no_query_plans_a_cartesian_product(spark, sf_smoke):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def all_query_plans(spark, sf_smoke):
+    """Formatted physical plan of EVERY registered query (planning only —
+    queries execute nothing beyond their documented bounded driver
+    probes). Computed once; the registry-wide audits below share it."""
+    plans = {}
+    for name in sorted(_REGISTRY):
+        plans[name] = formatted_plan(_REGISTRY[name].fn(spark, sf_smoke))
+    return plans
+
+
+def test_no_query_plans_a_cartesian_product(all_query_plans):
     """Registry-wide scale invariant: NO declared query may compile to a
     CartesianProduct — every pair-space (near-dup verify, ANN, range
     join) must be bounded by an equi-join key (bucket, band, tier) or a
     broadcast. Scalar one-row crossJoins plan as BroadcastNestedLoopJoin
-    and are fine; an unkeyed shuffle cartesian is never fine at 100 TB.
-    Planning-only — no query executes beyond its documented bounded
-    driver probes."""
-    failures = []
-    for name in sorted(_REGISTRY):
-        try:
-            plan = formatted_plan(_REGISTRY[name].fn(spark, sf_smoke))
-        except Exception as e:  # pragma: no cover - surface planning breaks
-            failures.append(f"{name}: planning failed: {str(e)[:120]}")
+    and are fine; an unkeyed shuffle cartesian is never fine at 100 TB."""
+    bad = [n for n, p in all_query_plans.items() if "CartesianProduct" in p]
+    assert not bad, bad
+
+
+def test_no_query_uses_row_at_a_time_python(all_query_plans):
+    """Registry-wide UDF-tier invariant: Python appears in query plans
+    ONLY behind Arrow batching (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas / MapInArrow / UDTF). BatchEvalPython — the
+    row-at-a-time pickling path, 10-100x slower — must never appear."""
+    bad = [n for n, p in all_query_plans.items() if "BatchEvalPython" in p]
+    assert not bad, bad
+
+
+# Documented global (unpartitioned) windows: each runs over POST-AGGREGATE
+# or bounded cardinality (source rollups, remainder ranks, global deciles
+# with a stated bound) — see the query docstrings. Anything NOT listed
+# here that plans an unpartitioned Window over corpus-scale input is a
+# scale regression.
+_GLOBAL_WINDOW_OK = {
+    "pareto_rank",
+    "order_value_deciles",
+    "price_equidepth_histogram",
+    "supplier_rank_distribution",
+    "top_revenue_supplier",
+    "mixture_temperature_allocation",
+    "stratified_quota_sample",
+    "corpus_curation_v2",
+    "customer_order_distribution",
+    "value_histogram",
+    "nation_market_share",
+    "priority_share",
+    "weighted_sample_ares",
+    "late_arrival_audit",
+    "bottomk_sample_merge",
+    "events_moving_avg",
+    "daily_revenue_spine",
+    "forecast_revenue",
+    "monthly_revenue",
+}
+
+
+def test_unpartitioned_windows_are_documented(all_query_plans):
+    """Any query planning a Window with an empty partition spec must be on
+    the documented allowlist (post-agg / bounded cardinality). New queries
+    that accidentally sort the corpus on one partition fail here."""
+    import re
+
+    offenders = []
+    for name, plan in all_query_plans.items():
+        if name in _GLOBAL_WINDOW_OK:
             continue
-        if "CartesianProduct" in plan:
-            failures.append(f"{name}: CartesianProduct in plan")
-    assert not failures, failures
+        for ln in plan.splitlines():
+            # WindowExec renders "Arguments: [fns], [part keys], [order]";
+            # an empty partition list right after the function list is the
+            # global-window signature
+            if re.search(r"Window.*\], \[\], \[", ln):
+                offenders.append(name)
+                break
+    assert not offenders, offenders
