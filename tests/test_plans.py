@@ -372,3 +372,17 @@ def test_unpartitioned_windows_are_documented(all_query_plans):
                 offenders.append(name)
                 break
     assert not offenders, offenders
+
+
+def test_shuffle_count_ceiling_across_registry(spark, sf_smoke):
+    """Exchange-count tripwire: the heaviest composed pipelines
+    (curation_v2, passage dedup, KMV, LSH quality) plan 11 exchanges;
+    the registry median is 2. Any query exceeding 12 has almost
+    certainly lost a partitioning-reuse or broadcast somewhere — fail
+    loudly instead of silently shipping a shuffle storm."""
+    offenders = {}
+    for name in sorted(_REGISTRY):
+        n = count_shuffles(_REGISTRY[name].fn(spark, sf_smoke))
+        if n > 12:
+            offenders[name] = n
+    assert not offenders, offenders
