@@ -208,22 +208,32 @@ ORDER BY d1, d2
 """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from f1_bigdata_pyspark_spark.functions.vectors import cosine
+    from f1_bigdata_pyspark_spark.utils import materialize
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(
-        F.col("vec_id").alias("d1"), F.col("embedding").alias("va")
+    # Norms precomputed ONCE per vector (float-identical to the inline
+    # cosine: same norm2(a)·norm2(b) denominator), so each of the O(n²)
+    # pairs costs one dot product instead of three interpreted array folds.
+    # The materialize barrier stops Catalyst's projection collapse from
+    # inlining that dot into BOTH the filter and the final project (which
+    # would evaluate every pair's fold twice).
+    en = _emb_with_norm(emb)
+    a = en.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("d2"), F.col("embedding").alias("vb")
+    b = en.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    cs = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, F.col("d1") < F.col("d2"))
-        .select("d1", "d2", cs.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.45)
-        .orderBy("d1", "d2")
+    scored = materialize(
+        a.join(b, F.col("d1") < F.col("d2")).select(
+            "d1", "d2", _pair_cosine().alias("cos_sim")
+        )
     )
+    return scored.filter(F.col("cos_sim") >= 0.45).orderBy("d1", "d2")
 
 
 # --------------------------------------------------------------------------
@@ -1085,4 +1095,120 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drawn_chars"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: semantic_dedup_keep — SemDeDup-shaped semantic deduplication (Abbas et
+# al. 2023: cluster embeddings, drop near-duplicates WITHIN each cluster):
+# IVF cells from deterministic first-16 centroids (round-6 cosine before
+# argmax, id tiebreak) → exact cosine pairs ONLY within a cell (threshold
+# 0.35, calibrated to the synthetic embeddings — real normalized text
+# embeddings would sit near 0.95) → connected components of the pair graph
+# (alternating star rounds, operators/graph.py) → keep each component's
+# minimum vec_id. Reported per cell: n_vecs / n_kept / n_dropped.
+#
+# 100 TB shape: cell assignment is a broadcast-centroid narrow map (the
+# vectors never shuffle to get a cell); the quadratic verify is confined to
+# per-cell pair spaces (the SemDeDup trick — corpus² becomes Σ cell²);
+# components run in O(log n) star rounds. The oracle restates cells, pair
+# graph, and transitive closure (recursive CTE) — the full composition is
+# value-hash checked.
+# --------------------------------------------------------------------------
+@query(
+    "semantic_dedup_keep",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cs
+  FROM e CROSS JOIN c
+), best AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cs DESC, cid ASC) AS rn
+  FROM scored
+), cell AS (
+  SELECT vec_id, cid FROM best WHERE rn = 1
+), edges AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+), und AS (
+  SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+), dropped AS (
+  SELECT node FROM labels WHERE node > comp
+)
+SELECT cell.cid AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(*) FILTER (dropped.node IS NULL) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (dropped.node IS NOT NULL) AS BIGINT)
+         AS n_dropped
+FROM cell LEFT JOIN dropped ON cell.vec_id = dropped.node
+GROUP BY cell.cid
+ORDER BY centroid_id
+""",
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.graph import connected_components
+    from f1_bigdata_pyspark_spark.operators.similarity import ivf_assign
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cells = materialize(
+        ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    )
+    en = _emb_with_norm(emb)
+    a = cells.join(en, "vec_id").select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cells.join(en, "vec_id").select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = materialize(
+        a.join(b, "cid")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", _pair_cosine().alias("cos_sim"))
+    )
+    edges = scored.filter(F.col("cos_sim") >= 0.35).select("d1", "d2")
+    labels = connected_components(edges)
+    dropped = labels.filter(F.col("node") > F.col("comp")).select(
+        F.col("node").alias("vec_id"), F.lit(1).alias("is_dropped")
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)
+            ).alias("n_dropped"),
+        )
+        .orderBy("centroid_id")
     )

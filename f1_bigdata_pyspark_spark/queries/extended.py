@@ -983,3 +983,90 @@ def recursive_cte_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY comp
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q: merge_into_orders — full three-clause MERGE semantics (WHEN MATCHED
+# DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) over a plain
+# parquet target, via operators/merge.merge_into: one full-outer join of
+# target and changeset, row-wise CASE per clause. The changeset is derived
+# deterministically from the target itself (price bump for keys % 7 == 0,
+# delete for % 13 == 0 — delete wins on overlap, MERGE clause order — and
+# synthetic inserts with negated keys for % 97 == 0), so the oracle can
+# restate the post-merge TABLE directly and the whole merge is value-hash
+# checked through a per-status roll-up with exact-cents sums.
+#
+# 100 TB shape: one co-partitioned key exchange (the full-outer join);
+# clauses are narrow projections. A small changeset broadcasts under the
+# size policy, making MERGE map-only over the target — the plan a
+# Delta/Iceberg MERGE compiles to, without the table format.
+# --------------------------------------------------------------------------
+@query(
+    "merge_into_orders",
+    oracle="""
+WITH kept AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(round(o_totalprice * 105) AS BIGINT) / 100.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE o_orderkey % 13 <> 0
+), ins AS (
+  SELECT -o_orderkey - 1 AS o_orderkey, 'N' AS o_orderstatus, 100.0 AS p
+  FROM orders WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (o_orderkey < 0) AS BIGINT) AS n_inserted,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.merge import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    # exact-cents price bump: round to integer cents, not to 2 dp — the
+    # engines' 2-dp rounding of a binary double diverges by one cent on
+    # representation ties, integer-cent rounding does not
+    bumped = F.round(F.col("o_totalprice") * 105).cast("long") / 100.0
+    upd = orders.filter((key % 7 == 0) | (key % 13 == 0)).select(
+        "o_orderkey",
+        bumped.alias("new_price"),
+        (key % 13 == 0).alias("is_delete"),
+    )
+    # -k-1 keeps insert keys strictly disjoint from target keys (plain -k
+    # would collide on key 0, which every modulus clause also selects)
+    ins = orders.filter(key % 97 == 0).select(
+        (-key - 1).alias("o_orderkey"),
+        F.lit(100.0).alias("new_price"),
+        F.lit(False).alias("is_delete"),
+    )
+    changeset = upd.unionByName(ins)
+    merged = merge_into(
+        orders,
+        changeset,
+        ["o_orderkey"],
+        matched_delete=F.col("is_delete"),
+        matched_update={"o_totalprice": F.col("new_price")},
+        not_matched_insert={
+            "o_orderstatus": F.lit("N"),
+            "o_totalprice": F.col("new_price"),
+        },
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("o_orderkey") < 0).cast("long")).alias("n_inserted"),
+            (F.sum(cents) / 100.0).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

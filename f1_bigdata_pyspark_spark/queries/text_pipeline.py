@@ -1620,3 +1620,98 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: bm25_topk_retrieval — Okapi BM25 (k1=1.2, b=0.75) relevance scoring,
+# the saturation-and-length-normalized sibling of tfidf_topk_retrieval and
+# the scoring function real retrieval stacks (Lucene/ES) default to. Fully
+# relational: TF per (doc, term), document length from the same token
+# explosion, avgdl as total_tokens/n_docs (two metadata-cheap scalars),
+# BM25 IDF = ln((N - df + 0.5)/(df + 0.5) + 1). Rounded before ranking so
+# the top-10 is cross-engine stable.
+#
+# 100 TB shape: identical to TF-IDF — the per-term (df, idf) table is the
+# only shared state (broadcast dim keyed by term); TF and doclen come from
+# ONE token explosion with two narrow groupBys; scoring is a broadcast
+# join + per-doc groupBy. Nothing global but two scalars.
+# --------------------------------------------------------------------------
+@query(
+    "bm25_topk_retrieval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+),
+idf AS (
+  SELECT t,
+         ln(((SELECT n FROM consts) - count(DISTINCT doc_id) + 0.5)
+            / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM toks GROUP BY t
+),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                  / (SELECT avgdl FROM consts)))), 6)
+           AS score
+  FROM tf
+  JOIN idf USING (t)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE t IN ('fast', 'join', 'shuffle')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()  # scalar, metadata-cheap
+    n_toks = toks.count()  # scalar: one narrow count over the explosion
+    avgdl = float(n_toks) / float(n_docs)
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    idf = toks.groupBy("t").agg(
+        F.log(
+            (F.lit(float(n_docs)) - F.countDistinct("doc_id") + F.lit(0.5))
+            / (F.countDistinct("doc_id") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf")
+    )
+    query_terms = ("fast", "join", "shuffle")
+    # same association order as the oracle: idf * (tf*(k1+1)) / (tf + k1*(...))
+    term_score = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        tf.filter(F.col("t").isin(*query_terms))
+        .join(F.broadcast(idf.filter(F.col("t").isin(*query_terms))), "t")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
