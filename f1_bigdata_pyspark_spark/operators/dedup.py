@@ -258,8 +258,20 @@ def minhash_candidates(
         .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
         .dropDuplicates()
     )
-    s1 = sig.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"))
-    s2 = sig.select(F.col("doc").alias("d2"), F.col("sig").alias("sig2"))
+    # Verify joins under the size policy: the signature table (#docs × 32
+    # longs) broadcasts while it fits the threshold — removing two shuffle
+    # joins — and degrades to a co-partitioned join at corpus scale where
+    # it no longer does.
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    s1 = broadcast_if_small(
+        sig.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"))
+    )
+    s2 = broadcast_if_small(
+        sig.select(F.col("doc").alias("d2"), F.col("sig").alias("sig2"))
+    )
     n_match = F.aggregate(
         F.zip_with("sig1", "sig2", lambda a, b: (a == b).cast("int")),
         F.lit(0),
