@@ -49,3 +49,56 @@ def label_cohesion(embeddings: DataFrame) -> DataFrame:
     return embeddings.groupBy("label").applyInPandas(
         _cohesion, schema=COHESION_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped-map: the one Arrow Python tier not covered by applyInPandas /
+# mapInPandas / mapInArrow / UDTF — TWO DataFrames grouped on the same key,
+# each key's pair of groups delivered to one Python call
+# (``a.groupBy(k).cogroup(b.groupBy(k)).applyInPandas``). The canonical use
+# is per-entity reconciliation of two event streams where the logic needs
+# both sides at once (sequence alignment, per-user attribution).
+# Scale: one shuffle per side on the key (the same exchange a join would
+# pay), groups pair-aligned by the cogroup exec; each PAIR of groups must
+# fit in one worker's memory. When the per-group logic is relational
+# (as in the attribution example below), the join form is cheaper — this
+# tier exists for logic that isn't.
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_SCHEMA = (
+    "user_id long, n_purchases long, n_clicks long, "
+    "purchase_value double, n_after_last_click long"
+)
+
+
+def _attribution(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    # left = one user's purchases (user_id, ts, value); right = the same
+    # user's clicks (user_id, ts). Either side may be empty (cogroup is
+    # full-outer on keys).
+    uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+    n_p, n_c = len(left), len(right)
+    pv = round(float(left["value"].sum()), 4) if n_p else 0.0
+    if n_c:
+        last_click = right["ts"].max()
+        n_after = int((left["ts"] > last_click).sum()) if n_p else 0
+    else:
+        n_after = n_p  # no clicks: every purchase is past the "last click"
+    return pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n_purchases": [n_p],
+            "n_clicks": [n_c],
+            "purchase_value": [pv],
+            "n_after_last_click": [n_after],
+        }
+    )
+
+
+def cogroup_attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Per-user purchase/click reconciliation via cogrouped applyInPandas.
+    purchases: (user_id, ts, value); clicks: (user_id, ts)."""
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(_attribution, schema=ATTRIBUTION_SCHEMA)
+    )

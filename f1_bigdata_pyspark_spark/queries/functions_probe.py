@@ -603,3 +603,65 @@ def collation_casefold_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: cogroup_user_attribution — the COGROUPED_MAP Arrow tier (two
+# DataFrames grouped on the same key, each key's PAIR of groups in one
+# Python call): per-user purchase/click attribution — purchase count/value,
+# click count, and purchases after the user's last click. The logic here is
+# deliberately also SQL-expressible (the oracle is the join form) so the
+# tier gets a full value-hash check; the tier itself is for per-entity
+# logic that isn't relational (sequence alignment, per-user session
+# stitching across streams). Scale: one user_id exchange per side — the
+# same two shuffles the join form pays — then pair-aligned Arrow batches;
+# state is bounded by the largest single user's events.
+# --------------------------------------------------------------------------
+@query(
+    "cogroup_user_attribution",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+pa AS (
+  SELECT user_id, count(*) AS n_purchases,
+         round(sum(value), 4) AS purchase_value
+  FROM p GROUP BY user_id
+),
+ca AS (
+  SELECT user_id, count(*) AS n_clicks, max(ts) AS last_click
+  FROM c GROUP BY user_id
+),
+aft AS (
+  SELECT p.user_id, count(*) AS n_after
+  FROM p LEFT JOIN ca ON p.user_id = ca.user_id
+  WHERE ca.last_click IS NULL OR p.ts > ca.last_click
+  GROUP BY p.user_id
+)
+SELECT COALESCE(pa.user_id, ca.user_id) AS user_id,
+       COALESCE(pa.n_purchases, 0) AS n_purchases,
+       COALESCE(ca.n_clicks, 0) AS n_clicks,
+       COALESCE(pa.purchase_value, 0.0) AS purchase_value,
+       COALESCE(aft.n_after, 0) AS n_after_last_click
+FROM pa
+FULL JOIN ca ON pa.user_id = ca.user_id
+LEFT JOIN aft ON COALESCE(pa.user_id, ca.user_id) = aft.user_id
+ORDER BY user_id
+""",
+)
+def cogroup_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.grouped_map import (
+        cogroup_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    return cogroup_attribution(purchases, clicks).orderBy("user_id")

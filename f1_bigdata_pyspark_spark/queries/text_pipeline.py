@@ -1715,3 +1715,136 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: bpe_pair_merge_candidates — tokenizer induction, step one: the
+# byte-pair-encoding merge-candidate table. Count adjacent character pairs
+# across the corpus, weighted by word frequency; the top pair is BPE's
+# first merge. The scale move is the same one every BPE trainer makes:
+# collapse the corpus to the DISTINCT-word frequency table FIRST (Zipf:
+# vocab ≪ token count), then explode character positions only over the
+# vocab — so the expensive explode is vocab-sized, not corpus-sized, and
+# the corpus contributes exactly one groupBy(word) shuffle. Pair extraction
+# is substring(word, i, 2) over a sequence — pure codegen, no UDF.
+# --------------------------------------------------------------------------
+@query(
+    "bpe_pair_merge_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+words AS (
+  SELECT w, count(*) AS freq FROM toks WHERE len(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM words, (SELECT unnest(range(1, 1000)) AS i) r
+  WHERE i + 1 <= len(w)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""",
+)
+def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+        "freq",
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: source_unigram_divergence — corpus drift audit: KL(source ‖ corpus)
+# between each source's unigram token distribution and the whole corpus's.
+# The mixture-rebalancing dashboard number: a source whose KL drifts up is
+# pulling the training distribution. Every source token also appears in
+# the corpus distribution by construction, so q > 0 and the sum is finite.
+# Physically: one tokenize pass → per-(source, token) counts (the only
+# corpus-sized shuffle) → per-token corpus counts re-aggregated FROM the
+# per-source table (no second pass) and joined back token-to-token. Both
+# count tables are vocab-sized.
+# --------------------------------------------------------------------------
+@query(
+    "source_unigram_divergence",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+st AS (
+  SELECT source, tok, count(*) AS c
+  FROM toks WHERE len(tok) >= 1 GROUP BY source, tok
+),
+src_tot AS (
+  SELECT source, sum(c) AS t_s FROM st GROUP BY source
+),
+gt AS (
+  SELECT tok, sum(c) AS g FROM st GROUP BY tok
+),
+g_tot AS (
+  SELECT sum(c) AS t_g FROM st
+)
+SELECT st.source,
+       CAST(any_value(src_tot.t_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       round(sum((st.c * 1.0 / src_tot.t_s)
+                 * ln((st.c * 1.0 / src_tot.t_s)
+                      / (gt.g * 1.0 / g_tot.t_g))), 6) AS kl_divergence
+FROM st
+JOIN src_tot ON st.source = src_tot.source
+JOIN gt ON st.tok = gt.tok
+CROSS JOIN g_tot
+GROUP BY st.source
+ORDER BY st.source
+""",
+)
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") >= 1)
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    st = materialize(st)  # three readers below; tokenize the corpus once
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("t_s"))
+    gt = st.groupBy("tok").agg(F.sum("c").alias("g"))
+    t_g = st.agg(F.sum("c").alias("t_g"))
+    p = F.col("c") / F.col("t_s")
+    q = F.col("g") / F.col("t_g")
+    return (
+        st.join(broadcast_if_small(src_tot), "source")
+        .join(gt, "tok")
+        .join(F.broadcast(t_g))  # 1-row scalar
+        .groupBy("source")
+        .agg(
+            F.first("t_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )

@@ -1108,3 +1108,72 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: important_part_value — TPC-H Q11 shape (the one TPC-H access pattern
+# previously missing): per-part shipped value for ONE nation's suppliers,
+# keeping parts above a FRACTION OF THE GLOBAL TOTAL — a scalar-subquery
+# HAVING. Physically: one lineitem⋈supplier(⋈nation) narrow join, one
+# partial+final agg per part, then the global total is a re-aggregate of
+# that SAME per-part table (no second fact pass) broadcast back as a 1-row
+# literal join. Scale: at 100 TB the threshold side is always 1 row —
+# Catalyst plans a BroadcastNestedLoopJoin over one row, which is free;
+# the fact is scanned once. Boundary safety: the closest part value sits
+# 9.4e-5 (relative) from the threshold at sf0.01, ~10 orders of magnitude
+# above cross-engine double-sum reassociation noise, so the HAVING cannot
+# flap between Spark and the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "important_part_value",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(val, 2) AS part_value
+FROM pv
+WHERE val > (SELECT sum(val) FROM pv) * 0.0005
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_9")
+        .select("n_nationkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            broadcast_if_small(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            broadcast_if_small(supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "val"
+            )
+        )
+    )
+    threshold = pv.agg((F.sum("val") * F.lit(0.0005)).alias("thr"))
+    return (
+        pv.join(F.broadcast(threshold))  # 1-row scalar, always broadcast
+        .filter(F.col("val") > F.col("thr"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
