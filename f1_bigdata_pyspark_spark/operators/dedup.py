@@ -71,10 +71,21 @@ def _raw_shingles(
     element_at) avoids the doc-keyed exchange but measured ~2× SLOWER end
     to end at sf0.1 — higher-order array functions evaluate their lambda
     interpreted per element, while the window form stays inside codegen.
-    The per-doc window is keyed by doc id, so it scales horizontally."""
+    The per-doc window is keyed by doc id, so it scales horizontally.
+
+    The doc-keyed exchange the window needs is issued EXPLICITLY on the
+    raw documents, before the token explode: (a) pre-explode rows are the
+    smaller representation to shuffle (text once vs. every token carrying
+    a doc key), and (b) an explicit partition count pins full parallelism
+    for the md5/window stages — the planner-inserted exchange is
+    AQE-coalesced by *byte* size (a few MB of text → 3 partitions),
+    serializing the CPU-bound hashing work downstream of it (measured
+    3x on the signature build at sf0.1). Every downstream doc-keyed op
+    (window, collect_set groupBy) reuses this one exchange."""
     from pyspark.sql import Window
 
-    tok = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
     )
