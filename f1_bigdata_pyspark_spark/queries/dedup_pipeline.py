@@ -1212,3 +1212,53 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: fuzzy_part_name_matches — entity resolution by BLOCK-THEN-VERIFY on
+# edit distance: candidate pairs come only from a blocking key (the name's
+# last token — the product noun), then the quadratic verifier (levenshtein
+# ≤ 3) runs only WITHIN blocks. Same generate/verify split as MinHash LSH
+# vs exact Jaccard, with string edit distance as the metric — the classic
+# record-linkage shape for author/title dedup in a training corpus.
+# Scale: pair space is Σ block² over noun blocks, never names²; a hot
+# block (one noun dominating) is the skew risk — production would cap or
+# sub-block it (e.g. add a length bucket to the key). Distinct names
+# first: verification cost scales with the VOCABULARY of names, not rows.
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_part_name_matches",
+    oracle="""
+WITH nm AS (
+  SELECT DISTINCT p_name FROM part
+),
+blocked AS (
+  SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM nm
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM blocked a
+JOIN blocked b
+  ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY edit_dist, name_a, name_b
+""",
+)
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    nm = part.select("p_name").distinct()
+    blocked = nm.select(
+        "p_name", F.element_at(F.split(F.col("p_name"), " "), -1).alias("noun")
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "noun")
+    b = blocked.select(F.col("p_name").alias("name_b"), "noun")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 3)
+        .select(
+            "name_a", "name_b", dist.cast("long").alias("edit_dist")
+        )
+        .orderBy("edit_dist", "name_a", "name_b")
+    )

@@ -293,3 +293,125 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_graph_triangles — triangle counting with DEGREE ORIENTATION,
+# the standard O(m^1.5) distributed-triangle algorithm: orient every
+# undirected edge from its (lower-degree, then lower-id) endpoint to the
+# other, so each triangle is counted exactly once and — the scale point —
+# no vertex's adjacency list in the path join exceeds O(sqrt(m)): a
+# celebrity node with 10M neighbors contributes wedges only through its
+# (bounded) out-edges, not its in-edges. Output is one audit row: nodes,
+# edges, triangles, and the global clustering coefficient
+# (3·triangles / wedges). Graph = suppliers co-occurring in an order
+# during 1997. Physically: wedge join (e1.src = e2.src) then one closing
+# hash join on (e1.dst, e2.dst) — two shuffles over edge-sized tables.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_graph_triangles",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+und AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+ori AS (
+  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst
+  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM ori e1
+  JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       round(3.0 * n_triangles
+             / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+         AS clustering_coeff
+FROM tri
+""",
+)
+def supplier_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    und = materialize(und)  # read by deg + orientation + three join sides
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = broadcast_if_small(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = broadcast_if_small(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = materialize(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = ori.select(F.col("src").alias("s"), F.col("dst").alias("d1"))
+    e2 = ori.select(F.col("src").alias("s"), F.col("dst").alias("d2"))
+    wedges = e1.join(e2, "s").filter(F.col("d1") < F.col("d2"))
+    closing = ori.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
+    # one declarative plan: three 1-row aggregates cross-joined (each side
+    # broadcast — a 1-row build is free at any scale)
+    tri = wedges.join(closing, ["d1", "d2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedge_total"),
+    )
+    edge_stats = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.join(F.broadcast(node_stats))
+        .join(F.broadcast(edge_stats))
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("n_triangles").cast("long"),
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("wedge_total"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -1177,3 +1177,63 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.round("val", 2).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: copurchase_part_pairs — market-basket co-occurrence mining: the top
+# part pairs bought together in one order. The naive form is a quadratic
+# self-join; the scale discipline is that the join key is the ORDER — the
+# pair explosion is bounded per key by the basket size (≤ ~13 items here,
+# ~7 lines in TPC-H), so the join output is Σ C(basket,2) ≈ linear in
+# orders, never corpus². Dedup to distinct (order, part) BEFORE pairing
+# (multi-line orders repeat parts), pair with p1 < p2, map-side-combined
+# count, top-k under a total order, broadcast part names last (names join
+# the 15-row result, not the pair table).
+# --------------------------------------------------------------------------
+@query(
+    "copurchase_part_pairs",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p1, p2, pa.p_name AS name1, pb.p_name AS name2,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM pairs
+JOIN part pa ON pa.p_partkey = p1
+JOIN part pb ON pb.p_partkey = p2
+ORDER BY n_orders DESC, p1, p2
+LIMIT 15
+""",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(15)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pa = broadcast_if_small(
+        part.select(F.col("p_partkey").alias("p1"), F.col("p_name").alias("name1"))
+    )
+    pb = broadcast_if_small(
+        part.select(F.col("p_partkey").alias("p2"), F.col("p_name").alias("name2"))
+    )
+    return (
+        pairs.join(pa, "p1")
+        .join(pb, "p2")
+        .select("p1", "p2", "name1", "name2", "n_orders")
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+    )
