@@ -1,0 +1,206 @@
+"""Snapshot-versioned parquet table: manifest-based atomic commits with
+time travel and rollback — the lakehouse transaction mechanism (Delta /
+Iceberg's core idea) built from scratch on plain parquet + JSON manifests.
+
+Why this exists (SURVEY.md §2 S4/S6 extension): the reference's sinks are
+an idempotent upsert and a truncate (`ingest_laps.py:57-68`,
+`reset_collection.py:17-18`) against a transactional store (MongoDB).
+Parquet has no transactions: a plain ``mode("overwrite")`` first DELETES
+the directory, so a reader racing the writer sees a missing or partial
+table, and a failed job leaves it destroyed. The manifest layer restores
+the transactional behavior Mongo was providing — and adds history.
+
+Mechanism (exactly the Delta log's, minus compaction of the log itself):
+
+- Data files are immutable, written once under ``<root>/data/`` with a
+  unique per-commit prefix. NOTHING ever rewrites or deletes a live file.
+- A commit = write data files, then atomically publish manifest
+  ``_manifests/v{N}.json`` listing the table's COMPLETE file set at
+  version N (append = previous set + new files; overwrite = new files).
+- Atomicity: the manifest is written to a temp name and ``rename``d into
+  place — a POSIX/HDFS atomic op. Readers either see v{N} fully or not
+  at all; a crashed writer leaves only unreferenced orphan files (safe,
+  vacuumable).
+- Optimistic concurrency: the rename fails (or the version check refuses)
+  if v{N} already exists — the loser retries on top of the winner, the
+  Delta conflict protocol.
+- Time travel: ``read(spark, version=K)`` lists v{K}'s files explicitly;
+  Spark scans exactly that snapshot regardless of later commits.
+- Rollback: publishing v{N+1} with v{K}'s file list — history is never
+  rewritten (the audit-safe form of restore).
+
+Scale: the manifest holds file PATHS (plus row counts), not data; at
+100 TB a version is still a few MB of JSON, and a snapshot read plans
+from the explicit file list with no directory listing storm. Appends are
+O(new data) — the 1000-executor write never touches existing files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer published this version first (optimistic-concurrency
+    loser). Re-read the latest version and retry the commit."""
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version}.json")
+
+    def versions(self) -> list[int]:
+        vs = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    vs.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(vs)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _publish(self, version: int, manifest: dict) -> None:
+        """Atomically publish the manifest for ``version`` (write temp +
+        rename). Raises SnapshotConflictError if the version exists."""
+        final = self._manifest_path(version)
+        if os.path.exists(final):
+            raise SnapshotConflictError(f"version {version} already committed")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            # exclusive link+unlink ≈ rename that FAILS if dst exists —
+            # closes the check-then-rename race two concurrent committers
+            # would otherwise slip through (rename overwrites on POSIX)
+            os.link(tmp, final)
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"version {version} already committed"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    # -- write path ---------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        expected_base_version: int | None = None,
+    ) -> int:
+        """Write ``df``'s rows as new immutable files and publish the next
+        manifest. mode='append' keeps prior files; 'overwrite' starts the
+        file set fresh (logical truncate — S6 — without deleting history).
+        ``expected_base_version`` (optimistic check): refuse if the table
+        advanced past it since the caller read."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        base = self.latest_version()
+        if expected_base_version is not None and base != expected_base_version:
+            raise SnapshotConflictError(
+                f"table advanced to v{base}, expected v{expected_base_version}"
+            )
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
+        df.write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        prior = (
+            self._read_manifest(base)["files"]
+            if (base is not None and mode == "append")
+            else []
+        )
+        version = 0 if base is None else base + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": prior + new_files,
+            "schema": df.schema.json(),
+        }
+        self._publish(version, manifest)
+        return version
+
+    def rollback(self, to_version: int) -> int:
+        """Publish a NEW version whose file set equals ``to_version``'s —
+        restore without rewriting history."""
+        target = self._read_manifest(to_version)
+        base = self.latest_version()
+        version = (base if base is not None else -1) + 1
+        self._publish(
+            version,
+            {
+                "version": version,
+                "mode": f"rollback-to-v{to_version}",
+                "files": target["files"],
+                "schema": target["schema"],
+            },
+        )
+        return version
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: the file list of ``version`` (default latest),
+        planned as an explicit multi-path parquet scan. Empty table (no
+        files in the version) -> empty frame with the committed schema."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(v)
+        files = manifest["files"]
+        if not files:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(manifest["schema"]))
+            )
+        return spark.read.parquet(*files)
+
+    def history(self) -> list[dict]:
+        """One dict per version: version, mode, n_files."""
+        return [
+            {
+                "version": v,
+                "mode": (m := self._read_manifest(v))["mode"],
+                "n_files": len(m["files"]),
+            }
+            for v in self.versions()
+        ]
+
+    def orphan_files(self) -> list[str]:
+        """Data files referenced by NO manifest (crashed commits) — the
+        vacuum candidates. Live files are never listed."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(self._read_manifest(v)["files"])
+        orphans = []
+        for dirpath, _, files in os.walk(self.data_dir):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if f.endswith(".parquet") and p not in referenced:
+                    orphans.append(p)
+        return sorted(orphans)

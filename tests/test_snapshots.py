@@ -1,0 +1,94 @@
+"""Snapshot-versioned table: atomic commits, time travel, rollback,
+optimistic concurrency, orphan detection (sources/snapshots.py).
+
+Covers the transactional sink semantics the reference delegated to MongoDB
+(SURVEY.md §2 S4/S6) re-hosted on parquet + manifests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from f1_bigdata_pyspark_spark.sources.snapshots import (
+    SnapshotConflictError,
+    SnapshotTable,
+)
+
+
+@pytest.fixture
+def table(tmp_path):
+    return SnapshotTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_commits_and_time_travel(spark, table):
+    v0 = table.commit(_df(spark, [(1, "a"), (2, "b")]), mode="append")
+    v1 = table.commit(_df(spark, [(3, "c")]), mode="append")
+    assert (v0, v1) == (0, 1)
+    assert table.read(spark, version=0).count() == 2
+    assert table.read(spark, version=1).count() == 3
+    assert table.read(spark).count() == 3  # latest
+    # v0's result is stable even after later commits (immutable files)
+    assert sorted(r.k for r in table.read(spark, version=0).collect()) == [1, 2]
+
+
+def test_overwrite_is_logical_truncate_with_history(spark, table):
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    table.commit(_df(spark, [(9, "z")]), mode="overwrite")
+    assert table.read(spark).count() == 1
+    assert table.read(spark).collect()[0].k == 9
+    # the pre-overwrite version still reads (no delete-then-write window)
+    assert table.read(spark, version=0).collect()[0].k == 1
+
+
+def test_rollback_publishes_new_version(spark, table):
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    table.commit(_df(spark, [(2, "b")]), mode="append")
+    v = table.rollback(0)
+    assert v == 2
+    assert table.read(spark).count() == 1  # back to v0's content
+    assert table.read(spark, version=1).count() == 2  # history intact
+    assert [h["version"] for h in table.history()] == [0, 1, 2]
+
+
+def test_optimistic_concurrency_conflict(spark, table):
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    # writer A read v0; writer B commits first; A's commit must refuse
+    table.commit(_df(spark, [(2, "b")]), mode="append")
+    with pytest.raises(SnapshotConflictError):
+        table.commit(
+            _df(spark, [(3, "c")]), mode="append", expected_base_version=0
+        )
+    # retry on top of the winner succeeds
+    v = table.commit(
+        _df(spark, [(3, "c")]), mode="append", expected_base_version=1
+    )
+    assert v == 2
+    assert table.read(spark).count() == 3
+
+
+def test_duplicate_version_publish_refused(spark, table):
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    m = table._read_manifest(0)
+    with pytest.raises(SnapshotConflictError):
+        table._publish(0, m)
+
+
+def test_orphans_detected_not_referenced(spark, table):
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    # simulate a crashed commit: data files written, manifest never published
+    crashed = os.path.join(table.data_dir, "commit-deadbeef")
+    _df(spark, [(7, "x")]).write.parquet(crashed)
+    orphans = table.orphan_files()
+    assert orphans and all("commit-deadbeef" in p for p in orphans)
+    # reads are unaffected by orphans
+    assert table.read(spark).count() == 1
+
+
+def test_empty_read_raises(spark, table):
+    with pytest.raises(FileNotFoundError):
+        table.read(spark)
