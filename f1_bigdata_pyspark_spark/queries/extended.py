@@ -1070,3 +1070,64 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: join_key_skew_report — the diagnostic you run BEFORE a big join or
+# aggregation: the per-key row-count distribution of a prospective shuffle
+# key. Output per table/key: distinct keys, mean and max rows per key, the
+# p50/p99 of the per-key counts, and the hot-key ratio (max/mean) — the
+# number that tells you whether to salt (operators/skew.py) or let AQE
+# split (tests/test_aqe_skew.py). Two-phase: the corpus-sized pass is one
+# map-side-combined count per key; the distribution stats then run over
+# the key-count table (keys, not rows). One row per audited key so the
+# report extends by UNION.
+# --------------------------------------------------------------------------
+@query(
+    "join_key_skew_report",
+    oracle="""
+WITH ec AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+lc AS (
+  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+)
+SELECT 'events.user_id' AS key_name,
+       count(*) AS n_keys,
+       round(avg(cnt), 6) AS mean_rows,
+       CAST(max(cnt) AS BIGINT) AS max_rows,
+       round(quantile_cont(cnt, 0.5), 6) AS p50_rows,
+       round(quantile_cont(cnt, 0.99), 6) AS p99_rows,
+       round(max(cnt) / avg(cnt), 6) AS hot_key_ratio
+FROM ec
+UNION ALL
+SELECT 'lineitem.l_orderkey',
+       count(*),
+       round(avg(cnt), 6),
+       CAST(max(cnt) AS BIGINT),
+       round(quantile_cont(cnt, 0.5), 6),
+       round(quantile_cont(cnt, 0.99), 6),
+       round(max(cnt) / avg(cnt), 6)
+FROM lc
+ORDER BY key_name
+""",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def report(df: DataFrame, key: str, key_name: str) -> DataFrame:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        return counts.agg(
+            F.lit(key_name).alias("key_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.avg("cnt"), 6).alias("mean_rows"),
+            F.max("cnt").cast("long").alias("max_rows"),
+            F.round(F.percentile("cnt", F.lit(0.5)), 6).alias("p50_rows"),
+            F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_rows"),
+            F.round(F.max("cnt") / F.avg("cnt"), 6).alias("hot_key_ratio"),
+        )
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        report(events, "user_id", "events.user_id")
+        .unionByName(report(li, "l_orderkey", "lineitem.l_orderkey"))
+        .orderBy("key_name")
+    )

@@ -571,3 +571,91 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = _query_vec(spark, sf_dir)
     return ivf_probe_topk(emb, centroids, qv, k=20, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Q: knn_join_within_cells — the kNN JOIN (every vector gets its top-3
+# neighbors), blocked by IVF cell: both sides are assigned to their
+# nearest of 16 deterministic centroids, and the quadratic cosine verify
+# runs only WITHIN a cell. This is the vector-search face of the
+# generate/verify discipline — at corpus scale the pair space is n²/k
+# (tunable by centroid count, recoverable recall via nprobe), never n²,
+# and the per-cell join key makes the shuffle a standard hash exchange
+# on centroid_id. Scores round to 6 dp BEFORE ranking (id tie-break), so
+# the whole join is value-hash-checkable against the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "knn_join_within_cells",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+  FROM assign a
+  JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos_sim
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+""",
+)
+def knn_join_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    cells = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = cells.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("cell"),
+        F.col("embedding").alias("va"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("cell"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "rk", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rk")
+    )

@@ -92,3 +92,24 @@ def test_orphans_detected_not_referenced(spark, table):
 def test_empty_read_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read(spark)
+
+
+def test_snapshot_diff_cdc(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import snapshot_diff
+
+    table.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="append")
+    table.commit(_df(spark, [(1, "a"), (2, "B"), (4, "d")]), mode="overwrite")
+    diff = snapshot_diff(spark, table, 0, 1, ["k"])
+    got = {r.k: r.change_type for r in diff.collect()}
+    assert got == {2: "update", 3: "delete", 4: "insert"}  # 1 unchanged
+    # updated payload carries the NEW row
+    assert [r.row.v for r in diff.collect() if r.k == 2] == ["B"]
+
+
+def test_snapshot_diff_null_transition_is_update(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import snapshot_diff
+
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    table.commit(_df(spark, [(1, None)]), mode="overwrite")
+    diff = snapshot_diff(spark, table, 0, 1, ["k"]).collect()
+    assert len(diff) == 1 and diff[0].change_type == "update"
