@@ -335,7 +335,7 @@ ori AS (
 tri AS (
   SELECT count(*) AS n_triangles
   FROM ori e1
-  JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN ori e2 ON e1.src = e2.src AND e1.dst <> e2.dst
   JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
 )
 SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
@@ -389,9 +389,14 @@ def supplier_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
+    # wedge pairs are ORDERED (d1 <> d2, both orders kept): the closing
+    # edge is degree-oriented and exists in exactly one direction, so each
+    # triangle joins exactly once — an id-ordered filter (d1 < d2) would
+    # MISS triangles whose closing edge's degree orientation opposes id
+    # order (caught by tests/test_properties.py's crafted counterexample)
     e1 = ori.select(F.col("src").alias("s"), F.col("dst").alias("d1"))
     e2 = ori.select(F.col("src").alias("s"), F.col("dst").alias("d2"))
-    wedges = e1.join(e2, "s").filter(F.col("d1") < F.col("d2"))
+    wedges = e1.join(e2, "s").filter(F.col("d1") != F.col("d2"))
     closing = ori.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
     # one declarative plan: three 1-row aggregates cross-joined (each side
     # broadcast — a 1-row build is free at any scale)

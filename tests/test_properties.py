@@ -343,3 +343,124 @@ def test_asof_join_matches_pandas_merge_asof(spark, probes, states):
             for r in merged.itertuples()
         )
         assert got == want, direction
+
+
+# --------------------------------------------------------------------------
+# Snapshot CDC: applying the diff to the FROM version reconstructs the TO
+# version exactly (sources/snapshots.snapshot_diff) — the invariant an
+# incremental consumer of the change feed relies on.
+# --------------------------------------------------------------------------
+_cdc_tables = st.tuples(
+    st.dictionaries(  # v0: key -> value
+        st.integers(min_value=0, max_value=8),
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=2)),
+        max_size=8,
+    ),
+    st.dictionaries(  # v1
+        st.integers(min_value=0, max_value=8),
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=2)),
+        max_size=8,
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_cdc_tables)
+def test_snapshot_diff_roundtrip(spark, tmp_path_factory, tables):
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    v0, v1 = tables
+    root = tmp_path_factory.mktemp("cdc")
+    tbl = SnapshotTable(str(root / "t"))
+    tbl.commit(
+        spark.createDataFrame(sorted(v0.items()) or [(None, None)],
+                              "k int, v string").filter("k is not null"),
+        mode="append",
+    )
+    tbl.commit(
+        spark.createDataFrame(sorted(v1.items()) or [(None, None)],
+                              "k int, v string").filter("k is not null"),
+        mode="overwrite",
+    )
+    diff = {
+        r.k: (r.change_type, r.row.v)
+        for r in snapshot_diff(spark, tbl, 0, 1, ["k"]).collect()
+    }
+    # replay: v0 + diff == v1
+    replayed = dict(v0)
+    for k, (ct, v) in diff.items():
+        if ct == "delete":
+            replayed.pop(k)
+        else:  # insert or update carry the NEW row
+            replayed[k] = v
+    assert replayed == v1
+    # no spurious entries: unchanged keys never appear
+    for k in set(v0) & set(v1):
+        if v0[k] == v1[k]:
+            assert k not in diff
+
+
+# --------------------------------------------------------------------------
+# Degree-oriented triangle counting equals the naive unoriented count
+# (every triangle counted exactly once regardless of orientation) on
+# random graphs — the invariant behind supplier_graph_triangles.
+# --------------------------------------------------------------------------
+_rand_edges = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda e: e[0] != e[1]),
+    max_size=25,
+)
+
+
+def test_triangle_missed_by_id_ordered_wedge_filter(spark):
+    # triangle {0,5,2} with deg(2) raised: the closing edge orients 5->2
+    # (degree order) while an id-ordered wedge filter keeps only (2,5) —
+    # the counterexample that showed d1 < d2 undercounts; the shipped
+    # ordered-wedge form (d1 <> d2) must count exactly 1
+    edges = {(0, 5), (0, 2), (2, 5), (2, 7), (2, 8)}
+    assert _spark_triangles(spark, edges) == 1
+
+
+def _spark_triangles(spark, edges) -> int:
+    """Degree-oriented triangle count, same dataflow as
+    queries/joins.supplier_graph_triangles (ordered wedges d1 <> d2)."""
+    und = {tuple(sorted(e)) for e in edges}
+    if not und:
+        return 0
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(adj[n]) for n in adj}
+    ori = [(u, v) if (deg[u], u) < (deg[v], v) else (v, u) for u, v in und]
+    df = spark.createDataFrame(ori, "src int, dst int")
+    from pyspark.sql import functions as F
+
+    e1 = df.select(F.col("src").alias("s"), F.col("dst").alias("d1"))
+    e2 = df.select(F.col("src").alias("s"), F.col("dst").alias("d2"))
+    wedges = e1.join(e2, "s").filter(F.col("d1") != F.col("d2"))
+    closing = df.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
+    return wedges.join(closing, ["d1", "d2"]).count()
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rand_edges)
+def test_degree_oriented_triangle_count_matches_naive(spark, edges):
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edges}
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert _spark_triangles(spark, edges) == expected
