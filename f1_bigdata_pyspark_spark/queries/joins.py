@@ -420,3 +420,125 @@ def supplier_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_kcore — k-core decomposition (k=8) by iterative peeling:
+# repeatedly drop nodes with degree < k until none remain; what survives
+# is the 8-core of the H1-1997 co-supplier graph — the standard dense-
+# subgraph primitive (community cores, spam-ring mining). The face
+# UNROLLS 7 peel rounds into one declarative plan (the fixed-iteration
+# idiom, like pagerank_suppliers) and emits a CONVERGED boolean (round 7
+# edge count == round 6's) — honest about the fixed unroll: if a
+# regenerated graph needed more rounds, both engines report false and
+# stay hash-equal. Production form for unbounded peeling is the bounded-
+# round loop with a convergence check (operators/graph.py, star CC).
+# Scale: each round is one degree aggregate (map-side combined) + one
+# semi-join of edges against surviving nodes — edge-sized exchanges,
+# O(peel-depth) rounds.
+# --------------------------------------------------------------------------
+_KCORE_K = 8
+_KCORE_ROUNDS = 7
+
+
+def _kcore_oracle() -> str:
+    blocks = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01') a
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01') b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = f"e{i - 1}"
+        blocks.append(
+            f"""deg{i} AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM {p} UNION ALL SELECT v AS node FROM {p}
+  ) t GROUP BY node
+),
+e{i} AS MATERIALIZED (
+  SELECT {p}.u, {p}.v FROM {p}
+  JOIN deg{i} du ON du.node = {p}.u
+  JOIN deg{i} dv ON dv.node = {p}.v
+  WHERE du.d >= {_KCORE_K} AND dv.d >= {_KCORE_K}
+)"""
+        )
+    last, prev = f"e{_KCORE_ROUNDS}", f"e{_KCORE_ROUNDS - 1}"
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT {_KCORE_K} AS k,
+       CAST((SELECT count(*) FROM (
+         SELECT u AS n FROM {last} UNION SELECT v FROM {last}) t) AS BIGINT)
+         AS n_core_nodes,
+       CAST((SELECT count(*) FROM {last}) AS BIGINT) AS n_core_edges,
+       (SELECT count(*) FROM {last}) = (SELECT count(*) FROM {prev})
+         AS converged
+"""
+    )
+
+
+@query("supplier_kcore", oracle=_kcore_oracle())
+def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    e = materialize(
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    prev_edges = None
+    for _ in range(_KCORE_ROUNDS):
+        prev_edges = e
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = broadcast_if_small(
+            deg.filter(F.col("d") >= _KCORE_K).select("node")
+        )
+        e = materialize(
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+    n_core = e.select(F.col("u").alias("n")).union(
+        e.select(F.col("v").alias("n"))
+    ).distinct()
+    final_cnt = e.agg(F.count(F.lit(1)).alias("n_core_edges"))
+    prev_cnt = prev_edges.agg(F.count(F.lit(1)).alias("__prev"))
+    node_cnt = n_core.agg(F.count(F.lit(1)).alias("n_core_nodes"))
+    return (
+        final_cnt.join(F.broadcast(node_cnt))
+        .join(F.broadcast(prev_cnt))
+        .select(
+            F.lit(_KCORE_K).alias("k"),
+            F.col("n_core_nodes").cast("long"),
+            F.col("n_core_edges").cast("long"),
+            (F.col("n_core_edges") == F.col("__prev")).alias("converged"),
+        )
+    )
