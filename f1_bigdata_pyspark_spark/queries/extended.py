@@ -1131,3 +1131,132 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report(li, "l_orderkey", "lineitem.l_orderkey"))
         .orderBy("key_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: data_quality_suite — declarative expectation suite (the Deequ/
+# Great-Expectations pattern): a battery of data-contract checks evaluated
+# in as few passes as the checks allow, emitted as one (check, observed,
+# passed) report — the gate a production pipeline runs before publishing
+# a table version (pairs with sources/snapshots.py: gate, then commit).
+# Single-scan discipline: the five scalar checks fold into ONE aggregate
+# over orders; only uniqueness (groupBy key) and referential integrity
+# (anti join) need their own exchanges, and both move keys, not rows.
+# --------------------------------------------------------------------------
+@query(
+    "data_quality_suite",
+    oracle="""
+WITH scalars AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+         min(o_totalprice) AS min_price,
+         max(o_orderdate) AS max_date
+  FROM orders
+),
+dups AS (
+  SELECT count(*) AS n_dup_keys FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+  ) t
+),
+orphans AS (
+  SELECT count(*) AS n_orphans
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  WHERE c_custkey IS NULL
+)
+SELECT check_name, round(observed, 6) AS observed, passed FROM (
+  SELECT 'row_count_min_1000' AS check_name,
+         CAST(n_rows AS DOUBLE) AS observed, n_rows >= 1000 AS passed
+  FROM scalars
+  UNION ALL
+  SELECT 'custkey_complete', CAST(null_custkey AS DOUBLE),
+         null_custkey = 0 FROM scalars
+  UNION ALL
+  SELECT 'totalprice_positive', min_price, min_price > 0 FROM scalars
+  UNION ALL
+  SELECT 'orderdate_fresh_1998',
+         CAST(date_part('year', max_date) AS DOUBLE),
+         max_date >= TIMESTAMP '1998-01-01' FROM scalars
+  UNION ALL
+  SELECT 'orderkey_unique', CAST(n_dup_keys AS DOUBLE),
+         n_dup_keys = 0 FROM dups
+  UNION ALL
+  SELECT 'custkey_referential', CAST(n_orphans AS DOUBLE),
+         n_orphans = 0 FROM orphans
+) r
+ORDER BY check_name
+""",
+)
+def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    scalars = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("null_custkey"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_keys"))
+    )
+    orphans = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+
+    def row(name, observed, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.round(observed.cast("double"), 6).alias("observed"),
+            passed.alias("passed"),
+        )
+
+    report = (
+        scalars.join(F.broadcast(dups))
+        .join(F.broadcast(orphans))
+        .select(
+            F.explode(
+                F.array(
+                    row(
+                        "row_count_min_1000",
+                        F.col("n_rows"),
+                        F.col("n_rows") >= 1000,
+                    ),
+                    row(
+                        "custkey_complete",
+                        F.col("null_custkey"),
+                        F.col("null_custkey") == 0,
+                    ),
+                    row(
+                        "totalprice_positive",
+                        F.col("min_price"),
+                        F.col("min_price") > 0,
+                    ),
+                    row(
+                        "orderdate_fresh_1998",
+                        F.year("max_date"),
+                        F.col("max_date")
+                        >= F.lit("1998-01-01").cast("timestamp"),
+                    ),
+                    row(
+                        "orderkey_unique",
+                        F.col("n_dup_keys"),
+                        F.col("n_dup_keys") == 0,
+                    ),
+                    row(
+                        "custkey_referential",
+                        F.col("n_orphans"),
+                        F.col("n_orphans") == 0,
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.check_name", "r.observed", "r.passed")
+        .orderBy("check_name")
+    )
+    return report

@@ -248,3 +248,34 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type", payload.alias("row"))
     )
+
+
+def vacuum(table: SnapshotTable, keep_versions: int = 2) -> dict:
+    """Physically delete files no LIVE version references: drop manifests
+    older than the newest ``keep_versions``, then remove data files
+    referenced by no surviving manifest (plus crashed-commit orphans).
+    Returns {"removed_manifests": n, "removed_files": n}.
+
+    The one DESTRUCTIVE snapshot op, so it is the only one that breaks
+    time travel — and only past the retention window, exactly like
+    ``VACUUM`` on Delta / ``expire_snapshots`` on Iceberg. Safe order:
+    manifests are deleted FIRST (a concurrent reader either resolved its
+    file list before the delete — files still present — or fails cleanly
+    at the manifest), then unreferenced files."""
+    vs = table.versions()
+    drop, keep = vs[:-keep_versions], vs[-keep_versions:]
+    kept_files: set[str] = set()
+    for v in keep:
+        kept_files.update(table._read_manifest(v)["files"])
+    for v in drop:
+        os.unlink(table._manifest_path(v))
+    removed = 0
+    for dirpath, _, files in os.walk(table.data_dir, topdown=False):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if f.endswith(".parquet") and p not in kept_files:
+                os.unlink(p)
+                removed += 1
+        if dirpath != table.data_dir and not os.listdir(dirpath):
+            os.rmdir(dirpath)
+    return {"removed_manifests": len(drop), "removed_files": removed}

@@ -113,3 +113,23 @@ def test_snapshot_diff_null_transition_is_update(spark, table):
     table.commit(_df(spark, [(1, None)]), mode="overwrite")
     diff = snapshot_diff(spark, table, 0, 1, ["k"]).collect()
     assert len(diff) == 1 and diff[0].change_type == "update"
+
+
+def test_vacuum_retains_window_and_removes_the_rest(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    table.commit(_df(spark, [(1, "a")]), mode="append")       # v0
+    table.commit(_df(spark, [(2, "b")]), mode="append")       # v1
+    table.commit(_df(spark, [(9, "z")]), mode="overwrite")    # v2
+    table.commit(_df(spark, [(10, "y")]), mode="append")      # v3
+    stats = vacuum(table, keep_versions=2)
+    assert stats["removed_manifests"] == 2
+    # v0/v1's overwritten files are gone, v2/v3 still read fine
+    assert stats["removed_files"] >= 1
+    assert table.versions() == [2, 3]
+    assert sorted(r.k for r in table.read(spark, version=3).collect()) == [9, 10]
+    assert table.read(spark, version=2).count() == 1
+    # the retention window really is the boundary: v1 is unreadable now
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        table.read(spark, version=1)
