@@ -542,3 +542,54 @@ def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_core_edges") == F.col("__prev")).alias("converged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_part_butterflies — bipartite motif counting: a BUTTERFLY is
+# a 4-cycle (two suppliers sharing two parts), the bipartite analogue of
+# the triangle and the standard cohesion measure for two-mode graphs
+# (supplier×part, user×item, doc×shingle). Counted without materializing
+# 4-cycles: per supplier pair, c = #co-shipped parts (wedge count via the
+# part-keyed self-join), butterflies = Σ C(c, 2). Scale: the self-join is
+# keyed by PART, so pair fan-out is Σ deg(part)² — bounded by the part
+# degree cap, never #suppliers²; a hub part (shipped by everyone) is the
+# skew risk, handled by degree capping or sampling in production (same
+# discipline as the fuzzy-join hot block).
+# --------------------------------------------------------------------------
+@query(
+    "supplier_part_butterflies",
+    oracle="""
+WITH sp AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+wedge AS (
+  SELECT a.s AS s1, b.s AS s2, count(*) AS c
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_butterflies,
+       CAST(count(*) AS BIGINT) AS n_supplier_pairs,
+       CAST(max(c) AS BIGINT) AS max_coshipped_parts
+FROM wedge
+""",
+)
+def supplier_part_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = sp.select(F.col("p"), F.col("s").alias("s1"))
+    b = sp.select(F.col("p"), F.col("s").alias("s2"))
+    wedge = (
+        a.join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wedge.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias(
+            "n_butterflies"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_supplier_pairs"),
+        F.max("c").cast("long").alias("max_coshipped_parts"),
+    )

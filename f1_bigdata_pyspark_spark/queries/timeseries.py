@@ -946,3 +946,89 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: purchases_by_state_at_time — the POINT-IN-TIME join against an SCD2
+# dimension: build validity intervals [from, to) of each user's current
+# non-purchase activity state (user_state_history's construction), then
+# join every purchase to the interval containing its timestamp — "what
+# state was the user in when they bought?". The warehouse-correctness
+# pattern as-of joins approximate: here the containment is exact interval
+# logic. Physically an EQUI join on user_id with the interval predicate as
+# a post-join filter — one exchange per side; per-user interval counts are
+# bounded, and a production SCD2 dim is bucketed by the key so the fact
+# join is exchange-free. Purchases before the user's first state event
+# have no containing interval and are counted as 'no_state' via the left
+# join.
+# --------------------------------------------------------------------------
+@query(
+    "purchases_by_state_at_time",
+    oracle="""
+WITH st AS (
+  SELECT user_id, event_type AS state,
+         epoch_us(ts) AS from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_us
+  FROM events WHERE event_type <> 'purchase'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS p_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT p.user_id, p.value, st.state
+  FROM p LEFT JOIN st
+    ON p.user_id = st.user_id
+   AND st.from_us <= p.p_us
+   AND (st.to_us IS NULL OR p.p_us < st.to_us)
+)
+SELECT COALESCE(state, 'no_state') AS state,
+       count(*) AS n_purchases,
+       round(sum(value), 4) AS total_value
+FROM joined
+GROUP BY COALESCE(state, 'no_state')
+ORDER BY state
+""",
+)
+def purchases_by_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("from_us"),
+            "ts",
+            "event_id",
+        )
+        .select(
+            "user_id",
+            "state",
+            "from_us",
+            F.lead("from_us").over(w).alias("to_us"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us"), "value"
+    )
+    joined = p.join(
+        st,
+        (p.user_id == st.user_id)
+        & (F.col("from_us") <= F.col("p_us"))
+        & (F.col("to_us").isNull() | (F.col("p_us") < F.col("to_us"))),
+        "left",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("state"), F.lit("no_state")).alias("state"),
+            "value",
+        )
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("state")
+    )
