@@ -1260,3 +1260,71 @@ def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("check_name")
     )
     return report
+
+
+# --------------------------------------------------------------------------
+# Q: ab_test_welch — experimentation analytics: deterministically hash
+# users into two arms (same md5 split rule as train_test_split_stats —
+# assignment is a pure function of the id, reproducible at any scale and
+# immune to partitioning), then compare purchase values with Welch's
+# t-statistic from per-arm sufficient statistics (n, mean, var_samp).
+# The whole analysis is ONE aggregate pass over purchases + a 2-row
+# pivot — the at-scale shape of every metrics/experimentation platform
+# readout (no per-user collect, no scipy).
+# --------------------------------------------------------------------------
+@query(
+    "ab_test_welch",
+    oracle="""
+WITH p AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+arms AS (
+  SELECT arm, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM p GROUP BY arm
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round(a.m - b.m, 6) AS mean_diff,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS welch_t
+FROM (SELECT * FROM arms WHERE arm = 'A') a,
+     (SELECT * FROM arms WHERE arm = 'B') b
+""",
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.when(md5_long(F.col("user_id").cast("string")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    arms = p.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    return a.join(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m_a") - F.col("m_b"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            6,
+        ).alias("welch_t"),
+    )
