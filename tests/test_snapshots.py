@@ -133,3 +133,29 @@ def test_vacuum_retains_window_and_removes_the_rest(spark, table):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         table.read(spark, version=1)
+
+
+def test_incremental_change_feed_exactly_once(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import read_changes_since
+
+    table.commit(_df(spark, [(1, "a"), (2, "b")]), mode="append")
+    df, cur = read_changes_since(spark, table, None)
+    assert sorted(r.k for r in df.collect()) == [1, 2] and cur == 0
+    # nothing new -> no frame, cursor unchanged
+    df2, cur2 = read_changes_since(spark, table, cur)
+    assert df2 is None and cur2 == 0
+    # two more commits consumed in ONE incremental read, no re-delivery
+    table.commit(_df(spark, [(3, "c")]), mode="append")
+    table.commit(_df(spark, [(4, "d")]), mode="append")
+    df3, cur3 = read_changes_since(spark, table, cur)
+    assert sorted(r.k for r in df3.collect()) == [3, 4] and cur3 == 2
+
+
+def test_change_feed_refuses_overwrite_gap(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import read_changes_since
+
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    _, cur = read_changes_since(spark, table, None)
+    table.commit(_df(spark, [(9, "z")]), mode="overwrite")
+    with pytest.raises(ValueError):
+        read_changes_since(spark, table, cur)
