@@ -1328,3 +1328,51 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_revenue_gini — revenue concentration audit: the Gini
+# coefficient of per-customer revenue via the rank formula
+# G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted totals. The
+# whale-dependence number (G→0 uniform, G→1 one customer is the business)
+# — for a training corpus the identical query over per-source token
+# counts is the mixture-concentration audit. Compute discipline: the
+# corpus-sized pass is the per-customer aggregate; the rank runs over the
+# REDUCED per-customer table (documented unpartitioned-window allowlist
+# candidate — at true scale, rank via range-partitioned sort or bucketed
+# ECDF). Tie-break (rev, custkey) makes the rank — and thus Σ(i·x_i) —
+# identical in both engines even with duplicate revenues.
+# --------------------------------------------------------------------------
+@query(
+    "customer_revenue_gini",
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM cr
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(rev), 2) AS total_revenue,
+       round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+""",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cr = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = cr.select("rev", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (n * F.sum("rev"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -593,3 +593,84 @@ def supplier_part_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_supplier_pairs"),
         F.max("c").cast("long").alias("max_coshipped_parts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_graph_assortativity — degree assortativity: the Pearson
+# correlation of endpoint degrees over the SYMMETRIZED edge list (each
+# undirected edge contributes both (d_u,d_v) and (d_v,d_u) — the standard
+# Newman definition). Negative = hubs attach to low-degree nodes
+# (disassortative, typical of transactional graphs); the single number
+# that predicts whether hub-removal fragments the graph. One degree
+# aggregate + two broadcast-policied joins + one corr aggregate over the
+# edge list; corr's sufficient statistics are map-side combined.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_graph_assortativity",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+und AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) t GROUP BY node
+),
+sym AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       round(corr(dx, dy), 6) AS assortativity
+FROM sym
+""",
+)
+def supplier_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    und = materialize(
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = broadcast_if_small(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = broadcast_if_small(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    withdeg = und.join(du, "u").join(dv, "v")
+    sym = withdeg.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(withdeg.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    return sym.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+    )

@@ -330,48 +330,80 @@ def test_no_query_uses_row_at_a_time_python(all_query_plans):
 # or bounded cardinality (source rollups, remainder ranks, global deciles
 # with a stated bound) — see the query docstrings. Anything NOT listed
 # here that plans an unpartitioned Window over corpus-scale input is a
-# scale regression.
+# scale regression. Verified against the detector below (the previous
+# regex matched simple-mode plan strings, which `explain("formatted")`
+# never emits — the audit was silently vacuous and this list had both
+# stale entries and misses).
 _GLOBAL_WINDOW_OK = {
-    "pareto_rank",
-    "order_value_deciles",
-    "price_equidepth_histogram",
-    "supplier_rank_distribution",
-    "top_revenue_supplier",
-    "mixture_temperature_allocation",
-    "stratified_quota_sample",
-    "corpus_curation_v2",
-    "customer_order_distribution",
-    "value_histogram",
-    "nation_market_share",
-    "priority_share",
-    "weighted_sample_ares",
-    "late_arrival_audit",
-    "bottomk_sample_merge",
-    "events_moving_avg",
-    "daily_revenue_spine",
-    "forecast_revenue",
-    "monthly_revenue",
+    "pareto_rank",                 # post-agg, ~#groups rows
+    "order_value_deciles",         # ntile over per-order rollup, bound stated
+    "price_equidepth_histogram",   # split points over per-bucket rollup
+    "supplier_rank_distribution",  # post-agg supplier ranks
+    "mixture_temperature_allocation",  # remainder rank over #sources rows
+    "stratified_quota_sample",     # per-stratum rank over bounded quota input
+    "corpus_curation_v2",          # composes the quota draw above
+    "priority_share",              # share-of-total over #priorities rows
+    "late_arrival_audit",          # running max in ARRIVAL order (audit semantics)
+    "bottomk_sample_merge",        # global min-k over per-day min-k rows
+    "monthly_revenue",             # month-over-month lag over #months rows
+    "customer_revenue_gini",       # rank over per-customer rollup (docstring)
+    "int8_quant_recall",           # top-10 rank over one query's candidates
+    "sequence_packing_stats",      # global pack offsets; per-shard at scale (docstring)
+    "zorder_part_layout",          # layout demo positions over the part dim
 }
+
+
+def _unpartitioned_window_specs(plan: str):
+    """True iff the formatted plan contains a windowspecdefinition with NO
+    partition key. formatted-mode Arguments lines OMIT empty spec lists,
+    so list-counting is ambiguous (partition-only and order-only windows
+    both render two lists); the reliable signal is the spec itself —
+    partition keys are bare expressions, order keys carry ASC/DESC."""
+    import re
+
+    def split_top(s):
+        parts, depth, cur = [], 0, ""
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur.strip())
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            parts.append(cur.strip())
+        return parts
+
+    for m in re.finditer(
+        r"windowspecdefinition\((.*?), specifiedwindowframe", plan
+    ):
+        args = split_top(m.group(1))
+        if args and all(re.search(r"\b(ASC|DESC)\b", a) for a in args):
+            return True  # only order keys -> no partition spec
+    if re.search(r"windowspecdefinition\(specifiedwindowframe", plan):
+        return True  # neither partition nor order keys
+    return False
 
 
 def test_unpartitioned_windows_are_documented(all_query_plans):
     """Any query planning a Window with an empty partition spec must be on
     the documented allowlist (post-agg / bounded cardinality). New queries
-    that accidentally sort the corpus on one partition fail here."""
-    import re
-
+    that accidentally sort the corpus on one partition fail here. The
+    allowlist is exact: stale entries (queries that no longer plan a
+    global window) fail too, so the list cannot rot in either direction."""
     offenders = []
+    stale = []
     for name, plan in all_query_plans.items():
-        if name in _GLOBAL_WINDOW_OK:
-            continue
-        for ln in plan.splitlines():
-            # WindowExec renders "Arguments: [fns], [part keys], [order]";
-            # an empty partition list right after the function list is the
-            # global-window signature
-            if re.search(r"Window.*\], \[\], \[", ln):
-                offenders.append(name)
-                break
-    assert not offenders, offenders
+        is_global = _unpartitioned_window_specs(plan)
+        if is_global and name not in _GLOBAL_WINDOW_OK:
+            offenders.append(name)
+        if not is_global and name in _GLOBAL_WINDOW_OK:
+            stale.append(name)
+    assert not offenders, f"undocumented global windows: {offenders}"
+    assert not stale, f"stale allowlist entries: {stale}"
 
 
 def test_shuffle_count_ceiling_across_registry(spark, sf_smoke):
