@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -148,6 +149,9 @@ class FastF1LapsDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "FastF1LapsStreamReader":
         return FastF1LapsStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return FastF1LapsStreamWriter(self.options)
 
 
 def register(spark) -> None:
@@ -278,3 +282,65 @@ class FastF1LapsStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class FastF1LapsStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the DataSource: per-epoch two-phase commit
+    with REPLAY IDEMPOTENCE. Executors stage one private file per task
+    (same staging discipline as the batch writer); the driver publishes
+    an epoch atomically by writing ``_batch-{id}.json`` listing the
+    epoch's files. After a checkpoint-recovery replay, Spark re-runs the
+    last uncommitted epoch with the SAME batchId — commit() sees the
+    existing epoch manifest and DISCARDS the re-staged files instead of
+    double-publishing, which is exactly-once delivery on top of an
+    at-least-once stream. Readers treat only manifest-listed files as
+    live (a crashed epoch leaves unreferenced staging garbage, never a
+    half-published batch) — the same contract as sources/snapshots.py."""
+
+    def __init__(self, options: dict):
+        root = options.get("path")
+        if not root:
+            raise ValueError("fastf1_laps requires .option('path', <dir>)")
+        self._root = root
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        stage_dir = os.path.join(self._root, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        token = uuid.uuid4().hex
+        staged = os.path.join(stage_dir, f"epoch-{token}.jsonl.tmp")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=float) + "\n")
+                n += 1
+        return _StagedFile(
+            staged_path=staged, final_name=f"part-{token}.jsonl", n_rows=n
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest_path = os.path.join(self._root, f"_batch-{batchId}.json")
+        if os.path.exists(manifest_path):
+            # replayed epoch after checkpoint recovery: already published —
+            # drop the re-staged files, publish nothing twice
+            for m in messages:
+                if m is not None and os.path.exists(m.staged_path):
+                    os.remove(m.staged_path)
+            return
+        published, total = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.staged_path, os.path.join(self._root, m.final_name))
+            published.append(m.final_name)
+            total += m.n_rows
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps({"files": sorted(published), "rows": total}))
+        os.replace(tmp, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)

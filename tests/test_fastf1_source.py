@@ -277,3 +277,93 @@ def test_stream_reader_ingests_race_drops(registered, tmp_path):
         assert per_race == {r: len(by_race[r]) for r in races[:3]}
     finally:
         q.stop()
+
+
+def test_stream_writer_per_epoch_manifests(registered, tmp_path):
+    """Streaming-sink half of the custom source (writeStream.format):
+    each micro-batch publishes via two-phase commit — staged files
+    promoted + an epoch manifest _batch-{id}.json written atomically.
+    Every row lands exactly once and every epoch is manifest-covered."""
+    rows = build_laps_rows()
+    by_race: dict[str, list] = {}
+    for row in rows:
+        rec = dict(zip(COLUMNS, row))
+        by_race.setdefault(rec["GrandPrix"], []).append(rec)
+    races = sorted(by_race)
+
+    live = tmp_path / "live"
+    live.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def publish(gp):
+        with open(live / race_file_name(gp), "w", encoding="utf-8") as fh:
+            for rec in by_race[gp]:
+                fh.write(
+                    json.dumps({k: _jsonable(v) for k, v in rec.items()})
+                    + "\n"
+                )
+
+    publish(races[0])
+    stream = (
+        registered.readStream.format("fastf1_laps")
+        .option("path", str(live))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("fastf1_laps")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        publish(races[1])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = sorted(out.glob("_batch-*.json"))
+    assert manifests, "no epoch manifests published"
+    listed, total = set(), 0
+    for mp in manifests:
+        m = json.loads(mp.read_text())
+        listed.update(m["files"])
+        total += m["rows"]
+    on_disk = {p.name for p in out.glob("*.jsonl")}
+    assert listed == on_disk  # every live file manifest-covered
+    assert total == len(by_race[races[0]]) + len(by_race[races[1]])
+    # no staging leftovers
+    assert not list((out / "_staging").glob("*")) if (out / "_staging").exists() else True
+
+
+def test_stream_writer_replayed_epoch_is_idempotent(registered, tmp_path):
+    """Checkpoint-recovery contract: commit() for an ALREADY-MANIFESTED
+    batchId discards the re-staged files instead of double-publishing."""
+    import os
+
+    from f1_bigdata_pyspark_spark.sources.fastf1_source import (
+        FastF1LapsStreamWriter,
+        _StagedFile,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    w = FastF1LapsStreamWriter({"path": str(out)})
+
+    def stage(content):
+        staging = out / "_staging"
+        staging.mkdir(exist_ok=True)
+        p = staging / f"epoch-{content}.jsonl.tmp"
+        p.write_text('{"x": 1}\n')
+        return _StagedFile(
+            staged_path=str(p), final_name=f"part-{content}.jsonl", n_rows=1
+        )
+
+    w.commit([stage("aaa")], batchId=0)
+    assert (out / "part-aaa.jsonl").exists()
+    # replay of epoch 0 with re-staged (different-token) files
+    w.commit([stage("bbb")], batchId=0)
+    assert not (out / "part-bbb.jsonl").exists()  # not double-published
+    assert not (out / "_staging" / "epoch-bbb.jsonl.tmp").exists()  # cleaned
+    assert json.loads((out / "_batch-0.json").read_text())["rows"] == 1
