@@ -472,3 +472,128 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: sliding_hll_distinct_users — the CONTINUOUS-AGGREGATE composition of
+# the portable HLL: per-day register tables, then each day's trailing-7-day
+# distinct-user estimate by bucket-wise max over the window of daily
+# registers — the hypertable "sliding cardinality" readout. The raw scan
+# happens ONCE (building daily registers); every window after that merges
+# 256-row register tables, so a year of sliding windows re-reads sketches,
+# not events. The exact trailing count is computed beside it (day spine ×
+# events range join — broadcastable spine) and the estimate is fully
+# deterministic, so BOTH columns sit under the value hash, not a
+# tolerance. Scale: daily register table is days × ≤256 rows regardless
+# of corpus size; the exact column is the expensive one at 100 TB and
+# exists here as the verification twin.
+# --------------------------------------------------------------------------
+@query(
+    "sliding_hll_distinct_users",
+    oracle="""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS x
+  FROM events
+), daily AS (
+  SELECT day, x % 256 AS bucket,
+         max(CASE WHEN x // 256 = 0 THEN 53
+                  ELSE 52 - length(bin(x // 256)) + 1 END) AS rho
+  FROM h GROUP BY day, bucket
+), days AS (SELECT DISTINCT day FROM daily),
+win AS (
+  SELECT d.day, dl.bucket, max(dl.rho) AS rho
+  FROM days d JOIN daily dl
+    ON dl.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day, dl.bucket
+), est AS (
+  SELECT day, count(*) AS nb, sum(pow(2.0, -rho)) AS s FROM win GROUP BY day
+), exact AS (
+  SELECT d.day, count(DISTINCT e.user_id) AS n_exact
+  FROM days d JOIN events e
+    ON CAST(date_trunc('day', e.ts) AS DATE)
+       BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT est.day,
+       round(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * 65536.0
+                        / (s + (256 - nb))) <= 640.0 AND nb < 256
+                  THEN 256.0 * ln(256.0 / (256 - nb))
+                  ELSE CAST(0.7182725932495458 AS DOUBLE) * 65536.0
+                       / (s + (256 - nb))
+             END, 4) AS hll_trailing_7d,
+       CAST(n_exact AS BIGINT) AS exact_trailing_7d
+FROM est JOIN exact ON est.day = exact.day
+ORDER BY est.day
+""",
+)
+def sliding_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    events = load_table(spark, sf_dir, "events")
+    x = md5_long(F.col("user_id").cast("string"))
+    hashed = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (x % 256).alias("bucket"),
+        x.alias("x"),
+    )
+    w = F.expr("x DIV 256")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(52) - F.length(F.bin(w)) + F.lit(1)
+    )
+    daily = materialize(
+        hashed.select("day", "bucket", rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    days = daily.select("day").distinct()
+    # trailing-7-day register merge: day-spine × daily registers range join
+    # (the spine is tiny — broadcast — so this is a narrow map over the
+    # register table, never over events)
+    win = (
+        F.broadcast(days.withColumnRenamed("day", "wday"))
+        .join(
+            daily,
+            (F.col("day") <= F.col("wday"))
+            & (F.col("day") >= F.date_sub(F.col("wday"), 6)),
+        )
+        .groupBy("wday", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = win.groupBy("wday").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA_256)
+        * F.lit(65536.0)
+        / (F.col("s") + (F.lit(256) - F.col("nb")))
+    )
+    linear = F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("nb")))
+    estimate = F.when(
+        (raw <= 640.0) & (F.col("nb") < 256), linear
+    ).otherwise(raw)
+    ev_day = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("eday"), "user_id"
+    )
+    exact = (
+        F.broadcast(days.withColumnRenamed("day", "wday"))
+        .join(
+            ev_day,
+            (F.col("eday") <= F.col("wday"))
+            & (F.col("eday") >= F.date_sub(F.col("wday"), 6)),
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_trailing_7d"))
+    )
+    return (
+        est.join(exact, "wday")
+        .select(
+            F.col("wday").alias("day"),
+            F.round(estimate, 4).alias("hll_trailing_7d"),
+            "exact_trailing_7d",
+        )
+        .orderBy("day")
+    )
