@@ -665,3 +665,52 @@ def cogroup_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts"
     )
     return cogroup_attribution(purchases, clicks).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Q: union_schema_drift — the reference's schema-tolerance semantics (F8:
+# `if "col" in df.columns`) at SET level: append a batch written under an
+# OLDER schema (no lang column) to a newer one with
+# `unionByName(allowMissingColumns=True)` — missing columns NULL-fill
+# instead of erroring, the multi-season append path when the schema
+# evolved between seasons. Oracle = DuckDB's UNION ALL BY NAME. The NULL
+# bucket in the rollup is exactly the old-schema rows — drift stays
+# VISIBLE in the output rather than silently defaulted.
+# --------------------------------------------------------------------------
+@query(
+    "union_schema_drift",
+    oracle="""
+WITH old_batch AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 < 3
+),
+new_batch AS (
+  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 10 >= 3
+),
+unioned AS (
+  SELECT * FROM old_batch UNION ALL BY NAME SELECT * FROM new_batch
+)
+SELECT COALESCE(lang, '<pre-schema>') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM unioned
+GROUP BY COALESCE(lang, '<pre-schema>')
+ORDER BY lang
+""",
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old_batch = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id", "n_chars")
+    new_batch = docs.filter(F.col("doc_id") % 10 >= 3).select(
+        "doc_id", "n_chars", "lang"
+    )
+    unioned = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return (
+        unioned.groupBy(
+            F.coalesce(F.col("lang"), F.lit("<pre-schema>")).alias("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

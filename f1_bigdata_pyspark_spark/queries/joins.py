@@ -674,3 +674,118 @@ def supplier_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
         F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: nation_modularity — community-quality metric: Newman modularity
+# Q = Σ_c (e_c/m − (d_c/2m)²) of a GIVEN partition (supplier nation) over
+# the co-supplier graph — the objective Louvain optimizes, here evaluated
+# declaratively as the quality readout for any clustering the pipeline
+# produces (near-dup components, IVF cells, communities). Near zero ⇒ the
+# partition explains no edge structure. Physically: edge count, per-node
+# degrees, intra-community edge counts, per-community degree totals —
+# four aggregates over edge-sized tables plus broadcast community joins;
+# no iteration.
+# --------------------------------------------------------------------------
+@query(
+    "nation_modularity",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-07-01'
+),
+und AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+comm AS (SELECT s_suppkey AS node, s_nationkey AS c FROM supplier),
+m AS (SELECT count(*) AS m FROM und),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) t GROUP BY node
+),
+intra AS (
+  SELECT cu.c, count(*) AS e_in
+  FROM und JOIN comm cu ON cu.node = u JOIN comm cv ON cv.node = v
+  WHERE cu.c = cv.c GROUP BY cu.c
+),
+ctot AS (
+  SELECT comm.c, sum(deg.d) AS dtot
+  FROM deg JOIN comm ON comm.node = deg.node GROUP BY comm.c
+)
+SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       round(sum(COALESCE(e_in, 0) * 1.0 / m.m
+                 - pow(dtot / (2.0 * m.m), 2)), 6) AS modularity
+FROM ctot LEFT JOIN intra ON ctot.c = intra.c CROSS JOIN m
+""",
+)
+def nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    und = materialize(
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v"))
+        .distinct()
+    )
+    comm = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("c")
+    )
+    cu = broadcast_if_small(comm.select(F.col("node").alias("u"), F.col("c").alias("cu")))
+    cv = broadcast_if_small(comm.select(F.col("node").alias("v"), F.col("c").alias("cv")))
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    intra = (
+        und.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    ctot = (
+        deg.join(broadcast_if_small(comm), "node")
+        .groupBy("c")
+        .agg(F.sum("d").alias("dtot"))
+    )
+    joined = (
+        ctot.join(intra, "c", "left")
+        .join(F.broadcast(m))
+        .select(
+            "c",
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            "dtot",
+            "m",
+        )
+    )
+    return joined.agg(
+        F.first("m").cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.round(
+            F.sum(
+                F.col("e_in") / F.col("m")
+                - F.pow(F.col("dtot") / (2.0 * F.col("m")), 2)
+            ),
+            6,
+        ).alias("modularity"),
+    )
