@@ -1032,3 +1032,68 @@ def purchases_by_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: regression_full_per_group — the complete per-group OLS readout
+# extending slope_per_group (the reference's tyre-degradation slope,
+# SURVEY.md A5): slope AND intercept AND R², all from the same one-pass
+# sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — nothing beyond one
+# map-side-combined aggregate per group, the textbook "regression at any
+# scale" shape (no second pass for residuals: R² = cov²/(var_x·var_y)).
+# Built-in regr_* aggregates exist for slope/intercept/r2; the explicit
+# form is kept because the sufficient-statistics identity IS the scale
+# contract (mergeable partials), and pinned equal to regr_slope in
+# tests/test_laps_semantics.py.
+# --------------------------------------------------------------------------
+@query(
+    "regression_full_per_group",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         avg(epoch_us(ts) / 1e12) AS avg_x,
+         avg(value) AS avg_y,
+         avg((epoch_us(ts) / 1e12) * value) AS avg_xy,
+         avg((epoch_us(ts) / 1e12) * (epoch_us(ts) / 1e12)) AS avg_xx,
+         avg(value * value) AS avg_yy
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((avg_xy - avg_x * avg_y) / (avg_xx - avg_x * avg_x), 6)
+         AS slope,
+       round(avg_y - (avg_xy - avg_x * avg_y) / (avg_xx - avg_x * avg_x)
+                     * avg_x, 6) AS intercept,
+       round(pow(avg_xy - avg_x * avg_y, 2)
+             / ((avg_xx - avg_x * avg_x) * (avg_yy - avg_y * avg_y)), 6)
+         AS r2
+FROM s
+ORDER BY event_type
+""",
+)
+def regression_full_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.unix_micros("ts") / F.lit(1e12)
+    y = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("avg_x"),
+        F.avg(y).alias("avg_y"),
+        F.avg(x * y).alias("avg_xy"),
+        F.avg(x * x).alias("avg_xx"),
+        F.avg(y * y).alias("avg_yy"),
+    )
+    cov = F.col("avg_xy") - F.col("avg_x") * F.col("avg_y")
+    var_x = F.col("avg_xx") - F.col("avg_x") * F.col("avg_x")
+    var_y = F.col("avg_yy") - F.col("avg_y") * F.col("avg_y")
+    slope = cov / var_x
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("avg_y") - slope * F.col("avg_x"), 6).alias("intercept"),
+        F.round(F.pow(cov, 2) / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("event_type")
