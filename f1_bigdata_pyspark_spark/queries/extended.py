@@ -1442,3 +1442,70 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: arm_mix_chi2 — the categorical counterpart of ab_test_welch: the
+# chi-square independence statistic between experiment arm and event-type
+# mix (the sample-ratio-mismatch / behavior-mix check run before trusting
+# any experiment readout). Everything flows from ONE contingency
+# aggregate (arm × type counts — at most |arms|·|types| rows regardless
+# of corpus size); expected counts and the statistic are arithmetic over
+# that table plus its two broadcast marginals.
+# --------------------------------------------------------------------------
+@query(
+    "arm_mix_chi2",
+    oracle="""
+WITH c AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         event_type, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(o) AS n FROM c),
+rowt AS (SELECT arm, sum(o) AS r FROM c GROUP BY arm),
+colt AS (SELECT event_type, sum(o) AS col FROM c GROUP BY event_type)
+SELECT round(sum(pow(o - r * col / n, 2) / (r * col / n)), 6) AS chi2,
+       CAST((SELECT count(*) FROM rowt) - 1 AS BIGINT)
+       * CAST((SELECT count(*) FROM colt) - 1 AS BIGINT) AS dof
+FROM c
+JOIN rowt USING (arm)
+JOIN colt USING (event_type)
+CROSS JOIN tot
+""",
+)
+def arm_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            F.when(md5_long(F.col("user_id").cast("string")) % 2 == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "event_type",
+        )
+        .groupBy("arm", "event_type")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    c = materialize(c)  # tiny contingency table, four readers below
+    tot = c.agg(F.sum("o").alias("n"))
+    rowt = c.groupBy("arm").agg(F.sum("o").alias("r"))
+    colt = c.groupBy("event_type").agg(F.sum("o").alias("col"))
+    n_rows = rowt.agg((F.count(F.lit(1)) - 1).alias("r_dof"))
+    n_cols = colt.agg((F.count(F.lit(1)) - 1).alias("c_dof"))
+    e = F.col("r") * F.col("col") / F.col("n")
+    return (
+        c.join(F.broadcast(rowt), "arm")
+        .join(F.broadcast(colt), "event_type")
+        .join(F.broadcast(tot))
+        .agg(F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"))
+        .join(F.broadcast(n_rows))
+        .join(F.broadcast(n_cols))
+        .select(
+            "chi2",
+            (F.col("r_dof") * F.col("c_dof")).cast("long").alias("dof"),
+        )
+    )
