@@ -1045,6 +1045,12 @@ def purchases_by_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form is kept because the sufficient-statistics identity IS the scale
 # contract (mergeable partials), and pinned equal to regr_slope in
 # tests/test_laps_semantics.py.
+# Numerical conditioning: x is CENTERED by a fixed epoch constant before
+# aggregating — raw epoch values (~1.7e15 µs) make avg(x²) − avg(x)²
+# cancel ~7 significant digits, putting cross-engine slope noise at the
+# 6-dp rounding boundary; the shift (slope/R² invariant, intercept
+# consistently redefined at the shifted origin on BOTH sides) keeps the
+# sums well-conditioned.
 # --------------------------------------------------------------------------
 @query(
     "regression_full_per_group",
@@ -1052,10 +1058,11 @@ def purchases_by_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT event_type,
          count(*) AS n,
-         avg(epoch_us(ts) / 1e12) AS avg_x,
+         avg((epoch_us(ts) - 1700000000000000) / 1e12) AS avg_x,
          avg(value) AS avg_y,
-         avg((epoch_us(ts) / 1e12) * value) AS avg_xy,
-         avg((epoch_us(ts) / 1e12) * (epoch_us(ts) / 1e12)) AS avg_xx,
+         avg(((epoch_us(ts) - 1700000000000000) / 1e12) * value) AS avg_xy,
+         avg(((epoch_us(ts) - 1700000000000000) / 1e12)
+             * ((epoch_us(ts) - 1700000000000000) / 1e12)) AS avg_xx,
          avg(value * value) AS avg_yy
   FROM events
   WHERE value IS NOT NULL
@@ -1076,7 +1083,7 @@ ORDER BY event_type
 )
 def regression_full_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    x = F.unix_micros("ts") / F.lit(1e12)
+    x = (F.unix_micros("ts") - F.lit(1_700_000_000_000_000)) / F.lit(1e12)
     y = F.col("value")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
