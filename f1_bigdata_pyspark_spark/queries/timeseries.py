@@ -1104,3 +1104,64 @@ def regression_full_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg_y") - slope * F.col("avg_x"), 6).alias("intercept"),
         F.round(F.pow(cov, 2) / (var_x * var_y), 6).alias("r2"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: value_ks_drift — two-sample Kolmogorov–Smirnov statistic between the
+# purchase and view value distributions: max |ECDF_a − ECDF_b|, the
+# standard distribution-drift gate (is this week's metric distributed
+# like last week's?). Scale discipline: values are BINNED first
+# (round to integer), so the corpus-sized pass is one groupBy(bin) count
+# per side; the ECDF cumulative window then runs over the BINNED DOMAIN
+# (237 rows here, bounded by the bin grid at any corpus size) — binned KS
+# is the standard large-scale practice, and the bin width bounds the
+# statistic's error at max bin mass.
+# --------------------------------------------------------------------------
+@query(
+    "value_ks_drift",
+    oracle="""
+WITH ab AS (
+  SELECT round(value, 0) AS v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ab),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v) * 1.0 / na AS fa,
+         sum(cb) OVER (ORDER BY v) * 1.0 / nb AS fb
+  FROM ab CROSS JOIN tot
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_purchase,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_view,
+       round(max(abs(fa - fb)), 6) AS ks_statistic
+FROM cum
+""",
+)
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    ab = ev.groupBy(F.round("value", 0).alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("cb"),
+    )
+    tot = ab.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ab.join(F.broadcast(tot)).select(
+        (F.sum("ca").over(w) / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    return cum.agg(
+        F.first("na").cast("long").alias("n_purchase"),
+        F.first("nb").cast("long").alias("n_view"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias(
+            "ks_statistic"
+        ),
+    )
