@@ -350,6 +350,7 @@ _GLOBAL_WINDOW_OK = {
     "int8_quant_recall",           # top-10 rank over one query's candidates
     "sequence_packing_stats",      # global pack offsets; per-shard at scale (docstring)
     "zorder_part_layout",          # layout demo positions over the part dim
+    "value_ks_drift",              # ECDF over the BINNED domain (bin-grid bound)
 }
 
 
