@@ -1237,3 +1237,73 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2", "name1", "name2", "n_orders")
         .orderBy(F.col("n_orders").desc(), "p1", "p2")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: region_nation_share — hierarchical percent-of-parent (ratio-to-report):
+# each nation's revenue as a share of ITS REGION, and each region's share
+# of the total — the drill-down readout every BI layer ships. Physically:
+# one star-join aggregate to the (region, nation) rollup (the only
+# corpus-sized work), then a region-keyed window over the 25-row rollup
+# for the parent share and a broadcast 1-row total for the grand share —
+# deliberately NOT a global window (same answer, no single-partition
+# sort).
+# --------------------------------------------------------------------------
+@query(
+    "region_nation_share",
+    oracle="""
+WITH nr AS (
+  SELECT r_name, n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 6)
+         AS share_of_region,
+       round(sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (), 6)
+         AS region_share_of_total
+FROM nr
+ORDER BY r_name, n_name
+""",
+)
+def region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast_if_small(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(broadcast_if_small(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(broadcast_if_small(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    total = nr.agg(F.sum("rev").alias("total_rev"))
+    return (
+        nr.withColumn("region_rev", F.sum("rev").over(w_region))
+        .join(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("region_rev"), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("region_rev") / F.col("total_rev"), 6).alias(
+                "region_share_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
