@@ -1509,3 +1509,63 @@ def arm_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r_dof") * F.col("c_dof")).cast("long").alias("dof"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: benford_first_digit_audit — Benford's-law first-digit audit of order
+# totals: observed leading-digit frequencies beside the Benford
+# expectation log10(1 + 1/d) — the classic anomaly/fabrication screen for
+# financial columns (here it correctly EXPOSES the synthetic generator:
+# uniform price ranges are nothing like Benford). One digit-extraction
+# pass folded into a 9-group aggregate; the total re-broadcasts as one
+# row. The deviation is the readout, not an assertion — real pipelines
+# alert on the distance, they don't fail ingest.
+# --------------------------------------------------------------------------
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit,
+       CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS observed_freq,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+       round(abs(n * 1.0 / total - log10(1.0 + 1.0 / digit)), 6)
+         AS abs_deviation
+FROM c CROSS JOIN t
+ORDER BY digit
+""",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # floor() EXPLICITLY before the integer cast: Spark's double->bigint
+    # cast truncates while DuckDB's rounds, so a price like 89999.6 would
+    # lead with 8 on one side and 9 on the other
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n") / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, 6).alias("observed_freq"),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(F.abs(obs - benford), 6).alias("abs_deviation"),
+        )
+        .orderBy("digit")
+    )
