@@ -421,3 +421,56 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: daily_new_vs_returning — the product-analytics daily-active split:
+# each day's distinct users classified as NEW (first-ever activity that
+# day) or RETURNING. Two user-keyed aggregates (first-seen day, then
+# per-(day, user) distinct) sharing the user_id partitioning, then a
+# day-level rollup — the first-seen table is the per-user dimension every
+# growth dashboard joins against, user-keyed and broadcastable after
+# reduction.
+# --------------------------------------------------------------------------
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS fday
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day, e.user_id, f.fday
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  GROUP BY 1, 2, 3
+)
+SELECT day,
+       CAST(count(*) FILTER (fday = day) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (fday < day) AS BIGINT) AS returning_users
+FROM daily
+GROUP BY day
+ORDER BY day
+""",
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("fday"))
+    daily = ev.distinct().join(broadcast_if_small(first_seen), "user_id")
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("fday") == F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("fday") < F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )

@@ -1307,3 +1307,60 @@ def region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: order_fulfillment_latency — operational lifecycle analytics: days
+# from order date to the LAST shipment of the order, exact p50/p90/p99
+# per priority. The order⋈lineitem join and the per-order max both key on
+# l_orderkey, so AQE plans the rollup on the join's own partitioning (no
+# second exchange); the percentile aggregate then runs over one row per
+# order. At 100 TB exact tail percentiles give way to percentile_approx
+# with a pinned error budget (approx_quantile_accuracy shows that
+# contract).
+# --------------------------------------------------------------------------
+@query(
+    "order_fulfillment_latency",
+    oracle="""
+WITH lat AS (
+  SELECT o_orderkey, o_orderpriority,
+         date_diff('day', o_orderdate, max(l_shipdate)) AS days
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(days, 0.5), 6) AS p50_days,
+       round(quantile_cont(days, 0.9), 6) AS p90_days,
+       round(quantile_cont(days, 0.99), 6) AS p99_days
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.percentile("days", F.lit(0.5)), 6).alias("p50_days"),
+            F.round(F.percentile("days", F.lit(0.9)), 6).alias("p90_days"),
+            F.round(F.percentile("days", F.lit(0.99)), 6).alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
