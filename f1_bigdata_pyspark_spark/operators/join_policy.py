@@ -56,6 +56,37 @@ def estimated_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+def local_dim(spark, rows, schema) -> DataFrame:
+    """Build a literal driver-side dimension as a LocalRelation
+    (``LocalTableScan``) so Catalyst sees its REAL byte size.
+
+    ``spark.createDataFrame(list, ...)`` plans as ``Scan ExistingRDD``
+    whose size statistic is ``defaultSizeInBytes`` (effectively +inf), so
+    every downstream size decision — auto-broadcast, the
+    ``broadcast_if_small`` policy, and the over-sized-broadcast plan
+    audit — treats a 4-row constant as unbroadcastable. Routing the same
+    rows through pandas produces a LocalRelation with accurate stats:
+    a literal dim then broadcasts because it IS small, not because a
+    hint overrode the planner."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame.from_records(list(rows)), schema=schema
+    )
+
+
+def as_local_dim(df: DataFrame) -> DataFrame:
+    """Collect a provably-tiny computed frame (trained centroids, k-row
+    seeds) and rebuild it as a LocalRelation with accurate size stats.
+    The honest alternative to ``localCheckpoint`` for frames that feed
+    broadcasts: a checkpointed RDD scan reports +inf to Catalyst, while
+    the rebuilt LocalRelation reports its true bytes — so the broadcast
+    is planner-approved, and the plan audit can verify it. Only for
+    frames whose row count is bounded by an algorithm constant (k), never
+    by data volume."""
+    return df.sparkSession.createDataFrame(df.toPandas(), schema=df.schema)
+
+
 def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
     """Broadcast hint iff the estimated size is under the threshold
     (default: the session's ``spark.sql.autoBroadcastJoinThreshold``);

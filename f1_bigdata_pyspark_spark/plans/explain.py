@@ -43,6 +43,54 @@ def assert_broadcast_join(df: DataFrame) -> None:
         raise AssertionError("expected a broadcast join in plan:\n" + plan)
 
 
+def oversized_broadcast_inputs(
+    df: DataFrame, threshold_bytes: int | None = None
+) -> list[tuple[str, int]]:
+    """Walk the pre-AQE physical plan and return, for every
+    ``BroadcastExchangeExec``, the Catalyst size estimate of the logical
+    plan feeding it when that estimate EXCEEDS the broadcast threshold.
+
+    Catalyst's auto-broadcast planner only inserts the exchange when the
+    estimate is under ``spark.sql.autoBroadcastJoinThreshold``, so any
+    over-threshold entry here comes from an unconditional ``F.broadcast``
+    hint — a frame that gets replicated to every executor no matter how
+    big it grows at 100x the data. ``operators/join_policy.
+    broadcast_if_small`` consults the SAME estimate, so policied joins
+    never appear. Returns ``[(node_description, estimated_bytes), ...]``;
+    empty list = plan is broadcast-safe under the size policy."""
+    from f1_bigdata_pyspark_spark.operators.join_policy import parse_byte_size
+
+    if threshold_bytes is None:
+        threshold_bytes = parse_byte_size(
+            df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+    offenders: list[tuple[str, int]] = []
+    # exchanges are inserted during executedPlan preparation (sparkPlan has
+    # none); under AQE the executed plan is an AdaptiveSparkPlanExec leaf
+    # whose pre-execution physical tree is initialPlan
+    root = df._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.initialPlan()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        if node.getClass().getSimpleName() != "BroadcastExchangeExec":
+            continue
+        child = node.children().apply(0)
+        link = child.logicalLink()
+        if not link.isDefined():
+            continue  # no logical origin recorded -> nothing to judge
+        size = int(str(link.get().stats().sizeInBytes()))
+        if size > threshold_bytes:
+            offenders.append((child.nodeName(), size))
+    return offenders
+
+
 def assert_pushed_filters(df: DataFrame) -> None:
     """At least one scan must push at least one real filter."""
     plan = formatted_plan(df)

@@ -266,16 +266,22 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from f1_bigdata_pyspark_spark.utils import materialize
 
-    edges = materialize(edges)  # reused by deg + all three iterations
+    # pre-partition the edge table by src ONCE: deg and every iteration's
+    # rank join key on src, so the materialized partitioning is reused and
+    # only the node-sized rank/degree frames move per round. Those frames
+    # scale with the NODE count (10^9 on a web graph), so they go through
+    # the size policy — broadcast while small, co-partitioned shuffle join
+    # when not — never an unconditional replicate-to-every-executor hint.
+    edges = materialize(edges.repartition("src"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # driver-side scalar: the PageRank base constant
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    contrib_edges = edges.join(F.broadcast(deg), "src")
+    contrib_edges = edges.join(broadcast_if_small(deg), "src")
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(3):
         pr = (
             contrib_edges.join(
-                F.broadcast(pr), pr.node == contrib_edges.src
+                broadcast_if_small(pr), pr.node == contrib_edges.src
             )
             .groupBy("dst")
             .agg(

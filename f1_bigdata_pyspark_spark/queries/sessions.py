@@ -216,8 +216,14 @@ def session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sess")
         .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
     )
-    spark_w = events.sparkSession.createDataFrame(
-        _MAINT_WINDOWS, "win_name string, w_start string, w_end string"
+    from f1_bigdata_pyspark_spark.operators.join_policy import local_dim
+
+    # local_dim -> LocalRelation with real stats: the range-join broadcast
+    # below is planner-approved instead of hint-forced on a +inf estimate
+    spark_w = local_dim(
+        events.sparkSession,
+        _MAINT_WINDOWS,
+        "win_name string, w_start string, w_end string",
     ).select(
         "win_name",
         F.unix_micros(F.col("w_start").cast("timestamp")).alias("w_start_us"),

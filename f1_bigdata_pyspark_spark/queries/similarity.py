@@ -281,17 +281,19 @@ FROM a2 GROUP BY cid ORDER BY centroid_id
 """,
 )
 def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import as_local_dim
     from f1_bigdata_pyspark_spark.operators.similarity import kmeans_step
-    from f1_bigdata_pyspark_spark.utils import materialize
 
     emb = load_table(spark, sf_dir, "embeddings")
     seed = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
-    # one Lloyd iteration (materialized: the trained centroid table is tiny
-    # and feeds two downstream uses through a broadcast)
-    trained = materialize(kmeans_step(emb, seed))
+    # one Lloyd iteration; the trained table is k=16 rows by construction,
+    # so rebuild it as a LocalRelation (real size stats) — its two
+    # downstream broadcasts are then planner-approved, not hint-forced on
+    # a checkpoint scan whose size Catalyst reports as +inf
+    trained = as_local_dim(kmeans_step(emb, seed))
     cells = ivf_assign(emb, trained)
     return (
         cells.groupBy("centroid_id")

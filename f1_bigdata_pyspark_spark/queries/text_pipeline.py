@@ -845,8 +845,14 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
     )
     return (
-        big.join(F.broadcast(ua), "t")
-        .join(F.broadcast(ub), "t2")
+        # ua/ub are the FULL unigram vocabulary — 10^4 rows at sf0.1 but
+        # 10^8-10^9 distinct tokens on a web-scale corpus, so they are NOT
+        # unconditional broadcast dimensions: route through the size policy
+        # (under threshold -> map-side join; over -> co-partitioned shuffle
+        # join on t/t2, which is the right 100 TB plan since `big` is
+        # already keyed on those columns). n_uni/n_big are 1-row scalars.
+        big.join(broadcast_if_small(ua), "t")
+        .join(broadcast_if_small(ub), "t2")
         .join(F.broadcast(n_uni))
         .join(F.broadcast(n_big))
         .select(

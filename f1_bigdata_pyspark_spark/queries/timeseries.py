@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.operators.join_policy import local_dim
 from f1_bigdata_pyspark_spark.queries.registry import query
 
 
@@ -229,7 +230,10 @@ ORDER BY tier
 )
 def value_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    # local_dim -> LocalRelation with real stats, so the broadcast below is
+    # planner-approved (a list-backed frame reports +inf to Catalyst)
+    tiers = local_dim(
+        spark,
         [
             ("micro", 0.0, 1.0),
             ("small", 1.0, 10.0),

@@ -13,6 +13,7 @@ from f1_bigdata_pyspark_spark.plans.explain import (
     assert_pushed_filters,
     count_shuffles,
     formatted_plan,
+    oversized_broadcast_inputs,
 )
 from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
 
@@ -197,7 +198,10 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "sequence_packing_stats": 1,  # post-window stages stay single-part
         "crossmodal_retrieval_topk": 0,  # broadcast join + TakeOrdered only
         "late_arrival_audit": 1,  # arrival-order window; agg stays single-part
-        "pagerank_suppliers": 7,  # deg + 3 unrolled iteration aggs + top-k
+        # edges repartitioned by src once; deg + 3 rank frames go through
+        # the size policy (node-scaled -> co-partitioned joins, not
+        # unconditional broadcasts) + iteration aggs + top-k
+        "pagerank_suppliers": 10,
     }
     for name, budget in budgets.items():
         df = q(name, spark, sf_smoke)
@@ -395,6 +399,10 @@ def test_unpartitioned_windows_are_documented(all_query_plans):
     that accidentally sort the corpus on one partition fail here. The
     allowlist is exact: stale entries (queries that no longer plan a
     global window) fail too, so the list cannot rot in either direction."""
+    # entries naming a deleted/renamed query are invisible to the stale
+    # loop below (it iterates plans, not the allowlist) — reject them first
+    ghosts = _GLOBAL_WINDOW_OK - set(all_query_plans)
+    assert not ghosts, f"allowlist entries naming no registered query: {ghosts}"
     offenders = []
     stale = []
     for name, plan in all_query_plans.items():
@@ -405,6 +413,56 @@ def test_unpartitioned_windows_are_documented(all_query_plans):
             stale.append(name)
     assert not offenders, f"undocumented global windows: {offenders}"
     assert not stale, f"stale allowlist entries: {stale}"
+
+
+def test_no_oversized_broadcast_registry_wide(spark, sf_smoke):
+    """Registry-wide broadcast-size invariant: no BroadcastExchange may be
+    fed by a frame whose Catalyst size estimate exceeds the session's
+    autoBroadcastJoinThreshold. Catalyst's auto-broadcast only fires
+    under the threshold, so an over-threshold exchange can only come from
+    an unconditional F.broadcast hint — the pattern that replicates a
+    vocab/dimension to every executor regardless of how big it grows at
+    100x the data (the round-3 bigram_pmi_topk defect). The scalar 1-row
+    crossJoin broadcasts pass by construction (1-row estimates)."""
+    offenders = {}
+    for name in sorted(_REGISTRY):
+        off = oversized_broadcast_inputs(_REGISTRY[name].fn(spark, sf_smoke))
+        if off:
+            offenders[name] = off
+    assert not offenders, offenders
+
+
+def test_oversized_broadcast_detector_not_vacuous(spark, sf_smoke):
+    """The walker must actually catch a forced broadcast: with an explicit
+    1-byte threshold, a hinted dimension join is an offender (proving the
+    plan walk finds BroadcastExchangeExec and reads its input's stats)."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders")
+    forced = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    off = oversized_broadcast_inputs(forced, threshold_bytes=1)
+    assert off and all(size > 1 for _, size in off), off
+
+
+def test_bigram_pmi_vocab_joins_degrade_over_threshold(spark, sf_smoke):
+    """The PMI unigram vocabulary is 10^8-10^9 rows on a web corpus, so its
+    joins must degrade to the co-partitioned shuffle join when the size
+    policy says the frame is over threshold. Pin it: with a 1 KB session
+    threshold the vocab joins plan as SortMergeJoin (only the 1-row
+    scalar broadcasts remain) and the audit stays clean."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, "10485760")
+    try:
+        spark.conf.set(key, "1KB")
+        df = q("bigram_pmi_topk", spark, sf_smoke)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert oversized_broadcast_inputs(df) == []
+    finally:
+        spark.conf.set(key, prev)
 
 
 def test_shuffle_count_ceiling_across_registry(spark, sf_smoke):
