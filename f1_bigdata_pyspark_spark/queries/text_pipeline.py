@@ -715,7 +715,7 @@ shingles AS (
   SELECT DISTINCT doc_id, split, source,
          CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)
               AS BIGINT) AS sh
-  FROM toks, (SELECT unnest(range(1, 1000)) AS i)
+  FROM toks, (SELECT unnest(range(1, (SELECT max(len(string_split(text, ' '))) FROM documents) + 1)) AS i)
   WHERE i + 2 <= len(w)
 ),
 contaminated AS (
@@ -796,7 +796,7 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
   SELECT doc_id, i AS pos, w[i] AS t, w[i+1] AS t2
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       (SELECT unnest(range(1, 1000)) AS i)
+       (SELECT unnest(range(1, (SELECT max(len(string_split(text, ' '))) FROM documents) + 1)) AS i)
   WHERE i <= len(w)
 ),
 uni AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
@@ -1263,7 +1263,7 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
   SELECT doc_id, source, w[i] AS t, w[i+1] AS t2
   FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-       (SELECT unnest(range(1, 1000)) AS i)
+       (SELECT unnest(range(1, (SELECT max(len(string_split(text, ' '))) FROM documents) + 1)) AS i)
   WHERE i <= len(w)
 ),
 pairs AS (SELECT doc_id, source, t, t2 FROM toks WHERE t2 IS NOT NULL),
@@ -1745,7 +1745,7 @@ words AS (
 ),
 pairs AS (
   SELECT substr(w, i, 2) AS pair, freq
-  FROM words, (SELECT unnest(range(1, 1000)) AS i) r
+  FROM words, (SELECT unnest(range(1, (SELECT max(len(w)) FROM words) + 1)) AS i) r
   WHERE i + 1 <= len(w)
 )
 SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences

@@ -319,6 +319,29 @@ class FastF1LapsStreamWriter(DataSourceStreamWriter):
             staged_path=staged, final_name=f"part-{token}.jsonl", n_rows=n
         )
 
+    def _sweep_unmanifested(self) -> None:
+        """Reclaim part files a crashed commit() promoted but never
+        published: a crash between os.replace and the manifest write
+        leaves part-*.jsonl under final names that no _batch-*.json
+        references — readers ignore them (manifest-listed files only),
+        but nothing else ever deletes them. The replay of that epoch
+        restages with FRESH tokens, so an unmanifested part file can
+        never belong to a commit that will still succeed; sweeping at
+        the next commit is safe. (Epoch commits are serialized by the
+        driver — one writer per output dir, the DataSource contract.)"""
+        listed: set[str] = set()
+        for name in os.listdir(self._root):
+            if name.startswith("_batch-") and name.endswith(".json"):
+                with open(os.path.join(self._root, name), encoding="utf-8") as fh:
+                    listed.update(json.load(fh).get("files", []))
+        for name in os.listdir(self._root):
+            if (
+                name.startswith("part-")
+                and name.endswith(".jsonl")
+                and name not in listed
+            ):
+                os.remove(os.path.join(self._root, name))
+
     def commit(self, messages, batchId: int) -> None:
         manifest_path = os.path.join(self._root, f"_batch-{batchId}.json")
         if os.path.exists(manifest_path):
@@ -328,6 +351,7 @@ class FastF1LapsStreamWriter(DataSourceStreamWriter):
                 if m is not None and os.path.exists(m.staged_path):
                     os.remove(m.staged_path)
             return
+        self._sweep_unmanifested()
         published, total = [], 0
         for m in messages:
             if m is None:

@@ -121,6 +121,24 @@ class SnapshotTable:
             raise SnapshotConflictError(
                 f"table advanced to v{base}, expected v{expected_base_version}"
             )
+        if mode == "append" and base is not None:
+            # schema-on-write (Delta's contract): an appended frame must
+            # match the committed schema by field NAME and TYPE, else the
+            # mixed file list silently drops/nulls columns depending on
+            # which footer Spark samples at read time. Nullability is not
+            # compared (parquet writers legitimately tighten it).
+            committed = json.loads(self._read_manifest(base)["schema"])
+            want = [(f["name"], f["type"]) for f in committed["fields"]]
+            got = [
+                (f["name"], f["type"])
+                for f in json.loads(df.schema.json())["fields"]
+            ]
+            if want != got:
+                raise ValueError(
+                    f"append schema mismatch vs v{base}: "
+                    f"table has {want}, frame has {got}; "
+                    "use mode='overwrite' to change the schema"
+                )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
         df.write.mode("error").parquet(out_dir)
@@ -250,7 +268,11 @@ def snapshot_diff(
     )
 
 
-def vacuum(table: SnapshotTable, keep_versions: int = 2) -> dict:
+def vacuum(
+    table: SnapshotTable,
+    keep_versions: int = 2,
+    grace_seconds: float = 86400.0,
+) -> dict:
     """Physically delete files no LIVE version references: drop manifests
     older than the newest ``keep_versions``, then remove data files
     referenced by no surviving manifest (plus crashed-commit orphans).
@@ -261,7 +283,17 @@ def vacuum(table: SnapshotTable, keep_versions: int = 2) -> dict:
     ``VACUUM`` on Delta / ``expire_snapshots`` on Iceberg. Safe order:
     manifests are deleted FIRST (a concurrent reader either resolved its
     file list before the delete — files still present — or fails cleanly
-    at the manifest), then unreferenced files."""
+    at the manifest), then unreferenced files.
+
+    ``grace_seconds``: files younger than this (mtime) are NEVER deleted,
+    even when unreferenced — a concurrent ``commit()`` has a window
+    between writing its parquet files and publishing the manifest during
+    which those files look like orphans; a graceless vacuum racing it
+    would destroy the commit's data and the committer would then publish
+    a manifest pointing at deleted files. Same defense as Delta VACUUM's
+    retention threshold. Pass 0 only when no writer can be live."""
+    import time
+
     vs = table.versions()
     drop, keep = vs[:-keep_versions], vs[-keep_versions:]
     kept_files: set[str] = set()
@@ -270,10 +302,15 @@ def vacuum(table: SnapshotTable, keep_versions: int = 2) -> dict:
     for v in drop:
         os.unlink(table._manifest_path(v))
     removed = 0
+    cutoff = time.time() - grace_seconds
     for dirpath, _, files in os.walk(table.data_dir, topdown=False):
         for f in files:
             p = os.path.join(dirpath, f)
-            if f.endswith(".parquet") and p not in kept_files:
+            if (
+                f.endswith(".parquet")
+                and p not in kept_files
+                and os.path.getmtime(p) <= cutoff
+            ):
                 os.unlink(p)
                 removed += 1
         if dirpath != table.data_dir and not os.listdir(dirpath):

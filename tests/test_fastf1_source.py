@@ -367,3 +367,46 @@ def test_stream_writer_replayed_epoch_is_idempotent(registered, tmp_path):
     assert not (out / "part-bbb.jsonl").exists()  # not double-published
     assert not (out / "_staging" / "epoch-bbb.jsonl.tmp").exists()  # cleaned
     assert json.loads((out / "_batch-0.json").read_text())["rows"] == 1
+
+
+def test_stream_writer_sweeps_unmanifested_part_files(tmp_path):
+    """Crash-recovery gap: a commit() that died between promoting part
+    files and writing its _batch manifest leaves final-named files no
+    manifest references (the replay restages under FRESH tokens, so they
+    are permanent garbage). The next successful commit must reclaim them
+    while leaving every manifested file alone."""
+    import os
+
+    from f1_bigdata_pyspark_spark.sources.fastf1_source import (
+        FastF1LapsStreamWriter,
+        _StagedFile,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    w = FastF1LapsStreamWriter({"path": str(out)})
+
+    def stage(token):
+        staging = out / "_staging"
+        staging.mkdir(exist_ok=True)
+        p = staging / f"epoch-{token}.jsonl.tmp"
+        p.write_text('{"x": 1}\n')
+        return _StagedFile(
+            staged_path=str(p), final_name=f"part-{token}.jsonl", n_rows=1
+        )
+
+    # epoch 0 commits cleanly
+    w.commit([stage("aaa")], batchId=0)
+    assert (out / "part-aaa.jsonl").exists()
+    # epoch 1 "crashes" post-promotion, pre-manifest: simulate by placing
+    # a final-named part file with no manifest entry
+    (out / "part-dead.jsonl").write_text('{"x": 2}\n')
+    # epoch 1 replays with a fresh token and commits
+    w.commit([stage("bbb")], batchId=1)
+    assert not (out / "part-dead.jsonl").exists(), "orphan not swept"
+    assert (out / "part-aaa.jsonl").exists()
+    assert (out / "part-bbb.jsonl").exists()
+    listed = set()
+    for mp in out.glob("_batch-*.json"):
+        listed.update(json.loads(mp.read_text())["files"])
+    assert listed == {p.name for p in out.glob("part-*.jsonl")}

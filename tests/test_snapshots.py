@@ -122,7 +122,8 @@ def test_vacuum_retains_window_and_removes_the_rest(spark, table):
     table.commit(_df(spark, [(2, "b")]), mode="append")       # v1
     table.commit(_df(spark, [(9, "z")]), mode="overwrite")    # v2
     table.commit(_df(spark, [(10, "y")]), mode="append")      # v3
-    stats = vacuum(table, keep_versions=2)
+    # grace_seconds=0: this test IS the exclusive writer, reclaim now
+    stats = vacuum(table, keep_versions=2, grace_seconds=0)
     assert stats["removed_manifests"] == 2
     # v0/v1's overwritten files are gone, v2/v3 still read fine
     assert stats["removed_files"] >= 1
@@ -159,3 +160,55 @@ def test_change_feed_refuses_overwrite_gap(spark, table):
     table.commit(_df(spark, [(9, "z")]), mode="overwrite")
     with pytest.raises(ValueError):
         read_changes_since(spark, table, cur)
+
+
+def test_vacuum_grace_period_spares_inflight_commit_files(spark, table):
+    """A commit() racing vacuum has a window between writing its parquet
+    files and publishing the manifest where the files look orphaned; the
+    default grace period must spare them (Delta VACUUM's retention
+    defense). Simulated by vacuuming with fresh unreferenced files on
+    disk: default grace keeps them, grace 0 destroys them."""
+    import os
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    table.commit(_df(spark, [(1, "a")]), mode="append")   # v0
+    table.commit(_df(spark, [(2, "b")]), mode="append")   # v1
+    table.commit(_df(spark, [(3, "c")]), mode="append")   # v2
+    # stage an "in-flight commit": parquet written, manifest not yet
+    inflight_dir = os.path.join(table.data_dir, "commit-inflight")
+    _df(spark, [(99, "x")]).write.parquet(inflight_dir)
+    staged = sorted(
+        os.path.join(inflight_dir, f)
+        for f in os.listdir(inflight_dir)
+        if f.endswith(".parquet")
+    )
+    assert staged
+    vacuum(table, keep_versions=2)  # default grace
+    assert all(os.path.exists(p) for p in staged), "grace period violated"
+    vacuum(table, keep_versions=2, grace_seconds=0)
+    assert not any(os.path.exists(p) for p in staged)
+
+
+def test_append_schema_mismatch_refused(spark, table):
+    """Schema-on-write: an append whose frame differs from the committed
+    schema by name or type must be refused (a drifted append would
+    silently drop/null columns depending on which footer Spark samples);
+    overwrite legitimately changes the schema."""
+    from pyspark.sql import functions as _F
+
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    renamed = _df(spark, [(2, "b")]).withColumnRenamed("v", "w")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit(renamed, mode="append")
+    retyped = _df(spark, [(3, "c")]).withColumn(
+        "k", _F.col("k").cast("string")
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit(retyped, mode="append")
+    # same names+types with different nullability is NOT a mismatch
+    table.commit(_df(spark, [(4, "d")]), mode="append")
+    # overwrite changes the schema, and appends then follow the NEW one
+    table.commit(renamed, mode="overwrite")
+    table.commit(_df(spark, [(5, "e")]).withColumnRenamed("v", "w"), mode="append")
+    assert set(table.read(spark).columns) == {"k", "w"}
