@@ -118,3 +118,109 @@ def crossmodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: media_header_dims — REAL container-header parsing, no codec: payloads
+# carry genuine PNG (signature+IHDR), JPEG (SOI/APP0/SOF0), and RIFF/WAVE
+# (fmt chunk) layouts; the parser recovers width/height/channels/sample-
+# rate/bits FROM THE BYTES with built-in hex/substring/locate/conv only.
+# The oracle constructs bit-identical blobs in SQL and re-parses them the
+# same way — so a Spark-side offset or endianness mistake cannot hash
+# green. An independent struct.pack golden test (tests/test_multimodal.py)
+# pins the parser against genuine files so a shared synthesis bug can't
+# hide either. Scale: one narrow codegen map over the payload column — the
+# shape of a petabyte corpus-intake validation pass.
+# --------------------------------------------------------------------------
+@query(
+    "media_header_dims",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 3 AS kindsel,
+         16 + doc_id % 2048 AS w,
+         16 + (doc_id * 7) % 2048 AS h,
+         1 + doc_id % 2 AS ch,
+         8000 * (1 + doc_id % 5) AS sr,
+         16 + 8 * (doc_id % 2) AS bits,
+         lower(hex(md5(text))) AS body
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, kindsel,
+         lpad(to_hex(w), 8, '0') AS w32, lpad(to_hex(h), 8, '0') AS h32,
+         lpad(to_hex(w), 4, '0') AS w16, lpad(to_hex(h), 4, '0') AS h16,
+         lpad(to_hex(ch), 4, '0') AS ch16,
+         lpad(to_hex(sr), 8, '0') AS sr32,
+         lpad(to_hex(CAST(sr * ch * bits / 8 AS BIGINT)), 8, '0') AS br32,
+         lpad(to_hex(CAST(ch * bits / 8 AS BIGINT)), 4, '0') AS ba16,
+         lpad(to_hex(bits), 4, '0') AS bi16,
+         body
+  FROM base
+),
+built AS (
+  SELECT doc_id, unhex(CASE kindsel
+    WHEN 0 THEN
+      '89504e470d0a1a0a' || '0000000d' || '49484452'
+      || w32 || h32 || '0806000000' || '00000000' || body
+    WHEN 1 THEN
+      'ffd8' || 'ffe0' || '0010' || '4a46494600' || '0101'
+      || '00' || '0001' || '0001' || '0000'
+      || 'ffc0' || '0011' || '08' || h16 || w16
+      || '03' || '011100' || '021101' || '031101' || body
+    ELSE
+      '52494646' || '44000000' || '57415645' || '666d7420'
+      || '10000000' || '0100'
+      || substr(ch16,3,2) || substr(ch16,1,2)
+      || substr(sr32,7,2) || substr(sr32,5,2) || substr(sr32,3,2) || substr(sr32,1,2)
+      || substr(br32,7,2) || substr(br32,5,2) || substr(br32,3,2) || substr(br32,1,2)
+      || substr(ba16,3,2) || substr(ba16,1,2)
+      || substr(bi16,3,2) || substr(bi16,1,2)
+      || '64617461' || '20000000' || body
+  END) AS payload
+  FROM hx
+),
+ph AS (
+  SELECT doc_id AS media_id, lower(hex(payload)) AS p FROM built
+),
+parsed AS (
+  SELECT media_id,
+    CASE WHEN substr(p,1,16) = '89504e470d0a1a0a' THEN 'png'
+         WHEN substr(p,1,4)  = 'ffd8' THEN 'jpeg'
+         WHEN substr(p,1,8)  = '52494646' AND substr(p,17,8) = '57415645'
+              THEN 'wav'
+         ELSE 'unknown' END AS container,
+    strpos(p, 'ffc0') AS sof, p
+  FROM ph
+)
+SELECT media_id, container,
+  CASE container
+    WHEN 'png'  THEN CAST(('0x' || substr(p, 33, 8)) AS BIGINT)
+    WHEN 'jpeg' THEN CAST(('0x' || substr(p, sof + 14, 4)) AS BIGINT)
+  END AS width,
+  CASE container
+    WHEN 'png'  THEN CAST(('0x' || substr(p, 41, 8)) AS BIGINT)
+    WHEN 'jpeg' THEN CAST(('0x' || substr(p, sof + 10, 4)) AS BIGINT)
+  END AS height,
+  CASE WHEN container = 'wav'
+       THEN CAST(('0x' || substr(p,47,2) || substr(p,45,2)) AS BIGINT)
+  END AS channels,
+  CASE WHEN container = 'wav'
+       THEN CAST(('0x' || substr(p,55,2) || substr(p,53,2)
+                        || substr(p,51,2) || substr(p,49,2)) AS BIGINT)
+  END AS sample_rate,
+  CASE WHEN container = 'wav'
+       THEN CAST(('0x' || substr(p,71,2) || substr(p,69,2)) AS BIGINT)
+  END AS bits_per_sample
+FROM parsed
+ORDER BY media_id
+""",
+)
+def media_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_media_headers,
+        synth_container_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_media_headers(synth_container_media(docs)).orderBy("media_id")

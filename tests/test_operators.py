@@ -494,3 +494,93 @@ def test_apply_in_arrow_group_stats(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_header_parser_on_genuine_files(spark):
+    """Independent naive-form check for parse_media_headers: files built
+    with Python's OWN encoders (zlib-CRC'd PNG chunks, the stdlib wave
+    module, a spec-literal JPEG) — not the relational synthesis path — so
+    a shared Spark/oracle synthesis bug cannot hash green."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_media_headers,
+    )
+
+    def png(w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    def jpeg(w, h):
+        app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+        sof = b"\x08" + struct.pack(">HH", h, w) + b"\x03" + bytes(
+            [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        )
+
+    def wav(ch, rate, width_bytes):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(ch)
+            f.setsampwidth(width_bytes)
+            f.setframerate(rate)
+            f.writeframes(b"\x00" * (ch * width_bytes * 4))
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png(640, 480))),
+            (2, bytearray(jpeg(1920, 1080))),
+            (3, bytearray(wav(2, 44100, 2))),
+            (4, bytearray(b"\x00garbage")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: r.asDict()
+        for r in parse_media_headers(media).collect()
+    }
+    assert got[1]["container"] == "png"
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[2]["container"] == "jpeg"
+    assert (got[2]["width"], got[2]["height"]) == (1920, 1080)
+    assert got[3]["container"] == "wav"
+    assert (
+        got[3]["channels"],
+        got[3]["sample_rate"],
+        got[3]["bits_per_sample"],
+    ) == (2, 44100, 16)
+    assert got[4]["container"] == "unknown"
+    assert got[4]["width"] is None and got[4]["sample_rate"] is None
+
+
+def test_header_parser_plan_is_codegen_only(spark, sf_smoke):
+    """The header parse must stay JVM-side: no Python evaluation nodes of
+    any tier in the plan (it's hex/substring/conv built-ins end to end)."""
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_media_headers,
+        synth_container_media,
+    )
+    from f1_bigdata_pyspark_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        parse_media_headers(
+            synth_container_media(load_table(spark, sf_smoke, "documents"))
+        )
+    )
+    for node in ("EvalPython", "MapInPandas", "MapInArrow", "PythonUDF"):
+        assert node not in plan, (node, plan)
