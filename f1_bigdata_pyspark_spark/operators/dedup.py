@@ -172,39 +172,28 @@ def minhash_signatures(xs: DataFrame, num_hashes: int = 32) -> DataFrame:
 
 def minhash_signature_arrays(xs: DataFrame, num_hashes: int = 32) -> DataFrame:
     """(doc, sig) MinHash signatures as a ``num_hashes``-long array column,
-    from a distinct (doc, xm) shingle-hash table. Same portable affine
-    rehash as ``minhash_signatures`` (h_i = (a_i·xm + b·i) mod P over md5
-    hashes — a DuckDB oracle recomputes it exactly), different dataflow:
-    collect each doc's shingle hashes once and compute all N minima per doc
-    with array lambdas, instead of exploding num_hashes× and re-aggregating.
-    Cuts the signature build's shuffled row count from N·|shingles| to
-    |docs| — measured ~2× on the LSH headline at sf0.1, and the gap widens
-    with N. The lambdas reference only plain columns and lambda variables
-    (no computed-array free variables), so nothing re-evaluates per element.
+    from a (doc, xm) shingle-hash stream (distinct or not: min over a
+    multiset equals min over its set). Same portable affine rehash as
+    ``minhash_signatures`` (h_i = (a_i·xm + b·i) mod P over md5 hashes —
+    a DuckDB oracle recomputes it exactly).
 
-    ``collect_set`` (not list) so NON-distinct hash streams are accepted:
-    min over a set equals min over the multiset, and folding the dedup into
-    the aggregation's partial step is one exchange cheaper than a separate
-    distinct — when the input is already partitioned by doc (the shingle
-    window's layout), the groupBy reuses that partitioning and the whole
-    signature build adds no exchange at all.
-    """
-    sigs = xs.groupBy("doc").agg(F.collect_set("xm").alias("xms"))
-    a_seed = F.lit(_A_SEED).cast("long")
-    b_step = F.lit(_B_STEP).cast("long")
-
-    def rehash_min(i):
-        il = i.cast("long")
-        a_i = (a_seed * (il + 1)) % _P
-        return F.array_min(
-            F.transform(F.col("xms"), lambda x: (a_i * x + b_step * il) % _P)
-        )
-
-    return sigs.select(
-        "doc",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)), rehash_min
-        ).alias("sig"),
+    Dataflow: the codegen'd long form (explode i → hash-agg min) followed
+    by one struct-sort array assembly — NOT per-doc array lambdas.
+    Measured at sf0.1: collect_set + 32× ``transform``/``array_min``
+    costs ~1.0 s warm because higher-order array functions evaluate their
+    lambdas interpreted per element (32 × |shingles| interpreted ops),
+    while the explode form stays inside whole-stage codegen end to end
+    (~0.7 s warm, identical signatures). Shuffle cost is unchanged: the
+    partial min reduces each partition to ≤ num_hashes rows per doc
+    before any exchange, and on an input already hash-partitioned by doc
+    (the shingle window's layout) BOTH aggregations satisfy their
+    clustering requirement from that one partitioning — the whole build
+    adds no exchange at all."""
+    mins = minhash_signatures(xs, num_hashes)
+    return (
+        mins.groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("p"))
+        .select("doc", F.col("p.mh").alias("sig"))
     )
 
 
