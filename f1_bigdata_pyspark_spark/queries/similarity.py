@@ -661,3 +661,229 @@ def knn_join_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "cos_sim")
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_pq_adc_topk — IVF-PQ with ADC lookup-table scoring, the standard
+# memory-bounded ANN composition at 100 TB (the repo had IVF and int8
+# separately; this is their product-quantization composition). Pipeline:
+# integer-quantize components (x1000 — every distance below is EXACT
+# integer arithmetic, order-independent in any engine), coarse-assign each
+# vector to its nearest of 16 seed centroids, PQ-encode as 8 subspace
+# codes (argmin over 16 sub-centroids per subspace), then score a query
+# WITHOUT touching any vector: an 8x16 LUT of query-to-sub-centroid
+# distances, ADC distance = sum of 8 LUT entries selected by the codes.
+# Candidates restricted to the query's nprobe=2 coarse cells; each result
+# row flagged against the exact integer-L2 top-10 — the recall contract,
+# like int8_quant_recall. Scale: the code table is the persisted index
+# (4 bits/subspace here vs 64 floats — 64x memory cut); scoring joins a
+# 128-row LUT against code rows of two cells only, never the vectors.
+# All ties break by id on exact integers; the oracle replays every stage.
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_DSUB, _PQ_SEED, _PQ_NPROBE = 8, 8, 16, 2
+
+_IL2_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> CAST((s[1] - s[2])**2 AS BIGINT))) AS BIGINT)"
+)
+
+
+@query(
+    "ivf_pq_adc_topk",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+coarse AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_PQ_SEED}
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_IL2_SQL.format(a="b.v", b="c.cv")} ASC, c.cid ASC
+           ) AS rn
+    FROM base b CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+subcent AS MATERIALIZED (
+  SELECT mm.m, cid AS scid,
+         list_slice(cv, mm.m * {_PQ_DSUB} + 1, mm.m * {_PQ_DSUB} + {_PQ_DSUB}) AS sc
+  FROM coarse, (SELECT unnest(range({_PQ_M})) AS m) mm
+),
+sub AS (
+  SELECT vec_id, mm.m,
+         list_slice(v, mm.m * {_PQ_DSUB} + 1, mm.m * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM base, (SELECT unnest(range({_PQ_M})) AS m) mm
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, scid AS code FROM (
+    SELECT s.vec_id, s.m, c.scid,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {_IL2_SQL.format(a="s.sv", b="c.sc")} ASC, c.scid ASC
+           ) AS rn
+    FROM sub s JOIN subcent c ON s.m = c.m
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM base WHERE vec_id = {_QUERY_VEC_ID}),
+lut AS MATERIALIZED (
+  SELECT c.m, c.scid,
+         {_IL2_SQL.format(
+             a=("list_slice(q.qv, c.m * %d + 1, c.m * %d + %d)"
+                % (_PQ_DSUB, _PQ_DSUB, _PQ_DSUB)),
+             b="c.sc")} AS qd
+  FROM subcent c, q
+),
+probed AS (
+  SELECT cid AS cell FROM coarse, q
+  ORDER BY {_IL2_SQL.format(a="q.qv", b="coarse.cv")} ASC, cid ASC
+  LIMIT {_PQ_NPROBE}
+),
+adc AS (
+  SELECT k.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist
+  FROM codes k
+  JOIN lut l ON k.m = l.m AND k.code = l.scid
+  JOIN assign a ON a.vec_id = k.vec_id
+  WHERE a.cell IN (SELECT cell FROM probed)
+    AND k.vec_id <> {_QUERY_VEC_ID}
+  GROUP BY k.vec_id
+),
+exact10 AS (
+  SELECT vec_id FROM base, q
+  WHERE vec_id <> {_QUERY_VEC_ID}
+  ORDER BY {_IL2_SQL.format(a="base.v", b="q.qv")} ASC, vec_id ASC
+  LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank,
+       vec_id, adc_dist,
+       vec_id IN (SELECT vec_id FROM exact10) AS in_exact_top10
+FROM adc
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.operators.join_policy import as_local_dim
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    M, DSUB, SEED, NPROBE = _PQ_M, _PQ_DSUB, _PQ_SEED, _PQ_NPROBE
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcomp = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    # quantized vectors: materialized once, read by assignment, encoding,
+    # LUT, probe selection, and the exact baseline
+    base = materialize(emb.select("vec_id", qcomp.alias("v")))
+
+    def il2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+
+    coarse = as_local_dim(
+        base.filter(F.col("vec_id") < SEED).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    assign = (
+        base.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            F.struct(
+                il2(F.col("v"), F.col("cv")).alias("d"), F.col("cid").alias("cid")
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cell"))
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
+    subcent = as_local_dim(
+        base.filter(F.col("vec_id") < SEED)
+        .select(F.col("vec_id").alias("scid"), F.col("v").alias("cv"), ms)
+        .select(
+            "m", "scid", F.slice("cv", F.col("m") * DSUB + 1, DSUB).alias("sc")
+        )
+    )
+    sub = base.select("vec_id", "v", ms).select(
+        "vec_id", "m", F.slice("v", F.col("m") * DSUB + 1, DSUB).alias("sv")
+    )
+    codes = (
+        sub.join(F.broadcast(subcent), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                il2(F.col("sv"), F.col("sc")).alias("d"),
+                F.col("scid").alias("scid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", "m", F.col("b.scid").alias("code"))
+    )
+    qrow = base.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    lut = as_local_dim(
+        subcent.crossJoin(qrow).select(
+            "m",
+            "scid",
+            il2(F.slice("qv", F.col("m") * DSUB + 1, DSUB), F.col("sc")).alias(
+                "qd"
+            ),
+        )
+    )
+    probed = as_local_dim(
+        coarse.crossJoin(qrow)
+        .select("cid", il2(F.col("qv"), F.col("cv")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(NPROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = assign.join(F.broadcast(probed), "cell", "left_semi").filter(
+        F.col("vec_id") != _QUERY_VEC_ID
+    )
+    adc = (
+        codes.join(cand.select("vec_id"), "vec_id", "left_semi")
+        .join(
+            F.broadcast(lut),
+            ["m"],
+        )
+        .filter(F.col("code") == F.col("scid"))
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_dist"))
+    )
+    exact10 = (
+        base.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", il2(F.col("v"), F.col("qv")).alias("ed"))
+        .orderBy("ed", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        adc.join(
+            F.broadcast(exact10.withColumn("in_exact_top10", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "vec_id",
+            "adc_dist",
+            F.coalesce(F.col("in_exact_top10"), F.lit(False)).alias(
+                "in_exact_top10"
+            ),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

@@ -1854,3 +1854,81 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: bpe_learned_merges — tokenizer induction COMPLETED: k=4 BPE merge
+# rounds actually applied to the distinct-word vocabulary (operators/
+# bpe.py), not just the first-merge candidate table. Per round: pair
+# counts weighted by word freq -> deterministic argmax (count desc, then
+# lexicographic) -> leftmost-greedy merge via run-rank windows. The
+# oracle unrolls the identical four rounds in MATERIALIZED CTEs (window
+# functions express the greedy walk the same way), and a pure-Python
+# naive BPE pins the semantics independently (tests/test_operators.py).
+# Scale: after the one corpus-sized groupBy(word), every round is
+# vocab-sized (Zipf) — the plan a trainer runs at 100 TB.
+# --------------------------------------------------------------------------
+def _bpe_oracle(rounds: int = 4) -> str:
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT wid, count(*) AS freq, string_split(wid, '') AS syms FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS wid FROM documents
+  ) WHERE len(wid) >= 2 GROUP BY wid
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT wid, freq, u.i, u.s,
+         lead(u.s) OVER (PARTITION BY wid ORDER BY u.i) AS s2
+  FROM w{r - 1}, LATERAL (
+    SELECT unnest(generate_series(1, len(syms))) AS i, unnest(syms) AS s
+  ) u
+)""")
+        parts.append(f"""t{r} AS MATERIALIZED (
+  SELECT s AS a, s2 AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM p{r} WHERE s2 IS NOT NULL GROUP BY s, s2
+  ORDER BY cnt DESC, a, b LIMIT 1
+)""")
+        if r < rounds:
+            parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT wid, freq, i, s, match AND (mrank % 2 = 1) AS merge FROM (
+    SELECT wid, freq, i, s, match,
+           sum(CASE WHEN match THEN 1 ELSE 0 END)
+             OVER (PARTITION BY wid, run ORDER BY i) AS mrank
+    FROM (
+      SELECT wid, freq, i, s, match,
+             coalesce(sum(CASE WHEN match THEN 0 ELSE 1 END)
+               OVER (PARTITION BY wid ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS run
+      FROM (
+        SELECT p.wid, p.freq, p.i, p.s,
+               coalesce(p.s = t.a AND p.s2 = t.b, false) AS match
+        FROM p{r} p, t{r} t
+      )
+    )
+  )
+)""")
+            parts.append(f"""w{r} AS MATERIALIZED (
+  SELECT wid, freq, list(sym ORDER BY i) AS syms FROM (
+    SELECT wid, freq, i,
+           CASE WHEN merge THEN (SELECT a || b FROM t{r}) ELSE s END AS sym,
+           coalesce(lag(merge) OVER (PARTITION BY wid ORDER BY i),
+                    false) AS consumed
+    FROM m{r}
+  ) WHERE NOT consumed GROUP BY wid, freq
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt AS n_occurrences FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY round"
+
+
+@query("bpe_learned_merges", oracle=_bpe_oracle(4))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.bpe import bpe_merge_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(docs, rounds=4).orderBy("round")

@@ -146,3 +146,35 @@ def foreach_batch_neardup_append(
         ).parquet(f"{index_dir}/bands")
 
     return apply
+
+
+def consume_snapshot_changes(
+    spark,
+    table,
+    corpus_dir: str,
+    index_dir: str,
+    last_version: int | None,
+    threshold: float = 0.5,
+) -> int:
+    """Tail a snapshot-versioned table's CHANGE FEED into the near-dup
+    index: every append version committed after ``last_version`` is read
+    as one delta (``sources/snapshots.read_changes_since`` plans a scan
+    of exactly the new files) and pushed through the same near-dup body a
+    streaming micro-batch uses. Returns the new cursor; the caller
+    persists it — a real pipeline tails a TABLE, not a directory, and
+    this is that composition.
+
+    Exactly-once contract: delivery is (cursor, immutable-file-list)
+    based, so nothing is re-read once the cursor advances; and a REPLAYED
+    delta (crash after apply, before the cursor persisted) appends
+    nothing, because every re-delivered doc verifies as a near-duplicate
+    of the copy the index already holds (Jaccard 1.0 with itself) — the
+    insert-if-absent property, pinned in tests/test_streaming.py."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import read_changes_since
+
+    delta, cursor = read_changes_since(spark, table, last_version)
+    if delta is not None:
+        foreach_batch_neardup_append(corpus_dir, index_dir, threshold)(
+            delta, cursor
+        )
+    return cursor

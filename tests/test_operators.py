@@ -584,3 +584,57 @@ def test_header_parser_plan_is_codegen_only(spark, sf_smoke):
     )
     for node in ("EvalPython", "MapInPandas", "MapInArrow", "PythonUDF"):
         assert node not in plan, (node, plan)
+
+
+def test_bpe_merge_table_matches_naive_python(spark):
+    """Independent naive-form check (the oracle shares the relational
+    formulation, so it alone can't catch a shared greedy-walk mistake):
+    a sequential pure-Python BPE trainer — explicit leftmost-greedy walk,
+    count-desc-then-lexicographic argmax — must produce the identical
+    merge table. The corpus stresses the two hazards: same-symbol runs
+    (aaaa -> overlapping matches, only odd ranks merge) and count ties
+    (resolved lexicographically)."""
+    from collections import Counter
+
+    from f1_bigdata_pyspark_spark.operators.bpe import bpe_merge_table
+
+    texts = [
+        "aaaa aaaa baaab",      # runs of 'a': overlap discipline
+        "xy xy xy zz zz",       # tie pressure between xy and zz
+        "abab abab cdcd",
+        "aaaa xy zz cd cd cd",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged, r.n_occurrences)
+        for r in bpe_merge_table(docs, rounds=4).orderBy("round").collect()
+    ]
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    state = {w: list(w) for w in vocab}
+    want = []
+    for rnd in range(1, 5):
+        counts = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        (A, B), cnt = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        want.append((rnd, A, B, A + B, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == A and syms[i + 1] == B:
+                    out.append(A + B)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == want

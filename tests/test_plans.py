@@ -352,6 +352,7 @@ _GLOBAL_WINDOW_OK = {
     "monthly_revenue",             # month-over-month lag over #months rows
     "customer_revenue_gini",       # rank over per-customer rollup (docstring)
     "int8_quant_recall",           # top-10 rank over one query's candidates
+    "ivf_pq_adc_topk",             # rank over the query's 2 probed cells only
     "sequence_packing_stats",      # global pack offsets; per-shard at scale (docstring)
     "zorder_part_layout",          # layout demo positions over the part dim
     "value_ks_drift",              # ECDF over the BINNED domain (bin-grid bound)

@@ -603,3 +603,87 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+def test_snapshot_change_feed_into_neardup_index(spark, tmp_path):
+    """Snapshot CDC -> near-dup index composition: tail an append-mode
+    snapshot table's change feed into the banded MinHash index across
+    three committed versions, and prove (a) the edited re-arrival in a
+    later version is rejected via the index, (b) a replayed delta (crash
+    before the cursor persisted) appends NOTHING (insert-if-absent), and
+    (c) after all versions the incremental index equals the one-shot
+    batch build over the same arrivals — signature for signature, band
+    row for band row."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.streaming.neardup_ingest import (
+        consume_snapshot_changes,
+        foreach_batch_neardup_append,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge under a pale morning sky today"
+    )
+    edited = base.replace("stone", "wooden")  # near-dup, later version
+    fresh1 = (
+        "completely different subject matter discussing spark shuffle "
+        "partitions adaptive execution and broadcast joins in production"
+    )
+    fresh2 = (
+        "another unrelated passage about minhash signatures banded lsh "
+        "indexes and the economics of deduplicating web scale corpora"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    table.commit(df([(1, base), (2, fresh1)]), mode="append")       # v0
+    cur = consume_snapshot_changes(spark, table, corpus, index, None)
+    assert cur == 0
+    table.commit(df([(3, edited)]), mode="append")                  # v1
+    table.commit(df([(4, fresh2)]), mode="append")                  # v2
+    # two pending versions consumed as one delta
+    cur = consume_snapshot_changes(spark, table, corpus, index, cur)
+    assert cur == 2
+
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    assert kept == [1, 2, 4]  # edited re-arrival rejected via the index
+
+    # cursor-at-head: nothing consumed, nothing changed
+    assert consume_snapshot_changes(spark, table, corpus, index, cur) == 2
+
+    # replayed delta (caller crashed before persisting the cursor): every
+    # re-delivered doc is a near-dup of the copy already indexed -> no-op
+    consume_snapshot_changes(spark, table, corpus, index, 0)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
+    ) == [1, 2, 4]
+
+    # equivalence with the one-shot batch build over the same arrivals
+    corpus_b = str(tmp_path / "corpus_b")
+    index_b = str(tmp_path / "index_b")
+    foreach_batch_neardup_append(corpus_b, index_b)(table.read(spark), 0)
+    inc_sig = {
+        (r.doc, tuple(r.sig))
+        for r in spark.read.parquet(f"{index}/sig").collect()
+    }
+    bat_sig = {
+        (r.doc, tuple(r.sig))
+        for r in spark.read.parquet(f"{index_b}/sig").collect()
+    }
+    assert inc_sig == bat_sig
+    inc_bands = {
+        (r.doc, r.band, r.bucket)
+        for r in spark.read.parquet(f"{index}/bands").collect()
+    }
+    bat_bands = {
+        (r.doc, r.band, r.bucket)
+        for r in spark.read.parquet(f"{index_b}/bands").collect()
+    }
+    assert inc_bands == bat_bands
