@@ -125,6 +125,17 @@ def bpe_round(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     return materialize(merged_state), top
 
 
+def bpe_apply(docs: DataFrame, rounds: int = 4) -> DataFrame:
+    """The vocabulary AFTER ``rounds`` merges: (wid, freq, syms) — the
+    encoder's view of every word once the learned merges are applied.
+    Same unrolled loop as ``bpe_merge_table``; exposed separately so the
+    corpus-compression readout can aggregate the end state."""
+    state = materialize(initial_word_symbols(docs))
+    for _ in range(rounds):
+        state, _top = bpe_round(state)
+    return state
+
+
 def bpe_merge_table(docs: DataFrame, rounds: int = 4) -> DataFrame:
     """The induced merge table after ``rounds`` BPE rounds: one row per
     round — (round, left_sym, right_sym, merged, n_occurrences), the

@@ -1262,3 +1262,99 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: setsim_prefix_join — exact set-similarity self-join (Jaccard >= 0.8
+# over distinct token sets) with PREFIX FILTERING (Chaudhuri/Bayardo,
+# the SSJoin/AllPairs family): order every doc's tokens by global
+# (doc-frequency, token) — rarest first — and emit only the first
+# |d| - ceil(0.8·|d|) + 1 tokens as join keys. Any pair with Jaccard >=
+# t must overlap by >= ceil(t·|x|) tokens (partners are >= t·|x| long),
+# and two sets overlapping that much MUST collide inside these prefixes —
+# so the blocking is LOSSLESS, and the oracle proves it: DuckDB computes
+# the plain all-pairs exact Jaccard with no blocking at all; a single
+# dropped pair hash-mismatches. Candidates verify by exact overlap count.
+# Scale: the join key space is prefix tokens (rare by construction —
+# frequency-ascending order puts 'the' at the END of every prefix), the
+# verify join touches candidate pairs only, and ceil() is integer
+# arithmetic ((4n+4) div 5) so no float boundary can disagree between
+# engines. The all-pairs form this replaces is O(Σ df²) on EVERY token.
+# --------------------------------------------------------------------------
+@query(
+    "setsim_prefix_join",
+    oracle="""
+WITH ts AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+o AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS o
+  FROM ts a JOIN ts b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(o * 1.0 / (s1.n + s2.n - o), 6) AS jac
+FROM o JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+WHERE o * 1.0 / (s1.n + s2.n - o) >= 0.8
+ORDER BY d1, d2
+""",
+)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    ts = materialize(
+        docs.repartition(par, F.col("doc_id"))
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .distinct()
+    )
+    sz = ts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ts.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc token order by global (df, t): rarest first, no global rank
+    # materialized (the tuple IS the order) — vocab never sorts globally
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    ordered = (
+        ts.join(dfreq, "t")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sz, "doc_id")
+    )
+    # ceil(0.8·n) in exact integers: (4n + 4) div 5
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "t", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("d1"), F.col("t").alias("t"), F.col("n").alias("n1")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("d2"), F.col("t").alias("t"), F.col("n").alias("n2")
+    )
+    cand = (
+        a.join(b, "t")
+        .filter(F.col("d1") < F.col("d2"))
+        # size pruning (safe: any true pair satisfies both inequalities)
+        .filter(F.col("n2") >= F.expr("(4 * n1 + 4) div 5"))
+        .filter(F.col("n1") >= F.expr("(4 * n2 + 4) div 5"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    t1 = ts.select(F.col("doc_id").alias("d1"), "t")
+    t2 = ts.select(F.col("doc_id").alias("d2"), "t")
+    overlap = (
+        cand.join(t1, "d1")
+        .join(t2, ["d2", "t"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("o") / (F.col("n1") + F.col("n2") - F.col("o"))
+    return (
+        overlap.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
+        .orderBy("d1", "d2")
+    )

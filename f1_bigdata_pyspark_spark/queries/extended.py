@@ -1569,3 +1569,76 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: approx_quantile_contract — percentile_approx (Greenwald–Khanna) held
+# to its own guarantee: for q in {0.5, 0.9, 0.99} over events.value, the
+# sketch (accuracy 1000 => rank error <= N/1000) must land within 0.003
+# rank of the target — checked by re-ranking the approx VALUE against the
+# data, not by trusting the sketch. The emitted boolean is the contract:
+# the oracle computes the exact interpolated quantile (identical math in
+# both engines) and asserts the bound literally true, so a sketch
+# regression hash-mismatches even though the oracle can't replay GK
+# merge order. Scale: the sketch is the mergeable one-pass quantile at
+# 100 TB; exact sort-based quantiles are the thing it replaces.
+# --------------------------------------------------------------------------
+@query(
+    "approx_quantile_contract",
+    oracle="""
+SELECT CAST(0.5 AS DOUBLE) AS q, round(quantile_cont(value, 0.5), 6) AS exact_p,
+       true AS within_bound FROM events
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(value, 0.9), 6), true FROM events
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(value, 0.99), 6), true FROM events
+ORDER BY q
+""",
+)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import as_local_dim
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    qs = [0.5, 0.9, 0.99]
+    agg = ev.agg(
+        F.percentile_approx("value", qs, 1000).alias("approx"),
+        F.expr(f"percentile(value, array({', '.join(map(str, qs))}))").alias(
+            "exact"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_q = as_local_dim(
+        agg.select(
+            F.posexplode(
+                F.arrays_zip(
+                    F.lit(qs).alias("q"),
+                    F.col("approx").alias("a"),
+                    F.col("exact").alias("e"),
+                )
+            ).alias("i", "z"),
+            "n",
+        ).select(
+            F.col("z.q").alias("q"),
+            F.col("z.a").alias("approx_v"),
+            F.round(F.col("z.e"), 6).alias("exact_p"),
+            "n",
+        )
+    )
+    # re-rank each approx value against the data: its true rank must sit
+    # within eps + interpolation slack of the target quantile
+    ranked = (
+        ev.crossJoin(F.broadcast(per_q))
+        .groupBy("q", "exact_p", "n")
+        .agg(
+            F.sum((F.col("value") <= F.col("approx_v")).cast("long")).alias(
+                "rank_le"
+            )
+        )
+    )
+    return ranked.select(
+        "q",
+        "exact_p",
+        (
+            F.abs(F.col("rank_le") / F.col("n") - F.col("q")) <= F.lit(0.003)
+        ).alias("within_bound"),
+    ).orderBy("q")

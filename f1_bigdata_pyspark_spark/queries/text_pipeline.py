@@ -1932,3 +1932,423 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merge_table(docs, rounds=4).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Q: winnowing_fingerprints — MOSS-style winnowed document fingerprints
+# (Schleimer/Wilkerson/Aiken): hash every k-gram (k=3 tokens, the portable
+# md5 60-bit hash), slide a w=4 window over consecutive k-gram hashes, and
+# select each window's MINIMUM hash (position as the tiebreak, so the
+# selection is deterministic in any engine). The guarantee that makes
+# winnowing THE plagiarism/near-dup fingerprint: any shared run of
+# w+k-1 tokens between two docs shares at least one selected fingerprint,
+# while storage drops to ~2/(w+1) of the k-gram count. Physically: the
+# k-gram table is the one corpus-sized pass (doc-keyed window, one
+# exchange reused from the shingle layout); selection is a bounded
+# sliding-frame min + distinct — no self-joins, no UDFs.
+# --------------------------------------------------------------------------
+@query(
+    "winnowing_fingerprints",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS t, w[i+1] AS t2, w[i+2] AS t3
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(range(1, (SELECT max(len(string_split(text, ' '))) FROM documents) + 1)) AS i)
+  WHERE i <= len(w)
+),
+kg AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(t || ' ' || t2 || ' ' || t3), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE t3 IS NOT NULL
+),
+n_kg AS (SELECT doc_id, count(*) AS nk FROM kg GROUP BY doc_id),
+win AS (
+  SELECT doc_id, pos,
+         min({'h': h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM kg
+),
+sel AS (
+  SELECT DISTINCT doc_id, (m).h AS h, (m).p AS pos
+  FROM win w JOIN n_kg USING (doc_id)
+  WHERE w.pos <= n_kg.nk - 3
+)
+SELECT sel.doc_id,
+       count(*) AS n_fingerprints,
+       count(DISTINCT h) AS n_distinct_hashes,
+       CAST(min(h) AS BIGINT) AS min_fp,
+       round(count(*) * 1.0 / any_value(nk), 6) AS density
+FROM sel JOIN n_kg ON sel.doc_id = n_kg.doc_id
+GROUP BY sel.doc_id
+ORDER BY sel.doc_id
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    # positioned k-gram table (the _raw_shingles layout, but keeping pos —
+    # winnowing selects by position): one doc-keyed exchange, reused by
+    # every window below
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, F.col("doc_id")).select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    kg = (
+        tok.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat_ws(
+                " ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+            ).alias("s"),
+            F.lead("t", 2).over(w).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "pos", md5_long(F.col("s")).alias("h"))
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    n_kg = kg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nk"))
+    win = kg.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct("h", "pos")).over(wp).alias("m"),
+    )
+    sel = (
+        win.join(n_kg, "doc_id")
+        .filter(F.col("pos") <= F.col("nk") - 3)
+        .select("doc_id", F.col("m.h").alias("h"), F.col("m.pos").alias("pos"))
+        .distinct()
+    )
+    return (
+        sel.join(n_kg, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.countDistinct("h").alias("n_distinct_hashes"),
+            F.min("h").cast("long").alias("min_fp"),
+            F.round(F.count(F.lit(1)) / F.first("nk"), 6).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: gopher_quality_gates — the Gopher/MassiveText repetition + shape
+# filters (Rae et al. 2021, §A1.1), the standard pre-training quality
+# gate battery: per doc, token count in [8, 50000], mean word length in
+# [2, 10], ≥80% of words contain an alphabetic character, top-bigram
+# fraction ≤ 0.18, duplicate-trigram fraction ≤ 0.30. Output is the
+# per-source audit: docs failing each gate and the pass count — the
+# dashboard that decides what a crawl snapshot contributes. Physically
+# ONE tokenize pass: the doc-keyed token table feeds length stats,
+# bigram/trigram windows, and per-doc tops, all sharing the one exchange;
+# per-source rollup is a second tiny aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "gopher_quality_gates",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, i AS pos, w[i] AS t, w[i+1] AS t2, w[i+2] AS t3
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(range(1, (SELECT max(len(string_split(text, ' '))) FROM documents) + 1)) AS i)
+  WHERE i <= len(w)
+),
+base AS (
+  SELECT doc_id, source,
+         count(*) AS n_tokens,
+         round(avg(len(t)), 6) AS mean_wlen,
+         round(avg(CASE WHEN regexp_matches(t, '[a-z]') THEN 1.0 ELSE 0.0 END), 6)
+           AS frac_alpha
+  FROM toks GROUP BY doc_id, source
+),
+big AS (
+  SELECT doc_id, t || ' ' || t2 AS bg, count(*) AS c
+  FROM toks WHERE t2 IS NOT NULL GROUP BY doc_id, bg
+),
+bigtop AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+  FROM big GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         round(1.0 - count(DISTINCT t || ' ' || t2 || ' ' || t3) * 1.0 / count(*), 6)
+           AS dup_trigram_frac
+  FROM toks WHERE t3 IS NOT NULL GROUP BY doc_id
+),
+flags AS (
+  SELECT b.source,
+         (n_tokens BETWEEN 8 AND 50000) AS ok_len,
+         (mean_wlen BETWEEN 2 AND 10) AS ok_wlen,
+         (frac_alpha >= 0.8) AS ok_alpha,
+         (coalesce(top_bigram_frac, 0) <= 0.18) AS ok_bigram,
+         (coalesce(dup_trigram_frac, 0) <= 0.30) AS ok_trigram
+  FROM base b
+  LEFT JOIN bigtop USING (doc_id)
+  LEFT JOIN tri USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+       CAST(sum(CASE WHEN NOT ok_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
+       CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(sum(CASE WHEN NOT ok_bigram THEN 1 ELSE 0 END) AS BIGINT) AS fail_bigram,
+       CAST(sum(CASE WHEN NOT ok_trigram THEN 1 ELSE 0 END) AS BIGINT) AS fail_trigram,
+       CAST(sum(CASE WHEN ok_len AND ok_wlen AND ok_alpha AND ok_bigram
+                      AND ok_trigram THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags GROUP BY source ORDER BY source
+""",
+)
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, F.col("doc_id")).select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = tok.select(
+        "doc_id",
+        "source",
+        "t",
+        F.lead("t", 1).over(w).alias("t2"),
+        F.lead("t", 2).over(w).alias("t3"),
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    tok = materialize(tok)  # three consumers; cache() is pathological on
+    # window-containing plans on this build (README "Performance")
+    base = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("t")), 6).alias("mean_wlen"),
+        F.round(
+            F.avg(F.when(F.col("t").rlike("[a-z]"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_alpha"),
+    )
+    big = (
+        tok.filter(F.col("t2").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "t", "t2").alias("bg"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigtop = big.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    tri = (
+        tok.filter(F.col("t3").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct(F.concat_ws(" ", "t", "t2", "t3"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_trigram_frac")
+        )
+    )
+    flags = (
+        base.join(bigtop, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "source",
+            F.col("n_tokens").between(8, 50000).alias("ok_len"),
+            F.col("mean_wlen").between(2, 10).alias("ok_wlen"),
+            (F.col("frac_alpha") >= 0.8).alias("ok_alpha"),
+            (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.18).alias(
+                "ok_bigram"
+            ),
+            (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.30).alias(
+                "ok_trigram"
+            ),
+        )
+    )
+    n_fail = lambda c: F.sum((~F.col(c)).cast("int")).cast("long")  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_fail("ok_len").alias("fail_len"),
+            n_fail("ok_wlen").alias("fail_wlen"),
+            n_fail("ok_alpha").alias("fail_alpha"),
+            n_fail("ok_bigram").alias("fail_bigram"),
+            n_fail("ok_trigram").alias("fail_trigram"),
+            F.sum(
+                (
+                    F.col("ok_len")
+                    & F.col("ok_wlen")
+                    & F.col("ok_alpha")
+                    & F.col("ok_bigram")
+                    & F.col("ok_trigram")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: bpe_compression_stats — the encoder-side readout of the learned
+# merges: apply all 4 BPE rounds to the vocabulary and report what the
+# tokenizer bought — corpus symbol count before (characters) vs after,
+# compression ratio, and the symbol-vocabulary size. The number a
+# tokenizer-budget decision actually reads. Oracle: the same unrolled
+# rounds, aggregated over the final w4 state.
+# --------------------------------------------------------------------------
+def _bpe_stats_oracle(rounds: int = 4) -> str:
+    base = _bpe_oracle(rounds)
+    # reuse the merge oracle's CTE chain up to the LAST t{rounds}, then
+    # extend with m/w for the final round and aggregate the end state
+    head = base[: base.rindex("\n", 0, base.index("SELECT CAST(1"))]
+    r = rounds
+    final = f""",
+m{r} AS MATERIALIZED (
+  SELECT wid, freq, i, s, match AND (mrank % 2 = 1) AS merge FROM (
+    SELECT wid, freq, i, s, match,
+           sum(CASE WHEN match THEN 1 ELSE 0 END)
+             OVER (PARTITION BY wid, run ORDER BY i) AS mrank
+    FROM (
+      SELECT wid, freq, i, s, match,
+             coalesce(sum(CASE WHEN match THEN 0 ELSE 1 END)
+               OVER (PARTITION BY wid ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS run
+      FROM (
+        SELECT p.wid, p.freq, p.i, p.s,
+               coalesce(p.s = t.a AND p.s2 = t.b, false) AS match
+        FROM p{r} p, t{r} t
+      )
+    )
+  )
+),
+w{r} AS MATERIALIZED (
+  SELECT wid, freq, list(sym ORDER BY i) AS syms FROM (
+    SELECT wid, freq, i,
+           CASE WHEN merge THEN (SELECT a || b FROM t{r}) ELSE s END AS sym,
+           coalesce(lag(merge) OVER (PARTITION BY wid ORDER BY i),
+                    false) AS consumed
+    FROM m{r}
+  ) WHERE NOT consumed GROUP BY wid, freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq * len(wid)) AS BIGINT) AS chars_before,
+       CAST(sum(freq * len(syms)) AS BIGINT) AS symbols_after,
+       round(sum(freq * len(syms)) * 1.0 / sum(freq * len(wid)), 6)
+         AS compression,
+       (SELECT count(DISTINCT s)
+        FROM (SELECT unnest(syms) AS s FROM w{r})) AS vocab_symbols
+FROM w{r}"""
+    return head + final
+
+
+@query("bpe_compression_stats", oracle=_bpe_stats_oracle(4))
+def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.bpe import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = bpe_apply(docs, rounds=4)
+    vocab = state.select(F.explode("syms").alias("s")).agg(
+        F.countDistinct("s").alias("vocab_symbols")
+    )
+    return (
+        state.agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("freq") * F.length("wid"))
+            .cast("long")
+            .alias("chars_before"),
+            F.sum(F.col("freq") * F.size("syms"))
+            .cast("long")
+            .alias("symbols_after"),
+            F.round(
+                F.sum(F.col("freq") * F.size("syms"))
+                / F.sum(F.col("freq") * F.length("wid")),
+                6,
+            ).alias("compression"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: pii_redaction_stats — the PII scrub pass every released corpus runs:
+# detect and redact email addresses, report per-source counts and prove
+# the scrub complete (zero residual matches — emitted as a checked
+# boolean, not a promise). The synthetic corpus carries no PII, so a
+# deterministic planted email ('user{doc_id}@example.com' on every 5th
+# doc) makes detection, multiplicity, and global replacement all
+# observable; both engines plant and scrub identically (Spark
+# regexp_replace replaces ALL matches; DuckDB needs the explicit 'g'
+# flag — exactly the kind of engine difference this face pins). Scale:
+# one narrow codegen map over text, no shuffle beyond the source rollup.
+# --------------------------------------------------------------------------
+_PII_PAT = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id || '@example.com now'
+              ELSE text END AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(t, '{_PII_PAT}')) AS n_matches,
+         regexp_replace(t, '{_PII_PAT}', '<EMAIL>', 'g') AS red
+  FROM planted
+)
+SELECT source,
+       CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(sum(n_matches) AS BIGINT) AS total_matches,
+       CAST(sum(len(red)) AS BIGINT) AS redacted_chars,
+       bool_and(len(regexp_extract_all(red, '{_PII_PAT}')) = 0)
+         AS scrub_complete
+FROM scrubbed GROUP BY source ORDER BY source
+""",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    scrubbed = planted.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PAT), 0)).alias("n_matches"),
+        F.regexp_replace("t", _PII_PAT, "<EMAIL>").alias("red"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.sum((F.col("n_matches") > 0).cast("int"))
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.sum("n_matches").cast("long").alias("total_matches"),
+            F.sum(F.length("red")).cast("long").alias("redacted_chars"),
+            F.bool_and(
+                F.size(F.regexp_extract_all("red", F.lit(_PII_PAT), 0)) == 0
+            ).alias("scrub_complete"),
+        )
+        .orderBy("source")
+    )

@@ -638,3 +638,44 @@ def test_bpe_merge_table_matches_naive_python(spark):
                     i += 1
             state[w] = out
     assert got == want
+
+
+def test_gopher_gates_fail_pathological_docs(spark, tmp_path):
+    """The synthetic corpus passes every Gopher gate (fail columns all 0),
+    so the oracle hash can't prove the gate LOGIC — this does: crafted
+    pathological documents must each trip exactly their gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+
+    rows = [
+        (0, "too short", "bad_len"),                      # < 8 tokens
+        (1, " ".join(["supercalifragilistic"] * 20), "bad_wlen"),  # mean wlen > 10
+        (2, " ".join(["123 456 789"] * 10), "bad_alpha"),  # no alpha chars
+        (3, " ".join(["the cat"] * 30), "bad_bigram"),     # one bigram dominates
+        (4, " ".join(["a b c"] * 40), "bad_trigram"),      # trigrams all dup
+        (5, " ".join(f"w{i} ok{i} fine{i}" for i in range(20)), "good"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        r.source: r.asDict()
+        for r in _REGISTRY["gopher_quality_gates"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["bad_len"]["fail_len"] == 1 and got["bad_len"]["n_pass"] == 0
+    assert got["bad_wlen"]["fail_wlen"] == 1 and got["bad_wlen"]["n_pass"] == 0
+    assert got["bad_alpha"]["fail_alpha"] == 1 and got["bad_alpha"]["n_pass"] == 0
+    assert got["bad_bigram"]["fail_bigram"] == 1 and got["bad_bigram"]["n_pass"] == 0
+    assert got["bad_trigram"]["fail_trigram"] == 1 and got["bad_trigram"]["n_pass"] == 0
+    assert got["good"]["n_pass"] == 1
