@@ -887,3 +887,156 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_pca_top_component — distributed PCA, split the way a
+# 100 TB pipeline splits it: the CORPUS-SIZED pass is the centered
+# covariance accumulation (one vec_id-keyed self-join + (i,j) partial
+# aggregate — the only stage that sees every vector), and the 64x64
+# eigensolve is a bounded driver-side constant (the kmeans-seed /
+# PageRank-n discipline). Everything is EXACT integer arithmetic until
+# the final readout: components quantized x1000; centering multiplied
+# through by n (w = n·x - S, same eigenvectors, no rationals); covariance
+# entries are exact int64 sums; the collected matrix is rescaled to 1e6
+# and 100 power-iteration rounds run in arbitrary-precision Python ints
+# with one deterministic sqrt/divide/round per round — the DuckDB oracle
+# replays the identical rounds in unrolled CTEs (HUGEINT sums), so every
+# loading hash-matches. Sign fixed by forcing the largest-|loading|
+# dimension positive. Output: top-8 loadings + the Rayleigh quotient.
+# --------------------------------------------------------------------------
+def _pca_oracle(rounds: int = 100) -> str:
+    # 100 rounds because the synthetic embeddings are near-isotropic
+    # (lambda1/lambda2 ~ 1.01 at sf0.01): power iteration converges like
+    # (l2/l1)^k, so 8 rounds leave cos ~ 0.5 to the true eigenvector while
+    # 100 reach 0.99+ (measured); each round is a 64-row CTE, so the
+    # unrolled chain stays trivial for both engines.
+    parts = [
+        """base AS MATERIALIZED (
+  SELECT vec_id, j, CAST(round(v[j] * 1000) AS BIGINT) AS x
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       (SELECT unnest(range(1, 65)) AS j)
+)""",
+        "nn AS (SELECT count(DISTINCT vec_id) AS n FROM base)",
+        "s AS (SELECT j, CAST(sum(x) AS BIGINT) AS sj FROM base GROUP BY j)",
+        """w AS MATERIALIZED (
+  SELECT vec_id, j, CAST(n * x - sj AS BIGINT) AS wv
+  FROM base JOIN s USING (j), nn
+)""",
+        """a AS MATERIALIZED (
+  SELECT wi.j AS i, wj.j AS j, CAST(sum(wi.wv * wj.wv) AS BIGINT) AS c
+  FROM w wi JOIN w wj ON wi.vec_id = wj.vec_id
+  GROUP BY wi.j, wj.j
+)""",
+        "amax AS (SELECT max(abs(c)) AS m FROM a)",
+        """a2 AS MATERIALIZED (
+  SELECT i, j, CAST(round(c * 1.0 / m * 1000000) AS BIGINT) AS c
+  FROM a, amax
+)""",
+        "v0 AS (SELECT unnest(range(1, 65)) AS j, CAST(1000000 AS BIGINT) AS vq)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT i AS j, CAST(sum(a2.c * v.vq) AS BIGINT) AS num
+  FROM a2 JOIN v{r - 1} v USING (j) GROUP BY i
+)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT j, CAST(round(num / sqrt(CAST(
+    (SELECT sum(CAST(num AS HUGEINT) * num) FROM r{r})
+  AS DOUBLE)) * 1000000) AS BIGINT) AS vq
+  FROM r{r}
+)"""
+        )
+    r = rounds
+    parts.append(
+        f"""sgn AS (
+  SELECT CASE WHEN (SELECT vq FROM v{r} ORDER BY abs(vq) DESC, j ASC LIMIT 1) < 0
+              THEN -1 ELSE 1 END AS s
+)"""
+    )
+    parts.append(
+        f"vf AS (SELECT j, CAST(vq * s AS BIGINT) AS vq FROM v{r}, sgn)"
+    )
+    parts.append(
+        """ray AS (
+  SELECT round(
+    CAST((SELECT sum(CAST(m.num AS HUGEINT) * vf.vq)
+          FROM (SELECT i AS j, CAST(sum(a2.c * vf.vq) AS BIGINT) AS num
+                FROM a2 JOIN vf USING (j) GROUP BY i) m
+          JOIN vf USING (j)) AS DOUBLE)
+    / CAST((SELECT sum(vq * vq) FROM vf) AS DOUBLE), 6) AS rayleigh
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT row_number() OVER (ORDER BY abs(vq) DESC, j ASC) AS rank,
+       j AS dim, round(vq / 1000000.0, 6) AS loading, rayleigh
+FROM vf, ray
+ORDER BY abs(vq) DESC, j ASC
+LIMIT 8"""
+    )
+
+
+@query("embedding_pca_top_component", oracle=_pca_oracle(100))
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from f1_bigdata_pyspark_spark.operators.join_policy import local_dim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("j0", "x"),
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    s = base.groupBy("j").agg(F.sum("x").cast("long").alias("sj"))
+    n = base.select("vec_id").distinct().count()
+    w = base.join(F.broadcast(s), "j").select(
+        "vec_id", "j", (F.lit(n) * F.col("x") - F.col("sj")).cast("long").alias("wv")
+    )
+    wi = w.select("vec_id", F.col("j").alias("i"), F.col("wv").alias("wvi"))
+    wj = w.select("vec_id", F.col("j").alias("j"), F.col("wv").alias("wvj"))
+    # THE distributed pass: vec-keyed self-join + (i,j) partial aggregate
+    cov = (
+        wi.join(wj, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("wvi") * F.col("wvj")).cast("long").alias("c"))
+    )
+    entries = {(r["i"], r["j"]): r["c"] for r in cov.collect()}  # 64x64 constant
+
+    def rnd(x: float) -> int:  # half-away-from-zero, DuckDB/Spark round()
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    amax = max(abs(c) for c in entries.values())
+    a2 = {ij: rnd(c / amax * 1_000_000) for ij, c in entries.items()}
+    dims = range(1, 65)
+    v = {j: 1_000_000 for j in dims}
+    for _ in range(100):
+        num = {i: sum(a2[(i, j)] * v[j] for j in dims) for i in dims}
+        norm = math.sqrt(float(sum(x * x for x in num.values())))
+        v = {j: rnd(num[j] / norm * 1_000_000) for j in dims}
+    top_dim = max(dims, key=lambda j: (abs(v[j]), -j))
+    if v[top_dim] < 0:
+        v = {j: -vj for j, vj in v.items()}
+    m = {i: sum(a2[(i, j)] * v[j] for j in dims) for i in dims}
+    ray = round(
+        float(sum(m[j] * v[j] for j in dims)) / float(sum(x * x for x in v.values())),
+        6,
+    )
+    ordered = sorted(dims, key=lambda j: (-abs(v[j]), j))[:8]
+    rows = [
+        (rank + 1, j, round(v[j] / 1_000_000.0, 6), ray)
+        for rank, j in enumerate(ordered)
+    ]
+    return local_dim(
+        spark, rows, "rank long, dim long, loading double, rayleigh double"
+    )

@@ -103,17 +103,33 @@ class SnapshotTable:
 
     # -- write path ---------------------------------------------------------
 
+    def last_committed_batch(self, app_id: str) -> int | None:
+        """Highest streaming batch id committed under ``app_id`` across all
+        live manifests (Delta's txnAppId/txnVersion mechanism): a
+        foreachBatch writer checks this before committing a replayed
+        epoch, making the stream→snapshot sink exactly-once on top of
+        Structured Streaming's at-least-once replay."""
+        best: int | None = None
+        for v in self.versions():
+            txn = self._read_manifest(v).get("txn")
+            if txn and txn.get("app") == app_id:
+                best = txn["batch"] if best is None else max(best, txn["batch"])
+        return best
+
     def commit(
         self,
         df: DataFrame,
         mode: str = "append",
         expected_base_version: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Write ``df``'s rows as new immutable files and publish the next
         manifest. mode='append' keeps prior files; 'overwrite' starts the
         file set fresh (logical truncate — S6 — without deleting history).
         ``expected_base_version`` (optimistic check): refuse if the table
-        advanced past it since the caller read."""
+        advanced past it since the caller read. ``txn=(app_id, batch_id)``
+        stamps the manifest for exactly-once streaming writers (see
+        ``last_committed_batch``)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         base = self.latest_version()
@@ -159,6 +175,8 @@ class SnapshotTable:
             "files": prior + new_files,
             "schema": df.schema.json(),
         }
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
         self._publish(version, manifest)
         return version
 

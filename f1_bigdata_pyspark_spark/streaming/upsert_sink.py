@@ -42,3 +42,23 @@ def foreach_batch_upsert(target_dir: str, key_cols: list[str], recency_col: str)
         assert_unique_key(spark.read.parquet(target_dir), key_cols)
 
     return apply
+
+
+def foreach_batch_snapshot_append(table, app_id: str):
+    """``foreachBatch`` sink into a snapshot-versioned table with
+    EXACTLY-ONCE semantics on at-least-once replay: each micro-batch
+    appends as one atomic snapshot commit stamped ``(app_id, batch_id)``;
+    a replayed epoch (checkpoint recovery re-runs the last uncommitted
+    batchId) finds its stamp already in a live manifest and publishes
+    nothing — Delta's txnAppId/txnVersion protocol on the from-scratch
+    snapshot layer. Composes with ``read_changes_since`` downstream: the
+    stream lands in a TABLE whose change feed the next pipeline stage
+    tails, closing the stream→table→stream loop."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        last = table.last_committed_batch(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed epoch: already durably committed
+        table.commit(batch_df, mode="append", txn=(app_id, batch_id))
+
+    return apply

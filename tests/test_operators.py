@@ -679,3 +679,41 @@ def test_gopher_gates_fail_pathological_docs(spark, tmp_path):
     assert got["bad_bigram"]["fail_bigram"] == 1 and got["bad_bigram"]["n_pass"] == 0
     assert got["bad_trigram"]["fail_trigram"] == 1 and got["bad_trigram"]["n_pass"] == 0
     assert got["good"]["n_pass"] == 1
+
+
+def test_pca_top_component_aligns_with_numpy(spark):
+    """Independent naive-form check: the quantized power-iteration loading
+    vector must align (|cos| > 0.999) with numpy's top eigenvector of the
+    float covariance of the same data, and the Rayleigh quotient must sit
+    within 0.5% of numpy's top eigenvalue of the rescaled matrix
+    (100 unrolled rounds: the synthetic spectrum is near-flat)."""
+    import numpy as np
+
+    from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = _REGISTRY["embedding_pca_top_component"].fn(spark, sf).collect()
+    # rebuild the same quantized, n-scaled covariance in numpy
+    import duckdb
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    X = np.round(np.array([e[0] for e in emb], dtype=np.float64) * 1000)
+    n = X.shape[0]
+    W = n * X - X.sum(axis=0)
+    A = W.T @ W
+    A2 = np.round(A / np.abs(A).max() * 1_000_000)
+    evals, evecs = np.linalg.eigh(A2)
+    top = evecs[:, -1]
+    got = np.zeros(64)
+    for r in rows:
+        got[r.dim - 1] = r.loading
+    # only top-8 dims are emitted; compare on those coordinates
+    idx = got != 0
+    cos = abs(np.dot(got[idx], top[idx])) / (
+        np.linalg.norm(got[idx]) * np.linalg.norm(top[idx])
+    )
+    assert cos > 0.999, cos
+    assert abs(rows[0].rayleigh - evals[-1]) / evals[-1] < 0.005

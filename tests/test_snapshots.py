@@ -212,3 +212,32 @@ def test_append_schema_mismatch_refused(spark, table):
     table.commit(renamed, mode="overwrite")
     table.commit(_df(spark, [(5, "e")]).withColumnRenamed("v", "w"), mode="append")
     assert set(table.read(spark).columns) == {"k", "w"}
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, table):
+    """foreachBatch -> snapshot commits are exactly-once under replay: a
+    re-delivered batchId publishes nothing (no new version, no duplicate
+    rows), a NEW batchId after the replay still lands, and two apps'
+    stamps don't collide."""
+    from f1_bigdata_pyspark_spark.streaming.upsert_sink import (
+        foreach_batch_snapshot_append,
+    )
+
+    sink = foreach_batch_snapshot_append(table, app_id="ingest-a")
+    sink(_df(spark, [(1, "a"), (2, "b")]), 0)
+    sink(_df(spark, [(3, "c")]), 1)
+    assert table.read(spark).count() == 3
+    v_before = table.latest_version()
+    # checkpoint-recovery replay of epoch 1
+    sink(_df(spark, [(3, "c")]), 1)
+    assert table.latest_version() == v_before
+    assert sorted(r.k for r in table.read(spark).collect()) == [1, 2, 3]
+    # progress resumes
+    sink(_df(spark, [(4, "d")]), 2)
+    assert table.read(spark).count() == 4
+    # a different app's batch 1 is NOT deduped against ingest-a's
+    other = foreach_batch_snapshot_append(table, app_id="ingest-b")
+    other(_df(spark, [(9, "z")]), 1)
+    assert table.read(spark).count() == 5
+    assert table.last_committed_batch("ingest-a") == 2
+    assert table.last_committed_batch("ingest-b") == 1
