@@ -187,3 +187,37 @@ def component_sizes(labels: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("cluster_id")
     )
+
+
+def bfs_hops(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
+    """(node, d) breadth-first distances from ``source`` within
+    ``max_hops`` rounds over a directed edge list (src, dst). Unrolled
+    frontier expansion — the PageRank/k-core loop discipline: per round
+    one co-partitioned join on src (pre-partition edges by src once
+    upstream to reuse the exchange) plus one anti-join against the
+    visited set, both materialized so round r+1 never recomputes round r.
+    Nodes beyond ``max_hops`` are absent (the caller reports them as
+    unreached). Frontier rows are bounded by |V|; rounds by the constant
+    k — no driver-side convergence polling."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    spark = edges.sparkSession
+    visited = materialize(
+        spark.createDataFrame([(int(source), 0)], "node long, d long")
+    )
+    frontier = visited
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).cast("long").alias("d"))
+        )
+        frontier = materialize(nxt)
+        visited = materialize(visited.unionByName(frontier))
+    return visited

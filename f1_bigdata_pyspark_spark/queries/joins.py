@@ -795,3 +795,92 @@ def nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_bfs_hops — k-hop BFS over the co-part supplier graph
+# (reference graph shape: suppliers sharing a part, as in
+# pagerank_suppliers), unrolled 4 frontier rounds from the minimum
+# supplier id: the graph-traversal primitive the suite lacked (PageRank,
+# triangles, k-core, butterflies are all degree/counting faces — this is
+# reachability). Per round: frontier ⋈ edges → candidate dsts →
+# anti-join the visited set → new frontier at d+1; the visited table is
+# materialized per round so round r+1's plan never recomputes round r
+# (the PageRank/k-core unrolling discipline). Emits the hop histogram
+# plus the unreached count — the connectivity readout. Scale: each round
+# is one co-partitioned join on src (edges pre-partitioned once) + one
+# anti-join on node; rounds bounded by the constant k, frontier rows
+# bounded by |V|.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_bfs_hops",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM pairs a JOIN pairs b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+src0 AS (SELECT min(node) AS s FROM nodes),
+d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM src0),
+f1 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, CAST(1 AS BIGINT) AS d
+  FROM edges e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+),
+v1 AS MATERIALIZED (SELECT * FROM d0 UNION ALL SELECT * FROM f1),
+f2 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, CAST(2 AS BIGINT) AS d
+  FROM edges e JOIN f1 ON e.src = f1.node
+  WHERE e.dst NOT IN (SELECT node FROM v1)
+),
+v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT * FROM f2),
+f3 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, CAST(3 AS BIGINT) AS d
+  FROM edges e JOIN f2 ON e.src = f2.node
+  WHERE e.dst NOT IN (SELECT node FROM v2)
+),
+v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL SELECT * FROM f3),
+f4 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, CAST(4 AS BIGINT) AS d
+  FROM edges e JOIN f3 ON e.src = f3.node
+  WHERE e.dst NOT IN (SELECT node FROM v3)
+),
+v4 AS MATERIALIZED (SELECT * FROM v3 UNION ALL SELECT * FROM f4)
+SELECT d, count(*) AS n_nodes
+FROM v4 GROUP BY d
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS d, count(*) AS n_nodes
+FROM nodes WHERE node NOT IN (SELECT node FROM v4)
+ORDER BY d
+""",
+)
+def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    a = pairs.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src"))
+    b = pairs.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst"))
+    edges = materialize(
+        a.join(b, "pk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .repartition("src")
+    )
+    from f1_bigdata_pyspark_spark.operators.graph import bfs_hops
+
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    source = nodes.agg(F.min("node")).head()[0]
+    visited = bfs_hops(edges, source, max_hops=4)
+    hops = visited.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+    unreached = (
+        nodes.join(visited, "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit(-1).cast("long").alias("d"), "n_nodes")
+    )
+    return hops.unionByName(unreached).orderBy("d")

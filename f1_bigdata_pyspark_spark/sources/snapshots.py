@@ -282,7 +282,16 @@ def snapshot_diff(
     return (
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type", payload.alias("row"))
+        .select(
+            *key_cols,
+            "change_type",
+            payload.alias("row"),
+            # both sides exposed for incremental view maintenance: an
+            # update's aggregate delta is new - OLD, which the merged
+            # payload alone cannot provide
+            F.col("__old").alias("old_row"),
+            F.col("__new").alias("new_row"),
+        )
     )
 
 

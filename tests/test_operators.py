@@ -717,3 +717,20 @@ def test_pca_top_component_aligns_with_numpy(spark):
     )
     assert cos > 0.999, cos
     assert abs(rows[0].rayleigh - evals[-1]) / evals[-1] < 0.005
+
+
+def test_bfs_hops_on_path_graph(spark):
+    """The corpus supplier graph is a near-clique (everything at hop 1),
+    so the oracle face can't exercise multi-hop frontiers — this does: a
+    directed 6-path plus a disconnected pair must produce exact hop
+    distances, stop at max_hops, and leave unreachable nodes absent."""
+    from f1_bigdata_pyspark_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (8, 9)],
+        "src long, dst long",
+    )
+    got = {r.node: r.d for r in bfs_hops(edges, 1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5,6 beyond max_hops; 8,9 unreachable
+    got4 = {r.node: r.d for r in bfs_hops(edges, 1, max_hops=5).collect()}
+    assert got4 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}

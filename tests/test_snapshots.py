@@ -241,3 +241,73 @@ def test_streaming_snapshot_sink_exactly_once(spark, table):
     assert table.read(spark).count() == 5
     assert table.last_committed_batch("ingest-a") == 2
     assert table.last_committed_batch("ingest-b") == 1
+
+
+def test_incremental_view_maintenance_matches_recompute(spark, table):
+    """IVM contract: folding each version's CDC diff into the maintained
+    rollup reproduces EXACTLY the rollup recomputed from the latest
+    snapshot — across inserts, updates (value and group-key changes),
+    and deletes."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.operators.ivm import (
+        apply_cdc_to_rollup,
+        rollup_of,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import snapshot_diff
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    def kdf(rows):  # (id, grp, v)
+        return spark.createDataFrame(rows, "id long, grp string, v long")
+
+    v_rows = [
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],                 # v0
+        [(1, "a", 15), (2, "a", 20), (3, "b", 30), (4, "b", 5)],    # v1: upd+ins
+        [(1, "c", 15), (3, "b", 30), (4, "b", 7)],                  # v2: grp move,
+                                                                    # del 2, upd 4
+    ]
+    for rows in v_rows:
+        table.commit(kdf(rows), mode="overwrite")
+
+    view = materialize(rollup_of(table.read(spark, version=0), ["grp"], "v"))
+    for v in (1, 2):
+        diff = snapshot_diff(spark, table, v - 1, v, ["id"])
+        # group key lives in the payload: lift it out for the rollup key
+        diff = diff.select(
+            F.coalesce(
+                F.col("new_row").getField("grp"), F.col("old_row").getField("grp")
+            ).alias("grp"),
+            "change_type",
+            "old_row",
+            "new_row",
+        )
+        # a group-key UPDATE is a delete from the old group + an insert
+        # into the new one; split those rows before folding
+        moved = diff.filter(
+            (F.col("change_type") == "update")
+            & (
+                F.col("new_row").getField("grp")
+                != F.col("old_row").getField("grp")
+            )
+        )
+        stay = diff.join(moved, ["grp", "change_type", "old_row", "new_row"], "left_anti")
+        as_del = moved.select(
+            F.col("old_row").getField("grp").alias("grp"),
+            F.lit("delete").alias("change_type"),
+            "old_row",
+            F.lit(None).cast(moved.schema["new_row"].dataType).alias("new_row"),
+        )
+        as_ins = moved.select(
+            F.col("new_row").getField("grp").alias("grp"),
+            F.lit("insert").alias("change_type"),
+            F.lit(None).cast(moved.schema["old_row"].dataType).alias("old_row"),
+            "new_row",
+        )
+        folded = stay.unionByName(as_del).unionByName(as_ins)
+        view = materialize(apply_cdc_to_rollup(view, folded, ["grp"], "v"))
+        want = {
+            (r.grp): (r.n, r.s)
+            for r in rollup_of(table.read(spark, version=v), ["grp"], "v").collect()
+        }
+        got = {(r.grp): (r.n, r.s) for r in view.collect()}
+        assert got == want, (v, got, want)
