@@ -1169,3 +1169,81 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_statistic"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: seasonal_decomposition — classical additive decomposition of the
+# daily value series: trend = centered 7-day moving average (computed
+# only where the full window exists — edges are NULL, not
+# partially-averaged), seasonal = per-day-of-week mean of the detrended
+# series, remainder = value − trend − seasonal. Emits the weekly
+# seasonal profile plus remainder spread — the drift/anomaly baseline a
+# metrics pipeline maintains. Scale: the corpus pass is one daily
+# rollup; the moving-average window runs over the BOUNDED day grid
+# (#days rows — allowlisted global window, per-series partitioned the
+# moment there is a series key), and the rest is two tiny aggregates.
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_decomposition",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, v,
+         CASE WHEN count(*) OVER w = 7
+              THEN avg(v) OVER w END AS trend,
+         dayofweek(day) + 1 AS dow  -- Spark: Sunday=1..7; DuckDB: Sunday=0..6
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT dow, avg(v - trend) AS s, count(*) AS n_days
+  FROM tr WHERE trend IS NOT NULL GROUP BY dow
+)
+SELECT tr.dow,
+       CAST(max(seas.n_days) AS BIGINT) AS n_days,
+       round(max(seas.s), 6) AS seasonal,
+       round(avg(abs(tr.v - tr.trend - seas.s)), 6) AS mean_abs_remainder
+FROM tr JOIN seas ON tr.dow = seas.dow
+WHERE tr.trend IS NOT NULL
+GROUP BY tr.dow
+ORDER BY tr.dow
+""",
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "v",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("v").over(w)).alias(
+            "trend"
+        ),
+        F.dayofweek("day").alias("dow"),
+    ).filter(F.col("trend").isNotNull())
+    seas = tr.groupBy("dow").agg(
+        F.avg(F.col("v") - F.col("trend")).alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        tr.join(broadcast_if_small(seas), "dow")
+        .groupBy("dow")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.round(F.max("s"), 6).alias("seasonal"),
+            F.round(
+                F.avg(F.abs(F.col("v") - F.col("trend") - F.col("s"))), 6
+            ).alias("mean_abs_remainder"),
+        )
+        .orderBy("dow")
+    )

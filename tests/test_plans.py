@@ -356,6 +356,8 @@ _GLOBAL_WINDOW_OK = {
     "sequence_packing_stats",      # global pack offsets; per-shard at scale (docstring)
     "zorder_part_layout",          # layout demo positions over the part dim
     "value_ks_drift",              # ECDF over the BINNED domain (bin-grid bound)
+    "seasonal_decomposition",      # 7-day MA over the bounded day grid
+
 }
 
 
