@@ -221,3 +221,41 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
         frontier = materialize(nxt)
         visited = materialize(visited.unionByName(frontier))
     return visited
+
+
+def bellman_ford(edges: DataFrame, source, rounds: int = 4) -> DataFrame:
+    """(node, dist) shortest WEIGHTED distances from ``source`` after
+    ``rounds`` relaxation sweeps over a directed (src, dst, w) edge list —
+    the Pregel SSSP kernel as unrolled dataflow. Per round: one
+    co-partitioned join on src (pre-partition edges by src upstream to
+    reuse the exchange) feeding a min-combine on node, materialized so
+    round r+1 never recomputes round r. After k rounds the distances are
+    exact for every shortest path of <= k edges (the classic Bellman-Ford
+    guarantee); callers pick k from the expected hop diameter, exactly as
+    PageRank picks its iteration count.
+
+    Determinism note: every candidate distance is the same left-to-right
+    chain of IEEE additions in any engine, and min() over exact doubles is
+    order-independent — so the result is bit-comparable to an unrolled-CTE
+    oracle without any rounding tricks mid-loop."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    spark = edges.sparkSession
+    dist = materialize(
+        spark.createDataFrame([(int(source), 0.0)], "node long, dist double")
+    )
+    for _ in range(rounds):
+        relax = edges.join(
+            dist.select(F.col("node").alias("src"), "dist"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = materialize(
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

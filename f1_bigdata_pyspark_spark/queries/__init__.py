@@ -27,3 +27,4 @@ from f1_bigdata_pyspark_spark.queries import tpch_more  # noqa: E402,F401
 from f1_bigdata_pyspark_spark.queries import sessions  # noqa: E402,F401
 from f1_bigdata_pyspark_spark.queries import sketches  # noqa: E402,F401
 from f1_bigdata_pyspark_spark.queries import functions_probe  # noqa: E402,F401
+from f1_bigdata_pyspark_spark.queries import anomaly  # noqa: E402,F401

@@ -1,0 +1,323 @@
+"""Change detection and interval analytics over the event stream.
+
+Capability extensions beyond the reference's batch aggregations (its only
+temporal notion is per-race batch ingest, ``ingest_season_laps.py:121-147``):
+the classic monitoring operators a production event pipeline runs
+continuously, each expressed relationally so the sequential-looking state
+(CUSUM recursion, interval counters, exponential smoothing) becomes window
+functions / bounded equi-joins that scale horizontally.
+
+- value_cusum_changepoint: one-sided CUSUM per event type WITHOUT the
+  sequential ``S_t = max(0, S_{t-1} + d_t)`` recursion — the drawdown
+  identity ``S_t = P_t - min_{0<=j<=t} P_j`` (P = prefix sum of the
+  drift-adjusted deltas, P_0 = 0) turns it into two running windows over
+  one partition. Determinism note: deltas are quantized to INTEGER
+  micro-units (1e-6) before the prefix pass — windowed float sums are
+  NOT order-stable across engines (DuckDB's segment-tree window
+  aggregation adds in a different order than Spark's running frame;
+  measured: a 1e-6 rounding-boundary flip at sf0.01), while integer
+  prefix sums are exact in any order. The quantization is the metric's
+  spec, not a fudge; at 10^12-row partitions the int64 headroom bound
+  (|delta| < 9e18 / n) would pick a coarser unit.
+- concurrent_sessions_peak: sweep-line interval concurrency — sessions
+  become (+1 at start, -1 at end) deltas; a running sum ordered by
+  (time, delta) gives the live-session count, its max the peak. The
+  ``delta`` tiebreak closes a session that ends exactly when another
+  starts BEFORE the new one opens (back-to-back sessions never overlap).
+- ewma_value_profile: bounded-lookback EWMA (alpha = 1/2, 20 events) as a
+  banded self-join — each event equi-joins its previous <=19 rows via an
+  exploded offset sequence (exactly 20x amplification, never the per-user
+  quadratic blow-up a range join would risk). alpha = 1/2 on purpose:
+  2^-k weights are exact binary doubles, so both engines weight
+  identically.
+
+Scale notes (100 TB): every window partitions by event_type / user_id /
+day — state never crosses an executor and the only shuffles are those
+hash exchanges. The EWMA offset explode is a fixed 20x on an
+already-reduced (user, rn, value) projection; at corpus scale the same
+shape feeds from the sessionized stream instead of re-sorting raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.catalog import load_table
+from f1_bigdata_pyspark_spark.queries.registry import query
+
+_GAP_US = 30 * 60 * 1_000_000  # same 30-min inactivity gap as user_sessions
+
+
+# --------------------------------------------------------------------------
+# Q: value_cusum_changepoint — one-sided CUSUM change detection per event
+# type via the prefix-sum/running-min identity (no sequential recursion).
+# Slack k = sd/2 (standard half-sigma tuning), alarm threshold h = 3*sd.
+# --------------------------------------------------------------------------
+@query(
+    "value_cusum_changepoint",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         round(avg(value), 6) AS mu,
+         round(stddev_pop(value), 6) AS sd
+  FROM events GROUP BY event_type
+), p AS (
+  SELECT e.event_type, epoch_us(e.ts) AS ts_us, e.event_id, s.sd,
+         sum(CAST(round((e.value - s.mu - s.sd / 2) * 1000000.0) AS BIGINT))
+           OVER (
+           PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS pre
+  FROM events e JOIN stats s USING (event_type)
+), c AS (
+  SELECT event_type, ts_us, event_id, sd,
+         pre - least(min(pre) OVER (
+           PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ), 0) AS s_t
+  FROM p
+), ranked AS (
+  SELECT event_type, ts_us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s_t DESC, ts_us ASC) AS rnk
+  FROM c
+), agg AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         round(max(s_t) / 1000000.0, 6) AS max_cusum,
+         CAST(sum(CASE WHEN s_t > 3000000.0 * sd THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_alarms
+  FROM c GROUP BY event_type
+)
+SELECT a.event_type, a.n_events, a.max_cusum,
+       r.ts_us AS peak_ts_us, a.n_alarms
+FROM agg a JOIN ranked r ON r.event_type = a.event_type AND r.rnk = 1
+ORDER BY a.event_type
+""",
+)
+def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
+    )
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = ev.select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    ).join(broadcast_if_small(stats), "event_type")
+    delta_us = F.round(
+        (F.col("value") - F.col("mu") - F.col("sd") / 2) * 1000000.0, 0
+    ).cast("long")
+    p = joined.withColumn("pre", F.sum(delta_us).over(run))
+    c = p.withColumn(
+        "s_t",
+        F.col("pre") - F.least(F.min("pre").over(run), F.lit(0).cast("long")),
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    # one CUSUM pass feeds both the aggregate and the peak-row pick
+    c = materialize(
+        c.select("event_type", "ts_us", "sd", "s_t")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("s_t").desc(), F.col("ts_us").asc()
+    )
+    peak = (
+        c.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select("event_type", F.col("ts_us").alias("peak_ts_us"))
+    )
+    agg = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("s_t") / 1000000.0, 6).alias("max_cusum"),
+        F.sum(
+            F.when(F.col("s_t") > 3000000.0 * F.col("sd"), 1).otherwise(0)
+        ).alias("n_alarms"),
+    )
+    return (
+        agg.join(peak, "event_type")
+        .select(
+            "event_type", "n_events", "max_cusum", "peak_ts_us", "n_alarms"
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: concurrent_sessions_peak — sweep-line peak concurrency per day:
+# sessionize (30-min gap, same spec as user_sessions), emit +/-1 deltas at
+# session start/end, running-sum per start-day. Sessions count toward the
+# day they START (a session is one interval; splitting it across midnight
+# would double-count it in the per-day n_sessions).
+# --------------------------------------------------------------------------
+@query(
+    "concurrent_sessions_peak",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+), f AS (
+  SELECT user_id, ts, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), g AS (
+  SELECT user_id, sess,
+         CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM s GROUP BY user_id, sess
+), deltas AS (
+  SELECT day, start_us AS us, 1 AS delta FROM g
+  UNION ALL
+  SELECT day, end_us AS us, -1 AS delta FROM g
+), run AS (
+  SELECT day, delta,
+         sum(delta) OVER (PARTITION BY day ORDER BY us, delta
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM deltas
+)
+SELECT day,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(max(live) AS BIGINT) AS peak_concurrency
+FROM run
+GROUP BY day
+ORDER BY day
+""",
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts_us")
+    run_u = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = ev.select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    flagged = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(wu).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(wu)) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn("sess", F.sum("new_s").over(run_u))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+    deltas = sessions.select(
+        "day", F.col("start_us").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(
+            "day", F.col("end_us").alias("us"), F.lit(-1).alias("delta")
+        )
+    )
+    wd = Window.partitionBy("day").orderBy("us", "delta")
+    run_d = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = deltas.withColumn("live", F.sum("delta").over(run_d))
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions"),
+            F.max("live").cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: ewma_value_profile — bounded-lookback exponential smoothing (alpha=1/2,
+# window 20) per user via a banded equi-join (offset explode), summarized
+# per user. 2^-k weights are exact doubles; both engines weight identically.
+# --------------------------------------------------------------------------
+_EWMA_LOOKBACK = 19  # current row + 19 predecessors
+
+
+@query(
+    "ewma_value_profile",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), banded AS (
+  SELECT a.user_id, a.rn, a.value,
+         sum(b.value * power(0.5, a.rn - b.rn)) AS wsum,
+         sum(power(0.5, a.rn - b.rn)) AS wtot
+  FROM r a
+  JOIN UNNEST(generate_series(0, {_EWMA_LOOKBACK})) AS u(k) ON true
+  JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn - u.k
+  GROUP BY a.user_id, a.rn, a.value
+), e AS (
+  SELECT user_id, value, wsum / wtot AS ewma FROM banded
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(avg(ewma), 6) AS avg_ewma,
+       round(max(abs(value - ewma)), 6) AS max_resid
+FROM e
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def ewma_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("rn")
+    )
+    # offset explode → equi-join on (user, rn-k): exactly (lookback+1)x
+    # amplification of the 3-column projection, and Catalyst plans a plain
+    # hash join — no per-user quadratic pair space at any cardinality.
+    a = r.select(
+        "user_id",
+        "rn",
+        "value",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_EWMA_LOOKBACK))
+        ).alias("k"),
+    ).withColumn("b_rn", F.col("rn") - F.col("k"))
+    b = r.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("rn").alias("b_rn"),
+        F.col("value").alias("b_value"),
+    )
+    weight = F.pow(F.lit(0.5), F.col("k"))
+    banded = (
+        a.join(
+            b,
+            (a.user_id == b.user_id_b) & (a.b_rn == b.b_rn),
+        )
+        .groupBy("user_id", "rn", "value")
+        .agg(
+            F.sum(F.col("b_value") * weight).alias("wsum"),
+            F.sum(weight).alias("wtot"),
+        )
+    )
+    e = banded.withColumn("ewma", F.col("wsum") / F.col("wtot"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("ewma"), 6).alias("avg_ewma"),
+            F.round(F.max(F.abs(F.col("value") - F.col("ewma"))), 6).alias(
+                "max_resid"
+            ),
+        )
+        .orderBy("user_id")
+    )

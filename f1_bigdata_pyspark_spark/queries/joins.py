@@ -884,3 +884,180 @@ def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("long").alias("d"), "n_nodes")
     )
     return hops.unionByName(unreached).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_hits_scores — HITS hubs/authorities on the supplier→part
+# bipartite graph (2 unrolled power-iteration rounds): authority(part) =
+# Σ hub(suppliers shipping it), hub(supplier) = Σ authority(its parts).
+# The twist that makes it exactly oracle-checkable: normalization is a
+# GLOBAL scalar at every step, so it cannot change the ranking — we run
+# the iterations in exact BIGINT arithmetic (h0 = 1 ⇒ a1 = part indegree
+# ⇒ every later score is a sum of bigints, overflow-free up to ~10^9
+# edges) and normalize ONCE at the end for display. No float ever enters
+# the loop, so both engines agree bit-for-bit without mid-loop rounding.
+# Scale: each half-step is one co-partitioned join (edge table reused,
+# pre-partitioned) + a map-side-combined sum; score frames are node-sized
+# and go through the size-aware broadcast policy.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_hits_scores",
+    oracle="""
+WITH sp AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+a1 AS (SELECT p, count(*) AS a FROM sp GROUP BY p),
+h1 AS (
+  SELECT sp.s, CAST(sum(a1.a) AS BIGINT) AS h
+  FROM sp JOIN a1 USING (p) GROUP BY sp.s
+),
+a2 AS (
+  SELECT sp.p, CAST(sum(h1.h) AS BIGINT) AS a
+  FROM sp JOIN h1 USING (s) GROUP BY sp.p
+),
+h2 AS (
+  SELECT sp.s, CAST(sum(a2.a) AS BIGINT) AS h
+  FROM sp JOIN a2 USING (p) GROUP BY sp.s
+),
+tot AS (SELECT CAST(sum(h) AS BIGINT) AS t FROM h2)
+SELECT s AS s_suppkey, h AS hub_raw,
+       round(CAST(h AS DOUBLE) / t, 6) AS hub_score
+FROM h2, tot
+ORDER BY hub_raw DESC, s_suppkey ASC
+LIMIT 20
+""",
+)
+def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = materialize(
+        li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .repartition("p")
+    )
+    a1 = sp.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        sp.join(broadcast_if_small(a1), "p")
+        .groupBy("s")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        sp.join(broadcast_if_small(h1), "s")
+        .groupBy("p")
+        .agg(F.sum("h").alias("a"))
+    )
+    h2 = (
+        sp.join(broadcast_if_small(a2), "p")
+        .groupBy("s")
+        .agg(F.sum("a").alias("h"))
+    )
+    tot = h2.agg(F.sum("h").alias("t"))
+    return (
+        h2.crossJoin(F.broadcast(tot))  # 1-row scalar
+        .select(
+            F.col("s").alias("s_suppkey"),
+            F.col("h").alias("hub_raw"),
+            F.round(F.col("h").cast("double") / F.col("t"), 6).alias(
+                "hub_score"
+            ),
+        )
+        .orderBy(F.col("hub_raw").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_weighted_sssp — single-source shortest WEIGHTED paths over
+# the co-part supplier graph (edge weight 1/#shared-parts: suppliers
+# sharing more parts are "closer"), 4 unrolled Bellman-Ford relaxation
+# rounds from the minimum supplier id (operators/graph.bellman_ford).
+# Complements supplier_bfs_hops (unweighted reachability) with the
+# weighted-distance primitive. Distances are exact for paths of <= 4
+# edges; weights are IEEE-exact rationals (1/c), so the unrolled-CTE
+# oracle reproduces every candidate sum bit-for-bit and min() needs no
+# tie-break. Scale: per round one co-partitioned join on src + one
+# min-combine on node, distance frame is node-sized.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_weighted_sssp",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(1 AS DOUBLE) / count(*) AS w
+  FROM (
+    SELECT DISTINCT a.l_partkey AS pk, a.l_suppkey AS src,
+           b.l_suppkey AS dst
+    FROM pairs a JOIN pairs b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+  )
+  GROUP BY src, dst
+),
+d0 AS (SELECT (SELECT min(src) FROM edges) AS node, 0.0 AS dist),
+r1 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d0 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+r2 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM r1
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM r1 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+r3 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM r2
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM r2 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+r4 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM r3
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM r3 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+)
+SELECT node AS s_suppkey, round(dist, 6) AS dist
+FROM r4
+ORDER BY round(dist, 6) ASC, s_suppkey ASC
+""",
+)
+def supplier_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.graph import bellman_ford
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    a = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = materialize(
+        a.join(b, "pk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("pk", "src", "dst")
+        .distinct()
+        .groupBy("src", "dst")
+        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("w"))
+        .repartition("src")
+    )
+    source = edges.agg(F.min("src")).head()[0]
+    dist = bellman_ford(edges, source, rounds=4)
+    return dist.select(
+        F.col("node").alias("s_suppkey"), F.round("dist", 6).alias("dist")
+    ).orderBy(F.round("dist", 6).asc(), F.col("s_suppkey").asc())
