@@ -321,3 +321,71 @@ def ewma_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: theil_sen_daily_trend — robust per-type trend: the Theil–Sen estimator
+# (median of all pairwise slopes) over the daily value totals. Robust to
+# ~29% outliers where the OLS faces (regression_full_per_group) are not.
+# Daily totals are rounded BEFORE the pair join so every slope is computed
+# from identical doubles in both engines; pair space is bounded by the
+# day-grid (O(d²) per type with d = #days, never row-scaled). At corpus
+# scale the same shape runs on the pre-aggregated day table, and d² stays
+# trivial (a year = 66k pairs).
+# --------------------------------------------------------------------------
+@query(
+    "theil_sen_daily_trend",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS t,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type, (b.y - a.y) / (b.t - a.t) AS slope
+  FROM d a JOIN d b
+    ON a.event_type = b.event_type AND b.t > a.t
+)
+SELECT event_type,
+       count(*) AS n_pairs,
+       round(median(slope), 6) AS theil_sen_slope
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("t"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    d = materialize(d)  # read twice (both sides of the pair join)
+    a = d.select("event_type", F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = d.select("event_type", F.col("t").alias("tb"), F.col("y").alias("yb"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("tb") > F.col("ta"))
+        .select(
+            "event_type",
+            ((F.col("yb") - F.col("ya")) / (F.col("tb") - F.col("ta"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1642,3 +1642,63 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("rank_le") / F.col("n") - F.col("q")) <= F.lit(0.003)
         ).alias("within_bound"),
     ).orderBy("q")
+
+
+# --------------------------------------------------------------------------
+# Q: compaction_file_planner — the OPTIMIZE/compaction planning pass of a
+# lakehouse maintenance job as a pure query: pack each partition's orders
+# (in orderkey sequence) into target output files of ~5000 lineitem rows
+# via a running row-count cumsum (file = floor(preceding-cumsum / target),
+# the standard streaming first-fit used by Delta/Iceberg bin-packing:
+# files may overflow by at most one order, never underfill mid-stream).
+# All-integer arithmetic, windows partitioned by l_returnflag — the
+# planning itself scales horizontally and the output is file-count-sized.
+# Emits per planned file: row/order counts + key bounds (the manifest
+# entry a rewrite job would execute).
+# --------------------------------------------------------------------------
+@query(
+    "compaction_file_planner",
+    oracle="""
+WITH per_order AS (
+  SELECT l_returnflag AS flag, l_orderkey AS okey, count(*) AS n_rows
+  FROM lineitem GROUP BY 1, 2
+), packed AS (
+  SELECT flag, okey, n_rows,
+         (sum(n_rows) OVER (PARTITION BY flag ORDER BY okey
+                            ROWS UNBOUNDED PRECEDING) - n_rows) // 5000
+           AS file_id
+  FROM per_order
+)
+SELECT flag, file_id,
+       count(*) AS n_orders,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       min(okey) AS min_okey, max(okey) AS max_okey
+FROM packed
+GROUP BY flag, file_id
+ORDER BY flag, file_id
+""",
+)
+def compaction_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_orderkey").alias("okey")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = per_order.withColumn(
+        "file_id",
+        F.floor((F.sum("n_rows").over(w) - F.col("n_rows")) / 5000),
+    )
+    return (
+        packed.groupBy("flag", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("okey").alias("min_okey"),
+            F.max("okey").alias("max_okey"),
+        )
+        .orderBy("flag", "file_id")
+    )

@@ -1061,3 +1061,128 @@ def supplier_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("s_suppkey"), F.round("dist", 6).alias("dist")
     ).orderBy(F.round("dist", 6).asc(), F.col("s_suppkey").asc())
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_label_propagation — synchronous label propagation (2 unrolled
+# rounds) over the 1997 co-order supplier graph (same graph as
+# supplier_graph_triangles): every node starts labeled with its own id;
+# each round it adopts the most frequent label among its neighbors, ties
+# broken by the SMALLEST label — the tiebreak makes synchronous LPA fully
+# deterministic, so the unrolled-CTE oracle reproduces it exactly (plain
+# LPA's random tie-break would force a rows-only check). Emits community
+# sizes after round 2. Scale: per round one co-partitioned join on the
+# symmetric edge list + a (node, label) count + a per-node top-1 window —
+# all keyed by node, label frames node-sized, rounds a fixed constant
+# exactly like the PageRank unrolling.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_label_propagation",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL
+  SELECT v AS src, u AS dst FROM und
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+c1 AS (
+  SELECT e.src AS node, l.lbl, count(*) AS n
+  FROM sym e JOIN l0 l ON l.node = e.dst
+  GROUP BY e.src, l.lbl
+),
+l1 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, lbl ASC) AS rnk
+    FROM c1
+  ) WHERE rnk = 1
+),
+c2 AS (
+  SELECT e.src AS node, l.lbl, count(*) AS n
+  FROM sym e JOIN l1 l ON l.node = e.dst
+  GROUP BY e.src, l.lbl
+),
+l2 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, lbl ASC) AS rnk
+    FROM c2
+  ) WHERE rnk = 1
+)
+SELECT lbl AS community, count(*) AS n_members
+FROM l2 GROUP BY lbl ORDER BY community
+""",
+)
+def supplier_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa")
+    )
+    b = pairs.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb")
+    )
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    sym = materialize(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("dst")
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    for _ in range(2):
+        cnt = (
+            sym.join(
+                broadcast_if_small(
+                    labels.select(F.col("node").alias("dst"), "lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = materialize(
+            cnt.withColumn("rnk", F.row_number().over(top1))
+            .filter(F.col("rnk") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )
