@@ -734,3 +734,106 @@ def test_bfs_hops_on_path_graph(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5,6 beyond max_hops; 8,9 unreachable
     got4 = {r.node: r.d for r in bfs_hops(edges, 1, max_hops=5).collect()}
     assert got4 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+def test_bellman_ford_prefers_cheap_long_path(spark):
+    """The co-part supplier graph is near-complete, so the oracle face
+    never has to choose a longer-but-cheaper route — this does: a direct
+    expensive edge (1→4, w=10) must lose to the 3-hop cheap chain
+    (1→2→3→4, total 3), and relaxation must refine distances as rounds
+    increase (1 round sees only the direct edge)."""
+    from f1_bigdata_pyspark_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 10.0), (7, 8, 1.0)],
+        "src long, dst long, w double",
+    )
+    one = {r.node: r.dist for r in bellman_ford(edges, 1, rounds=1).collect()}
+    assert one[4] == 10.0  # only the direct edge is reachable in 1 round
+    full = {r.node: r.dist for r in bellman_ford(edges, 1, rounds=4).collect()}
+    assert full == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}  # 7,8 unreachable: absent
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    """The oracle face runs LPA on one dense component; this pins the
+    semantics it can't show: two triangles joined by a single bridge edge
+    must collapse to their own min labels (communities survive the
+    bridge), with the deterministic min-label tiebreak doing the work on
+    the bridge endpoints."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    sym = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    for _ in range(2):
+        cnt = (
+            sym.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            cnt.withColumn("rnk", F.row_number().over(top1))
+            .filter(F.col("rnk") == 1)
+            .select("node", "lbl")
+        )
+    got = {r.node: r.lbl for r in labels.collect()}
+    # Hand-trace of SYNCHRONOUS min-tiebreak LPA (round1: 1→2, 2→1, 3→1,
+    # 4→3, 5→4, 6→4; round2 from those): clique A collapses to 1;
+    # node 4 keeps 4 (two neighbours voted 4) while 5/6 see {3,4} and the
+    # min tiebreak picks the bridge-leaked 3 — the deterministic
+    # oscillation sync LPA is known for, which is exactly what the
+    # unrolled-CTE oracle must reproduce step for step.
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_cusum_drawdown_identity_matches_sequential(spark, sf_smoke):
+    """CUSUM face's relational drawdown identity vs the literal
+    sequential recursion S_t = max(0, S_{t-1} + d_t) replayed in Python
+    over the same quantized deltas — guards the shared-oracle blind spot
+    (both engines implement the same identity; this pins the identity
+    itself)."""
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_smoke, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
+    )
+    rows = (
+        ev.join(stats, "event_type")
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.round(
+                (F.col("value") - F.col("mu") - F.col("sd") / 2) * 1000000.0, 0
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .collect()
+    )
+    seq_max: dict[str, int] = {}
+    state: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.ts_us, r.event_id)):
+        s = max(0, state.get(r.event_type, 0) + r.d)
+        state[r.event_type] = s
+        seq_max[r.event_type] = max(seq_max.get(r.event_type, 0), s)
+
+    from f1_bigdata_pyspark_spark.queries.registry import get_query
+
+    got = {
+        r.event_type: round(r.max_cusum, 6)
+        for r in get_query("value_cusum_changepoint").fn(spark, sf_smoke).collect()
+    }
+    want = {k: round(v / 1000000.0, 6) for k, v in seq_max.items()}
+    assert got == want
