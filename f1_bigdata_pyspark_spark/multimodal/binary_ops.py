@@ -375,3 +375,27 @@ def payload_stats_arrow(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInArrow(
         batches, schema=PAYLOAD_STATS_SCHEMA
     )
+
+
+def parse_wav_timing(media: DataFrame) -> DataFrame:
+    """WAV playback timing FROM THE BYTES: byte-rate (fmt chunk, LE u32 at
+    byte 29) and data-chunk size (LE u32 at byte 41) recovered with the
+    same hex/substring/conv arithmetic as ``parse_media_headers``, then
+    duration_ms = data_bytes * 1000 / byte_rate — the corpus-intake
+    "how many listening hours is this bucket" pass, codegen end to end.
+    Non-WAV payloads are dropped (sniffed by magic, not trusted metadata)."""
+    ph = F.lower(F.hex(F.col("payload")))
+    is_wav = (F.substring(ph, 1, 8) == "52494646") & (
+        F.substring(ph, 17, 8) == "57415645"
+    )
+    byte_rate = _u_le(ph, 57, 4)
+    data_bytes = _u_le(ph, 81, 4)
+    return media.filter(is_wav).select(
+        "media_id",
+        _u_le(ph, 45, 2).alias("channels"),
+        _u_le(ph, 49, 4).alias("sample_rate"),
+        _u_le(ph, 69, 2).alias("bits_per_sample"),
+        byte_rate.alias("byte_rate"),
+        data_bytes.alias("data_bytes"),
+        (data_bytes * F.lit(1000.0) / byte_rate).alias("duration_ms"),
+    )

@@ -389,3 +389,138 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: event_markov_stationary — stationary behaviour profile: row-normalized
+# transition matrix over consecutive event types per user (lag-1 bigrams),
+# then 3 unrolled power-iteration rounds from the uniform distribution —
+# the Markov-chain twin of the PageRank unrolling (PageRank IS this with
+# teleport; here the raw chain, no damping). Transition probabilities are
+# exact rationals (count/count); iteration sums span at most #types terms.
+# Scale: the transition matrix is (types x types) — tiny forever; the only
+# corpus-scale work is the one lag window per user partition.
+# --------------------------------------------------------------------------
+@query(
+    "event_markov_stationary",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), cnt AS (
+  SELECT prev AS a, event_type AS b, count(*) AS n
+  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT a, sum(n) AS tn FROM cnt GROUP BY a
+), pm AS (
+  SELECT cnt.a, cnt.b, CAST(cnt.n AS DOUBLE) / tot.tn AS pr
+  FROM cnt JOIN tot USING (a)
+), k AS (SELECT count(DISTINCT a) AS k FROM cnt),
+p0 AS (SELECT a AS node, CAST(1 AS DOUBLE) / (SELECT k FROM k) AS p
+       FROM (SELECT DISTINCT a FROM cnt)),
+p1 AS (SELECT pm.b AS node, sum(p0.p * pm.pr) AS p
+       FROM pm JOIN p0 ON p0.node = pm.a GROUP BY pm.b),
+p2 AS (SELECT pm.b AS node, sum(p1.p * pm.pr) AS p
+       FROM pm JOIN p1 ON p1.node = pm.a GROUP BY pm.b),
+p3 AS (SELECT pm.b AS node, sum(p2.p * pm.pr) AS p
+       FROM pm JOIN p2 ON p2.node = pm.a GROUP BY pm.b)
+SELECT node AS event_type, round(p, 6) AS stationary_p
+FROM p3 ORDER BY event_type
+""",
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cnt = t.groupBy(
+        F.col("prev").alias("a"), F.col("event_type").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("a").agg(F.sum("n").alias("tn"))
+    pm = materialize(  # the (types x types) matrix — read once per round
+        cnt.join(broadcast_if_small(tot), "a").select(
+            "a", "b", (F.col("n").cast("double") / F.col("tn")).alias("pr")
+        )
+    )
+    k = pm.select("a").distinct().count()  # driver scalar, like PageRank's n
+    p = pm.select("a").distinct().select(
+        F.col("a").alias("node"), F.lit(1.0 / k).alias("p")
+    )
+    for _ in range(3):
+        p = (
+            pm.join(broadcast_if_small(p), pm.a == F.col("node"))
+            .groupBy("b")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("p"))
+            .select(F.col("b").alias("node"), "p")
+        )
+    return p.select(
+        F.col("node").alias("event_type"), F.round("p", 6).alias("stationary_p")
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: seasonal_naive_mase — forecast-accuracy readout: the seasonal-naive
+# forecast (y_hat(d) = y(d-7) on the observed day grid) scored by MASE
+# (mean absolute error scaled by the naive lag-1 error — the
+# scale-free accuracy metric of the M-competitions). Both lags are plain
+# windows over the per-type day grid; daily totals are rounded before
+# differencing so both engines difference identical doubles.
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_naive_mase",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
+  FROM d
+), e AS (
+  SELECT event_type, abs(y - y7) AS e7, abs(y - y1) AS e1
+  FROM l WHERE y7 IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_days,
+       round(avg(e7), 6) AS mae_seasonal,
+       round(avg(e1), 6) AS mae_naive,
+       round(avg(e7) / avg(e1), 6) AS mase
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    )
+    e = l.filter(F.col("y7").isNotNull()).select(
+        "event_type",
+        F.abs(F.col("y") - F.col("y7")).alias("e7"),
+        F.abs(F.col("y") - F.col("y1")).alias("e1"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("e7"), 6).alias("mae_seasonal"),
+            F.round(F.avg("e1"), 6).alias("mae_naive"),
+            F.round(F.avg("e7") / F.avg("e1"), 6).alias("mase"),
+        )
+        .orderBy("event_type")
+    )

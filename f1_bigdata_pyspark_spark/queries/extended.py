@@ -1664,9 +1664,9 @@ WITH per_order AS (
   FROM lineitem GROUP BY 1, 2
 ), packed AS (
   SELECT flag, okey, n_rows,
-         (sum(n_rows) OVER (PARTITION BY flag ORDER BY okey
-                            ROWS UNBOUNDED PRECEDING) - n_rows) // 5000
-           AS file_id
+         CAST((sum(n_rows) OVER (PARTITION BY flag ORDER BY okey
+                                 ROWS UNBOUNDED PRECEDING) - n_rows) // 5000
+              AS BIGINT) AS file_id
   FROM per_order
 )
 SELECT flag, file_id,
@@ -1702,3 +1702,108 @@ def compaction_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "file_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: bootstrap_ci_order_value — distributed bootstrap: a 95% CI for the
+# mean order value from B=100 DETERMINISTIC resamples. Each (order, b)
+# draws a Poisson(1)-approximating multiplicity from the portable
+# md5-derived uniform (inverse-CDF thresholds as exact literals), so the
+# "random" resample is a pure function both engines compute identically —
+# no RNG, no rows-only fallback. Order values are quantized to integer
+# cents before the weighted sums, so per-resample totals are exact in any
+# aggregation order (same discipline as the CUSUM prefix sums). Scale:
+# B× amplification of a 2-column projection with map-side-combined sums —
+# the classic "embarrassingly parallel" bootstrap; B is a constant, never
+# row-scaled.
+# --------------------------------------------------------------------------
+@query(
+    "bootstrap_ci_order_value",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), draws AS (
+  SELECT b.b, o.cents,
+         CAST(('0x' || substr(md5(CAST(o.k AS VARCHAR) || ':'
+                                  || CAST(b.b AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS u
+  FROM o CROSS JOIN (SELECT unnest(range(100)) AS b) b
+), wt AS (
+  SELECT b, cents,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              ELSE 4 END AS w
+  FROM draws
+), m AS (
+  SELECT b, CAST(sum(cents * w) AS BIGINT) AS s,
+         CAST(sum(w) AS BIGINT) AS n
+  FROM wt GROUP BY b
+), means AS (
+  SELECT CAST(s AS DOUBLE) / n / 100.0 AS mean FROM m WHERE n > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+       round(quantile_cont(mean, 0.025), 6) AS ci_lo,
+       round(quantile_cont(mean, 0.975), 6) AS ci_hi,
+       round((SELECT CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 FROM o),
+             6) AS point_mean
+FROM means
+""",
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    draws = o.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+        F.col("k"),
+    ).select(
+        "b",
+        "cents",
+        (
+            md5_long(
+                F.concat(
+                    F.col("k").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
+            / F.lit(1152921504606846976.0)
+        ).alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .otherwise(4)
+    )
+    m = (
+        draws.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("cents") * F.col("w")).alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select((F.col("s").cast("double") / F.col("n") / 100.0).alias("mean"))
+    )
+    point = o.agg(
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("point_mean")
+    )
+    ci = m.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.percentile("mean", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("mean", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(point))  # 1-row scalar

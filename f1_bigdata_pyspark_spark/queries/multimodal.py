@@ -224,3 +224,92 @@ def media_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return parse_media_headers(synth_container_media(docs)).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q: wav_duration_stats — audio corpus timing readout from the BYTES: for
+# every RIFF/WAVE payload, recover byte-rate + data-chunk size from the
+# container (parse_wav_timing — hex/substring/conv, no codec) and roll up
+# listening time per (sample_rate, channels, bits) format cell. The
+# oracle synthesizes bit-identical WAV blobs in SQL (same layout as
+# media_header_dims) and re-parses them — a Spark-side offset or
+# endianness slip cannot hash green. Scale: narrow codegen map + one
+# small aggregate; the shape of a petabyte audio-intake audit.
+# --------------------------------------------------------------------------
+@query(
+    "wav_duration_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         8000 * (1 + doc_id % 5) AS sr,
+         16 + 8 * (doc_id % 2) AS bits,
+         lower(hex(md5(text))) AS body
+  FROM documents
+  WHERE doc_id % 3 = 2
+),
+hx AS (
+  SELECT doc_id,
+         lpad(to_hex(ch), 4, '0') AS ch16,
+         lpad(to_hex(sr), 8, '0') AS sr32,
+         lpad(to_hex(CAST(sr * ch * bits / 8 AS BIGINT)), 8, '0') AS br32,
+         lpad(to_hex(CAST(ch * bits / 8 AS BIGINT)), 4, '0') AS ba16,
+         lpad(to_hex(bits), 4, '0') AS bi16,
+         body
+  FROM base
+),
+ph AS (
+  SELECT doc_id AS media_id,
+         '52494646' || '44000000' || '57415645' || '666d7420'
+         || '10000000' || '0100'
+         || substr(ch16,3,2) || substr(ch16,1,2)
+         || substr(sr32,7,2) || substr(sr32,5,2)
+           || substr(sr32,3,2) || substr(sr32,1,2)
+         || substr(br32,7,2) || substr(br32,5,2)
+           || substr(br32,3,2) || substr(br32,1,2)
+         || substr(ba16,3,2) || substr(ba16,1,2)
+         || substr(bi16,3,2) || substr(bi16,1,2)
+         || '64617461' || '20000000' || body AS p
+  FROM hx
+),
+parsed AS (
+  SELECT media_id,
+    CAST(('0x' || substr(p,47,2) || substr(p,45,2)) AS BIGINT) AS channels,
+    CAST(('0x' || substr(p,55,2) || substr(p,53,2)
+          || substr(p,51,2) || substr(p,49,2)) AS BIGINT) AS sample_rate,
+    CAST(('0x' || substr(p,71,2) || substr(p,69,2)) AS BIGINT)
+      AS bits_per_sample,
+    CAST(('0x' || substr(p,63,2) || substr(p,61,2)
+          || substr(p,59,2) || substr(p,57,2)) AS BIGINT) AS byte_rate,
+    CAST(('0x' || substr(p,87,2) || substr(p,85,2)
+          || substr(p,83,2) || substr(p,81,2)) AS BIGINT) AS data_bytes
+  FROM ph
+)
+SELECT sample_rate, channels, bits_per_sample,
+       count(*) AS n_files,
+       CAST(sum(data_bytes) AS BIGINT) AS total_bytes,
+       round(sum(data_bytes * 1000.0 / byte_rate), 6) AS total_ms,
+       round(avg(data_bytes * 1000.0 / byte_rate), 6) AS avg_ms
+FROM parsed
+GROUP BY sample_rate, channels, bits_per_sample
+ORDER BY sample_rate, channels, bits_per_sample
+""",
+)
+def wav_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_wav_timing,
+        synth_container_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    timing = parse_wav_timing(synth_container_media(docs))
+    return (
+        timing.groupBy("sample_rate", "channels", "bits_per_sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("data_bytes").alias("total_bytes"),
+            F.round(F.sum("duration_ms"), 6).alias("total_ms"),
+            F.round(F.avg("duration_ms"), 6).alias("avg_ms"),
+        )
+        .orderBy("sample_rate", "channels", "bits_per_sample")
+    )
