@@ -399,3 +399,62 @@ def parse_wav_timing(media: DataFrame) -> DataFrame:
         data_bytes.alias("data_bytes"),
         (data_bytes * F.lit(1000.0) / byte_rate).alias("duration_ms"),
     )
+
+
+def synth_mp4_media(docs: DataFrame) -> DataFrame:
+    """Deterministic ISO-BMFF (MP4) table: every payload carries a REAL
+    box layout — ftyp, then moov containing a version-0 mvhd (full 100-byte
+    payload with rate/volume/matrix), then an mdat with a 32-byte md5-hex
+    body — built in hex-string space with one final unhex so a SQL oracle
+    constructs bit-identical blobs. Movie timescale and duration derive
+    from doc_id. The body's hex encoding contains no 'd' character (body
+    bytes are ASCII hex digits, whose own hex digits are 3/6 + 0-9/1-6),
+    so scanning for the 'mvhd' tag (6d766864) cannot false-positive inside
+    the body — the same argument that protects the JPEG marker scan."""
+    d = F.col("doc_id")
+    timescale = (F.lit(1000) * (F.lit(1) + d % 4)).cast("long")
+    duration = (F.lit(500) + d % 100000).cast("long")
+    body = F.lower(F.hex(F.md5(F.col("text"))))
+    mvhd = F.concat(
+        F.lit("0000006c"), F.lit("6d766864"),  # size 108, 'mvhd'
+        F.lit("00000000"),                     # version 0 + flags
+        F.lit("00000000"), F.lit("00000000"),  # ctime, mtime
+        _be32(timescale), _be32(duration),
+        F.lit("00010000"), F.lit("0100"),      # rate 1.0, volume 1.0
+        F.lit("0" * 20),                       # 10 reserved bytes
+        F.lit("00010000000000000000000000000000"
+              "00010000000000000000000000000000"
+              "40000000"),                     # identity matrix
+        F.lit("0" * 48),                       # 24 pre_defined bytes
+        F.lit("00000002"),                     # next_track_ID
+    )
+    payload_hex = F.concat(
+        F.lit("00000014"), F.lit("66747970"),  # ftyp box, size 20
+        F.lit("69736f6d"), F.lit("00000200"), F.lit("69736f6d"),
+        F.lit("00000074"), F.lit("6d6f6f76"),  # moov box, size 116
+        mvhd,
+        F.lit("00000028"), F.lit("6d646174"),  # mdat box, size 40
+        body,
+    )
+    return docs.select(
+        d.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+
+
+def parse_mp4_timing(media: DataFrame) -> DataFrame:
+    """MP4 playback timing FROM THE BYTES: locate the mvhd box by tag scan
+    (not a trusted fixed offset), then read the big-endian u32 timescale
+    and duration at their version-0 offsets (tag + 4 version/flags + 8
+    created/modified). duration_ms = units * 1000 / timescale. Non-BMFF
+    payloads (no ftyp at byte 5 or no mvhd) are dropped."""
+    ph = F.lower(F.hex(F.col("payload")))
+    is_mp4 = F.substring(ph, 9, 8) == "66747970"  # 'ftyp' at byte 5
+    mv = F.locate("6d766864", ph)  # 1-based hex position of the mvhd tag
+    timescale = _u_be(ph, mv + 32, 8)
+    duration = _u_be(ph, mv + 40, 8)
+    return media.filter(is_mp4 & (mv > 0)).select(
+        "media_id",
+        timescale.alias("timescale"),
+        duration.alias("duration_units"),
+        (duration * F.lit(1000.0) / timescale).alias("duration_ms"),
+    )

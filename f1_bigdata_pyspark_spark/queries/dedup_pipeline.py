@@ -1358,3 +1358,100 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.round(jac, 6).alias("jac"))
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: cluster_canonical_docs — dedup's LAST step: pick the CANONICAL
+# document per near-dup cluster by QUALITY (longest text wins, id
+# tiebreak), not by arrival order — "keep best", the policy real corpus
+# curation uses where keep-first would enshrine whichever crawl arrived
+# first. Components come from the same exact-Jaccard graph as
+# near_dup_clusters (star-algorithm CC on Spark, recursive CTE in the
+# oracle); the canonical pick is one window over the clustered docs.
+# Scale: the per-cluster window partitions by component label — state
+# never crosses an executor; quality joins move (doc, n_chars) only.
+# --------------------------------------------------------------------------
+@query(
+    "cluster_canonical_docs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt ca ON ca.doc_id = d1
+  JOIN cnt cb ON cb.doc_id = d2
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+), und AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION SELECT d2, d1 FROM edges
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+), ranked AS (
+  SELECT l.comp, l.node, d.n_chars,
+         row_number() OVER (PARTITION BY l.comp
+                            ORDER BY d.n_chars DESC, l.node ASC) AS rnk
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+)
+SELECT comp AS cluster_id,
+       max(CASE WHEN rnk = 1 THEN node END) AS canonical_doc,
+       max(CASE WHEN rnk = 1 THEN n_chars END) AS canonical_chars,
+       count(*) AS n_docs,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY comp
+ORDER BY cluster_id
+""",
+)
+def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+        "d1", "d2"
+    )
+    labels = connected_components(edges)
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    clustered = labels.join(
+        broadcast_if_small(
+            docs.select(F.col("doc_id").alias("node"), "n_chars")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    ranked = clustered.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("node"))).alias(
+                "canonical_doc"
+            ),
+            F.max(F.when(F.col("rnk") == 1, F.col("n_chars"))).alias(
+                "canonical_chars"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -313,3 +313,75 @@ def wav_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rate", "channels", "bits_per_sample")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: mp4_duration_stats — video corpus timing from ISO-BMFF bytes: locate
+# the mvhd box by tag scan (no trusted offsets), read movie timescale +
+# duration (big-endian u32 at the version-0 layout), roll up playback
+# time per timescale cell. Completes the image (PNG/JPEG dims) / audio
+# (WAV timing) / video triad of codec-free container audits. The oracle
+# synthesizes bit-identical box layouts in SQL and re-parses them with
+# the same tag scan. Scale: one hex pass per payload + a tiny aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "mp4_duration_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         1000 * (1 + doc_id % 4) AS tscale,
+         500 + doc_id % 100000 AS dur,
+         lower(hex(md5(text))) AS body
+  FROM documents
+),
+ph AS (
+  SELECT doc_id AS media_id,
+         '00000014' || '66747970' || '69736f6d' || '00000200' || '69736f6d'
+         || '00000074' || '6d6f6f76'
+         || '0000006c' || '6d766864' || '00000000'
+         || '00000000' || '00000000'
+         || lpad(to_hex(tscale), 8, '0') || lpad(to_hex(dur), 8, '0')
+         || '00010000' || '0100' || repeat('0', 20)
+         || '00010000000000000000000000000000'
+         || '00010000000000000000000000000000' || '40000000'
+         || repeat('0', 48) || '00000002'
+         || '00000028' || '6d646174' || body AS p
+  FROM base
+),
+parsed AS (
+  SELECT media_id,
+         CAST(('0x' || substr(p, strpos(p, '6d766864') + 32, 8)) AS BIGINT)
+           AS timescale,
+         CAST(('0x' || substr(p, strpos(p, '6d766864') + 40, 8)) AS BIGINT)
+           AS duration_units
+  FROM ph
+  WHERE substr(p, 9, 8) = '66747970' AND strpos(p, '6d766864') > 0
+)
+SELECT timescale,
+       count(*) AS n_files,
+       CAST(sum(duration_units) AS BIGINT) AS total_units,
+       round(sum(duration_units * 1000.0 / timescale), 6) AS total_ms,
+       round(avg(duration_units * 1000.0 / timescale), 6) AS avg_ms
+FROM parsed
+GROUP BY timescale
+ORDER BY timescale
+""",
+)
+def mp4_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_mp4_timing,
+        synth_mp4_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    timing = parse_mp4_timing(synth_mp4_media(docs))
+    return (
+        timing.groupBy("timescale")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("duration_units").alias("total_units"),
+            F.round(F.sum("duration_ms"), 6).alias("total_ms"),
+            F.round(F.avg("duration_ms"), 6).alias("avg_ms"),
+        )
+        .orderBy("timescale")
+    )

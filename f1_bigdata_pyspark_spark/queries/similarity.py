@@ -1040,3 +1040,162 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_dim(
         spark, rows, "rank long, dim long, loading double, rayleigh double"
     )
+
+
+# --------------------------------------------------------------------------
+# Q: hybrid_rrf_retrieval — hybrid lexical+vector retrieval fused by
+# Reciprocal Rank Fusion (RRF, k=60 — the Elasticsearch/Vespa default):
+# BM25 top-50 for the query terms and cosine top-50 for the query vector
+# (vec_id 0; documents and embeddings share ids), full-outer-joined on
+# doc id, scored 1/(60+r_lex) + 1/(60+r_vec) with a missing leg
+# contributing 0. Both ranks are over ROUNDED scores with id tiebreaks
+# (the repo's rank discipline), and the RRF terms are exact rationals, so
+# the fusion is bit-portable. Scale: each leg ends in a TakeOrdered(50);
+# the fusion windows/joins touch <=100 rows — the global windows here are
+# post-limit by construction (allowlisted).
+# --------------------------------------------------------------------------
+@query(
+    "hybrid_rrf_retrieval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+idf AS (
+  SELECT t,
+         ln(((SELECT n FROM consts) - count(DISTINCT doc_id) + 0.5)
+            / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM toks GROUP BY t
+),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                  / (SELECT avgdl FROM consts)))), 6)
+           AS score
+  FROM tf JOIN idf USING (t) JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE t IN ('fast', 'join', 'shuffle')
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 50)
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+           AS score
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM (SELECT * FROM cos ORDER BY score DESC, doc_id ASC LIMIT 50)
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + lex.r), 0)
+               + coalesce(1.0 / (60 + vec.r), 0), 6) AS rrf,
+         lex.r AS lex_rank, vec.r AS vec_rank
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, rrf, lex_rank, vec_rank
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.vectors import cosine
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    # lexical leg: the bm25_topk_retrieval scoring (same constants, same
+    # association order) widened to top-50
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    total_toks = toks.count()
+    avgdl = total_toks / n_docs
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    idf = toks.groupBy("t").agg(
+        F.log(
+            (
+                (F.lit(float(n_docs)) - F.count_distinct("doc_id") + 0.5)
+                / (F.count_distinct("doc_id") + 0.5)
+            )
+            + 1.0
+        ).alias("idf")
+    )
+    terms = ["fast", "join", "shuffle"]
+    bm25 = (
+        tf.filter(F.col("t").isin(terms))
+        .join(broadcast_if_small(idf.filter(F.col("t").isin(terms))), "t")
+        .join(broadcast_if_small(dl), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    rank_w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = materialize(bm25).select(
+        "doc_id", F.row_number().over(rank_w).alias("lex_rank")
+    )
+
+    # vector leg: cosine to the query vector, top-50
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv_row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = F.array(*[F.lit(float(x)) for x in qv_row["embedding"]])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cos_tab = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(v, qv), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    vec = materialize(cos_tab).select(
+        "doc_id", F.row_number().over(rank_w).alias("vec_rank")
+    )
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "lex_rank",
+        "vec_rank",
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)

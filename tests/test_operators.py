@@ -837,3 +837,55 @@ def test_cusum_drawdown_identity_matches_sequential(spark, sf_smoke):
     }
     want = {k: round(v / 1000000.0, 6) for k, v in seq_max.items()}
     assert got == want
+
+
+def test_mp4_parser_on_genuine_file(spark):
+    """Independent naive-form check for parse_mp4_timing: an ISO-BMFF file
+    struct-packed by hand (ftyp + moov/mvhd v0 + mdat) — not the hex
+    synthesis path — plus a WAV-shaped decoy that must be dropped."""
+    import struct
+
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_mp4_timing,
+        parse_wav_timing,
+    )
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def mp4(timescale, duration):
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B3x", 0)          # version 0 + flags
+            + struct.pack(">II", 0, 0)       # created, modified
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">IH", 0x00010000, 0x0100)  # rate, volume
+            + b"\x00" * 10
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        return (
+            box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+            + box(b"moov", mvhd)
+            + box(b"mdat", b"\x11" * 16)
+        )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mp4(90000, 450000))),   # 5 s at 90 kHz
+            (2, bytearray(mp4(1000, 1500))),      # 1.5 s at ms timescale
+            (3, bytearray(b"RIFF\x24\x00\x00\x00WAVEnot-a-real-fmt")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.asDict() for r in parse_mp4_timing(media).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["timescale"], got[1]["duration_units"]) == (90000, 450000)
+    assert got[1]["duration_ms"] == 5000.0
+    assert got[2]["duration_ms"] == 1500.0
+    # the triad parsers partition the corpus: the mp4 payloads are
+    # invisible to the WAV path (no RIFF magic), and the RIFF decoy is
+    # invisible to the mp4 path (no ftyp) — magic dispatch, not extension
+    assert parse_wav_timing(media.filter(F.col("media_id") < 3)).count() == 0

@@ -357,7 +357,7 @@ _GLOBAL_WINDOW_OK = {
     "zorder_part_layout",          # layout demo positions over the part dim
     "value_ks_drift",              # ECDF over the BINNED domain (bin-grid bound)
     "seasonal_decomposition",      # 7-day MA over the bounded day grid
-
+    "hybrid_rrf_retrieval",        # ranks over two LIMIT-50 legs only
 }
 
 
