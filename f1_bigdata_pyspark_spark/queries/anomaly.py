@@ -524,3 +524,94 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: mahalanobis_outliers — multivariate outlier detection per event type
+# over the (value, inter-event gap) plane: 2x2 covariance from one
+# sufficient-statistics pass, closed-form inverse, Mahalanobis distance
+# d² = (x-μ)ᵀ Σ⁻¹ (x-μ), flag d² > 13.816 (χ²₂ 99.9%). The determinism
+# discipline: means/covariances are ROUNDED before the distance pass (the
+# same two-pass quantization as CUSUM), so every per-row d² is the same
+# arithmetic over the same doubles in both engines. Scale: two
+# type-keyed passes (moments, then distances) — the second is a narrow
+# map after a broadcast-policied join of the 5-number moment table.
+# --------------------------------------------------------------------------
+@query(
+    "mahalanobis_outliers",
+    oracle="""
+WITH g AS (
+  SELECT event_type, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+), x AS (
+  SELECT event_type, value AS v, gap_us / 1000000.0 AS gp
+  FROM g WHERE gap_us IS NOT NULL
+), m AS (
+  SELECT event_type,
+         round(avg(v), 6) AS mv, round(avg(gp), 6) AS mg,
+         round(covar_pop(v, v), 6) AS svv,
+         round(covar_pop(v, gp), 6) AS svg,
+         round(covar_pop(gp, gp), 6) AS sgg
+  FROM x GROUP BY event_type
+), d AS (
+  SELECT x.event_type,
+         ((x.v - m.mv) * (x.v - m.mv) * m.sgg
+          - 2 * (x.v - m.mv) * (x.gp - m.mg) * m.svg
+          + (x.gp - m.mg) * (x.gp - m.mg) * m.svv)
+         / (m.svv * m.sgg - m.svg * m.svg) AS d2
+  FROM x JOIN m USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN d2 > 13.816 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(max(d2), 6) AS max_d2
+FROM d GROUP BY event_type ORDER BY event_type
+""",
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    x = g.select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.col("gap_us") / 1000000.0).alias("gp"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.round(F.avg("v"), 6).alias("mv"),
+        F.round(F.avg("gp"), 6).alias("mg"),
+        F.round(F.covar_pop("v", "v"), 6).alias("svv"),
+        F.round(F.covar_pop("v", "gp"), 6).alias("svg"),
+        F.round(F.covar_pop("gp", "gp"), 6).alias("sgg"),
+    )
+    dv = F.col("v") - F.col("mv")
+    dg = F.col("gp") - F.col("mg")
+    d2 = (
+        dv * dv * F.col("sgg") - 2 * dv * dg * F.col("svg")
+        + dg * dg * F.col("svv")
+    ) / (F.col("svv") * F.col("sgg") - F.col("svg") * F.col("svg"))
+    d = x.join(broadcast_if_small(m), "event_type").select(
+        "event_type", d2.alias("d2")
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("d2") > 13.816, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("d2"), 6).alias("max_d2"),
+        )
+        .orderBy("event_type")
+    )

@@ -195,3 +195,55 @@ def click_purchase_join_stream(
         "purchase_ts",
         F.round("amount", 2).alias("amount"),
     )
+
+
+# ---------------------------------------------------------------- sketches
+CM_DEPTH, CM_WIDTH = 3, 64  # same geometry as queries/sketches countmin
+
+
+def countmin_partial(df: DataFrame, key_col: str) -> DataFrame:
+    """(r, col, cnt) Count-Min partial for one batch of keys — the same
+    portable md5 row-hash as the batch face (queries/sketches), so
+    partials from any engine/epoch merge by plain addition."""
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    probes = df.select(
+        F.col(key_col).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("r"),
+    ).select(
+        "r",
+        (
+            md5_long(F.concat_ws("#", F.col("k"), F.col("r").cast("string")))
+            % CM_WIDTH
+        ).alias("col"),
+    )
+    return probes.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def foreach_batch_countmin_append(root: str, key_col: str):
+    """Exactly-once streaming maintenance of an ADDITIVE sketch without
+    read-modify-write: each micro-batch OVERWRITES its own partial at
+    ``root/batch-{id}`` (replay after a checkpoint rollback rewrites the
+    identical bytes — idempotent by construction), and the merged sketch
+    is a pure fold over the partials (``read_countmin``). This is the
+    commutative-monoid pattern every mergeable summary (CM, HLL, KMV,
+    bottom-k) gets for free: no transactional register, no lost-update
+    window, batch cost independent of history length. At 100 TB a
+    compaction pass folds old partials into coarser epochs; the fold
+    result is identical by associativity."""
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        countmin_partial(batch_df, key_col).write.mode("overwrite").parquet(
+            f"{root}/batch-{batch_id}"
+        )
+
+    return write_partial
+
+
+def read_countmin(spark: SparkSession, root: str) -> DataFrame:
+    """Merged (r, col, cnt) Count-Min table = sum over all epoch partials."""
+    import glob
+
+    paths = sorted(glob.glob(f"{root}/batch-*"))
+    df = spark.read.parquet(*paths)
+    return df.groupBy("r", "col").agg(F.sum("cnt").alias("cnt"))

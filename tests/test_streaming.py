@@ -687,3 +687,84 @@ def test_snapshot_change_feed_into_neardup_index(spark, tmp_path):
         for r in spark.read.parquet(f"{index_b}/bands").collect()
     }
     assert inc_bands == bat_bands
+
+
+def test_file_stream_countmin_partials_merge_exact(spark, tmp_path):
+    """Streaming maintenance of an ADDITIVE sketch, exactly-once without a
+    transactional register: two file drops stream through
+    foreach_batch_countmin_append (each micro-batch overwrites only its
+    own partial), and the folded sketch must equal the one-shot batch
+    sketch over the union — the commutative-monoid merge law, live.
+    Replaying a batch (checkpoint-rollback simulation) must change
+    nothing, and every CM estimate must upper-bound the exact count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.streaming.events_stream import (
+        countmin_partial,
+        foreach_batch_countmin_append,
+        read_countmin,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    root = str(tmp_path / "cm")
+
+    def write_drop(name, keys):
+        pq.write_table(pa.table({"k": pa.array(keys, pa.string())}),
+                       incoming / name)
+
+    drop1 = ["a", "b", "a", "c"]
+    drop2 = ["b", "d", "d", "d"]
+    write_drop("d1.parquet", drop1)
+
+    stream = spark.readStream.schema("k string").parquet(str(incoming))
+    sink = foreach_batch_countmin_append(root, "k")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_drop("d2.parquet", drop2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def cm_rows(df):
+        return {(r["r"], r["col"]): r["cnt"] for r in df.collect()}
+
+    all_keys = spark.createDataFrame([(k,) for k in drop1 + drop2], "k string")
+    merged = cm_rows(read_countmin(spark, root))
+    batch = cm_rows(countmin_partial(all_keys, "k"))
+    assert merged == batch and len(merged) > 0
+
+    # replay batch 1 (same id, same data): identical bytes, nothing changes
+    sink(spark.createDataFrame([(k,) for k in drop1], "k string"), 0)
+    assert cm_rows(read_countmin(spark, root)) == merged
+
+    # CM never undercounts: min over rows >= exact multiplicity
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    exact = Counter(drop1 + drop2)
+    probe = all_keys.distinct().select(
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"),
+    ).select(
+        "k", "r",
+        (md5_long(F.concat_ws("#", F.col("k"), F.col("r").cast("string")))
+         % 64).alias("col"),
+    )
+    est = {
+        r["k"]: r["est"]
+        for r in probe.join(
+            read_countmin(spark, root), ["r", "col"]
+        ).groupBy("k").agg(F.min("cnt").alias("est")).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
