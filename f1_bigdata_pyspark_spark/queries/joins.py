@@ -1186,3 +1186,127 @@ def supplier_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("community")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_temporal_reachability — TIME-RESPECTING reachability (the
+# temporal-graph semantic): an edge (u→v at day t) is traversable only if
+# t >= the time you ARRIVED at u, so information can only flow forward in
+# time — static BFS over the same edges overstates reach (it happily
+# chains a 1997 contact through a 1995 one). Earliest-arrival is a
+# Bellman-Ford-style min-relaxation: 3 unrolled rounds of
+# arr(v) = min(arr(v), min{t : (u,v,t) edge, t >= arr(u)}) from the
+# minimum supplier id (seeded at day 0 = "knows it from the start").
+# Edges = co-order supplier pairs stamped with the order date (1997
+# orders), kept as (src, dst, day) TRIPLES — min-reducing per pair would
+# be wrong (a later copy of an edge can be traversable when the earliest
+# copy is not). Scale: per round one equi-join on src with the time gate
+# as a post-join filter + a min-combine on dst; arrival frame node-sized.
+# Integer day arithmetic end to end: nothing to round anywhere.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_temporal_reachability",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS day
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst, a.day AS t
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+src0 AS (SELECT min(src) AS s FROM edges),
+a0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS arr FROM src0),
+a1 AS MATERIALIZED (
+  SELECT node, min(arr) AS arr FROM (
+    SELECT node, arr FROM a0
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM a0 JOIN edges e ON e.src = a0.node AND e.t >= a0.arr
+  ) GROUP BY node
+),
+a2 AS MATERIALIZED (
+  SELECT node, min(arr) AS arr FROM (
+    SELECT node, arr FROM a1
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM a1 JOIN edges e ON e.src = a1.node AND e.t >= a1.arr
+  ) GROUP BY node
+),
+a3 AS MATERIALIZED (
+  SELECT node, min(arr) AS arr FROM (
+    SELECT node, arr FROM a2
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM a2 JOIN edges e ON e.src = a2.node AND e.t >= a2.arr
+  ) GROUP BY node
+)
+SELECT node AS s_suppkey, arr AS arrival_day
+FROM a3
+ORDER BY arrival_day, s_suppkey
+""",
+)
+def supplier_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pairs = (
+        li.join(
+            broadcast_if_small(
+                orders.select(
+                    "o_orderkey",
+                    F.floor(
+                        F.unix_micros("o_orderdate") / F.lit(86400000000)
+                    )
+                    .cast("long")
+                    .alias("day"),
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "day")
+        .distinct()
+    )
+    a = pairs.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("src"),
+        F.col("day").alias("t"),
+    )
+    b = pairs.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst")
+    )
+    edges = materialize(
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "t")
+        .distinct()
+        .repartition("src")
+    )
+    source = edges.agg(F.min("src")).head()[0]
+    arr = materialize(
+        spark.createDataFrame([(int(source), 0)], "node long, arr long")
+    )
+    for _ in range(3):
+        relax = (
+            edges.join(
+                arr.select(F.col("node").alias("src"), "arr"), "src"
+            )
+            .filter(F.col("t") >= F.col("arr"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arr"))
+        )
+        arr = materialize(
+            arr.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+        )
+    return arr.select(
+        F.col("node").alias("s_suppkey"), F.col("arr").alias("arrival_day")
+    ).orderBy("arrival_day", "s_suppkey")

@@ -480,3 +480,111 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: session_covisit_lift — market-basket association over SESSIONS: for
+# every pair of event types co-occurring in a 30-min-gap session (same
+# spec as user_sessions), the lift P(a,b) / (P(a)·P(b)) with session as
+# the unit of observation — the co-visitation statistic behind
+# "users who viewed X also..." recommenders. The pair space is
+# Σ C(types-per-session, 2) ≤ C(5,2) per session — bounded by the type
+# vocabulary, never by events. All counts are integers; lift is one
+# rational per pair, rounded at the end.
+# --------------------------------------------------------------------------
+@query(
+    "session_covisit_lift",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+), f AS (
+  SELECT user_id, event_type, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), st AS (
+  SELECT DISTINCT user_id, sess, event_type FROM s
+), n AS (SELECT count(DISTINCT (user_id, sess)) AS n_sessions FROM st),
+tc AS (
+  SELECT event_type, count(*) AS n FROM st GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sess = b.sess
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       round(CAST(p.n_both AS DOUBLE) * (SELECT n_sessions FROM n)
+             / (ca.n * cb.n), 6) AS lift
+FROM pairs p
+JOIN tc ca ON ca.event_type = p.ta
+JOIN tc cb ON cb.event_type = p.tb
+ORDER BY ta, tb
+""",
+)
+def session_covisit_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    st = (
+        flagged.withColumn("sess", F.sum("new_s").over(run))
+        .select("user_id", "sess", "event_type")
+        .distinct()
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    st = materialize(st)  # read by n, tc, and both pair-join sides
+    n_sessions = st.select("user_id", "sess").distinct().count()
+    tc = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select("user_id", "sess", F.col("event_type").alias("ta"))
+    b = st.select("user_id", "sess", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, ["user_id", "sess"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = broadcast_if_small(
+        tc.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    )
+    cb = broadcast_if_small(
+        tc.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    )
+    return (
+        pairs.join(ca, "ta")
+        .join(cb, "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.lit(n_sessions)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ta", "tb")
+    )

@@ -889,3 +889,40 @@ def test_mp4_parser_on_genuine_file(spark):
     # invisible to the WAV path (no RIFF magic), and the RIFF decoy is
     # invisible to the mp4 path (no ftyp) — magic dispatch, not extension
     assert parse_wav_timing(media.filter(F.col("media_id") < 3)).count() == 0
+
+
+def test_temporal_reachability_blocks_backward_time(spark):
+    """Independent pin for the time-respecting semantic: on a hand graph
+    where 1→2 happens at day 10 but 2→3 happened at day 5, static BFS
+    reaches 3 while temporal reachability must NOT (you arrive at 2 after
+    the 2→3 contact already happened); a later copy of the same edge
+    (2→3 at day 20) restores reach. Replays the face's relaxation loop."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    def earliest_arrivals(edge_rows, source, rounds=3):
+        edges = spark.createDataFrame(
+            edge_rows, "src long, dst long, t long"
+        )
+        arr = spark.createDataFrame([(source, 0)], "node long, arr long")
+        for _ in range(rounds):
+            relax = (
+                edges.join(
+                    arr.select(F.col("node").alias("src"), "arr"), "src"
+                )
+                .filter(F.col("t") >= F.col("arr"))
+                .select(F.col("dst").alias("node"), F.col("t").alias("arr"))
+            )
+            arr = materialize(
+                arr.unionByName(relax).groupBy("node").agg(
+                    F.min("arr").alias("arr")
+                )
+            )
+        return {r.node: r.arr for r in arr.collect()}
+
+    blocked = earliest_arrivals([(1, 2, 10), (2, 3, 5)], 1)
+    assert blocked == {1: 0, 2: 10}  # 3 unreachable: 2→3 predates arrival
+
+    restored = earliest_arrivals([(1, 2, 10), (2, 3, 5), (2, 3, 20)], 1)
+    assert restored == {1: 0, 2: 10, 3: 20}  # the later copy carries it
