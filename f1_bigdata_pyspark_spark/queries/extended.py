@@ -1807,3 +1807,132 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("mean", F.lit(0.975)), 6).alias("ci_hi"),
     )
     return ci.crossJoin(F.broadcast(point))  # 1-row scalar
+
+
+# --------------------------------------------------------------------------
+# Q: loo_target_encoding_stats — leave-one-out target encoding, the
+# standard leakage-safe categorical feature for tabular ML: each row's
+# encoding is the category's target mean EXCLUDING the row itself,
+# enc_i = (sum_y - y_i) / (n - 1) — computed from ONE sufficient-stats
+# pass (category sum + count broadcast back), never a per-row re-scan.
+# Targets quantized to integer cents so the excluded-sum arithmetic is
+# exact in any order; the readout checks the two properties that make
+# LOO correct: mean(enc) == category mean (exactly, since Σ(S-y_i) =
+# (n-1)S), and Var(enc) = Var(y)/(n-1)² — emitted as ratios.
+# --------------------------------------------------------------------------
+@query(
+    "loo_target_encoding_stats",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS cat,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), s AS (
+  SELECT cat, CAST(sum(y) AS BIGINT) AS sy, count(*) AS n FROM o GROUP BY cat
+), enc AS (
+  SELECT o.cat, o.y,
+         CAST(s.sy - o.y AS DOUBLE) / (s.n - 1) / 100.0 AS e
+  FROM o JOIN s USING (cat)
+)
+SELECT cat,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(e), 6) AS mean_enc,
+       round(avg(y) / 100.0, 6) AS mean_y,
+       round(stddev_pop(e) * (count(*) - 1), 4) AS sd_enc_scaled,
+       round(stddev_pop(y / 100.0), 4) AS sd_y
+FROM enc GROUP BY cat ORDER BY cat
+""",
+)
+def loo_target_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    s = o.groupBy("cat").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    enc = o.join(broadcast_if_small(s), "cat").select(
+        "cat",
+        "y",
+        (
+            (F.col("sy") - F.col("y")).cast("double")
+            / (F.col("n") - 1)
+            / 100.0
+        ).alias("e"),
+    )
+    return (
+        enc.groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("e"), 6).alias("mean_enc"),
+            F.round(F.avg("y") / 100.0, 6).alias("mean_y"),
+            F.round(
+                F.stddev_pop("e") * (F.count(F.lit(1)) - 1), 4
+            ).alias("sd_enc_scaled"),
+            F.round(F.stddev_pop(F.col("y") / 100.0), 4).alias("sd_y"),
+        )
+        .orderBy("cat")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: feature_hash_collisions — the hashing-trick audit an ML featurizer
+# runs before committing to a bucket width: hash the part-name token
+# vocabulary into 2^10 buckets (portable md5 hash) and report the
+# collision profile — distinct tokens, occupied buckets, collided
+# tokens, max bucket load — plus the birthday-bound expected occupancy
+# n_buckets·(1-(1-1/n_buckets)^V) as a checked ratio. Pure counting on
+# the DISTINCT token vocabulary (Zipf-small), one explode + two
+# aggregates.
+# --------------------------------------------------------------------------
+@query(
+    "feature_hash_collisions",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS t FROM part
+), hashed AS (
+  SELECT t,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM toks
+), buckets AS (
+  SELECT bucket, count(*) AS load FROM hashed GROUP BY bucket
+), v AS (SELECT count(*) AS v FROM hashed)
+SELECT CAST((SELECT v FROM v) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS occupied_buckets,
+       CAST(sum(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT)
+         AS collided_tokens,
+       CAST(max(load) AS BIGINT) AS max_load,
+       round(count(*) / (1024.0 * (1 - power(1 - 1.0 / 1024,
+                                            (SELECT v FROM v)))), 4)
+         AS occupancy_vs_expected
+FROM buckets
+""",
+)
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    part = load_table(spark, sf_dir, "part")
+    toks = (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("t"))
+        .distinct()
+    )
+    hashed = toks.select("t", (md5_long(F.col("t")) % 1024).alias("bucket"))
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    buckets = materialize(
+        hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("load"))
+    )
+    v = hashed.count()  # vocabulary size: driver scalar for the closed form
+    expected = 1024.0 * (1.0 - (1.0 - 1.0 / 1024.0) ** v)
+    return buckets.agg(
+        F.lit(v).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("occupied_buckets"),
+        F.sum(F.when(F.col("load") > 1, F.col("load")).otherwise(0))
+        .cast("long")
+        .alias("collided_tokens"),
+        F.max("load").cast("long").alias("max_load"),
+        F.round(F.count(F.lit(1)) / F.lit(expected), 4).alias(
+            "occupancy_vs_expected"
+        ),
+    )

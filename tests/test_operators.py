@@ -926,3 +926,101 @@ def test_temporal_reachability_blocks_backward_time(spark):
 
     restored = earliest_arrivals([(1, 2, 10), (2, 3, 5), (2, 3, 20)], 1)
     assert restored == {1: 0, 2: 10, 3: 20}  # the later copy carries it
+
+
+def test_hits_bigint_iteration_matches_numpy(spark):
+    """Independent pin for the HITS face's exact-integer iteration: on a
+    hand bipartite graph, two un-normalized rounds in numpy integer
+    arithmetic (h2 = A·Aᵀ·A·1) must equal the relational build, and the
+    ranking must match normalized HITS (normalization is a global scalar,
+    so deferring it cannot reorder)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 11), (3, 12)]
+    sp = spark.createDataFrame(edges, "s long, p long")
+    a1 = sp.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = sp.join(a1, "p").groupBy("s").agg(F.sum("a").alias("h"))
+    a2 = sp.join(h1, "s").groupBy("p").agg(F.sum("h").alias("a"))
+    h2 = sp.join(a2, "p").groupBy("s").agg(F.sum("a").alias("h"))
+    got = {r.s: r.h for r in h2.collect()}
+
+    supp, parts = sorted({s for s, _ in edges}), sorted({p for _, p in edges})
+    A = np.zeros((len(supp), len(parts)), dtype=np.int64)
+    for s, p in edges:
+        A[supp.index(s), parts.index(p)] = 1
+    # h0 = 1 over suppliers; a1 = Aᵀh0; h1 = Aa1; a2 = Aᵀh1; h2 = Aa2
+    want_vec = A @ (A.T @ (A @ (A.T @ np.ones(len(supp), dtype=np.int64))))
+    want = {s: int(v) for s, v in zip(supp, want_vec)}
+    assert got == want
+    # rank order equals normalized HITS (same vector scaled)
+    ranks = sorted(got, key=lambda s: (-got[s], s))
+    norm = want_vec / want_vec.sum()
+    ranks_norm = [s for _, s in sorted(zip(-norm, supp))]
+    assert ranks == ranks_norm
+
+
+def test_theil_sen_resists_outlier_where_ols_breaks(spark):
+    """The point of Theil–Sen: on y = 2t with ONE wild outlier, the
+    median-of-pairwise-slopes must stay 2.0 while the OLS slope is dragged
+    far off. Replays the face's pair-join shape on a hand series."""
+    from pyspark.sql import functions as F
+
+    rows = [(t, 2.0 * t) for t in range(9)] + [(9, 500.0)]
+    d = spark.createDataFrame(rows, "t int, y double")
+    a = d.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = d.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("tb") > F.col("ta"))
+        .select(
+            ((F.col("yb") - F.col("ya")) / (F.col("tb") - F.col("ta"))).alias(
+                "slope"
+            )
+        )
+    )
+    ts = slopes.agg(F.percentile("slope", F.lit(0.5)).alias("m")).head()["m"]
+    assert abs(ts - 2.0) < 0.3
+    ols = d.agg(
+        (F.covar_pop("t", "y") / F.var_pop("t")).alias("b")
+    ).head()["b"]
+    assert ols > 10  # OLS is destroyed by the single outlier
+
+
+def test_markov_stationary_power_iteration_matches_numpy(spark, sf_smoke):
+    """Markov face pin: the 3-round relational power iteration must match
+    numpy's p0·P³ computed from the same transition counts, and each
+    iterate must stay a probability vector (sums to 1)."""
+    import numpy as np
+
+    from f1_bigdata_pyspark_spark.queries.registry import get_query
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_smoke, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cnt = {
+        (r.prev, r.event_type): r.n
+        for r in t.groupBy("prev", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    types = sorted({a for a, _ in cnt} | {b for _, b in cnt})
+    P = np.zeros((len(types), len(types)))
+    for (a, b), n in cnt.items():
+        P[types.index(a), types.index(b)] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    p = np.full(len(types), 1.0 / len(types))
+    for _ in range(3):
+        p = p @ P
+        assert abs(p.sum() - 1.0) < 1e-9
+    want = {ty: round(float(v), 6) for ty, v in zip(types, p)}
+    got = {
+        r.event_type: r.stationary_p
+        for r in get_query("event_markov_stationary").fn(spark, sf_smoke).collect()
+    }
+    assert got == want
