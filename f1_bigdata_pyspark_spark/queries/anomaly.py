@@ -615,3 +615,89 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: spearman_value_gap_corr — Spearman rank correlation between an
+# event's value and the inter-event gap, per type: Pearson on RANKS,
+# computed from integer sufficient sums (Σx, Σy, Σxy, Σx², Σy², n over
+# rank integers — every partial sum is exact in any order, so the only
+# floats are the final closed-form division). Average ranks for ties are
+# avoided by construction: rank ties broken by event_id, making this the
+# "rank transform + exact Pearson" variant — documented choice, identical
+# in both engines. Scale: two windows + one map-side-combined aggregate
+# per type. Int64 headroom: n·Σrx² ≈ n⁴/3 stays under 2^63 for group
+# sizes to ~70k; beyond that the closed form folds the sums as doubles
+# (statistically immaterial at that n — the exactness is a small-n
+# cross-engine guarantee, not a correctness requirement).
+# --------------------------------------------------------------------------
+@query(
+    "spearman_value_gap_corr",
+    oracle="""
+WITH g AS (
+  SELECT event_type, event_id, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+), x AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gap_us, event_id) AS ry
+  FROM g WHERE gap_us IS NOT NULL
+), s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy
+  FROM x GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM s ORDER BY event_type
+""",
+)
+def spearman_value_gap_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wx = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wy = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    x = g.select(
+        "event_type",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("spearman_rho"),
+    ).orderBy("event_type")
