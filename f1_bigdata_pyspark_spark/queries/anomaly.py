@@ -701,3 +701,116 @@ def spearman_value_gap_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("spearman_rho"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: kaplan_meier_survival — survival analysis with right-censoring: time
+# from each user's FIRST event to their first 'purchase' (users who never
+# purchase are censored at their last observed event). The KM estimator
+# S(t) = Π_{t_i<=t} (1 - d_i/n_i) is folded relationally: per distinct
+# day, deaths + departures; the at-risk count is N minus an integer
+# prefix sum (exact in any order); the product becomes exp(Σ ln(...))
+# over the ≤ #distinct-days factor table. Survival read out at 3 fixed
+# horizons via a 3-row literal join. Scale: two user-keyed aggregates,
+# then day-grid-sized arithmetic — the classic churn readout at any
+# corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "kaplan_meier_survival",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS t0,
+         max(epoch_us(ts)) AS tlast,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY user_id
+), subj AS (
+  SELECT user_id,
+         CASE WHEN tp IS NOT NULL
+              THEN (tp - t0) // 86400000000
+              ELSE (tlast - t0) // 86400000000 END AS day,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user
+), n AS (SELECT count(*) AS n FROM subj),
+per_day AS (
+  SELECT day, CAST(sum(ev) AS BIGINT) AS deaths,
+         count(*) AS leaving
+  FROM subj GROUP BY day
+), risk AS (
+  SELECT day, deaths,
+         (SELECT n FROM n)
+         - CAST(coalesce(sum(leaving) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS at_risk
+  FROM per_day
+), factors AS (
+  SELECT day, ln(1 - CAST(deaths AS DOUBLE) / at_risk) AS lf
+  FROM risk WHERE deaths > 0 AND at_risk > deaths
+), h AS (SELECT unnest([3, 7, 14]) AS horizon)
+SELECT h.horizon,
+       CAST((SELECT n FROM n) AS BIGINT) AS n_users,
+       round(exp(coalesce(sum(f.lf), 0)), 6) AS survival
+FROM h LEFT JOIN factors f ON f.day <= h.horizon
+GROUP BY h.horizon
+ORDER BY h.horizon
+""",
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import local_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tlast"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    day_of = lambda c: F.floor(c / F.lit(86400000000)).cast("long")  # noqa: E731
+    subj = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(), day_of(F.col("tp") - F.col("t0"))
+        )
+        .otherwise(day_of(F.col("tlast") - F.col("t0")))
+        .alias("day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    per_day = materialize(
+        subj.groupBy("day").agg(
+            F.sum("ev").cast("long").alias("deaths"),
+            F.count(F.lit(1)).alias("leaving"),
+        )
+    )
+    n = subj.count()  # driver scalar: the cohort size
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = per_day.select(
+        "day",
+        "deaths",
+        (
+            F.lit(n)
+            - F.coalesce(F.sum("leaving").over(w), F.lit(0)).cast("long")
+        ).alias("at_risk"),
+    )
+    factors = risk.filter(
+        (F.col("deaths") > 0) & (F.col("at_risk") > F.col("deaths"))
+    ).select(
+        "day",
+        F.log(
+            1 - F.col("deaths").cast("double") / F.col("at_risk")
+        ).alias("lf"),
+    )
+    horizons = local_dim(spark, [(3,), (7,), (14,)], "horizon long")
+    return (
+        horizons.join(factors, factors.day <= horizons.horizon, "left")
+        .groupBy("horizon")
+        .agg(
+            F.lit(n).cast("long").alias("n_users"),
+            F.round(
+                F.exp(F.coalesce(F.sum("lf"), F.lit(0.0))), 6
+            ).alias("survival"),
+        )
+        .orderBy("horizon")
+    )

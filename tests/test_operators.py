@@ -1024,3 +1024,57 @@ def test_markov_stationary_power_iteration_matches_numpy(spark, sf_smoke):
         for r in get_query("event_markov_stationary").fn(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_kaplan_meier_hand_cohort(spark, tmp_path):
+    """KM pin on a hand cohort vs the textbook product-limit computation:
+    5 users, purchases at days 1 and 3, censorings at days 2, 3 and 5 —
+    S(3) = (1 - 1/5)·(1 - 1/3) = 8/15 worked by hand (day-3 risk set is
+    {3,4,5}: user 1 died day 1, user 2 censored day 2). Builds a tiny
+    events parquet and runs the registered face end to end."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.queries.registry import get_query
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []  # (event_id, ts, user_id, event_type)
+    eid = 0
+
+    def ev(user, day, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, base + dt.timedelta(days=day), user, typ))
+
+    for u in range(1, 6):
+        ev(u, 0, "view")                      # everyone's origin at day 0
+    ev(1, 1, "purchase")                      # death day 1
+    ev(2, 2, "view")                          # censored day 2
+    ev(3, 3, "purchase")                      # death day 3
+    ev(4, 3, "view")                          # censored day 3
+    ev(5, 5, "view")                          # censored day 5
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "km"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    got = {
+        r.horizon: (r.n_users, r.survival)
+        for r in get_query("kaplan_meier_survival").fn(spark, str(d)).collect()
+    }
+    # deaths: day1 (n_at_risk=5, d=1), day3 (at risk=3 [users 3,4,5], d=1)
+    # S(3)=S(7)=S(14) = (4/5)·(2/3) ≈ 0.533333
+    s3 = round((4 / 5) * (2 / 3), 6)
+    assert got == {3: (5, s3), 7: (5, s3), 14: (5, s3)}

@@ -358,6 +358,7 @@ _GLOBAL_WINDOW_OK = {
     "value_ks_drift",              # ECDF over the BINNED domain (bin-grid bound)
     "seasonal_decomposition",      # 7-day MA over the bounded day grid
     "hybrid_rrf_retrieval",        # ranks over two LIMIT-50 legs only
+    "kaplan_meier_survival",       # at-risk cumsum over the day grid
 }
 
 
