@@ -588,3 +588,189 @@ def session_covisit_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: multitouch_attribution — revenue credit assignment across the touch
+# path: for every purchase, the user's touches (non-purchase events)
+# since their PREVIOUS purchase share the purchase's value under three
+# industry models at once — first-touch (all credit to the earliest),
+# last-touch (to the latest), linear (1/k each). Relational build: a
+# running purchase-counter window segments each user's stream into
+# conversion windows, then one aggregate per (window, model). Credit
+# fractions are exact rationals (value quantized to cents, divided
+# once); per-type rollup rounded at the end. Scale: one user-keyed
+# exchange, windows never cross users.
+# --------------------------------------------------------------------------
+@query(
+    "multitouch_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS pnum
+  FROM events
+), touches AS (
+  -- events in conversion window w: touches carry pnum = w-1 (they precede
+  -- the w-th purchase); the purchase row itself carries pnum = w
+  SELECT user_id, event_type, ts_us, event_id, pnum + 1 AS win
+  FROM seq WHERE event_type <> 'purchase'
+), conv AS (
+  SELECT user_id, pnum AS win, cents FROM seq WHERE event_type = 'purchase'
+), joined AS (
+  SELECT t.user_id, t.event_type, t.ts_us, t.event_id, t.win, c.cents,
+         count(*) OVER (PARTITION BY t.user_id, t.win) AS k,
+         row_number() OVER (PARTITION BY t.user_id, t.win
+                            ORDER BY t.ts_us, t.event_id) AS rn_first,
+         row_number() OVER (PARTITION BY t.user_id, t.win
+                            ORDER BY t.ts_us DESC, t.event_id DESC)
+           AS rn_last
+  FROM touches t JOIN conv c ON c.user_id = t.user_id AND c.win = t.win
+)
+SELECT event_type,
+       round(sum(CASE WHEN rn_first = 1 THEN cents ELSE 0 END)
+             / 100.0, 2) AS first_touch_credit,
+       round(sum(CASE WHEN rn_last = 1 THEN cents ELSE 0 END)
+             / 100.0, 2) AS last_touch_credit,
+       round(sum(CAST(cents AS DOUBLE) / k) / 100.0, 2) AS linear_credit
+FROM joined
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .over(run)
+        .alias("pnum"),
+    )
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        (F.col("pnum") + 1).alias("win"),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("pnum").alias("win"), "cents"
+    )
+    joined = touches.join(conv, ["user_id", "win"])
+    pw = Window.partitionBy("user_id", "win")
+    first_w = pw.orderBy("ts_us", "event_id")
+    last_w = pw.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    scored = joined.select(
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(pw).alias("k"),
+        F.row_number().over(first_w).alias("rn_first"),
+        F.row_number().over(last_w).alias("rn_last"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("rn_first") == 1, F.col("cents")).otherwise(0)
+                )
+                / 100.0,
+                2,
+            ).alias("first_touch_credit"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rn_last") == 1, F.col("cents")).otherwise(0)
+                )
+                / 100.0,
+                2,
+            ).alias("last_touch_credit"),
+            F.round(
+                F.sum(F.col("cents").cast("double") / F.col("k")) / 100.0, 2
+            ).alias("linear_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: session_top_paths — frequent behaviour paths: the top 10 three-step
+# event-type sequences (consecutive, within a 30-min session), the
+# path-mining readout behind "how do users reach a purchase". Two lag
+# windows give the triple at each position; counts are plain integers.
+# Scale: one user-keyed exchange; triples are corpus-linear and the
+# rollup is vocabulary-cubed at most.
+# --------------------------------------------------------------------------
+@query(
+    "session_top_paths",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+), f AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), tri AS (
+  SELECT user_id, sess, event_type AS c,
+         lag(event_type, 1) OVER (PARTITION BY user_id, sess
+                                  ORDER BY ts_us, event_id) AS b,
+         lag(event_type, 2) OVER (PARTITION BY user_id, sess
+                                  ORDER BY ts_us, event_id) AS a
+  FROM s
+)
+SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+FROM tri WHERE a IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 10
+""",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(wu).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(wu)) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    s = flagged.withColumn("sess", F.sum("new_s").over(run))
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts_us", "event_id")
+    tri = s.select(
+        F.lag("event_type", 2).over(ws).alias("a"),
+        F.lag("event_type", 1).over(ws).alias("b"),
+        F.col("event_type").alias("c"),
+    ).filter(F.col("a").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )

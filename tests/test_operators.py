@@ -1078,3 +1078,48 @@ def test_kaplan_meier_hand_cohort(spark, tmp_path):
     # S(3)=S(7)=S(14) = (4/5)·(2/3) ≈ 0.533333
     s3 = round((4 / 5) * (2 / 3), 6)
     assert got == {3: (5, s3), 7: (5, s3), 14: (5, s3)}
+
+
+def test_attribution_models_conserve_revenue(spark, sf_smoke):
+    """Credit conservation: every attribution model must hand out exactly
+    the revenue of the purchases that HAVE at least one touch — no credit
+    invented, none lost. Checks Σ credit equal across first/last/linear
+    and equal to the attributable purchase total recomputed independently."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+    from f1_bigdata_pyspark_spark.queries.registry import get_query
+
+    rows = get_query("multitouch_attribution").fn(spark, sf_smoke).collect()
+    tot_first = round(sum(r.first_touch_credit for r in rows), 2)
+    tot_last = round(sum(r.last_touch_credit for r in rows), 2)
+    tot_linear = round(sum(r.linear_credit for r in rows), 2)
+    assert tot_first == tot_last
+    assert abs(tot_linear - tot_first) < 0.05  # 1/k rationals re-rounded
+
+    ev = load_table(spark, sf_smoke, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(run)
+        .alias("pnum"),
+    )
+    # purchases whose window (pnum) contains >= 1 non-purchase touch
+    touch_wins = (
+        seq.filter(F.col("event_type") != "purchase")
+        .select("user_id", (F.col("pnum") + 1).alias("win"))
+        .distinct()
+    )
+    attributable = (
+        seq.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("pnum").alias("win"), "cents")
+        .join(touch_wins, ["user_id", "win"], "left_semi")
+        .agg(F.sum("cents").alias("c"))
+        .head()["c"]
+    )
+    assert tot_first == round(attributable / 100.0, 2)
