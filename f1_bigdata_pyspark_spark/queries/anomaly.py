@@ -814,3 +814,125 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: cumulative_unique_users — distinct-users-to-date growth curve WITHOUT
+# a distinct per day: each user contributes on their FIRST-SEEN day only
+# (one user-keyed aggregate), then an integer prefix sum over the day
+# grid accumulates the curve — exact in any order, and the per-day
+# distinct scan a naive rollup would do disappears. The classic DAU/
+# cumulative-reach decomposition at corpus scale.
+# --------------------------------------------------------------------------
+@query(
+    "cumulative_unique_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+)
+SELECT day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM per_day
+ORDER BY day
+""",
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("day")
+    )
+    per_day = materialize(
+        first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Q: value_type_mutual_information — feature relevance by mutual
+# information: MI(type; value-decile) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+# over the (event_type × global value decile) contingency table. Deciles
+# come from exact global percentiles (rounded split points); every cell
+# is an integer count, so the only floats are ~50 per-cell log terms —
+# deterministic after the final round. MI==0 iff independent; emitted
+# with the table size for the reader. Scale: one ntile-free bucket
+# assign (broadcast split points) + one contingency aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "value_type_mutual_information",
+    oracle="""
+WITH qs AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           x -> round(x, 6)) AS q
+  FROM events
+), b AS (
+  SELECT event_type,
+         1 + CAST(q[1] <= value AS INT) + CAST(q[2] <= value AS INT)
+           + CAST(q[3] <= value AS INT) + CAST(q[4] <= value AS INT)
+           + CAST(q[5] <= value AS INT) + CAST(q[6] <= value AS INT)
+           + CAST(q[7] <= value AS INT) + CAST(q[8] <= value AS INT)
+           + CAST(q[9] <= value AS INT) AS decile
+  FROM events, qs
+), cell AS (
+  SELECT event_type, decile, count(*) AS nxy FROM b GROUP BY 1, 2
+), mx AS (SELECT event_type, sum(nxy) AS nx FROM cell GROUP BY 1),
+my AS (SELECT decile, sum(nxy) AS ny FROM cell GROUP BY 1),
+n AS (SELECT sum(nxy) AS n FROM cell)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((CAST(nxy AS DOUBLE) / (SELECT n FROM n))
+                 * ln(CAST(nxy AS DOUBLE) * (SELECT n FROM n)
+                      / (CAST(nx AS DOUBLE) * ny))), 6) AS mutual_info
+FROM cell JOIN mx USING (event_type) JOIN my USING (decile)
+""",
+)
+def value_type_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    probs = [i / 10.0 for i in range(1, 10)]
+    qs = [
+        round(q, 6)
+        for q in ev.agg(
+            F.percentile("value", F.array(*[F.lit(p) for p in probs]))
+        ).head()[0]
+    ]
+    decile = F.lit(1)
+    for q in qs:
+        decile = decile + (F.lit(q) <= F.col("value")).cast("int")
+    cell = materialize(
+        ev.select("event_type", decile.alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    mx = cell.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = cell.groupBy("decile").agg(F.sum("nxy").alias("ny"))
+    n = cell.agg(F.sum("nxy")).head()[0]
+    joined = cell.join(broadcast_if_small(mx), "event_type").join(
+        broadcast_if_small(my), "decile"
+    )
+    term = (F.col("nxy").cast("double") / F.lit(float(n))) * F.log(
+        F.col("nxy").cast("double")
+        * F.lit(float(n))
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return joined.agg(
+        F.lit(n).cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mutual_info"),
+    )

@@ -2352,3 +2352,100 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: phrase_match_positional — exact phrase search the inverted-index way:
+# positional postings (token, doc, pos) self-joined on pos+1 adjacency,
+# the operator real IR engines run for quoted queries (LIKE/contains
+# can't respect token boundaries and rescans the raw text per query).
+# Query phrases are picked from the corpus deterministically (the 3 most
+# frequent bigrams) so the face is data-driven, then matched by the
+# positional join. Scale: postings are built once per corpus (the same
+# tokenize pass every text face shares) and the join is keyed by term —
+# only the two query terms' postings move.
+# --------------------------------------------------------------------------
+@query(
+    "phrase_match_positional",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, arr[i] AS tok, i AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       UNNEST(generate_series(1, len(arr))) AS u(i)
+), bigrams AS (
+  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), q AS (
+  SELECT w1, w2, n FROM bigrams
+  ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 3
+), hits AS (
+  SELECT q.w1, q.w2, q.n AS corpus_occurrences,
+         count(DISTINCT a.doc_id) AS n_docs
+  FROM q
+  JOIN toks a ON a.tok = q.w1
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             AND b.tok = q.w2
+  GROUP BY q.w1, q.w2, q.n
+)
+SELECT w1 || ' ' || w2 AS phrase,
+       CAST(corpus_occurrences AS BIGINT) AS corpus_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM hits
+ORDER BY corpus_occurrences DESC, phrase ASC
+""",
+)
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize(
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+        ).select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    a = toks.select("doc_id", F.col("tok").alias("w1"), "pos")
+    b = toks.select(
+        "doc_id", F.col("tok").alias("w2"), (F.col("pos") - 1).alias("pos")
+    )
+    bigrams = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        bigrams.orderBy(
+            F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(3)
+    )
+    qa = broadcast_if_small(
+        q.select(F.col("w1"), F.col("w2"), F.col("n").alias("corpus_occurrences"))
+    )
+    first = toks.join(
+        qa, toks.tok == qa.w1
+    ).select("doc_id", "w1", "w2", "corpus_occurrences", "pos")
+    second = toks.select(
+        "doc_id",
+        F.col("tok").alias("w2_tok"),
+        (F.col("pos") - 1).alias("pos"),
+    )
+    hits = first.join(
+        second,
+        (first.doc_id == second.doc_id)
+        & (first.pos == second.pos)
+        & (first.w2 == second.w2_tok),
+    )
+    return (
+        hits.groupBy("w1", "w2", "corpus_occurrences")
+        .agg(F.count_distinct(first.doc_id).alias("n_docs"))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            F.col("corpus_occurrences").cast("long"),
+            F.col("n_docs").cast("long"),
+        )
+        .orderBy(F.col("corpus_occurrences").desc(), F.col("phrase").asc())
+    )

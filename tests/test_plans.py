@@ -359,6 +359,7 @@ _GLOBAL_WINDOW_OK = {
     "seasonal_decomposition",      # 7-day MA over the bounded day grid
     "hybrid_rrf_retrieval",        # ranks over two LIMIT-50 legs only
     "kaplan_meier_survival",       # at-risk cumsum over the day grid
+    "cumulative_unique_users",     # growth cumsum over the day grid
 }
 
 
