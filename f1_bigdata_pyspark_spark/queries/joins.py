@@ -1310,3 +1310,118 @@ def supplier_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFram
     return arr.select(
         F.col("node").alias("s_suppkey"), F.col("arr").alias("arrival_day")
     ).orderBy("arrival_day", "s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# Q: link_prediction_adamic_adar — link prediction on the 1997 co-order
+# supplier graph: for supplier pairs NOT currently connected, the
+# Adamic–Adar score Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)) — the classic
+# common-neighbor predictor that discounts promiscuous hubs. Relational
+# build: wedge join through the common neighbor (same two-join shape as
+# triangle counting), anti-join away existing edges, top-20 by rounded
+# score. Scale: wedge fan-out is Σ deg(z)² bounded by the hub degree cap;
+# the per-wedge weight 1/ln(deg) is computed once per center node and
+# joins in via the size-aware policy.
+# --------------------------------------------------------------------------
+@query(
+    "link_prediction_adamic_adar",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v, u FROM und
+),
+deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+wedges AS (
+  SELECT e1.dst AS u, e2.dst AS v, e1.src AS z
+  FROM sym e1 JOIN sym e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+),
+aa AS (
+  SELECT w.u, w.v, round(sum(1.0 / ln(deg.d)), 6) AS aa_score,
+         count(*) AS n_common
+  FROM wedges w JOIN deg ON deg.node = w.z
+  WHERE deg.d > 1
+  GROUP BY w.u, w.v
+),
+nonedge AS (
+  SELECT aa.* FROM aa
+  LEFT JOIN und ON und.u = aa.u AND und.v = aa.v
+  WHERE und.u IS NULL
+)
+SELECT u, v, aa_score, CAST(n_common AS BIGINT) AS n_common
+FROM nonedge
+ORDER BY aa_score DESC, u ASC, v ASC
+LIMIT 20
+""",
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa")
+    )
+    b = pairs.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb")
+    )
+    und = materialize(
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    sym = materialize(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("src")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("wu"))
+    e2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("wv"))
+    wedges = e1.join(e2, "z").filter(F.col("wu") < F.col("wv"))
+    aa = (
+        wedges.join(
+            broadcast_if_small(
+                deg.filter(F.col("d") > 1).select(
+                    F.col("src").alias("z"), F.col("d")
+                )
+            ),
+            "z",
+        )
+        .groupBy(F.col("wu").alias("u"), F.col("wv").alias("v"))
+        .agg(
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    nonedge = aa.join(und, ["u", "v"], "left_anti")
+    return (
+        nonedge.select(
+            "u", "v", "aa_score", F.col("n_common").cast("long")
+        )
+        .orderBy(
+            F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(20)
+    )

@@ -2449,3 +2449,76 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("corpus_occurrences").desc(), F.col("phrase").asc())
     )
+
+
+# --------------------------------------------------------------------------
+# Q: readability_scores — Flesch-style readability per source: words per
+# sentence (periods as sentence breaks, +1 for the unterminated tail) and
+# vowel-group syllable approximation per word, folded into the Flesch
+# Reading Ease formula 206.835 - 1.015·(W/S) - 84.6·(syl/W). Everything
+# is an integer count from two regexp_count passes (codegen; no explode
+# needed), so the per-source sums are exact and only the final formula is
+# float. The standard corpus-quality readout next to the Gopher gates.
+# --------------------------------------------------------------------------
+@query(
+    "readability_scores",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS words,
+         1 + length(text) - length(replace(text, '.', '')) AS sentences,
+         length(regexp_replace(text, '[aeiouAEIOU]+', '#', 'g'))
+           - length(replace(regexp_replace(text, '[aeiouAEIOU]+', '#', 'g'),
+                            '#', '')) AS syllables
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS words,
+         CAST(sum(sentences) AS BIGINT) AS sentences,
+         CAST(sum(syllables) AS BIGINT) AS syllables
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs,
+       round(CAST(words AS DOUBLE) / sentences, 6) AS words_per_sentence,
+       round(CAST(syllables AS DOUBLE) / words, 6) AS syllables_per_word,
+       round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+             - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+         AS flesch_ease
+FROM agg
+ORDER BY source
+""",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vowel_marked = F.regexp_replace(F.col("text"), "[aeiouAEIOU]+", "#")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("words"),
+        (
+            1
+            + F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), "\\.", ""))
+        ).alias("sentences"),
+        (
+            F.length(vowel_marked)
+            - F.length(F.regexp_replace(vowel_marked, "#", ""))
+        ).alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("sentences").alias("sentences"),
+        F.sum("syllables").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("syllables").cast("double") / F.col("words")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_ease"),
+    ).orderBy("source")
