@@ -1936,3 +1936,75 @@ def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "occupancy_vs_expected"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: benford_first_digit — Benford's-law conformance audit on order
+# totals: observed first-significant-digit distribution vs the expected
+# log10(1 + 1/d), with the per-digit chi-square contribution. The classic
+# fabricated-data / ETL-corruption screen for financial magnitude columns
+# (naturally-grown multiplicative amounts follow Benford; uniform or
+# truncated generators don't). Determinism: the digit comes from the
+# EXACT integer cents (round(price·100) — no float log10 at magnitude
+# boundaries), counts are integers, and each expectation/chi² term is a
+# fixed-order scalar over (count, total) — no cross-row float sums.
+# Scale: one narrow map (cents → first digit via string head) + a 9-cell
+# aggregate with map-side combine; the 1-row total joins back broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "benford_first_digit",
+    oracle="""
+WITH digits AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit,
+         count(*) AS n_obs
+  FROM orders
+  WHERE o_totalprice > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM digits)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       round(n_obs * 1.0 / n, 6) AS obs_share,
+       round(log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 6) AS benford_p,
+       round(POW(n_obs - n * log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 2)
+             / (n * log10(1.0 + 1.0 / CAST(digit AS BIGINT))), 6)
+         AS chi2_term
+FROM digits CROSS JOIN tot
+ORDER BY digit
+""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
+    d = F.col("digit").cast("long")
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / d)
+    return (
+        digits.join(F.broadcast(tot))  # 1-row scalar
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") * 1.0 / F.col("n"), 6).alias("obs_share"),
+            F.round(p, 6).alias("benford_p"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("n") * p, F.lit(2))
+                / (F.col("n") * p),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -385,3 +385,161 @@ def mp4_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("timescale")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: payload_byte_entropy — per-container byte-distribution entropy over
+# the raw payload bytes: the standard corruption / wrong-codec screen for
+# a media-intake pipeline (a PNG whose byte entropy collapses is a
+# truncated or zero-filled transfer; one whose entropy is ~8 bits is
+# double-compressed). Bytes come out of ONE hex() pass + a fixed-fanout
+# position explode (payload length is bounded by the container synth);
+# counts per (container, byte) are exact integers. Determinism: grouped
+# DOUBLE sums are not order-stable across engines, so each Shannon term
+# p·log2(p) is quantized to a 1e-12 BIGINT before the per-container sum —
+# exact in any accumulation order (|term| ≤ 0.54 → |tq| ≤ 5.4e11, ×256
+# cells ≤ 1.4e14, far inside int64). Scale: narrow map + two keyed
+# aggregates; the per-container marginal joins back through the size
+# policy (256·containers rows — small forever, but policied on principle).
+# --------------------------------------------------------------------------
+@query(
+    "payload_byte_entropy",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 3 AS kindsel,
+         16 + doc_id % 2048 AS w,
+         16 + (doc_id * 7) % 2048 AS h,
+         1 + doc_id % 2 AS ch,
+         8000 * (1 + doc_id % 5) AS sr,
+         16 + 8 * (doc_id % 2) AS bits,
+         lower(hex(md5(text))) AS body
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, kindsel,
+         lpad(to_hex(w), 8, '0') AS w32, lpad(to_hex(h), 8, '0') AS h32,
+         lpad(to_hex(w), 4, '0') AS w16, lpad(to_hex(h), 4, '0') AS h16,
+         lpad(to_hex(ch), 4, '0') AS ch16,
+         lpad(to_hex(sr), 8, '0') AS sr32,
+         lpad(to_hex(CAST(sr * ch * bits / 8 AS BIGINT)), 8, '0') AS br32,
+         lpad(to_hex(CAST(ch * bits / 8 AS BIGINT)), 4, '0') AS ba16,
+         lpad(to_hex(bits), 4, '0') AS bi16,
+         body
+  FROM base
+),
+ph AS (
+  SELECT doc_id AS media_id, lower(CASE kindsel
+    WHEN 0 THEN
+      '89504e470d0a1a0a' || '0000000d' || '49484452'
+      || w32 || h32 || '0806000000' || '00000000' || body
+    WHEN 1 THEN
+      'ffd8' || 'ffe0' || '0010' || '4a46494600' || '0101'
+      || '00' || '0001' || '0001' || '0000'
+      || 'ffc0' || '0011' || '08' || h16 || w16
+      || '03' || '011100' || '021101' || '031101' || body
+    ELSE
+      '52494646' || '44000000' || '57415645' || '666d7420'
+      || '10000000' || '0100'
+      || substr(ch16,3,2) || substr(ch16,1,2)
+      || substr(sr32,7,2) || substr(sr32,5,2) || substr(sr32,3,2) || substr(sr32,1,2)
+      || substr(br32,7,2) || substr(br32,5,2) || substr(br32,3,2) || substr(br32,1,2)
+      || substr(ba16,3,2) || substr(ba16,1,2)
+      || substr(bi16,3,2) || substr(bi16,1,2)
+      || '64617461' || '20000000' || body
+  END) AS p
+  FROM hx
+),
+tagged AS (
+  SELECT media_id,
+    CASE WHEN substr(p,1,16) = '89504e470d0a1a0a' THEN 'png'
+         WHEN substr(p,1,4)  = 'ffd8' THEN 'jpeg'
+         WHEN substr(p,1,8)  = '52494646' AND substr(p,17,8) = '57415645'
+              THEN 'wav'
+         ELSE 'unknown' END AS container,
+    p
+  FROM ph
+),
+bytes AS (
+  SELECT container, substr(p, 2 * i - 1, 2) AS b
+  FROM tagged,
+       (SELECT unnest(range(1, CAST((SELECT max(len(p)) FROM tagged) / 2 AS BIGINT) + 1)) AS i)
+  WHERE i <= len(p) / 2
+),
+cnt AS (
+  SELECT container, b, count(*) AS c FROM bytes GROUP BY container, b
+),
+marg AS (
+  SELECT container, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct_bytes
+  FROM cnt GROUP BY container
+),
+terms AS (
+  SELECT cnt.container,
+         CAST(round((c * 1.0 / n) * log2(c * 1.0 / n) * 1e12) AS BIGINT)
+           AS tq
+  FROM cnt JOIN marg ON cnt.container = marg.container
+)
+SELECT marg.container, n AS n_bytes, n_distinct_bytes,
+       round(-sum_tq / 1e12, 6) AS byte_entropy
+FROM marg
+JOIN (SELECT container, CAST(sum(tq) AS BIGINT) AS sum_tq
+      FROM terms GROUP BY container) s
+  ON marg.container = s.container
+ORDER BY marg.container
+""",
+)
+def payload_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        synth_container_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_container_media(docs)
+    ph = F.lower(F.hex(F.col("payload")))
+    is_png = F.substring(ph, 1, 16) == "89504e470d0a1a0a"
+    is_jpeg = F.substring(ph, 1, 4) == "ffd8"
+    is_wav = (F.substring(ph, 1, 8) == "52494646") & (
+        F.substring(ph, 17, 8) == "57415645"
+    )
+    tagged = media.select(
+        F.when(is_png, "png")
+        .when(is_jpeg, "jpeg")
+        .when(is_wav, "wav")
+        .otherwise("unknown")
+        .alias("container"),
+        ph.alias("p"),
+    )
+    bytes_ = tagged.select(
+        "container",
+        F.explode(
+            F.sequence(F.lit(1), (F.length("p") / 2).cast("int"))
+        ).alias("i"),
+        "p",
+    ).select("container", F.expr("substring(p, 2 * i - 1, 2)").alias("b"))
+    cnt = bytes_.groupBy("container", "b").agg(F.count(F.lit(1)).alias("c"))
+    marg = cnt.groupBy("container").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bytes"),
+    )
+    terms = cnt.join(broadcast_if_small(marg.select("container", "n")), "container").select(
+        "container",
+        F.round(
+            (F.col("c") * 1.0 / F.col("n"))
+            * F.log2(F.col("c") * 1.0 / F.col("n"))
+            * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    sums = terms.groupBy("container").agg(F.sum("tq").cast("long").alias("sum_tq"))
+    return (
+        marg.join(broadcast_if_small(sums), "container")
+        .select(
+            "container",
+            F.col("n").alias("n_bytes"),
+            "n_distinct_bytes",
+            F.round(-F.col("sum_tq") / F.lit(1e12), 6).alias("byte_entropy"),
+        )
+        .orderBy("container")
+    )

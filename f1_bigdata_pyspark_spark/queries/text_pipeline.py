@@ -2522,3 +2522,226 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
         ).alias("flesch_ease"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q: dunning_g2_collocations — collocation extraction by Dunning's
+# log-likelihood ratio G² over the bigram 2×2 contingency table: for each
+# bigram (w1, w2), k11 = c(w1 w2), k12 = c(w1 ·) − k11, k21 = c(· w2) −
+# k11, k22 = N − k11 − k12 − k21, and G² = 2·Σ k·ln(k/E) over the four
+# cells. The standard fix for PMI's rare-pair bias (PMI ranks hapax pairs
+# top; G² weights by evidence mass), so the two faces together are the
+# real collocation dashboard. Determinism: every cell count and marginal
+# is an exact BIGINT from ONE bigram-count pass; each ln argument is a
+# fixed-order double expression over those integers, so the four-term sum
+# is bit-identical in any IEEE engine — no cross-row float accumulation.
+# Scale: one corpus tokenize → bigram count shuffle (the only
+# corpus-sized exchange); marginals re-aggregate from the vocab-sized
+# bigram table and join back through the size policy (NOT unconditional
+# broadcasts — 10⁸⁺ marginal rows on a web corpus degrade to a
+# co-partitioned shuffle join keyed on t/t2, which big already is).
+# --------------------------------------------------------------------------
+@query(
+    "dunning_g2_collocations",
+    oracle="""
+WITH docsplit AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, i AS pos, ws[i] AS t,
+         CASE WHEN i < len(ws) THEN ws[i + 1] END AS t2
+  FROM docsplit,
+       (SELECT unnest(range(1, CAST((SELECT max(len(ws)) FROM docsplit) AS BIGINT) + 1)) AS i)
+  WHERE i <= len(ws)
+),
+big AS MATERIALIZED (
+  SELECT t, t2, count(*) AS c2 FROM toks WHERE t2 IS NOT NULL GROUP BY t, t2
+),
+rt AS (SELECT t, CAST(sum(c2) AS BIGINT) AS r FROM big GROUP BY t),
+ct AS (SELECT t2, CAST(sum(c2) AS BIGINT) AS c FROM big GROUP BY t2),
+nn AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM big),
+cells AS (
+  SELECT big.t AS w1, big.t2 AS w2,
+         CAST(c2 AS BIGINT) AS k11,
+         r - c2 AS k12, c - c2 AS k21, n - r - c + c2 AS k22,
+         r, c, n
+  FROM big
+  JOIN rt ON big.t = rt.t
+  JOIN ct ON big.t2 = ct.t2
+  CROSS JOIN nn
+  WHERE c2 >= 10
+),
+scored AS (
+  SELECT w1, w2, k11,
+    round(2.0 * (
+        k11 * ln((k11 * 1.0 / r) * (n * 1.0 / c))
+      + CASE WHEN k12 > 0
+             THEN k12 * ln((k12 * 1.0 / r) * (n * 1.0 / (n - c))) ELSE 0 END
+      + CASE WHEN k21 > 0
+             THEN k21 * ln((k21 * 1.0 / (n - r)) * (n * 1.0 / c)) ELSE 0 END
+      + CASE WHEN k22 > 0
+             THEN k22 * ln((k22 * 1.0 / (n - r)) * (n * 1.0 / (n - c)))
+             ELSE 0 END
+    ), 6) AS g2
+  FROM cells
+)
+SELECT w1, w2, k11 AS n_pair, g2
+FROM scored
+ORDER BY g2 DESC, w1, w2
+LIMIT 15
+""",
+)
+def dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select("t", F.lead("t").over(w).alias("t2"))
+    big_all = materialize(
+        pairs.filter(F.col("t2").isNotNull())
+        .groupBy("t", "t2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    rt = big_all.groupBy("t").agg(F.sum("c2").cast("long").alias("r"))
+    ct = big_all.groupBy("t2").agg(F.sum("c2").cast("long").alias("c"))
+    nn = big_all.agg(F.sum("c2").cast("long").alias("n"))
+    cells = (
+        big_all.filter(F.col("c2") >= 10)
+        .join(broadcast_if_small(rt), "t")
+        .join(broadcast_if_small(ct), "t2")
+        .join(F.broadcast(nn))  # 1-row scalar
+        .select(
+            F.col("t").alias("w1"),
+            F.col("t2").alias("w2"),
+            F.col("c2").cast("long").alias("k11"),
+            (F.col("r") - F.col("c2")).alias("k12"),
+            (F.col("c") - F.col("c2")).alias("k21"),
+            (F.col("n") - F.col("r") - F.col("c") + F.col("c2")).alias("k22"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+    k11, k12, k21, k22 = (F.col(k) for k in ("k11", "k12", "k21", "k22"))
+    r, c, n = F.col("r"), F.col("c"), F.col("n")
+    # ratio-of-ratios form keeps every ln argument within double range at
+    # any corpus size (k·N would overflow int64 at 10^12 bigrams); term
+    # order mirrors the oracle exactly so the 4-term sum is bit-identical
+    g2 = F.lit(2.0) * (
+        k11 * F.log((k11 * 1.0 / r) * (n * 1.0 / c))
+        + F.when(
+            k12 > 0, k12 * F.log((k12 * 1.0 / r) * (n * 1.0 / (n - c)))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            k21 > 0, k21 * F.log((k21 * 1.0 / (n - r)) * (n * 1.0 / c))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            k22 > 0,
+            k22 * F.log((k22 * 1.0 / (n - r)) * (n * 1.0 / (n - c))),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        cells.select(
+            "w1", "w2", F.col("k11").alias("n_pair"), F.round(g2, 6).alias("g2")
+        )
+        .orderBy(F.col("g2").desc(), "w1", "w2")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: zipf_fit_slope — per-source Zipf exponent: OLS slope of ln(freq) on
+# ln(rank) over each source's top-100 token ranks (rank by freq desc, token
+# asc). A natural-language source fits slope ≈ −1; boilerplate/spam/
+# machine-generated sources flatten or steepen, so this is a one-number
+# corpus-mixture screen next to the entropy and KL faces. Determinism:
+# windowed/grouped DOUBLE sums are not order-stable across engines, so
+# ln(rank) and ln(freq) are quantized to 1e-5 (tenth-milli-nat) BIGINTs
+# first — integer sufficient sums are exact in any order, and the final
+# slope/R² are fixed-order scalar expressions over those integers (int64
+# headroom: |x_q| ≤ 1.2e6, Σx_q·y_q over 100 ranks ≤ 1.5e14, n·Σ ≤ 1.5e16).
+# Scale: one tokenize → (source, token) count shuffle; the rank window runs
+# on vocab-sized data partitioned by source; the regression is a per-source
+# aggregate of 100 rows.
+# --------------------------------------------------------------------------
+@query(
+    "zipf_fit_slope",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+freq AS (
+  SELECT source, t, count(*) AS c FROM toks GROUP BY source, t
+),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, t ASC) AS rk
+  FROM freq
+),
+quant AS (
+  SELECT source,
+         CAST(round(ln(rk) * 100000) AS BIGINT) AS xq,
+         CAST(round(ln(c) * 100000) AS BIGINT) AS yq
+  FROM ranked WHERE rk <= 100
+),
+sums AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(sum(yq * yq) AS BIGINT) AS syy
+  FROM quant GROUP BY source
+)
+SELECT source, n AS n_ranks,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round(POW(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM sums
+ORDER BY source
+""",
+)
+def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("t").asc())
+    quant = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select(
+            "source",
+            F.round(F.log(F.col("rk")) * 100000).cast("long").alias("xq"),
+            F.round(F.log(F.col("c")) * 100000).cast("long").alias("yq"),
+        )
+    )
+    sums = quant.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    return sums.select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.round(num / denx, 6).alias("zipf_slope"),
+        F.round(F.pow(num, F.lit(2)) / (denx * deny), 6).alias("r2"),
+    ).orderBy("source")
