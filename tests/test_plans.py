@@ -360,6 +360,8 @@ _GLOBAL_WINDOW_OK = {
     "hybrid_rrf_retrieval",        # ranks over two LIMIT-50 legs only
     "kaplan_meier_survival",       # at-risk cumsum over the day grid
     "cumulative_unique_users",     # growth cumsum over the day grid
+    "quality_classifier_auc",      # rank-sum over the ≤1001-cell score histogram
+    "score_decile_gains",          # cumsum over score cells, capture over 10 deciles
 }
 
 
