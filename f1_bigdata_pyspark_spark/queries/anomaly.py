@@ -936,3 +936,293 @@ def value_type_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_cells"),
         F.round(F.sum(term), 6).alias("mutual_info"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: daily_value_acf — autocorrelation function of the daily mean value
+# series at calendar lags 1..7 (the seasonality detector that decides
+# whether the weekly term in seasonal_decomposition is real): ACF(k) =
+# Σ_d c_d·c_{d+k} / Σ_d c_d², with c_d the centered quantized day mean.
+# Determinism ladder: per-day sums run over 1e-6-quantized BIGINT values
+# (exact in any order); the day mean quantizes to 1e-5 (mq = round(svq /
+# (n·10)) — one fixed-order double op on exact ints); centering subtracts
+# the integer-floor grand mean; every product/sum after that is exact
+# INT64 (|c| ≤ 5.6e7 at value ≤ 560 ⇒ c² ≤ 3.2e15, ×366 days ≈ 1.2e18,
+# inside int64 — at unbounded value domains the quantum drops a decade).
+# Scale: the corpus collapses to the day grid in one map-side-combinable
+# groupBy; the lag self-join and readout run on ≤366 rows/year — no
+# window at all (centering arrives as a 1-row broadcast scalar).
+# --------------------------------------------------------------------------
+@query(
+    "daily_value_acf",
+    oracle="""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS svq
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+mq AS (
+  SELECT d, CAST(round(svq * 1.0 / (n * 10.0)) AS BIGINT) AS mq FROM days
+),
+center AS (
+  SELECT CAST(sum(mq) // count(*) AS BIGINT) AS xbarq,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM mq
+),
+c AS (
+  SELECT d, mq - xbarq AS c, n_days FROM mq CROSS JOIN center
+),
+den AS (SELECT CAST(sum(c * c) AS BIGINT) AS ss FROM c),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+pairs AS (
+  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.c * b.c) AS BIGINT) AS num
+  FROM c a JOIN lags l ON TRUE
+  JOIN c b ON b.d = a.d + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT lag, n_pairs, round(num * 1.0 / ss, 6) AS acf
+FROM pairs CROSS JOIN den
+ORDER BY lag
+""",
+)
+def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("svq"),
+        )
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    # the ≤366-row day grid feeds center + den + both lag-join sides: pin
+    # it once so consumers read the tiny table, not the corpus rollup
+    mq = materialize(
+        days.select(
+            "d",
+            F.round(F.col("svq") * 1.0 / (F.col("n") * 10.0))
+            .cast("long")
+            .alias("mq"),
+        )
+    )
+    center = mq.agg(
+        F.floor(F.sum("mq") / F.count(F.lit(1))).cast("long").alias("xbarq")
+    )
+    c = mq.join(F.broadcast(center)).select(  # 1-row scalar
+        "d", (F.col("mq") - F.col("xbarq")).alias("c")
+    )
+    den = c.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = c.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = c.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(lags))  # ≤366×7 rows — bounded grid
+        .join(b, F.expr("db = date_add(da, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("num"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(den))  # 1-row scalar
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") * 1.0 / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: click_purchase_ccf — lead-lag cross-correlation between the daily
+# click series and the daily purchase-value series at calendar lags −3..+3
+# (does click volume LEAD purchase value, and by how many days? — the
+# marketing-mix lag estimator). Same exact-integer ladder as
+# daily_value_acf: both day series quantize to BIGINTs, centering uses
+# integer-floor means, and CCF(k) = Σ cx_d·cy_{d+k} / sqrt(Σcx²·Σcy²)
+# reads out fixed-order from exact integer sums (cross-products ≤ 3e15 at
+# the stated quanta — int64-safe over a full year grid). Negative lags
+# come from the same join with the shift applied to the other side.
+# Scale: two map-side-combinable day rollups; everything after runs on
+# the ≤366-row grid with 1-row scalar broadcasts.
+# --------------------------------------------------------------------------
+@query(
+    "click_purchase_ccf",
+    oracle="""
+WITH clicks AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+purch AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS pvq
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+),
+grid AS (
+  SELECT COALESCE(c.d, p.d) AS d,
+         CAST(COALESCE(n_clicks, 0) AS BIGINT) AS x,
+         CAST(COALESCE(pvq, 0) AS BIGINT) AS y
+  FROM clicks c FULL OUTER JOIN purch p ON c.d = p.d
+),
+center AS (
+  SELECT CAST(sum(x) // count(*) AS BIGINT) AS xb,
+         CAST(sum(y) // count(*) AS BIGINT) AS yb
+  FROM grid
+),
+c AS (SELECT d, x - xb AS cx, y - yb AS cy FROM grid CROSS JOIN center),
+den AS (
+  SELECT CAST(sum(cx * cx) AS BIGINT) AS sxx,
+         CAST(sum(cy * cy) AS BIGINT) AS syy
+  FROM c
+),
+lags AS (SELECT unnest(range(-3, 4)) AS lag),
+pairs AS (
+  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.cx * b.cy) AS BIGINT) AS num
+  FROM c a JOIN lags l ON TRUE
+  JOIN c b ON b.d = a.d + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT lag, n_pairs,
+       round(num * 1.0 / sqrt(sxx * 1.0 * syy), 6) AS ccf
+FROM pairs CROSS JOIN den
+ORDER BY lag
+""",
+)
+def click_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    purch = (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    # the ≤366-row grid feeds center + den + both lag-join sides: pin it
+    # once (localCheckpoint) so each consumer reads the tiny table instead
+    # of replanning the two corpus rollups per read
+    grid = materialize(
+        clicks.join(purch, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    center = grid.agg(
+        F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("xb"),
+        F.floor(F.sum("y") / F.count(F.lit(1))).cast("long").alias("yb"),
+    )
+    c = grid.join(F.broadcast(center)).select(  # 1-row scalar
+        "d",
+        (F.col("x") - F.col("xb")).alias("cx"),
+        (F.col("y") - F.col("yb")).alias("cy"),
+    )
+    den = c.agg(
+        F.sum(F.col("cx") * F.col("cx")).cast("long").alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("long").alias("syy"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = c.select(F.col("d").alias("da"), "cx")
+    b = c.select(F.col("d").alias("db"), "cy")
+    pairs = (
+        a.join(F.broadcast(lags))  # ≤366×7 grid — bounded
+        .join(b, F.expr("db = date_add(da, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("cx") * F.col("cy")).cast("long").alias("num"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(den))  # 1-row scalar
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num") * 1.0
+                / F.sqrt(F.col("sxx") * 1.0 * F.col("syy")),
+                6,
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_type_fano_burstiness — overdispersion screen per event type:
+# the Fano factor (variance-to-mean ratio) of DAILY event counts. A
+# Poisson-arriving type sits at 1; campaign bursts and bot storms push it
+# far above — the one-number triage next to the CUSUM/EWMA faces.
+# Determinism: daily counts are exact BIGINTs; per-type Σn and Σn² are
+# integer sufficient sums (counts ≤ 1e12/day would need DECIMAL; fine to
+# ~3e9/day in int64); mean/variance/Fano are fixed-order readouts over
+# those integers (population variance — the descriptive convention).
+# Scale: one (type, day) rollup (map-side combinable), then a
+# type-vocabulary-sized aggregate. No windows, no joins.
+# --------------------------------------------------------------------------
+@query(
+    "event_type_fano_burstiness",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(sum(n * n) AS BIGINT) AS snn
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, sn AS total_events,
+       round(sn * 1.0 / n_days, 6) AS mean_daily,
+       round((snn * 1.0 / n_days) - (sn * 1.0 / n_days) * (sn * 1.0 / n_days),
+             6) AS var_daily,
+       round(((snn * 1.0 / n_days)
+              - (sn * 1.0 / n_days) * (sn * 1.0 / n_days))
+             / (sn * 1.0 / n_days), 6) AS fano
+FROM s
+ORDER BY event_type
+""",
+)
+def event_type_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+    )
+    mean = F.col("sn") * 1.0 / F.col("n_days")
+    var = (F.col("snn") * 1.0 / F.col("n_days")) - mean * mean
+    return s.select(
+        "event_type",
+        "n_days",
+        F.col("sn").alias("total_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("fano"),
+    ).orderBy("event_type")

@@ -2008,3 +2008,200 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: did_treatment_effect — difference-in-differences readout: users hash
+# into treatment/control arms (same md5 split rule as ab_test_welch —
+# assignment is a pure function of the id), the month splits into pre/post
+# periods at day 16, and the causal readout is the classic 2×2:
+# DiD = (post_T − pre_T) − (post_C − pre_C) on mean event value. The whole
+# analysis is ONE aggregate pass over events to a 4-cell table.
+# Determinism: per-cell sums run over 1e-6-quantized BIGINT values (exact
+# in any order; |vq| ≤ 5.6e8 × 1e4 rows/cell at sf0.1 ≈ 5.6e12, int64 to
+# ~1.6e10 rows/cell); every mean and the DiD contrast are fixed-order
+# scalar readouts over those integers.
+# --------------------------------------------------------------------------
+@query(
+    "did_treatment_effect",
+    oracle="""
+WITH cells AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 2 = 0 THEN 'T' ELSE 'C' END AS arm,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vq) AS BIGINT) AS s
+  FROM cells GROUP BY arm, period
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 'T' AND period = 'pre'  THEN s * 1.0 / (n * 1000000.0) END) AS t_pre,
+    max(CASE WHEN arm = 'T' AND period = 'post' THEN s * 1.0 / (n * 1000000.0) END) AS t_post,
+    max(CASE WHEN arm = 'C' AND period = 'pre'  THEN s * 1.0 / (n * 1000000.0) END) AS c_pre,
+    max(CASE WHEN arm = 'C' AND period = 'post' THEN s * 1.0 / (n * 1000000.0) END) AS c_post,
+    CAST(sum(n) AS BIGINT) AS n_events
+  FROM agg
+)
+SELECT n_events,
+       round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+       round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+       round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+FROM wide
+""",
+)
+def did_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        md5_long(F.col("user_id").cast("string")) % 2 == 0, F.lit("T")
+    ).otherwise(F.lit("C"))
+    period = F.when(
+        F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), F.lit("pre")
+    ).otherwise(F.lit("post"))
+    agg = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            arm.alias("arm"),
+            period.alias("period"),
+            F.round(F.col("value") * 1000000).cast("long").alias("vq"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("s"),
+        )
+    )
+    mean = F.col("s") * 1.0 / (F.col("n") * 1000000.0)
+
+    def cell(a: str, p: str):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("period") == p), mean)
+        )
+
+    wide = agg.agg(
+        cell("T", "pre").alias("t_pre"),
+        cell("T", "post").alias("t_post"),
+        cell("C", "pre").alias("c_pre"),
+        cell("C", "post").alias("c_post"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        F.round("t_pre", 6).alias("t_pre"),
+        F.round("t_post", 6).alias("t_post"),
+        F.round("c_pre", 6).alias("c_pre"),
+        F.round("c_post", 6).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: churn_training_dataset — leak-free ML dataset construction: per-user
+# features from the OBSERVATION window (Jan 1–15) and a churn label from
+# the disjoint HORIZON window (Jan 16–30, label = no activity there) — the
+# time-split discipline that makes the dataset trainable (features can
+# never see the label window; same guarantee family as
+# loo_target_encoding_stats). Readout = per-label feature means + counts
+# (the class-balance/feature-shift report a feature store publishes), so
+# the corpus never leaves the cluster. Determinism: features are exact
+# BIGINTs (counts, 1e-6-quantized value sums, integer micro-second
+# recency); per-label sums are integer; means are fixed-order readouts.
+# Scale: two filtered aggregates over ONE user-keyed exchange each
+# (observation features, horizon flag), one co-partitioned left join on
+# user_id, then a 2-row rollup.
+# --------------------------------------------------------------------------
+@query(
+    "churn_training_dataset",
+    oracle="""
+WITH obs AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purch,
+         CAST(sum(CAST(round(COALESCE(value, 0) * 1000000) AS BIGINT))
+              AS BIGINT) AS svq,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+  FROM events
+  WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+  GROUP BY user_id
+),
+hor AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+),
+labeled AS (
+  SELECT o.*, CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM obs o LEFT JOIN hor h ON o.user_id = h.user_id
+)
+SELECT churned,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(n_events) * 1.0 / count(*), 6) AS avg_events,
+       round(sum(n_purch) * 1.0 / count(*), 6) AS avg_purchases,
+       round(sum(svq) / (count(*) * 1000000.0), 6) AS avg_value_sum,
+       round(sum(epoch_us(TIMESTAMP '2024-01-16 00:00:00') - last_us)
+             / (count(*) * 86400000000.0), 6) AS avg_recency_days
+FROM labeled
+GROUP BY churned
+ORDER BY churned
+""",
+)
+def churn_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    obs = (
+        events.filter(F.col("ts").cast("date") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("n_purch"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000000)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("svq"),
+            F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+        )
+    )
+    hor = (
+        events.filter(F.col("ts").cast("date") >= cutoff)
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    labeled = obs.join(hor, "user_id", "left").withColumn(
+        "churned", F.when(F.col("active").isNull(), 1).otherwise(0)
+    )
+    cutoff_us = F.unix_micros(F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    return (
+        labeled.groupBy("churned")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.sum("n_events") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "avg_events"
+            ),
+            F.round(F.sum("n_purch") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "avg_purchases"
+            ),
+            F.round(
+                F.sum("svq") / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("avg_value_sum"),
+            F.round(
+                F.sum(cutoff_us - F.col("last_us"))
+                / (F.count(F.lit(1)) * 86400000000.0),
+                6,
+            ).alias("avg_recency_days"),
+        )
+        .orderBy("churned")
+    )

@@ -1425,3 +1425,152 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_local_clustering — per-node local clustering coefficient
+# LCC(v) = 2·tri(v) / (d(v)·(d(v)−1)) over the 1997 co-order supplier
+# graph: the node-level companion to supplier_graph_triangles' global
+# coefficient (which nodes sit inside dense cliques vs stars). Reuses the
+# degree-oriented wedge join — each triangle is FOUND once (O(√m) fan-out
+# bound), then credited to its three corners with a 3-row explode, so
+# per-node attribution costs one extra #triangles-sized aggregate, never a
+# second pair enumeration. Determinism: tri/deg are exact BIGINTs; LCC is
+# a fixed-order readout; top-20 tiebreak on (lcc DESC, suppkey). Scale:
+# same two edge-sized exchanges as the triangle face + one triangle-sized
+# rollup.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_local_clustering",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+und AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+ori AS (
+  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst
+  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ori e1
+  JOIN ori e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+-- the closing edge (d1, d2) exists oriented in ONE direction, so of the
+-- two wedge orders exactly one joins — each triangle appears once;
+-- credit all three corners below.
+pertri AS (
+  SELECT node, count(*) AS tri_n FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node AS s_suppkey, d AS degree,
+       CAST(COALESCE(tri_n, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * COALESCE(tri_n, 0) / (d * (d - 1)), 6) AS lcc
+FROM deg LEFT JOIN pertri ON pertri.node = deg.node
+WHERE d >= 2
+ORDER BY lcc DESC, s_suppkey ASC
+LIMIT 20
+""",
+)
+def supplier_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    und = materialize(
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    # explode-array endpoint emission: ONE scan of the edge table instead
+    # of a unionAll double-read (halves the exchange count of the rollup)
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = broadcast_if_small(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    )
+    dv = broadcast_if_small(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = materialize(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = ori.select(F.col("src").alias("s"), F.col("dst").alias("d1"))
+    e2 = ori.select(F.col("src").alias("s"), F.col("dst").alias("d2"))
+    closing = ori.select(
+        F.col("src").alias("d1"), F.col("dst").alias("d2")
+    )
+    tri = (
+        e1.join(e2, "s")
+        .filter(F.col("d1") != F.col("d2"))
+        .join(closing, ["d1", "d2"])
+        .select(
+            F.col("s").alias("a"), F.col("d1").alias("b"), F.col("d2").alias("c")
+        )
+    )
+    # corner credit via explode(array(a,b,c)): one pass over the triangle
+    # stream, not a 3-way unionAll that replans the wedge join three times
+    pertri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_n"))
+    )
+    return (
+        deg.join(broadcast_if_small(pertri), "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("s_suppkey"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("tri_n"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                2.0
+                * F.coalesce(F.col("tri_n"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy(F.col("lcc").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )

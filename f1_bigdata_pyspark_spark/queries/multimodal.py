@@ -543,3 +543,96 @@ def payload_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("container")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: media_av_sync_audit — cross-container consistency audit: each media
+# item's AUDIO duration (parsed from its RIFF/WAVE bytes) joined against
+# its VIDEO duration (parsed from its ISO-BMFF mvhd bytes), with the A/V
+# drift rolled up per movie-timescale cell — the sync screen an intake
+# pipeline runs before pairing modalities for training. The Spark side
+# works ONLY from bytes (parse_wav_timing + parse_mp4_timing, codegen hex
+# arithmetic); the oracle states the synthesizers' closed-form ground
+# truth — parse-vs-ground-truth, stronger than parse-vs-parse (an offset
+# slip in EITHER parser breaks the hash; the parsers' own faces pin the
+# byte layouts). Determinism: durations are identical IEEE doubles from
+# exact integers in both engines; per-cell sums quantize each duration to
+# 1e-6 BIGINTs first. Scale: two narrow payload maps + one co-partitioned
+# join on media_id + a timescale-cell rollup.
+# --------------------------------------------------------------------------
+@query(
+    "media_av_sync_audit",
+    oracle="""
+WITH au AS (
+  SELECT doc_id AS media_id,
+         32 * 1000.0
+           / ((8000 * (1 + doc_id % 5)) * (1 + doc_id % 2)
+              * (16 + 8 * (doc_id % 2)) / 8) AS audio_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+vi AS (
+  SELECT doc_id AS media_id,
+         CAST(1000 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+         (500 + doc_id % 100000) * 1000.0
+           / (1000 * (1 + doc_id % 4)) AS video_ms
+  FROM documents
+),
+j AS (
+  SELECT vi.timescale,
+         CAST(round(au.audio_ms * 1000000) AS BIGINT) AS aq,
+         CAST(round(vi.video_ms * 1000000) AS BIGINT) AS vq
+  FROM au JOIN vi ON au.media_id = vi.media_id
+)
+SELECT timescale,
+       CAST(count(*) AS BIGINT) AS n_media,
+       round(sum(aq) / (count(*) * 1000000.0), 6) AS avg_audio_ms,
+       round(sum(vq) / (count(*) * 1000000.0), 6) AS avg_video_ms,
+       round(sum(vq - aq) / (count(*) * 1000000.0), 6) AS avg_drift_ms,
+       CAST(count_if(abs(vq - aq) > 100000000) AS BIGINT) AS n_drift_over_100ms
+FROM j
+GROUP BY timescale
+ORDER BY timescale
+""",
+)
+def media_av_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_mp4_timing,
+        parse_wav_timing,
+        synth_container_media,
+        synth_mp4_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    audio = parse_wav_timing(synth_container_media(docs)).select(
+        "media_id",
+        F.round(F.col("duration_ms") * 1000000).cast("long").alias("aq"),
+    )
+    video = parse_mp4_timing(synth_mp4_media(docs)).select(
+        "media_id",
+        "timescale",
+        F.round(F.col("duration_ms") * 1000000).cast("long").alias("vq"),
+    )
+    j = audio.join(video, "media_id")
+    return (
+        j.groupBy("timescale")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.round(F.sum("aq") / (F.count(F.lit(1)) * 1000000.0), 6).alias(
+                "avg_audio_ms"
+            ),
+            F.round(F.sum("vq") / (F.count(F.lit(1)) * 1000000.0), 6).alias(
+                "avg_video_ms"
+            ),
+            F.round(
+                F.sum(F.col("vq") - F.col("aq"))
+                / (F.count(F.lit(1)) * 1000000.0),
+                6,
+            ).alias("avg_drift_ms"),
+            F.count_if(
+                F.abs(F.col("vq") - F.col("aq")) > 100000000
+            )
+            .cast("long")
+            .alias("n_drift_over_100ms"),
+        )
+        .orderBy("timescale")
+    )

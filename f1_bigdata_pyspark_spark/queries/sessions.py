@@ -774,3 +774,196 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: builtin_session_window_histogram — Spark's NATIVE session_window
+# aggregation (the SessionWindow physical operator, dynamic-gap capable),
+# pinned against the first-principles gap-island construction the DuckDB
+# oracle states. ``user_sessions`` builds sessions manually (lag → flag →
+# running sum); this face proves the built-in operator computes the same
+# partition — the parity check that licenses using the native operator in
+# streaming (where the manual window form isn't available). Semantics
+# pinned: Spark's session interval is [first_ts, last_ts + gap), so an
+# event arriving EXACTLY gap after the previous one falls outside (>= in
+# the island rule, where the manual face uses >; distinct semantics, both
+# stated). Output is the session-size histogram plus exact-integer
+# microsecond duration sums — no per-session rows cross the comparison.
+# Scale: one user-keyed exchange (groupBy user + session_window), then a
+# histogram-sized rollup; state is O(#open sessions) in streaming.
+# --------------------------------------------------------------------------
+@query(
+    "builtin_session_window_histogram",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+), f AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), g AS (
+  SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+  FROM s GROUP BY user_id, sess
+)
+SELECT n_events AS session_size,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+FROM g GROUP BY n_events ORDER BY n_events
+""",
+)
+def builtin_session_window_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_session = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            .cast("long")
+            .alias("dur_us"),
+        )
+    )
+    return (
+        per_session.groupBy(F.col("n_events").alias("session_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("dur_us").cast("long").alias("total_dur_us"),
+        )
+        .orderBy("session_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: arm_funnel_lift — experimentation × funnel composition: the purchase
+# funnel (view→click→purchase within 1 h, running-last stage timestamps)
+# computed PER EXPERIMENT ARM (same md5 user split as ab_test_welch), with
+# the treatment lift on full-funnel conversion read out against control.
+# This is the readout an A/B platform actually serves — not a metric mean
+# (ab_test_welch) but a behavioral conversion contrast. Determinism:
+# stage attribution is the funnel face's integer-microsecond window
+# arithmetic; counts are exact; conversions and lift are fixed-order
+# readouts. Scale: ONE user-keyed window exchange (arm is a pure hash of
+# the key — no extra shuffle), then a 2-row rollup.
+# --------------------------------------------------------------------------
+@query(
+    "arm_funnel_lift",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 2 = 0 THEN 'T' ELSE 'C' END AS arm
+  FROM events
+), m AS (
+  SELECT arm, event_type, ts_us,
+         last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_us,
+         last_value(CASE WHEN event_type = 'view' THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_view_us
+  FROM t
+), p AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(count_if(ts_us - last_click_us <= {_FUNNEL_WINDOW_US}
+                       AND ts_us - last_view_us <= {_FUNNEL_WINDOW_US})
+              AS BIGINT) AS n_full
+  FROM m WHERE event_type = 'purchase' GROUP BY arm
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 'T' THEN n_purchases END) AS t_n,
+    max(CASE WHEN arm = 'T' THEN n_full END) AS t_full,
+    max(CASE WHEN arm = 'C' THEN n_purchases END) AS c_n,
+    max(CASE WHEN arm = 'C' THEN n_full END) AS c_full
+  FROM p
+)
+SELECT CAST(t_n AS BIGINT) AS t_purchases, CAST(t_full AS BIGINT) AS t_full,
+       CAST(c_n AS BIGINT) AS c_purchases, CAST(c_full AS BIGINT) AS c_full,
+       round(CASE WHEN t_n > 0 THEN t_full * 1.0 / t_n END, 6) AS t_conv,
+       round(CASE WHEN c_n > 0 THEN c_full * 1.0 / c_n END, 6) AS c_conv,
+       round(CASE WHEN t_n > 0 AND c_n > 0 AND c_full > 0
+                  THEN (t_full * 1.0 / t_n) / (c_full * 1.0 / c_n) - 1.0
+             END, 6) AS relative_lift
+FROM wide
+""",
+)
+def arm_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(md5_long(F.col("user_id").cast("string")) % 2 == 0, "T")
+        .otherwise("C")
+        .alias("arm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    m = t.select(
+        "arm",
+        "event_type",
+        "ts_us",
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_us"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("last_view_us"),
+    )
+    full = (
+        (F.col("ts_us") - F.col("last_click_us")) <= _FUNNEL_WINDOW_US
+    ) & ((F.col("ts_us") - F.col("last_view_us")) <= _FUNNEL_WINDOW_US)
+    p = (
+        m.filter(F.col("event_type") == "purchase")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.count_if(full).cast("long").alias("n_full"),
+        )
+    )
+    wide = p.agg(
+        F.max(F.when(F.col("arm") == "T", F.col("n_purchases"))).alias("t_n"),
+        F.max(F.when(F.col("arm") == "T", F.col("n_full"))).alias("t_full"),
+        F.max(F.when(F.col("arm") == "C", F.col("n_purchases"))).alias("c_n"),
+        F.max(F.when(F.col("arm") == "C", F.col("n_full"))).alias("c_full"),
+    )
+    # guarded division: a small-SF arm can convert zero purchases, and the
+    # lift is undefined (NULL) when the control conversion is zero
+    t_conv = F.when(
+        F.col("t_n") > 0, F.col("t_full") * 1.0 / F.col("t_n")
+    )
+    c_conv = F.when(
+        F.col("c_n") > 0, F.col("c_full") * 1.0 / F.col("c_n")
+    )
+    lift = F.when(
+        (F.col("t_n") > 0) & (F.col("c_n") > 0) & (F.col("c_full") > 0),
+        (F.col("t_full") * 1.0 / F.col("t_n"))
+        / (F.col("c_full") * 1.0 / F.col("c_n"))
+        - 1.0,
+    )
+    return wide.select(
+        F.col("t_n").cast("long").alias("t_purchases"),
+        F.col("t_full").cast("long").alias("t_full"),
+        F.col("c_n").cast("long").alias("c_purchases"),
+        F.col("c_full").cast("long").alias("c_full"),
+        F.round(t_conv, 6).alias("t_conv"),
+        F.round(c_conv, 6).alias("c_conv"),
+        F.round(lift, 6).alias("relative_lift"),
+    )

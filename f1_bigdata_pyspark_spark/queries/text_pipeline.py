@@ -2745,3 +2745,78 @@ def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / denx, 6).alias("zipf_slope"),
         F.round(F.pow(num, F.lit(2)) / (denx * deny), 6).alias("r2"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q: doc_keyphrases_topk — per-document keyphrase extraction: rank each
+# document's terms by tf·idf and keep the top 3 (the summarization/tagging
+# primitive next to tfidf_topk_retrieval's fixed-query scoring — same
+# statistics, transposed readout). IDF comes from the full corpus pass;
+# the per-doc rank window partitions on doc_id (never global). Scores are
+# rounded to 6 dp BEFORE ranking with a term tie-break, so the rank is a
+# total order both engines state identically. Output bounded to a fixed
+# doc panel (doc_id < 10) — the readout shape, not a corpus dump; the
+# ranking itself runs corpus-wide. Scale: tokenize → (doc, term) tf and
+# term → df aggregates (map-side combinable), idf joins back through the
+# size policy (vocab-sized, NOT an unconditional broadcast), one
+# doc-partitioned rank exchange.
+# --------------------------------------------------------------------------
+@query(
+    "doc_keyphrases_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT t, ln((SELECT n FROM n_docs) / (1.0 + count(DISTINCT doc_id))) AS idf
+  FROM toks GROUP BY t
+),
+scored AS (
+  SELECT doc_id, t, round(tf * idf, 6) AS score
+  FROM tf JOIN idf USING (t)
+),
+ranked AS (
+  SELECT doc_id, t, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, t ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, t AS term, score
+FROM ranked WHERE rk <= 3 AND doc_id < 10
+ORDER BY doc_id, rk
+""",
+)
+def doc_keyphrases_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs = docs.count()  # scalar for the IDF constant (metadata-cheap)
+    idf = toks.groupBy("t").agg(
+        F.log(
+            F.lit(float(n_docs)) / (F.lit(1.0) + F.countDistinct("doc_id"))
+        ).alias("idf")
+    )
+    scored = tf.join(broadcast_if_small(idf), "t").select(
+        "doc_id",
+        "t",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 10))
+        .select("doc_id", "rk", F.col("t").alias("term"), "score")
+        .orderBy("doc_id", "rk")
+    )
