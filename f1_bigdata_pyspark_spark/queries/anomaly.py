@@ -1226,3 +1226,176 @@ def event_type_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_daily"),
         F.round(var / mean, 6).alias("fano"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: value_moments_profile — distribution-shape profile per event type:
+# mean, population variance, skewness, and EXCESS kurtosis from one pass
+# of raw power sums. The determinism ladder gets a new rung here: 4th
+# powers of 1e-1-quantized values fit int64 PER ROW (vq ≤ 5.6e4 → vq⁴ ≤
+# 9.9e18·1e-4… vq⁴ ≤ 9.8e14), but their SUM does not — so the per-row
+# int64 power is accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB
+# sum(BIGINT)), both exact and order-independent at any row count up to
+# ~1e23. All four moments then read out fixed-order from the exact sums
+# (m2 = S2/n − μ², m3, m4 via the raw-to-central identities). Scale: one
+# narrow map + one type-keyed aggregate, map-side combinable — the
+# ANALYZE-grade profile column stores publish.
+# --------------------------------------------------------------------------
+@query(
+    "value_moments_profile",
+    oracle="""
+WITH q AS (
+  SELECT event_type, CAST(round(value * 10) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vq) AS DOUBLE) AS s1,
+         CAST(sum(vq * vq) AS DOUBLE) AS s2,
+         CAST(sum(vq * vq * vq) AS DOUBLE) AS s3,
+         CAST(sum(vq * vq * vq * vq) AS DOUBLE) AS s4
+  FROM q GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+           AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT event_type, n,
+       round(m1 / 10.0, 6) AS mean_value,
+       round(m2 / 100.0, 6) AS var_pop,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM m
+ORDER BY event_type
+""",
+)
+def value_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vq = F.col("vq")
+    # per-row powers are int64-safe; the cross-row accumulation is NOT —
+    # sum in decimal(38,0), exact in any order (Spark's decimal sum)
+    dec = "decimal(38,0)"
+    s = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 10).cast("long").alias("vq")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(vq.cast(dec)).cast("double").alias("s1"),
+            F.sum((vq * vq).cast(dec)).cast("double").alias("s2"),
+            F.sum((vq * vq * vq).cast(dec)).cast("double").alias("s3"),
+            F.sum((vq * vq * vq * vq).cast(dec)).cast("double").alias("s4"),
+        )
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n - m1 * m1
+    m3 = F.col("s3") / n - 3 * m1 * (F.col("s2") / n) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / n
+        - 4 * m1 * (F.col("s3") / n)
+        + 6 * m1 * m1 * (F.col("s2") / n)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1 / 10.0, 6).alias("mean_value"),
+        F.round(m2 / 100.0, 6).alias("var_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: value_anova_event_types — one-way ANOVA: does mean event value differ
+# across event types? F = between-group mean square / within-group mean
+# square, computed entirely from per-group integer sufficient sums
+# (n_g, Σvq, Σvq²) at 1e-3 quanta (vq ≤ 5.6e5 → vq² ≤ 3.2e11, int64 to
+# ~2.9e7 rows/group at sf0.1 — DECIMAL territory far beyond, noted). The
+# grand mean and both sums of squares are fixed-order readouts; the only
+# cross-row accumulations are the exact integer sums. Scale: ONE
+# type-keyed aggregate (map-side combinable) + a k-row readout — the
+# textbook screening test before pairwise comparisons.
+# --------------------------------------------------------------------------
+@query(
+    "value_anova_event_types",
+    oracle="""
+WITH q AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vq) AS BIGINT) AS s1,
+         CAST(sum(vq * vq) AS BIGINT) AS s2
+  FROM q GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s1) AS BIGINT) AS t1,
+         CAST(sum(s2) AS BIGINT) AS t2,
+         CAST(sum(CAST(round((s1 * 1.0 / n) * (s1 * 1.0 / n) * n)
+                       AS BIGINT)) AS BIGINT) AS sum_n_mu2
+  FROM g
+)
+SELECT k AS n_groups, nn AS n_obs,
+       round((sum_n_mu2 - (t1 * 1.0 / nn) * t1) / (k - 1) / 1000000.0, 6)
+         AS between_ms,
+       round((t2 - sum_n_mu2) / (nn - k) / 1000000.0, 6) AS within_ms,
+       round(((sum_n_mu2 - (t1 * 1.0 / nn) * t1) / (k - 1))
+             / ((t2 - sum_n_mu2) / (nn - k)), 6) AS f_stat
+FROM tot
+""",
+)
+def value_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    g = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vq"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("s1"),
+            F.sum(F.col("vq") * F.col("vq")).cast("long").alias("s2"),
+        )
+    )
+    # n·μ_g² quantizes to a BIGINT per group row BEFORE the cross-group
+    # sum — a k-term double sum is still order-dependent in principle
+    mu_term = F.round(
+        (F.col("s1") * 1.0 / F.col("n"))
+        * (F.col("s1") * 1.0 / F.col("n"))
+        * F.col("n")
+    ).cast("long")
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.sum("s2").cast("long").alias("t2"),
+        F.sum(mu_term).cast("long").alias("sum_n_mu2"),
+    )
+    between = (F.col("sum_n_mu2") - (F.col("t1") * 1.0 / F.col("nn")) * F.col("t1")) / (
+        F.col("k") - 1
+    )
+    within = (F.col("t2") - F.col("sum_n_mu2")) / (F.col("nn") - F.col("k"))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_obs"),
+        F.round(between / 1000000.0, 6).alias("between_ms"),
+        F.round(within / 1000000.0, 6).alias("within_ms"),
+        F.round(between / within, 6).alias("f_stat"),
+    )

@@ -1455,3 +1455,62 @@ def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: cross_source_dup_matrix — corpus-governance readout: which sources
+# duplicate WHICH (who scrapes whom): for every exact-fingerprint group
+# spanning more than one document, count the cross-source (and same-source)
+# ordered-pair cells. The group sizes are tiny (dup multiplicity), so the
+# per-group pair expansion is bounded by max-copies², never corpus² — the
+# matrix comes from ONE fingerprint groupBy plus a group-keyed self-join.
+# Cells are exact BIGINTs; sorted (src_a ≤ src_b) so each unordered pair
+# appears once. Scale: fingerprint rollup (map-side combinable) → join
+# keyed on the fingerprint (dup groups only — the unique 99% of the corpus
+# is filtered before the join).
+# --------------------------------------------------------------------------
+@query(
+    "cross_source_dup_matrix",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS f FROM documents
+),
+dup AS (
+  SELECT f FROM fp GROUP BY f HAVING count(*) > 1
+),
+d AS (SELECT fp.* FROM fp JOIN dup USING (f)),
+pairs AS (
+  SELECT least(a.source, b.source) AS src_a,
+         greatest(a.source, b.source) AS src_b
+  FROM d a JOIN d b ON a.f = b.f AND a.doc_id < b.doc_id
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs
+GROUP BY src_a, src_b
+ORDER BY n_dup_pairs DESC, src_a, src_b
+""",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("f")
+    )
+    dup = (
+        docs.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("f")
+    )
+    d = docs.join(dup, "f")  # dup groups only — unique docs never join
+    a = d.select("f", F.col("doc_id").alias("ida"), F.col("source").alias("sa"))
+    b = d.select("f", F.col("doc_id").alias("idb"), F.col("source").alias("sb"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy(F.col("n_dup_pairs").desc(), "src_a", "src_b")
+    )

@@ -2820,3 +2820,82 @@ def doc_keyphrases_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", F.col("t").alias("term"), "score")
         .orderBy("doc_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: heaps_law_fit — Heaps'-law vocabulary-growth fit across sources:
+# each source contributes one (ln N_tokens, ln V_types) point; the OLS
+# slope across sources estimates the Heaps exponent β (natural corpora
+# ≈ 0.4–0.6; template/boilerplate sources collapse toward 0). The Zipf
+# face grades WITHIN-source rank structure; this grades growth ACROSS
+# source sizes — together the two standard corpus-statistics fits.
+# Determinism: token/type counts are exact BIGINTs from one tokenize
+# pass; ln values quantize to 1e-5 BIGINTs; the regression is exact
+# integer sufficient sums with a fixed-order readout (same ladder as
+# zipf_fit_slope). Scale: one (source, token) rollup (map-side
+# combinable) → source-sized sums → one-row fit.
+# --------------------------------------------------------------------------
+@query(
+    "heaps_law_fit",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT t) AS BIGINT) AS v_types
+  FROM toks GROUP BY source
+),
+quant AS (
+  SELECT source,
+         CAST(round(ln(n_tokens) * 100000) AS BIGINT) AS xq,
+         CAST(round(ln(v_types) * 100000) AS BIGINT) AS yq
+  FROM per_source
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx
+  FROM quant
+)
+SELECT n AS n_sources,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / (n * 100000.0), 6) AS ln_k_intercept
+FROM sums
+""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("t").cast("long").alias("v_types"),
+    )
+    quant = per_source.select(
+        F.round(F.log("n_tokens") * 100000).cast("long").alias("xq"),
+        F.round(F.log("v_types") * 100000).cast("long").alias("yq"),
+    )
+    sums = quant.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    beta = num / den
+    return sums.select(
+        F.col("n").alias("n_sources"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round((sy.cast("double") - beta * sx) / (n * 100000.0), 6).alias(
+            "ln_k_intercept"
+        ),
+    )
