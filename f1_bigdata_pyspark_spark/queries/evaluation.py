@@ -603,3 +603,84 @@ def score_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pos").over(w_cap).cast("long") * 1.0 / F.col("p"), 6
         ).alias("cum_capture"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Q: retrieval_mrr — mean reciprocal rank over the same fixed query panel
+# as ndcg_label_retrieval: rank candidates by rounded cosine (vec_id
+# tie-break), find the first same-label hit, MRR = mean(1/first_rank).
+# The navigational-search companion to NDCG's graded readout — together
+# with recall@k they are the retrieval dashboard. Determinism: the rank
+# is the same total order as the NDCG face; each reciprocal quantizes to
+# 1e-9 before the panel mean (exact for any panel size); the mean is a
+# fixed-order readout. Scale: identical to NDCG — one candidate scan, one
+# per-query rank exchange, panel-sized everything after.
+# --------------------------------------------------------------------------
+@query(
+    "retrieval_mrr",
+    oracle=f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS qlabel
+  FROM embeddings WHERE vec_id < {_NDCG_N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cos_r
+  FROM embeddings e CROSS JOIN queries q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_r DESC, vec_id ASC) AS rk
+  FROM pairs
+),
+firsts AS (
+  SELECT query_id, CAST(min(rk) AS BIGINT) AS first_hit
+  FROM ranked WHERE rel = 1 GROUP BY query_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(min(first_hit) AS BIGINT) AS best_first_hit,
+       CAST(max(first_hit) AS BIGINT) AS worst_first_hit,
+       round(sum(CAST(round(1000000000.0 / first_hit) AS BIGINT))
+             / (count(*) * 1000000000.0), 6) AS mrr
+FROM firsts
+""",
+)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NDCG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = emb.join(F.broadcast(queries), emb.vec_id != F.col("query_id")).select(
+        "query_id",
+        F.when(F.col("label") == F.col("qlabel"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    firsts = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rel") == 1)
+        .groupBy("query_id")
+        .agg(F.min("rk").cast("long").alias("first_hit"))
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.min("first_hit").cast("long").alias("best_first_hit"),
+        F.max("first_hit").cast("long").alias("worst_first_hit"),
+        F.round(
+            F.sum(F.round(1000000000.0 / F.col("first_hit")).cast("long"))
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
+        ).alias("mrr"),
+    )

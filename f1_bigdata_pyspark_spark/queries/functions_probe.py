@@ -714,3 +714,88 @@ def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: weighted_median_price_by_brand — exact WEIGHTED median: the price at
+# which half the shipped QUANTITY sits below (not half the rows — the
+# difference is the whole point of weighting). Per brand: order rows by
+# (price, linenumber-chain tiebreak), running quantity weight, first row
+# whose cumulative weight reaches half the brand total. Windows partition
+# by brand; weights and cents are exact BIGINTs; the half-total threshold
+# compares integers ONLY (2·cum ≥ total — no float midpoint). The
+# distinct shape vs price_quantiles_by_brand: that face interpolates
+# row-median; this one answers inventory questions ("the median shipped
+# unit cost"). Scale: one brand-keyed exchange, no self-join.
+# --------------------------------------------------------------------------
+@query(
+    "weighted_median_price_by_brand",
+    oracle="""
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+cum AS (
+  SELECT p_brand, cents, qty,
+         sum(qty) OVER (PARTITION BY p_brand
+                        ORDER BY cents, l_orderkey, l_linenumber
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(qty) OVER (PARTITION BY p_brand) AS total_w
+  FROM j
+),
+hit AS (
+  SELECT p_brand, cents, total_w,
+         row_number() OVER (PARTITION BY p_brand ORDER BY cw, cents) AS rn
+  FROM cum WHERE 2 * cw >= total_w
+)
+SELECT p_brand, CAST(total_w AS BIGINT) AS total_qty,
+       round(cents / 100.0, 2) AS weighted_median_price
+FROM hit WHERE rn = 1
+ORDER BY p_brand
+""",
+)
+def weighted_median_price_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("p_brand")
+    cum = j.select(
+        "p_brand",
+        "cents",
+        F.sum("qty").over(wrun).alias("cw"),
+        F.sum("qty").over(wall).alias("total_w"),
+    )
+    whit = Window.partitionBy("p_brand").orderBy("cw", "cents")
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total_w"))
+        .withColumn("rn", F.row_number().over(whit))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("total_w").cast("long").alias("total_qty"),
+            F.round(F.col("cents") / 100.0, 2).alias("weighted_median_price"),
+        )
+        .orderBy("p_brand")
+    )

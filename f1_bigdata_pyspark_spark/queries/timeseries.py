@@ -1247,3 +1247,119 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: daily_value_interpolation — linear gap imputation on the day grid:
+# a deterministic third of the days (day-of-month % 3 = 0) is withheld
+# as "sensor outages", and each missing day is rebuilt from its nearest
+# observed neighbors: v = prev + (next − prev)·(d − pd)/(nd − pd). The
+# imputation twin of daily_revenue_spine's zero-fill — this is what a
+# metrics backfill actually does. Determinism: day means are
+# 1e-5-quantized BIGINTs (daily_value_acf's ladder); neighbor lookup is
+# running last/first over the BOUNDED day grid (≤366 rows — allowlisted
+# like the other day-grid globals); the interpolation is one fixed-order
+# expression over exact integers. Scale: corpus → day grid in one
+# map-side-combinable rollup; everything else is grid-sized.
+# --------------------------------------------------------------------------
+@query(
+    "daily_value_interpolation",
+    oracle="""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS svq
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+mq AS (
+  SELECT d, CAST(round(svq * 1.0 / (n * 10.0)) AS BIGINT) AS mq,
+         CASE WHEN day(d) % 3 = 0 THEN 0 ELSE 1 END AS observed
+  FROM days
+),
+nb AS (
+  SELECT d, mq, observed,
+         last_value(CASE WHEN observed = 1 THEN mq END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_mq,
+         last_value(CASE WHEN observed = 1 THEN d END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_d,
+         first_value(CASE WHEN observed = 1 THEN mq END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_mq,
+         first_value(CASE WHEN observed = 1 THEN d END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_d
+  FROM mq
+)
+SELECT d, round(mq / 100000.0, 6) AS actual_value,
+       round((prev_mq + (next_mq - prev_mq)
+              * (d - prev_d) * 1.0 / (next_d - prev_d)) / 100000.0, 6)
+         AS interp_value,
+       CAST(d - prev_d AS BIGINT) AS gap_left_days,
+       CAST(next_d - d AS BIGINT) AS gap_right_days
+FROM nb
+WHERE observed = 0 AND prev_mq IS NOT NULL AND next_mq IS NOT NULL
+ORDER BY d
+""",
+)
+def daily_value_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("svq"),
+        )
+    )
+    mq = days.select(
+        "d",
+        F.round(F.col("svq") * 1.0 / (F.col("n") * 10.0))
+        .cast("long")
+        .alias("mq"),
+        F.when(F.dayofmonth("d") % 3 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("observed"),
+    )
+    obs_mq = F.when(F.col("observed") == 1, F.col("mq"))
+    obs_d = F.when(F.col("observed") == 1, F.col("d"))
+    # bounded global windows over the ≤366-row day grid (allowlisted)
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    wf = Window.orderBy("d").rowsBetween(1, Window.unboundedFollowing)
+    nb = mq.select(
+        "d",
+        "mq",
+        "observed",
+        F.last(obs_mq, ignorenulls=True).over(wb).alias("prev_mq"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first(obs_mq, ignorenulls=True).over(wf).alias("next_mq"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    dl = F.datediff(F.col("d"), F.col("prev_d"))
+    dr = F.datediff(F.col("next_d"), F.col("d"))
+    span = F.datediff(F.col("next_d"), F.col("prev_d"))
+    return (
+        nb.filter(
+            (F.col("observed") == 0)
+            & F.col("prev_mq").isNotNull()
+            & F.col("next_mq").isNotNull()
+        )
+        .select(
+            "d",
+            F.round(F.col("mq") / 100000.0, 6).alias("actual_value"),
+            F.round(
+                (
+                    F.col("prev_mq")
+                    + (F.col("next_mq") - F.col("prev_mq")) * dl * 1.0 / span
+                )
+                / 100000.0,
+                6,
+            ).alias("interp_value"),
+            dl.cast("long").alias("gap_left_days"),
+            dr.cast("long").alias("gap_right_days"),
+        )
+        .orderBy("d")
+    )

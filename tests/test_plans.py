@@ -362,6 +362,7 @@ _GLOBAL_WINDOW_OK = {
     "cumulative_unique_users",     # growth cumsum over the day grid
     "quality_classifier_auc",      # rank-sum over the ≤1001-cell score histogram
     "score_decile_gains",          # cumsum over score cells, capture over 10 deciles
+    "daily_value_interpolation",   # neighbor lookup over the bounded day grid
 }
 
 
