@@ -1514,3 +1514,89 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
         .orderBy(F.col("n_dup_pairs").desc(), "src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: near_dup_threshold_sweep — dedup-policy sensitivity: from ONE scored
+# pair table, how many near-dup pairs and affected docs exist at each
+# candidate cosine threshold (0.45/0.55/0.65/0.75)? The knob-choosing
+# readout a curation run consults before committing a threshold — too low
+# deletes the corpus, too high keeps mirror pages. Pair scores compute
+# once (same precomputed-norm cosine as embedding_near_dup_pairs, rounded
+# before comparison); the 4-threshold explode multiplies only the
+# SURVIVING ≥min-threshold pairs, never the O(n²) space. At 100 TB the
+# pair table comes from the LSH/IVF bucketed path — this face grades
+# thresholds, not candidate generation. Affected-doc counts are exact
+# distincts over pair endpoints (explode array(d1, d2), one pass).
+# --------------------------------------------------------------------------
+@query(
+    "near_dup_threshold_sweep",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+),
+th AS (SELECT CAST(unnest([0.45, 0.55, 0.65, 0.75]) AS DOUBLE) AS threshold),
+hits AS (
+  SELECT th.threshold, p.d1, p.d2
+  FROM pairs p JOIN th ON p.cos_sim >= th.threshold
+),
+docs AS (
+  SELECT threshold, node FROM (
+    SELECT threshold, d1 AS node FROM hits
+    UNION ALL SELECT threshold, d2 FROM hits
+  )
+)
+SELECT h.threshold,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(DISTINCT node) FROM docs d
+             WHERE d.threshold = h.threshold) AS BIGINT) AS n_docs_affected
+FROM hits h
+GROUP BY h.threshold
+ORDER BY h.threshold
+""",
+)
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    en = _emb_with_norm(emb)
+    a = en.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = materialize(
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", _pair_cosine().alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+    th = F.array(*[F.lit(t) for t in (0.45, 0.55, 0.65, 0.75)])
+    hits = pairs.select(
+        "d1", "d2", F.explode(th).alias("threshold"), "cos_sim"
+    ).filter(F.col("cos_sim") >= F.col("threshold"))
+    n_pairs = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        hits.select(
+            "threshold", F.explode(F.array("d1", "d2")).alias("node")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("node").cast("long").alias("n_docs_affected"))
+    )
+    return (
+        n_pairs.join(n_docs, "threshold")
+        .select("threshold", "n_pairs", "n_docs_affected")
+        .orderBy("threshold")
+    )

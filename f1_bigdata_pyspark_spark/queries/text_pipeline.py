@@ -2899,3 +2899,82 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ln_k_intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: token_diversity_by_source — lexical-diversity indices per source:
+# type count V, token count N, Shannon entropy H = −Σ p·ln p over the
+# token distribution, and Simpson concentration λ = Σ n_t(n_t−1) /
+# (N(N−1)) — the repeated-draw collision probability. λ is EXACT rational
+# integer arithmetic end to end; H quantizes each −p·ln p term to a
+# 1e-12 BIGINT before the per-source sum (payload_byte_entropy's ladder —
+# exact in any accumulation order; |term| ≤ 0.37 ⇒ ×10⁶ types ≪ int64).
+# Boilerplate sources collapse in H and spike in λ, complementing the
+# Zipf/Heaps fits. Scale: one (source, token) rollup, then a vocab-sized
+# aggregate joined to source totals through the size policy.
+# --------------------------------------------------------------------------
+@query(
+    "token_diversity_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM toks
+  GROUP BY source, t
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+  FROM tf GROUP BY source
+),
+ent AS (
+  SELECT tf.source,
+         CAST(sum(CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1e12)
+                       AS BIGINT)) AS BIGINT) AS hq
+  FROM tf JOIN tot ON tf.source = tot.source
+  GROUP BY tf.source
+)
+SELECT tot.source, n AS n_tokens, v AS n_types,
+       round(hq / 1e12, 6) AS shannon_nats,
+       round(coll * 1.0 / (n * (n - 1)), 6) AS simpson_lambda
+FROM tot JOIN ent ON tot.source = ent.source
+ORDER BY tot.source
+""",
+)
+def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        tf.join(broadcast_if_small(tot.select("source", "n")), "source")
+        .select(
+            "source",
+            F.round(-p * F.log(p) * 1e12).cast("long").alias("tq"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tq").cast("long").alias("hq"))
+    )
+    return (
+        tot.join(ent, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.col("v").alias("n_types"),
+            F.round(F.col("hq") / 1e12, 6).alias("shannon_nats"),
+            F.round(
+                F.col("coll") * 1.0 / (F.col("n") * (F.col("n") - 1)), 6
+            ).alias("simpson_lambda"),
+        )
+        .orderBy("source")
+    )
