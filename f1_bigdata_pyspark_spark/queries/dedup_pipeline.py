@@ -1600,3 +1600,149 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("threshold", "n_pairs", "n_docs_affected")
         .orderBy("threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: dedup_survivor_bias — governance audit of the keep-first policy: does
+# exact dedup SHIFT the language mix? Per language: docs before, survivors
+# after (first doc_id per fingerprint), and the share drift in parts per
+# million. A dedup pass that silently halves a low-resource language is a
+# curation bug this report catches. Exact integer counts; shares quantize
+# to ppm BIGINTs so the drift column is integer arithmetic end to end.
+# Scale: one fingerprint keep-first aggregate (struct-min, map-side
+# combinable) + two language rollups joined on the 5-row lang dimension.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_survivor_bias",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, lang, md5(lower(trim(text))) AS f FROM documents
+),
+keep AS (
+  SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f
+),
+before AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM fp GROUP BY lang
+),
+after AS (
+  SELECT fp.lang, CAST(count(*) AS BIGINT) AS n_after
+  FROM fp JOIN keep ON fp.doc_id = keep.keep_id
+  GROUP BY fp.lang
+),
+tot AS (
+  SELECT CAST(sum(n_before) AS BIGINT) AS tb FROM before
+),
+tot2 AS (
+  SELECT CAST(sum(n_after) AS BIGINT) AS ta FROM after
+)
+SELECT b.lang, b.n_before, a.n_after,
+       CAST(b.n_before - a.n_after AS BIGINT) AS n_removed,
+       CAST(a.n_after * 1000000 // ta - b.n_before * 1000000 // tb
+            AS BIGINT) AS share_drift_ppm
+FROM before b
+JOIN after a ON b.lang = a.lang
+CROSS JOIN tot CROSS JOIN tot2
+ORDER BY b.lang
+""",
+)
+def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", fingerprint(F.col("text")).alias("f")
+    )
+    keep = docs.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    before = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after = (
+        docs.join(keep, docs.doc_id == keep.keep_id)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    )
+    tb = before.agg(F.sum("n_before").cast("long").alias("tb"))
+    ta = after.agg(F.sum("n_after").cast("long").alias("ta"))
+    return (
+        before.join(after, "lang")
+        .join(F.broadcast(tb))  # 1-row scalar
+        .join(F.broadcast(ta))  # 1-row scalar
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after"))
+            .cast("long")
+            .alias("n_removed"),
+            (
+                F.floor(F.col("n_after") * 1000000 / F.col("ta"))
+                - F.floor(F.col("n_before") * 1000000 / F.col("tb"))
+            )
+            .cast("long")
+            .alias("share_drift_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: shingle_containment_pairs — ASYMMETRIC containment dedup: for doc
+# pairs sharing 3-gram shingles, C(A→B) = |A∩B| / |A| — the measure that
+# catches a short document quoted INSIDE a long one, which symmetric
+# Jaccard dilutes below threshold (the long doc's union dominates). Both
+# directions are emitted when they clear the 0.6 bar, so engulfing and
+# engulfed are distinguishable. Same inverted-index intersection join as
+# ngram_jaccard_dups (shingle-keyed, never all-pairs); counts exact,
+# containment a fixed-order readout. Scale: shingle join bounded by
+# shingle frequency — the production guard drops ultra-common shingles
+# before joining (stop-shingle cap), stated here as the same join shape.
+# --------------------------------------------------------------------------
+@query(
+    "shingle_containment_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), cnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1 AS contained_doc, d2 AS container_doc,
+       c AS n_shared, ca.n AS n_shingles,
+       round(c * 1.0 / ca.n, 6) AS containment
+FROM inter
+JOIN cnt ca ON ca.doc_id = d1
+WHERE c * 1.0 / ca.n >= 0.6
+ORDER BY contained_doc, container_doc
+""",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.dedup import shingle_table
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = materialize(shingle_table(docs, "doc_id", "text", 3))
+    counts = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ca = counts.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
+    cont = F.col("c") * 1.0 / F.col("na")
+    return (
+        inter.join(broadcast_if_small(ca), "d1")
+        .filter(cont >= 0.6)
+        .select(
+            F.col("d1").alias("contained_doc"),
+            F.col("d2").alias("container_doc"),
+            F.col("c").alias("n_shared"),
+            F.col("na").alias("n_shingles"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -684,3 +684,119 @@ def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: kendall_tau_source_rankers — rank agreement between two source-level
+# quality signals: sources ranked by mean stopword-ratio quality vs ranked
+# by exact-duplicate rate. Kendall's tau answers "do the two rankers pick
+# the same sources" — the decision of whether a cheap signal can replace
+# an expensive one. Both metrics quantize to ppm BIGINTs and rank with a
+# source tiebreak (total orders — no tie handling ambiguity); tau-a then
+# counts concordant/discordant pairs over the (sources choose 2) grid —
+# exact integers end to end. Scale: corpus → per-source aggregates (one
+# pass each), then every structure is source-vocabulary-sized: two rank
+# windows over ~20 rows (allowlisted) and a ≤190-row pair join.
+# --------------------------------------------------------------------------
+@query(
+    "kendall_tau_source_rankers",
+    oracle="""
+WITH q AS (
+  SELECT source,
+         CAST(sum(CAST(round(
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','an','of','to','and','in','is')))
+           * 1000000.0 / len(string_split(text, ' '))) AS BIGINT))
+           // count(*) AS BIGINT) AS qual_ppm,
+         CAST((count(*) - count(DISTINCT md5(lower(trim(text)))))
+              * 1000000 // count(*) AS BIGINT) AS dup_ppm
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+  GROUP BY source
+),
+ranked AS (
+  SELECT source,
+         row_number() OVER (ORDER BY qual_ppm DESC, source) AS r1,
+         row_number() OVER (ORDER BY dup_ppm DESC, source) AS r2
+  FROM q
+),
+pairs AS (
+  SELECT CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0 THEN 1 ELSE 0 END AS con
+  FROM ranked a JOIN ranked b ON a.source < b.source
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(con) AS BIGINT) AS concordant
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_sources,
+       concordant,
+       n_pairs - concordant AS discordant,
+       round((2 * concordant - n_pairs) * 1.0 / n_pairs, 6) AS kendall_tau
+FROM agg
+""",
+)
+def kendall_tau_source_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    q = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) > 0)
+        .select(
+            "source",
+            F.round(feats["stopword_ratio"] * 1000000)
+            .cast("long")
+            .alias("sq"),
+            fingerprint(F.col("text")).alias("f"),
+        )
+        .groupBy("source")
+        .agg(
+            F.floor(F.sum("sq") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("qual_ppm"),
+            F.floor(
+                (F.count(F.lit(1)) - F.countDistinct("f"))
+                * 1000000
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+    # bounded global windows: ranks over the ~20-row source table
+    w1 = Window.orderBy(F.col("qual_ppm").desc(), F.col("source"))
+    w2 = Window.orderBy(F.col("dup_ppm").desc(), F.col("source"))
+    ranked = q.select(
+        "source",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    a = ranked.select(
+        F.col("source").alias("sa"), F.col("r1").alias("a1"), F.col("r2").alias("a2")
+    )
+    b = ranked.select(
+        F.col("source").alias("sb"), F.col("r1").alias("b1"), F.col("r2").alias("b2")
+    )
+    pairs = a.join(b, F.col("sa") < F.col("sb")).select(
+        F.when(
+            (F.col("a1") - F.col("b1")) * (F.col("a2") - F.col("b2")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("con")
+    )
+    n_sources = q.count()  # driver scalar over the source vocabulary
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("con").cast("long").alias("concordant"),
+    )
+    return agg.select(
+        F.lit(n_sources).cast("long").alias("n_sources"),
+        "concordant",
+        (F.col("n_pairs") - F.col("concordant")).alias("discordant"),
+        F.round(
+            (2 * F.col("concordant") - F.col("n_pairs")) * 1.0
+            / F.col("n_pairs"),
+            6,
+        ).alias("kendall_tau"),
+    )

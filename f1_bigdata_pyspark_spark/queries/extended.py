@@ -2205,3 +2205,295 @@ def churn_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("churned")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_rfm_segments — RFM segmentation at scale: per-customer
+# Recency (days since last order, from the corpus max date), Frequency
+# (order count), Monetary (lifetime cents), each cut into quintiles, and
+# the (R,F,M) segment cells counted. The scale discipline is the same
+# histogram trick as the AUC/gains faces: quintile BOUNDARIES come from
+# cumulative counts over bounded value histograms (recency days ≤ a few
+# thousand, frequency small integers, monetary quantized to 100-dollar
+# cells), never from a corpus-global rank — customers join their quintile
+# via range comparison against 4 boundary scalars per dimension (12
+# numbers, a broadcast literal-sized frame). Quintile rule: score q ∈
+# {1..5} = 1 + #boundaries strictly below the value, boundaries b_k =
+# smallest cell value with cum ≥ k·N/5 (integer comparisons only — no
+# float percentile midpoints anywhere). R is inverted (recent = 5).
+# Output: the 25 largest (r,f,m) cells — the wall chart a CRM publishes.
+# --------------------------------------------------------------------------
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH maxd AS (SELECT max(o_orderdate) AS mx FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        CAST((SELECT mx FROM maxd) AS DATE)) AS BIGINT) AS rec,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 10000
+              AS BIGINT) AS mon
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+rb AS (
+  SELECT k, min(v) AS b FROM (
+    SELECT rec AS v, CAST(sum(count(*)) OVER (ORDER BY rec) AS BIGINT) AS cum
+    FROM cust GROUP BY rec
+  ) h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k)
+  WHERE 5 * cum >= k * (SELECT n FROM n) GROUP BY k
+),
+fb AS (
+  SELECT k, min(v) AS b FROM (
+    SELECT freq AS v, CAST(sum(count(*)) OVER (ORDER BY freq) AS BIGINT) AS cum
+    FROM cust GROUP BY freq
+  ) h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k)
+  WHERE 5 * cum >= k * (SELECT n FROM n) GROUP BY k
+),
+mb AS (
+  SELECT k, min(v) AS b FROM (
+    SELECT mon AS v, CAST(sum(count(*)) OVER (ORDER BY mon) AS BIGINT) AS cum
+    FROM cust GROUP BY mon
+  ) h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k)
+  WHERE 5 * cum >= k * (SELECT n FROM n) GROUP BY k
+),
+seg AS (
+  SELECT
+    6 - (1 + (SELECT count(*) FROM rb WHERE b < rec)) AS r,
+    1 + (SELECT count(*) FROM fb WHERE b < freq) AS f,
+    1 + (SELECT count(*) FROM mb WHERE b < mon) AS m
+  FROM cust
+)
+SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+FROM seg GROUP BY r, f, m
+ORDER BY n_customers DESC, r, f, m
+LIMIT 25
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    cust = materialize(
+        orders.join(F.broadcast(mx))  # 1-row scalar
+        .groupBy("o_custkey", "mx")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.floor(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 10000
+            )
+            .cast("long")
+            .alias("mon"),
+        )
+        .select(
+            F.datediff(F.col("mx").cast("date"), F.col("last_d").cast("date"))
+            .cast("long")
+            .alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    n = cust.count()  # driver scalar: the quintile denominator
+
+    def boundaries(col: str):
+        # bounded histogram (#distinct values of a small-domain feature)
+        # -> cumulative -> 4 quintile boundary values
+        h = cust.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        from pyspark.sql import Window
+
+        wcum = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = h.select(
+            F.col(col).alias("v"), F.sum("cnt").over(wcum).alias("cum")
+        )
+        ks = F.array(*[F.lit(k) for k in (1, 2, 3, 4)])
+        return (
+            cum.select("v", "cum", F.explode(ks).alias("k"))
+            .filter(5 * F.col("cum") >= F.col("k") * F.lit(n))
+            .groupBy("k")
+            .agg(F.min("v").alias("b"))
+            .select("k", "b")
+        )
+
+    def score(col: str, bdf, invert: bool = False):
+        # boundaries are 4 rows — collected to literals (driver-bounded
+        # constant, same policy as the IVF centroids)
+        bs = sorted(r["b"] for r in bdf.collect())
+        q = F.lit(1)
+        for b in bs:
+            q = q + F.when(F.lit(b) < F.col(col), 1).otherwise(0)
+        return (F.lit(6) - q) if invert else q
+
+    seg = cust.select(
+        score("rec", boundaries("rec"), invert=True).alias("r"),
+        score("freq", boundaries("freq")).alias("f"),
+        score("mon", boundaries("mon")).alias("m"),
+    )
+    return (
+        seg.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "r", "f", "m")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: parts_pareto_front — 2-D skyline (Pareto front): parts not dominated
+# on (cheaper retail price, larger size). The naive skyline is an O(n²)
+# dominance anti-join; the scalable 2-D form used here collapses to a
+# BOUNDED sweep: min price per size cell (size domain ≤ 50), then a size
+# cell is on the front iff its min price undercuts every LARGER size's
+# running minimum — one cummin window over the size cells, descending.
+# Front members are then recovered with a semi-join against the winning
+# (size, price) cells. Exact integer cents everywhere; front membership
+# is a pure integer comparison. Scale: one size-keyed rollup (map-side
+# combinable) + a ≤50-row window + one policied join back.
+# --------------------------------------------------------------------------
+@query(
+    "parts_pareto_front",
+    oracle="""
+WITH cells AS (
+  SELECT p_size,
+         CAST(min(round(p_retailprice * 100)) AS BIGINT) AS min_cents
+  FROM part GROUP BY p_size
+),
+sweep AS (
+  SELECT p_size, min_cents,
+         min(min_cents) OVER (ORDER BY p_size DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_larger
+  FROM cells
+),
+front_cells AS (
+  SELECT p_size, min_cents FROM sweep
+  WHERE best_larger IS NULL OR min_cents < best_larger
+)
+SELECT p.p_partkey, p.p_size,
+       round(CAST(round(p_retailprice * 100) AS BIGINT) / 100.0, 2)
+         AS retail_price
+FROM part p
+JOIN front_cells f
+  ON p.p_size = f.p_size
+ AND CAST(round(p.p_retailprice * 100) AS BIGINT) = f.min_cents
+ORDER BY p.p_size, p.p_partkey
+""",
+)
+def parts_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    cells = part.select(F.col("p_size"), cents.alias("cents")).groupBy(
+        "p_size"
+    ).agg(F.min("cents").alias("min_cents"))
+    # bounded global window: the size domain (≤50 cells) — allowlisted
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front_cells = cells.withColumn(
+        "best_larger", F.min("min_cents").over(w)
+    ).filter(
+        F.col("best_larger").isNull()
+        | (F.col("min_cents") < F.col("best_larger"))
+    )
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    return (
+        part.select("p_partkey", "p_size", cents.alias("cents"))
+        .join(
+            broadcast_if_small(front_cells.select("p_size", "min_cents")),
+            ["p_size"],
+        )
+        .filter(F.col("cents") == F.col("min_cents"))
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round(F.col("cents") / 100.0, 2).alias("retail_price"),
+        )
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: wilson_ci_conversion — Wilson score intervals (95%) for the per-type
+# purchase-conversion proportion of users: the interval that stays inside
+# [0,1] and behaves at small n, where the naive normal CI fails — what a
+# metrics platform should publish next to every conversion rate. Inputs
+# are exact BIGINT counts (users converting vs seen per event type...
+# users who emitted the type and later purchased); the Wilson bounds are
+# fixed-order closed-form scalars (z = 1.96 literal) over those integers.
+# Scale: two user-keyed rollups joined co-partitioned, then a type-sized
+# readout. No windows.
+# --------------------------------------------------------------------------
+@query(
+    "wilson_ci_conversion",
+    oracle="""
+WITH seen AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT s.event_type,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(b.user_id) AS BIGINT) AS n_conv
+  FROM seen s LEFT JOIN buyers b ON s.user_id = b.user_id
+  GROUP BY s.event_type
+),
+w AS (
+  SELECT event_type, n_users, n_conv,
+         n_conv * 1.0 / n_users AS p,
+         1.96 * 1.96 AS z2
+  FROM cells
+)
+SELECT event_type, n_users, n_conv,
+       round(p, 6) AS conv_rate,
+       round((p + z2 / (2 * n_users)
+              - 1.96 * sqrt((p * (1 - p) + z2 / (4 * n_users)) / n_users))
+             / (1 + z2 / n_users), 6) AS wilson_low,
+       round((p + z2 / (2 * n_users)
+              + 1.96 * sqrt((p * (1 - p) + z2 / (4 * n_users)) / n_users))
+             / (1 + z2 / n_users), 6) AS wilson_high
+FROM w
+ORDER BY event_type
+""",
+)
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    seen = events.select("event_type", "user_id").distinct()
+    buyers = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("bought", F.lit(1))
+    )
+    cells = (
+        seen.join(buyers, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("bought").cast("long").alias("n_conv"),
+        )
+    )
+    p = F.col("n_conv") * 1.0 / F.col("n_users")
+    n = F.col("n_users")
+    z, z2 = 1.96, 1.96 * 1.96
+    center = p + z2 / (2 * n)
+    margin = z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    denom = 1 + z2 / n
+    return cells.select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("conv_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_low"),
+        F.round((center + margin) / denom, 6).alias("wilson_high"),
+    ).orderBy("event_type")

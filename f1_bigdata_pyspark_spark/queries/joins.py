@@ -1574,3 +1574,115 @@ def supplier_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lcc").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: degree_powerlaw_fit — is the co-order supplier graph scale-free? The
+# degree-distribution power-law exponent via log-log OLS over the degree
+# histogram: for each degree d, count nodes with that degree; fit ln(count)
+# on ln(d). Complements the node/edge/triangle census with the structural
+# one-number test (web/social graphs ≈ 2–3; random graphs curve away).
+# Determinism: the same quantized-log integer-sufficient-sums ladder as
+# zipf_fit_slope/heaps_law_fit, over the degree histogram (bounded by max
+# degree). Scale: edge rollup → node-degree rollup → degree-histogram
+# rollup, all map-side combinable; the fit runs on the histogram.
+# --------------------------------------------------------------------------
+@query(
+    "degree_powerlaw_fit",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+und AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d
+),
+quant AS (
+  SELECT CAST(round(ln(d) * 100000) AS BIGINT) AS xq,
+         CAST(round(ln(n_nodes) * 100000) AS BIGINT) AS yq
+  FROM hist
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx
+  FROM quant
+)
+SELECT n AS n_degree_cells,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS powerlaw_slope
+FROM sums
+""",
+)
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    deg = materialize(
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    quant = hist.select(
+        F.round(F.log("d") * 100000).cast("long").alias("xq"),
+        F.round(F.log("n_nodes") * 100000).cast("long").alias("yq"),
+    )
+    sums = quant.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    census = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes_tot"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    return (
+        sums.join(F.broadcast(census))  # 1-row scalar
+        .select(
+            F.col("n").alias("n_degree_cells"),
+            F.col("n_nodes_tot").alias("n_nodes"),
+            "max_degree",
+            F.round(num / den, 6).alias("powerlaw_slope"),
+        )
+    )

@@ -363,6 +363,8 @@ _GLOBAL_WINDOW_OK = {
     "quality_classifier_auc",      # rank-sum over the ≤1001-cell score histogram
     "score_decile_gains",          # cumsum over score cells, capture over 10 deciles
     "daily_value_interpolation",   # neighbor lookup over the bounded day grid
+    "parts_pareto_front",          # skyline cummin over the ≤50-cell size domain
+    "kendall_tau_source_rankers",  # two ranks over the ~20-row source table
 }
 
 
