@@ -1720,6 +1720,9 @@ ORDER BY contained_doc, container_doc
 )
 def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from f1_bigdata_pyspark_spark.operators.dedup import shingle_table
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
     from f1_bigdata_pyspark_spark.utils import materialize
 
     docs = load_table(spark, sf_dir, "documents")
