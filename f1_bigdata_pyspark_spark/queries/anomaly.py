@@ -1399,3 +1399,144 @@ def value_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(within / 1000000.0, 6).alias("within_ms"),
         F.round(between / within, 6).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: dow_seasonality_anova — is weekly seasonality statistically real? The
+# ACF face shows the lag-7 bump; this one tests it: one-way ANOVA of
+# daily event totals grouped by day-of-week (7 groups). Same
+# integer-sufficient-sums machinery as value_anova_event_types, but the
+# observation unit is the DAY (one corpus rollup to the day grid, then
+# everything is grid-sized) — so the two ANOVA faces also demonstrate the
+# operator at both ends of the group-size spectrum. Daily totals are
+# exact BIGINT counts; n·μ² group terms quantize before the 7-cell fold.
+# --------------------------------------------------------------------------
+@query(
+    "dow_seasonality_anova",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT isodow(d) AS dow, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s1) AS BIGINT) AS t1,
+         CAST(sum(s2) AS BIGINT) AS t2,
+         CAST(sum(CAST(round((s1 * 1.0 / n) * (s1 * 1.0 / n) * n)
+                       AS BIGINT)) AS BIGINT) AS sum_n_mu2
+  FROM g
+)
+SELECT k AS n_dow_groups, nn AS n_days,
+       round((sum_n_mu2 - (t1 * 1.0 / nn) * t1) / (k - 1), 6) AS between_ms,
+       round((t2 - sum_n_mu2) / (nn - k), 6) AS within_ms,
+       round(((sum_n_mu2 - (t1 * 1.0 / nn) * t1) / (k - 1))
+             / ((t2 - sum_n_mu2) * 1.0 / (nn - k)), 6) AS f_stat
+FROM tot
+""",
+)
+def dow_seasonality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = daily.groupBy(F.dayofweek("d").alias("raw_dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mu_term = F.round(
+        (F.col("s1") * 1.0 / F.col("n"))
+        * (F.col("s1") * 1.0 / F.col("n"))
+        * F.col("n")
+    ).cast("long")
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.sum("s2").cast("long").alias("t2"),
+        F.sum(mu_term).cast("long").alias("sum_n_mu2"),
+    )
+    between = (
+        F.col("sum_n_mu2") - (F.col("t1") * 1.0 / F.col("nn")) * F.col("t1")
+    ) / (F.col("k") - 1)
+    within = (F.col("t2") - F.col("sum_n_mu2")) / (F.col("nn") - F.col("k"))
+    return tot.select(
+        F.col("k").alias("n_dow_groups"),
+        F.col("nn").alias("n_days"),
+        F.round(between, 6).alias("between_ms"),
+        F.round(within, 6).alias("within_ms"),
+        F.round(between / within, 6).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: purchase_interarrival_cv — renewal-process check on purchase timing:
+# per-user inter-purchase gaps pooled corpus-wide, mean and coefficient
+# of variation. CV ≈ 1 is the Poisson (memoryless) signature; CV < 1
+# means pacing/regularity, CV > 1 bursts — the per-event-time companion
+# to the daily-count Fano face. Gaps are exact integer microseconds from
+# one user-partitioned lag window; Σg and Σg² accumulate in
+# DECIMAL(38,0)/HUGEINT (gaps ≤ 2.6e12 µs over a month ⇒ g² ≤ 6.7e24 —
+# int64 per-row is ALREADY insufficient, so the per-row square itself is
+# computed in decimal — the moments-face ladder extended one rung).
+# Scale: one user-keyed window exchange + a global 1-row readout.
+# --------------------------------------------------------------------------
+@query(
+    "purchase_interarrival_cv",
+    oracle="""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT CAST(ts_us - prev_us AS BIGINT) AS gap
+  FROM p WHERE prev_us IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS DOUBLE) AS s1,
+         CAST(sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS DOUBLE)
+           AS s2
+  FROM g
+)
+SELECT n AS n_gaps,
+       round(s1 / n / 3600000000.0, 6) AS mean_gap_hours,
+       round(sqrt(s2 / n - (s1 / n) * (s1 / n)) / (s1 / n), 6) AS cv
+FROM s
+""",
+)
+def purchase_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    gap = (F.col("ts_us") - F.col("prev_us")).cast("long")
+    dec = "decimal(38,0)"
+    s = p.filter(F.col("prev_us").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(gap.cast(dec)).cast("double").alias("s1"),
+        # the SQUARE itself needs decimal — month-scale µs gaps overflow
+        # int64 when squared
+        F.sum((gap.cast(dec) * gap.cast(dec)).cast(dec))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    return s.select(
+        n.alias("n_gaps"),
+        F.round(mean / 3600000000.0, 6).alias("mean_gap_hours"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+    )

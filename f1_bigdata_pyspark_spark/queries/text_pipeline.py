@@ -2978,3 +2978,104 @@ def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: tfidf_cosine_doc_pairs — SPARSE-vector document similarity join: the
+# cosine between tf·idf term vectors computed relationally over the
+# inverted index (Σ shared-term weight products / norm product), the text
+# twin of the dense embedding pair join. Distinct machinery on purpose:
+# no arrays — the dot product is a term-keyed join + per-pair aggregate,
+# and norms are per-doc aggregates, which is exactly how a 100-TB sparse
+# similarity join has to run (the dense form would materialize a
+# vocab-width vector per doc). Determinism: tf/df are exact integers; idf
+# and each weight product are identical IEEE expressions; per-pair and
+# per-doc sums quantize each product to a 1e-9 BIGINT first (exact in any
+# join order). Threshold 0.5, d1 < d2. Scale: the pair space is bounded
+# by the shared-term join (stop-term cap at production scale, same guard
+# as the containment face).
+# --------------------------------------------------------------------------
+@query(
+    "tfidf_cosine_doc_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT t, ln((SELECT n FROM n_docs) / (1.0 + count(*))) AS idf
+  FROM tf GROUP BY t
+),
+w AS (
+  SELECT doc_id, t, tf * idf AS wt FROM tf JOIN idf USING (t)
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(sum(CAST(round(wt * wt * 1e9) AS BIGINT)) / 1e9) AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(sum(CAST(round(a.wt * b.wt * 1e9) AS BIGINT)) AS BIGINT) AS dq
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round((dq / 1e9) / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.doc_id = d1
+JOIN norms nb ON nb.doc_id = d2
+WHERE (dq / 1e9) / (na.nrm * nb.nrm) >= 0.5
+ORDER BY d1, d2
+""",
+)
+def tfidf_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.count()  # scalar for the IDF constant
+    idf = tf.groupBy("t").agg(
+        F.log(F.lit(float(n_docs)) / (F.lit(1.0) + F.count(F.lit(1)))).alias(
+            "idf"
+        )
+    )
+    w = materialize(
+        tf.join(broadcast_if_small(idf), "t").select(
+            "doc_id", "t", (F.col("tf") * F.col("idf")).alias("wt")
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("wt") * F.col("wt") * 1e9).cast("long")) / 1e9
+        ).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("d1"), "t", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("d2"), "t", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(F.round(F.col("wa") * F.col("wb") * 1e9).cast("long"))
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb"))
+    cos = (F.col("dq") / 1e9) / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(broadcast_if_small(na), "d1")
+        .join(broadcast_if_small(nb), "d2")
+        .filter(cos >= 0.5)
+        .select("d1", "d2", F.round(cos, 6).alias("cos_sim"))
+        .orderBy("d1", "d2")
+    )
