@@ -2497,3 +2497,90 @@ def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_low"),
         F.round((center + margin) / denom, 6).alias("wilson_high"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: lang_source_cramers_v — effect size for the lang × source association:
+# chi-square over the full contingency table (languages × sources) folded
+# into Cramér's V = sqrt(χ² / (N·(min(r,c)−1))) — "how strongly does
+# source determine language" as one bounded number, where raw χ² grows
+# with N. Cells and marginals are exact BIGINTs from ONE corpus pass;
+# each cell's χ² term is a fixed-order scalar quantized to 1e-9 before
+# the cell-table fold (≤ langs×sources terms — exact in any order).
+# Scale: one (lang, source) rollup; marginals re-aggregate from the cell
+# table; everything after is vocabulary-sized.
+# --------------------------------------------------------------------------
+@query(
+    "lang_source_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+rm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY lang),
+cm AS (SELECT source, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM cells),
+terms AS (
+  SELECT CAST(round(
+           POW(cells.n - r * 1.0 * c / nn, 2) / (r * 1.0 * c / nn) * 1e9)
+           AS BIGINT) AS tq,
+         nn, n_langs, n_sources
+  FROM cells
+  JOIN rm ON cells.lang = rm.lang
+  JOIN cm ON cells.source = cm.source
+  CROSS JOIN tot
+)
+SELECT max(nn) AS n_docs, max(n_langs) AS n_langs, max(n_sources) AS n_sources,
+       round(sum(tq) / 1e9, 6) AS chi2,
+       round(sqrt((sum(tq) / 1e9)
+                  / (max(nn) * (least(max(n_langs), max(n_sources)) - 1))), 6)
+         AS cramers_v
+FROM terms
+""",
+)
+def lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rm = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("r"))
+    cm = cells.groupBy("source").agg(F.sum("n").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    exp = F.col("r") * 1.0 * F.col("c") / F.col("nn")
+    tq = F.round(F.pow(F.col("n") - exp, F.lit(2)) / exp * 1e9).cast("long")
+    terms = (
+        cells.join(broadcast_if_small(rm), "lang")
+        .join(broadcast_if_small(cm), "source")
+        .join(F.broadcast(tot))  # 1-row scalar
+        .select(
+            tq.alias("tq"), "nn", "n_langs", "n_sources"
+        )
+    )
+    chi2 = F.sum("tq") / 1e9
+    return terms.agg(
+        F.max("nn").alias("n_docs"),
+        F.max("n_langs").alias("n_langs"),
+        F.max("n_sources").alias("n_sources"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                (F.sum("tq") / 1e9)
+                / (
+                    F.max("nn")
+                    * (F.least(F.max("n_langs"), F.max("n_sources")) - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

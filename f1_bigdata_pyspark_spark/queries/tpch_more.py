@@ -1364,3 +1364,80 @@ def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: order_backlog_daily_peak — supply-chain backlog over time by
+# sweep-line: an order is "open" from o_orderdate until its LAST lineitem
+# ships; emit (+1 at open, −1 at close) deltas, running-sum over the date
+# grid, report each month's peak backlog. The sessions sweep-line
+# (concurrent_sessions_peak) on a different table with a DERIVED interval
+# — and the close date needs a co-partitioned order⋈lineitem max-rollup
+# first. Exact integer deltas and counts; same-day opens and closes NET
+# into one per-day delta before the sweep, so intra-day ordering can
+# never matter (end-of-day backlog semantics). Scale: one order-keyed
+# rollup + a date-grid-sized sweep (the window partitions by nothing but
+# runs on the ≤#days delta table — allowlisted day-grid global).
+# --------------------------------------------------------------------------
+@query(
+    "order_backlog_daily_peak",
+    oracle="""
+WITH closes AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_d, c.close_d
+  FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+),
+deltas AS (
+  SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+    SELECT open_d AS d, 1 AS delta FROM iv
+    UNION ALL SELECT close_d, -1 FROM iv
+  ) GROUP BY d
+),
+run AS (
+  SELECT d, CAST(sum(delta) OVER (ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+  FROM deltas
+)
+SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+       CAST(max(backlog) AS BIGINT) AS peak_backlog
+FROM run
+GROUP BY 1 ORDER BY 1
+""",
+)
+def order_backlog_daily_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
+    )
+    iv = orders.join(
+        closes, orders.o_orderkey == closes.l_orderkey
+    ).select(F.col("o_orderdate").cast("date").alias("open_d"), "close_d")
+    deltas = (
+        iv.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("open_d").alias("d"), F.lit(1).alias("delta")),
+                    F.struct(
+                        F.col("close_d").alias("d"), F.lit(-1).alias("delta")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.d", "e.delta")
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    # bounded day-grid global window (allowlisted): ≤ #distinct dates
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = deltas.select("d", F.sum("delta").over(w).cast("long").alias("backlog"))
+    return (
+        run.groupBy(F.date_trunc("month", "d").cast("date").alias("month"))
+        .agg(F.max("backlog").cast("long").alias("peak_backlog"))
+        .orderBy("month")
+    )

@@ -365,6 +365,7 @@ _GLOBAL_WINDOW_OK = {
     "daily_value_interpolation",   # neighbor lookup over the bounded day grid
     "parts_pareto_front",          # skyline cummin over the ≤50-cell size domain
     "kendall_tau_source_rankers",  # two ranks over the ~20-row source table
+    "order_backlog_daily_peak",    # sweep-line running sum over the date grid
 }
 
 
