@@ -800,3 +800,91 @@ def kendall_tau_source_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: knn_label_accuracy — embedding-quality probe: leave-one-out k-NN
+# classification over the fixed panel (k=5, majority label among the 5
+# nearest by rounded cosine, ties → smallest label; correct iff it equals
+# the query's own label). The geometric-quality readout that tells you
+# whether the embedding space CLUSTERS by label before you trust it for
+# semantic dedup. Rank order is the established rounded-cosine total
+# order; the majority vote is an exact integer count with a deterministic
+# tie rule both engines state. Scale: same candidate-scan + per-query
+# rank exchange as the NDCG/MRR panel; the vote is k-rows-per-query.
+# --------------------------------------------------------------------------
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS qlabel
+  FROM embeddings WHERE vec_id < {_NDCG_N_QUERIES}
+),
+ranked AS (
+  SELECT q.query_id, q.qlabel, e.label,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                    e.vec_id ASC) AS rk
+  FROM embeddings e CROSS JOIN queries q
+  WHERE e.vec_id <> q.query_id
+),
+votes AS (
+  SELECT query_id, qlabel, label, CAST(count(*) AS BIGINT) AS votes
+  FROM ranked WHERE rk <= 5 GROUP BY query_id, qlabel, label
+),
+winner AS (
+  SELECT query_id, qlabel, label AS pred,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count_if(pred = qlabel) AS BIGINT) AS n_correct,
+       round(count_if(pred = qlabel) * 1.0 / count(*), 6) AS accuracy
+FROM winner WHERE vr = 1
+""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NDCG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = emb.join(F.broadcast(queries), emb.vec_id != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    votes = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("query_id", "qlabel", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+    )
+    return winner.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count_if(F.col("label") == F.col("qlabel"))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.count_if(F.col("label") == F.col("qlabel"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )

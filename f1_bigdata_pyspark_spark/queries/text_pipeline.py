@@ -3079,3 +3079,77 @@ def tfidf_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.round(cos, 6).alias("cos_sim"))
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: doc_self_information_topk — per-document mean token self-information
+# −log₂ p(token) under the corpus unigram distribution: the "surprise"
+# quality score that separates information-dense documents from stopword
+# soup (low bits/token) — the statistical stand-in for an LM perplexity
+# gate when no model is at hand (the bigram-LM gate is the modeled
+# version; this is its zeroth-order twin). Each token's bit value is an
+# identical IEEE expression quantized to 1e-9 BIGINT before the per-doc
+# sum (exact in any order); the per-doc mean is a fixed-order readout.
+# Top-15 most-surprising docs (tie-break doc_id). Scale: ONE (token)
+# vocab rollup joined back through the size policy (vocab is NOT a
+# broadcast dimension at web scale) + one doc-keyed aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "doc_self_information_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t
+),
+bits AS (
+  SELECT toks.doc_id,
+         CAST(round(-log2(c * 1.0 / n) * 1e9) AS BIGINT) AS bq
+  FROM toks JOIN uni ON toks.t = uni.t CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(bq) AS BIGINT) AS sq
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(sq / (n_tokens * 1e9), 6) AS mean_bits_per_token
+FROM per_doc
+ORDER BY mean_bits_per_token DESC, doc_id ASC
+LIMIT 15
+""",
+)
+def doc_self_information_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bits = (
+        toks.join(broadcast_if_small(uni), "t")
+        .join(F.broadcast(tot))  # 1-row scalar
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.col("c") * 1.0 / F.col("n")) * 1e9)
+            .cast("long")
+            .alias("bq"),
+        )
+    )
+    per_doc = bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("bq").cast("long").alias("sq"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("sq") / (F.col("n_tokens") * 1e9), 6).alias(
+                "mean_bits_per_token"
+            ),
+        )
+        .orderBy(F.col("mean_bits_per_token").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
