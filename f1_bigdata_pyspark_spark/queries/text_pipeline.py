@@ -3153,3 +3153,58 @@ def doc_self_information_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mean_bits_per_token").desc(), F.col("doc_id").asc())
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: term_burstiness_topk — Church–Gale burstiness per term: mean
+# occurrences per CONTAINING document (cf/df). A term with cf/df ≈ 1
+# sprinkles uniformly; a high ratio concentrates in few docs — topical
+# "bursty" vocabulary, the term-level complement of doc-level quality
+# gates (and the statistic behind two-Poisson retrieval models). cf and
+# df are exact BIGINTs from ONE (doc, term) rollup; the ratio is a
+# fixed-order readout; top-15 by (burstiness DESC, term) with a df ≥ 3
+# support floor so hapax noise can't top the chart. Scale: two
+# map-side-combinable rollups, nothing corpus-sized after.
+# --------------------------------------------------------------------------
+@query(
+    "term_burstiness_topk",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+stats AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df
+  FROM tf GROUP BY t
+)
+SELECT t AS term, cf, df,
+       round(cf * 1.0 / df, 6) AS burstiness
+FROM stats
+WHERE df >= 3
+ORDER BY burstiness DESC, term ASC
+LIMIT 15
+""",
+)
+def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = tf.groupBy("t").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= 3)
+        .select(
+            F.col("t").alias("term"),
+            "cf",
+            "df",
+            F.round(F.col("cf") * 1.0 / F.col("df"), 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("term").asc())
+        .limit(15)
+    )

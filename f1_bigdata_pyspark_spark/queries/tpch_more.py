@@ -1441,3 +1441,62 @@ def order_backlog_daily_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("backlog").cast("long").alias("peak_backlog"))
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_cohort_revenue_triangle — cohort-LTV triangle: customers
+# cohorted by FIRST-order year, revenue rolled up by (cohort_year, age =
+# order_year − cohort_year). The upper-triangular matrix every retention
+# finance model starts from — "how much does the 1993 cohort still spend
+# 4 years in". First-order year is a per-customer min aggregate (one
+# customer-keyed exchange); the cohort join is co-partitioned on custkey;
+# revenue is exact integer cents with a fixed-order dollar readout.
+# Scale: two customer-keyed rollups, no windows, cells ≤ years².
+# --------------------------------------------------------------------------
+@query(
+    "customer_cohort_revenue_triangle",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, CAST(min(year(o_orderdate)) AS BIGINT) AS cohort_year
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT f.cohort_year,
+         CAST(year(o.o_orderdate) AS BIGINT) - f.cohort_year AS age,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_year, age, n_orders,
+       round(cents / 100.0, 2) AS revenue
+FROM cells
+ORDER BY cohort_year, age
+""",
+)
+def customer_cohort_revenue_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_year")
+    )
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate").cast("long") - F.col("cohort_year")).alias(
+                "age"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("cohort_year", "age")
+    )
