@@ -1199,3 +1199,68 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_rank",
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_cell_distortion — vector-quantization quality report: per IVF
+# cell, member count and mean distortion (1 − cosine to the assigned
+# centroid) plus the global weighted mean — the k-means objective readout
+# that decides whether the coarse quantizer needs re-training (cells with
+# high distortion under-serve their queries; empty/tiny cells waste
+# probes). Assignment is the established rounded-argmax (ivf_assign);
+# distortions quantize to 1e-9 BIGINTs before the per-cell sum (exact in
+# any order); means are fixed-order readouts. Scale: one narrow
+# assign map (broadcast centroids) + a cell-sized rollup.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_cell_distortion",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), best AS (
+  SELECT vec_id, centroid_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+  FROM scored
+), members AS (
+  SELECT centroid_id,
+         CAST(round((1.0 - cos_sim) * 1e9) AS BIGINT) AS dq
+  FROM best WHERE rn = 1
+)
+SELECT centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(dq) / (count(*) * 1e9), 6) AS mean_distortion
+FROM members
+GROUP BY centroid_id
+ORDER BY centroid_id
+""",
+)
+def ivf_cell_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(emb, centroids)  # carries best cos as cos_sim
+    members = assigned.select(
+        "centroid_id",
+        F.round((F.lit(1.0) - F.col("cos_sim")) * 1e9).cast("long").alias(
+            "dq"
+        ),
+    )
+    return (
+        members.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.sum("dq") / (F.count(F.lit(1)) * 1e9), 6).alias(
+                "mean_distortion"
+            ),
+        )
+        .orderBy("centroid_id")
+    )

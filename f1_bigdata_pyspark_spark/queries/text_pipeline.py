@@ -3208,3 +3208,67 @@ def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), F.col("term").asc())
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: source_language_purity — per-source majority-language purity: the
+# share of a source's documents in its dominant language, with the
+# dominant language named (deterministic count-then-lang tiebreak). A
+# crawler that claims to be an English news site but sits at 0.5 purity
+# is mislabeled or mixing content — the one-number source-triage next to
+# the KL/entropy mixture screens. Exact integer counts; purity ppm stays
+# integer (floor) so the readout is integer arithmetic end to end.
+# Scale: one (source, lang) rollup; the argmax window partitions by
+# source over ≤|langs| rows each.
+# --------------------------------------------------------------------------
+@query(
+    "source_language_purity",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM cells GROUP BY source
+),
+best AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang ASC) AS rn
+  FROM cells
+)
+SELECT b.source, b.lang AS dominant_lang, t.n_docs,
+       b.n AS n_dominant,
+       CAST(b.n * 1000000 // t.n_docs AS BIGINT) AS purity_ppm
+FROM best b JOIN tot t ON b.source = t.source
+WHERE b.rn = 1
+ORDER BY b.source
+""",
+)
+def source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.groupBy("source").agg(F.sum("n").cast("long").alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    best = cells.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.join(broadcast_if_small(tot), "source")
+        .select(
+            "source",
+            F.col("lang").alias("dominant_lang"),
+            "n_docs",
+            F.col("n").alias("n_dominant"),
+            F.floor(F.col("n") * 1000000 / F.col("n_docs"))
+            .cast("long")
+            .alias("purity_ppm"),
+        )
+        .orderBy("source")
+    )
