@@ -1686,3 +1686,115 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / den, 6).alias("powerlaw_slope"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: rich_club_coefficient — do high-degree suppliers preferentially trade
+# with each other? φ(k) = observed edge density among nodes of degree > k,
+# for k ∈ {2, 4, 8, 16}: the hub-interconnection diagnostic next to the
+# assortativity face (assortativity is the correlation; rich-club is the
+# density profile). For each k: n_k = |{v : deg(v) > k}|, e_k = edges with
+# BOTH endpoints in that set, φ = 2·e_k / (n_k(n_k−1)) — all exact
+# integers until the fixed-order readout. Scale: degree rollup once, then
+# per-k a policied semi-join of the edge table against the (shrinking)
+# hub set — 4 bounded passes, never an all-pairs.
+# --------------------------------------------------------------------------
+@query(
+    "rich_club_coefficient",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+und AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+club AS (
+  SELECT k, node FROM deg JOIN ks ON d > k
+),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM club GROUP BY k),
+ek AS (
+  SELECT cu.k, CAST(count(*) AS BIGINT) AS e_k
+  FROM und
+  JOIN club cu ON und.u = cu.node
+  JOIN club cv ON und.v = cv.node AND cu.k = cv.k
+  GROUP BY cu.k
+)
+SELECT nk.k, nk.n_k, CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+       round(2.0 * COALESCE(ek.e_k, 0) / (nk.n_k * (nk.n_k - 1)), 6) AS phi
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+WHERE nk.n_k >= 2
+ORDER BY nk.k
+""",
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    und = materialize(
+        a.join(b, "ok")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    from f1_bigdata_pyspark_spark.operators.join_policy import local_dim
+
+    ks = local_dim(spark, [(2,), (4,), (8,), (16,)], "k int")
+    club = materialize(
+        deg.join(F.broadcast(ks), F.col("d") > F.col("k")).select("k", "node")
+    )
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    cu = club.select(F.col("k"), F.col("node").alias("u"))
+    cv = club.select(F.col("k").alias("k2"), F.col("node").alias("v2"))
+    ek = (
+        und.join(broadcast_if_small(cu), "u")
+        .join(
+            broadcast_if_small(cv),
+            (F.col("v") == F.col("v2")) & (F.col("k") == F.col("k2")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias("e_k"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("e_k"), F.lit(0))
+                / (F.col("n_k") * (F.col("n_k") - 1)),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
