@@ -1264,3 +1264,83 @@ def ivf_cell_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: cosine_distribution_histogram — the similarity-threshold CONTEXT: the
+# distribution of pairwise cosine over all embedding pairs, in 20
+# equal-width bins over [-1, 1]. Reading near_dup_threshold_sweep without
+# this is flying blind — the histogram shows where the corpus mass sits
+# and where the dup tail separates from it. Pair scores compute once
+# (precomputed-norm cosine, rounded 6 dp); bin = floor((cos+1)/0.1)
+# clamped — pure integer arithmetic after the rounded score. Counts are
+# exact BIGINTs. Scale: the O(n²) pair space here is the exact baseline;
+# the production path samples pairs (hash-mod) before binning — stated,
+# and the binning is identical.
+# --------------------------------------------------------------------------
+@query(
+    "cosine_distribution_histogram",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+binned AS (
+  SELECT least(greatest(CAST(floor((cos_r + 1.0) / 0.1) AS BIGINT), 0), 19)
+           AS bin
+  FROM pairs
+)
+SELECT bin,
+       round(CAST(bin AS DOUBLE) * 0.1 - 1.0, 1) AS bin_low,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def cosine_distribution_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from f1_bigdata_pyspark_spark.queries.dedup_pipeline import (
+        _emb_with_norm,
+        _pair_cosine,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    en = _emb_with_norm(emb)
+    a = en.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = materialize(
+        a.join(b, F.col("d1") < F.col("d2")).select(
+            _pair_cosine().alias("cos_r")
+        )
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("cos_r") + 1.0) / 0.1).cast("long"), F.lit(0)
+        ),
+        F.lit(19),
+    )
+    return (
+        pairs.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") * 0.1 - 1.0, 1).alias("bin_low"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )

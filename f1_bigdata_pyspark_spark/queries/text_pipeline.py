@@ -3272,3 +3272,112 @@ def source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: lang_char_trigram_js — pairwise Jensen–Shannon divergence between the
+# character-trigram distributions of each language pair: the language
+# similarity matrix (es↔fr land close, zh far) that calibrates how much
+# to trust the marker-lexicon language-ID near confusable pairs. JS =
+# ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q), over the UNION trigram vocabulary —
+# every term defined (no zero-division: a trigram absent from P
+# contributes only through the Q-side term). Trigram counts are exact
+# BIGINTs from one substring-explode pass; each JS term quantizes to a
+# 1e-12 BIGINT before the vocab-sized fold (the established entropy
+# ladder). Scale: one corpus pass → per-lang trigram tables; the pair
+# space is (langs choose 2) joins over vocab-sized frames through the
+# size policy.
+# --------------------------------------------------------------------------
+@query(
+    "lang_char_trigram_js",
+    oracle="""
+WITH tri AS (
+  SELECT lang, substr(text, i, 3) AS g
+  FROM documents,
+       (SELECT unnest(range(1, CAST((SELECT max(len(text)) FROM documents)
+                                    AS BIGINT) - 1)) AS i)
+  WHERE i <= len(text) - 2
+),
+cnt AS (
+  SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY lang, g
+),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY lang),
+pairs AS (
+  SELECT a.lang AS la, b.lang AS lb,
+         COALESCE(ca.c, 0) * 1.0 / a.n AS p,
+         COALESCE(cb.c, 0) * 1.0 / b.n AS q
+  FROM (SELECT DISTINCT g FROM cnt) v
+  CROSS JOIN tot a
+  CROSS JOIN tot b
+  LEFT JOIN cnt ca ON ca.lang = a.lang AND ca.g = v.g
+  LEFT JOIN cnt cb ON cb.lang = b.lang AND cb.g = v.g
+  WHERE a.lang < b.lang AND (ca.c IS NOT NULL OR cb.c IS NOT NULL)
+),
+terms AS (
+  SELECT la, lb,
+         CAST(round((
+             CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END
+         ) * 1e12) AS BIGINT) AS tq
+  FROM pairs
+)
+SELECT la AS lang_a, lb AS lang_b,
+       round(sum(tq) / 1e12, 6) AS js_divergence
+FROM terms
+GROUP BY la, lb
+ORDER BY la, lb
+""",
+)
+def lang_char_trigram_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
+        ).alias("g"),
+    )
+    cnt = materialize(
+        tri.groupBy("lang", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    vocab = cnt.select("g").distinct()
+    a = tot.select(F.col("lang").alias("la"), F.col("n").alias("na"))
+    b = tot.select(F.col("lang").alias("lb"), F.col("n").alias("nb"))
+    ca = cnt.select(
+        F.col("lang").alias("la"), F.col("g"), F.col("c").alias("cca")
+    )
+    cb = cnt.select(
+        F.col("lang").alias("lb"), F.col("g"), F.col("c").alias("ccb")
+    )
+    grid = (
+        vocab.join(F.broadcast(a))
+        .join(F.broadcast(b))
+        .filter(F.col("la") < F.col("lb"))
+        .join(broadcast_if_small(ca), ["la", "g"], "left")
+        .join(broadcast_if_small(cb), ["lb", "g"], "left")
+        .filter(F.col("cca").isNotNull() | F.col("ccb").isNotNull())
+    )
+    p = F.coalesce(F.col("cca"), F.lit(0)) * 1.0 / F.col("na")
+    q = F.coalesce(F.col("ccb"), F.lit(0)) * 1.0 / F.col("nb")
+    m = (p + q) / 2
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        grid.select(
+            "la",
+            "lb",
+            F.round(term * 1e12).cast("long").alias("tq"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.round(F.sum("tq") / 1e12, 6).alias("js_divergence"))
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            "js_divergence",
+        )
+        .orderBy("lang_a", "lang_b")
+    )
