@@ -3381,3 +3381,50 @@ def lang_char_trigram_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: boilerplate_prefix_census — template/boilerplate detection by
+# prefix: the most frequent 8-token document PREFIXES with doc counts and
+# distinct sources. A prefix carried by many docs across sources is a
+# scraper template ("cookie banner", "nav header") that the passage-dedup
+# face only catches once it repeats mid-document; anchoring at position 0
+# is what makes it a TEMPLATE signal. The prefix is a deterministic
+# substring of the token stream (array_join of slice, no per-row Python);
+# counts exact. Top-10 by (n_docs DESC, prefix). Scale: one narrow map +
+# one prefix-keyed rollup, map-side combinable.
+# --------------------------------------------------------------------------
+@query(
+    "boilerplate_prefix_census",
+    oracle="""
+WITH pre AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+)
+SELECT prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM pre
+GROUP BY prefix
+ORDER BY n_docs DESC, prefix ASC
+LIMIT 10
+""",
+)
+def boilerplate_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pre = docs.filter(F.size(toks) >= 8).select(
+        "source",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
+        .limit(10)
+    )

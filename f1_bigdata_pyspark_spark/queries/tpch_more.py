@@ -1500,3 +1500,107 @@ def customer_cohort_revenue_triangle(
         )
         .orderBy("cohort_year", "age")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: fulfillment_latency_percentiles — logistics SLA readout: exact
+# p50/p90/p99 of order-to-ship days per order priority, plus the share
+# shipping within 30 days. Latency days are small exact integers, so the
+# exact percentile is the histogram form: per (priority, days) counts,
+# cumulative within priority, smallest value with 100·cum ≥ q·total —
+# integer comparisons only (the weighted-median rule; no interpolation
+# ambiguity between engines). Complements order_fulfillment_latency's
+# mean with the tail the SLA actually cares about. Scale: one
+# co-partitioned order⋈lineitem join + a (priority, days) rollup; windows
+# partition by priority over the bounded day domain.
+# --------------------------------------------------------------------------
+@query(
+    "fulfillment_latency_percentiles",
+    oracle="""
+WITH t AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+h AS (
+  SELECT o_orderpriority, days, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY o_orderpriority, days
+),
+c AS (
+  SELECT o_orderpriority, days, n,
+         CAST(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY days
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+  FROM h
+)
+SELECT o_orderpriority,
+       max(total) AS n_lineitems,
+       CAST(min(CASE WHEN 100 * cum >= 50 * total THEN days END) AS BIGINT)
+         AS p50_days,
+       CAST(min(CASE WHEN 100 * cum >= 90 * total THEN days END) AS BIGINT)
+         AS p90_days,
+       CAST(min(CASE WHEN 100 * cum >= 99 * total THEN days END) AS BIGINT)
+         AS p99_days,
+       round(sum(CASE WHEN days <= 30 THEN n ELSE 0 END) * 1.0 / max(total),
+             6) AS within_30d
+FROM c
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def fulfillment_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    t = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    h = t.groupBy("o_orderpriority", "days").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    c = h.select(
+        "o_orderpriority",
+        "days",
+        "n",
+        F.sum("n").over(wcum).cast("long").alias("cum"),
+        F.sum("n").over(wall).cast("long").alias("total"),
+    )
+
+    def pct(q: int):
+        return F.min(
+            F.when(100 * F.col("cum") >= q * F.col("total"), F.col("days"))
+        ).cast("long")
+
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.max("total").alias("n_lineitems"),
+            pct(50).alias("p50_days"),
+            pct(90).alias("p90_days"),
+            pct(99).alias("p99_days"),
+            F.round(
+                F.sum(
+                    F.when(F.col("days") <= 30, F.col("n")).otherwise(0)
+                )
+                * 1.0
+                / F.max("total"),
+                6,
+            ).alias("within_30d"),
+        )
+        .orderBy("o_orderpriority")
+    )
