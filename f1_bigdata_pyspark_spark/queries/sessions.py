@@ -967,3 +967,113 @@ def arm_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c_conv, 6).alias("c_conv"),
         F.round(lift, 6).alias("relative_lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: repeat_purchase_timing — retention economics: how many purchasers
+# come back, and how fast? Share of purchasing users with a second
+# purchase, plus the exact p50/p90 of days between first and second
+# purchase (integer-histogram percentile — the 100·cum ≥ q·total rule,
+# no interpolation). The row_number over each user's purchases needs a
+# TOTAL order: (ts, event_id) — synthetic events can collide on ts.
+# Scale: one user-keyed window exchange, then a bounded day-histogram;
+# all counts exact BIGINTs.
+# --------------------------------------------------------------------------
+@query(
+    "repeat_purchase_timing",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+firsts AS (SELECT user_id, ts_us AS t1 FROM p WHERE rn = 1),
+seconds AS (SELECT user_id, ts_us AS t2 FROM p WHERE rn = 2),
+gaps AS (
+  SELECT CAST((t2 - t1) // 86400000000 AS BIGINT) AS days
+  FROM firsts JOIN seconds USING (user_id)
+),
+h AS (SELECT days, CAST(count(*) AS BIGINT) AS n FROM gaps GROUP BY days),
+c AS (
+  SELECT days, n,
+         CAST(sum(n) OVER (ORDER BY days ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM h
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM firsts) AS n_purchasers,
+       (SELECT CAST(count(*) AS BIGINT) FROM seconds) AS n_repeaters,
+       round((SELECT count(*) FROM seconds) * 1.0
+             / (SELECT count(*) FROM firsts), 6) AS repeat_rate,
+       CAST(min(CASE WHEN 100 * cum >= 50 * total THEN days END) AS BIGINT)
+         AS p50_days_to_second,
+       CAST(min(CASE WHEN 100 * cum >= 90 * total THEN days END) AS BIGINT)
+         AS p90_days_to_second
+FROM c
+""",
+)
+def repeat_purchase_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = load_table(spark, sf_dir, "events")
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "rn")
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    p = materialize(p.filter(F.col("rn") <= 2))
+    firsts = p.filter(F.col("rn") == 1).select(
+        "user_id", F.col("ts_us").alias("t1")
+    )
+    seconds = p.filter(F.col("rn") == 2).select(
+        "user_id", F.col("ts_us").alias("t2")
+    )
+    gaps = firsts.join(seconds, "user_id").select(
+        F.floor((F.col("t2") - F.col("t1")) / 86400000000).cast("long").alias(
+            "days"
+        )
+    )
+    h = gaps.groupBy("days").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # bounded day-histogram globals (≤ observation-span days — allowlisted)
+    wcum = Window.orderBy("days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    c = h.select(
+        "days",
+        F.sum("n").over(wcum).cast("long").alias("cum"),
+        F.sum("n").over(wall).cast("long").alias("total"),
+    )
+    counts = firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchasers")
+    ).join(
+        F.broadcast(
+            seconds.agg(F.count(F.lit(1)).cast("long").alias("n_repeaters"))
+        )
+    )
+    pcts = c.agg(
+        F.min(
+            F.when(100 * F.col("cum") >= 50 * F.col("total"), F.col("days"))
+        )
+        .cast("long")
+        .alias("p50_days_to_second"),
+        F.min(
+            F.when(100 * F.col("cum") >= 90 * F.col("total"), F.col("days"))
+        )
+        .cast("long")
+        .alias("p90_days_to_second"),
+    )
+    return (
+        counts.join(F.broadcast(pcts))  # 1-row scalars
+        .select(
+            "n_purchasers",
+            "n_repeaters",
+            F.round(
+                F.col("n_repeaters") * 1.0 / F.col("n_purchasers"), 6
+            ).alias("repeat_rate"),
+            "p50_days_to_second",
+            "p90_days_to_second",
+        )
+    )

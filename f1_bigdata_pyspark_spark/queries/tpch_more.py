@@ -1604,3 +1604,88 @@ def fulfillment_latency_percentiles(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: nation_revenue_hhi — market-concentration readout: per region, the
+# Herfindahl–Hirschman index of revenue across its nations (Σ share²,
+# 1/n = perfectly even, 1 = monopolized) plus the top nation's share.
+# The concentration twin of the Gini face (Gini ranks inequality across
+# customers; HHI measures market structure across a bounded dimension).
+# Shares are integer ppm (floor), HHI = Σ share_ppm² / 1e12 — exact
+# integer arithmetic until the final scale (ppm² ≤ 1e12 × ≤25 nations —
+# int64 forever). Scale: one fact rollup to (region, nation) cells via
+# policied dimension joins; everything after is dimension-sized.
+# --------------------------------------------------------------------------
+@query(
+    "nation_revenue_hhi",
+    oracle="""
+WITH cells AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+tot AS (
+  SELECT region, CAST(sum(cents) AS BIGINT) AS total FROM cells
+  GROUP BY region
+),
+shares AS (
+  SELECT c.region, c.nation,
+         CAST(c.cents * 1000000 // t.total AS BIGINT) AS share_ppm
+  FROM cells c JOIN tot t ON c.region = t.region
+)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       round(sum(share_ppm * share_ppm) / 1e12, 6) AS hhi,
+       round(max(share_ppm) / 1e6, 6) AS top_share
+FROM shares
+GROUP BY region
+ORDER BY region
+""",
+)
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cells = (
+        li.join(broadcast_if_small(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast_if_small(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(broadcast_if_small(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    tot = cells.groupBy("region").agg(
+        F.sum("cents").cast("long").alias("total")
+    )
+    shares = cells.join(broadcast_if_small(tot), "region").select(
+        "region",
+        F.floor(F.col("cents") * 1000000 / F.col("total"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.round(
+                F.sum(F.col("share_ppm") * F.col("share_ppm")) / 1e12, 6
+            ).alias("hhi"),
+            F.round(F.max("share_ppm") / 1e6, 6).alias("top_share"),
+        )
+        .orderBy("region")
+    )

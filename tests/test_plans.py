@@ -366,6 +366,7 @@ _GLOBAL_WINDOW_OK = {
     "parts_pareto_front",          # skyline cummin over the ≤50-cell size domain
     "kendall_tau_source_rankers",  # two ranks over the ~20-row source table
     "order_backlog_daily_peak",    # sweep-line running sum over the date grid
+    "repeat_purchase_timing",      # percentile cumulative over the bounded day histogram
 }
 
 
