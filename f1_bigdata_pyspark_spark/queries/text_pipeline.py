@@ -3428,3 +3428,61 @@ def boilerplate_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: doc_length_lognormal_params — distribution fitting for document
+# lengths per source: the lognormal parameters (μ, σ of ln n_chars) plus
+# the implied median exp(μ) — web-document lengths are canonically
+# lognormal, and a source whose σ collapses is a fixed-template feed
+# (the distribution-shape companion to the Zipf/Heaps/moments faces).
+# Determinism ladder: ln(n_chars) quantizes to 1e-6 BIGINTs; Σ and Σ²
+# are exact integer sums (|lq| ≤ 2e7 at 1e9-char docs → lq² ≤ 4e14,
+# int64 to ~2e4 docs/source at test SF, DECIMAL beyond — stated); μ/σ/
+# median are fixed-order readouts. Scale: one narrow map + a
+# source-keyed aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "doc_length_lognormal_params",
+    oracle="""
+WITH q AS (
+  SELECT source, CAST(round(ln(n_chars) * 1000000) AS BIGINT) AS lq
+  FROM documents WHERE n_chars > 0
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lq) AS BIGINT) AS s1,
+         CAST(sum(lq * lq) AS BIGINT) AS s2
+  FROM q GROUP BY source
+)
+SELECT source, n AS n_docs,
+       round(s1 * 1.0 / (n * 1000000.0), 6) AS mu_ln,
+       round(sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+             / 1000000.0, 6) AS sigma_ln,
+       round(exp(s1 * 1.0 / (n * 1000000.0)), 6) AS implied_median_chars
+FROM s
+ORDER BY source
+""",
+)
+def doc_length_lognormal_params(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("n_chars") > 0).select(
+        "source",
+        F.round(F.log("n_chars") * 1000000).cast("long").alias("lq"),
+    )
+    s = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lq").cast("long").alias("s1"),
+        F.sum(F.col("lq") * F.col("lq")).cast("long").alias("s2"),
+    )
+    mu_q = F.col("s1") * 1.0 / F.col("n")
+    var_q = F.col("s2") * 1.0 / F.col("n") - mu_q * mu_q
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(mu_q / 1000000.0, 6).alias("mu_ln"),
+        F.round(F.sqrt(var_q) / 1000000.0, 6).alias("sigma_ln"),
+        F.round(F.exp(mu_q / 1000000.0), 6).alias("implied_median_chars"),
+    ).orderBy("source")

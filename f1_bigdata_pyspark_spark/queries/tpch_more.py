@@ -1689,3 +1689,69 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: part_supply_redundancy — supply-chain resilience audit: distribution
+# of suppliers-per-part (how much of the catalog is single-sourced?) and
+# the single-source share per brand — the procurement risk report. Exact
+# integer counts end to end: supplier multiplicity from one
+# part-keyed distinct rollup, histogram + per-brand shares (ppm floor)
+# from dimension-sized joins. Scale: one (part, supplier) distinct
+# exchange; everything after is part/brand-sized.
+# --------------------------------------------------------------------------
+@query(
+    "part_supply_redundancy",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+mult AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM ps GROUP BY l_partkey
+),
+branded AS (
+  SELECT p.p_brand, m.n_suppliers
+  FROM mult m JOIN part p ON m.l_partkey = p.p_partkey
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count_if(n_suppliers = 1) AS BIGINT) AS n_single_source,
+       CAST(count_if(n_suppliers = 1) * 1000000 // count(*) AS BIGINT)
+         AS single_source_ppm,
+       CAST(max(n_suppliers) AS BIGINT) AS max_suppliers
+FROM branded
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def part_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    mult = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    )
+    branded = mult.join(
+        broadcast_if_small(part.select("p_partkey", "p_brand")),
+        mult.l_partkey == F.col("p_partkey"),
+    )
+    single = F.count_if(F.col("n_suppliers") == 1).cast("long")
+    return (
+        branded.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            single.alias("n_single_source"),
+            F.floor(single * 1000000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("single_source_ppm"),
+            F.max("n_suppliers").cast("long").alias("max_suppliers"),
+        )
+        .orderBy("p_brand")
+    )
