@@ -1540,3 +1540,119 @@ def purchase_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean / 3600000000.0, 6).alias("mean_gap_hours"),
         F.round(F.sqrt(var) / mean, 6).alias("cv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: value_psi_drift — Population Stability Index between the first and
+# second half of the observation month (split at Jan 16), over 10 value
+# deciles fixed from the FULL-period distribution: PSI = Σ (p−q)·ln(p/q),
+# the industry-standard model-input drift gate (<0.1 stable, >0.25 act).
+# Complements the KS face (max ECDF gap) with the binned mass-shift view
+# scorecards actually monitor. Decile edges come from the bounded
+# quantized-value histogram (integer 10·cum ≥ k·N rule — no float
+# percentile midpoints); bin shares are exact integer ppm via floor, and
+# each PSI term is a fixed-order scalar over those integers quantized to
+# 1e-9 before the 10-term fold. Laplace-smoothed counts (+1) keep every
+# ln defined. Scale: corpus → value histogram (map-side combinable) →
+# everything bounded; the period split reuses the same single scan.
+# --------------------------------------------------------------------------
+@query(
+    "value_psi_drift",
+    oracle="""
+WITH q AS (
+  SELECT CAST(round(value * 1000) AS BIGINT) AS vq,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+           AS half
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT vq, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY vq
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM hist),
+cum AS (
+  SELECT vq, CAST(sum(n) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c
+  FROM hist
+),
+edges AS (
+  SELECT k, min(vq) AS edge FROM cum
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+  WHERE 10 * c >= k * (SELECT nn FROM tot)
+  GROUP BY k
+),
+binned AS (
+  SELECT half,
+         1 + (SELECT count(*) FROM edges e WHERE e.edge < q.vq) AS bin
+  FROM q
+),
+cells AS (
+  SELECT bin,
+         CAST(1 + count_if(half = 0) AS BIGINT) AS n0,
+         CAST(1 + count_if(half = 1) AS BIGINT) AS n1
+  FROM binned GROUP BY bin
+),
+tots AS (
+  SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1
+  FROM cells
+),
+terms AS (
+  SELECT bin,
+         CAST(round((n0 * 1.0 / t0 - n1 * 1.0 / t1)
+                    * ln((n0 * 1.0 / t0) / (n1 * 1.0 / t1)) * 1e9)
+              AS BIGINT) AS tq
+  FROM cells CROSS JOIN tots
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(tq) / 1e9, 6) AS psi
+FROM terms
+""",
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    events = load_table(spark, sf_dir, "events")
+    q = materialize(
+        events.filter(F.col("value").isNotNull()).select(
+            F.round(F.col("value") * 1000).cast("long").alias("vq"),
+            F.when(
+                F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0
+            )
+            .otherwise(1)
+            .alias("half"),
+        )
+    )
+    hist = q.groupBy("vq").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wcum = Window.orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("vq", F.sum("n").over(wcum).cast("long").alias("c"))
+    nn = q.count()  # driver scalar: the decile denominator
+    ks = F.array(*[F.lit(k) for k in range(1, 10)])
+    edges_df = (
+        cum.select("vq", "c", F.explode(ks).alias("k"))
+        .filter(10 * F.col("c") >= F.col("k") * F.lit(nn))
+        .groupBy("k")
+        .agg(F.min("vq").alias("edge"))
+    )
+    edges = sorted(r["edge"] for r in edges_df.collect())  # 9 literals
+    bin_expr = F.lit(1)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.lit(e) < F.col("vq"), 1).otherwise(0)
+    cells = q.groupBy(bin_expr.alias("bin")).agg(
+        (F.count_if(F.col("half") == 0) + 1).cast("long").alias("n0"),
+        (F.count_if(F.col("half") == 1) + 1).cast("long").alias("n1"),
+    )
+    tots = cells.agg(
+        F.sum("n0").cast("long").alias("t0"),
+        F.sum("n1").cast("long").alias("t1"),
+    )
+    p = F.col("n0") * 1.0 / F.col("t0")
+    qq = F.col("n1") * 1.0 / F.col("t1")
+    return (
+        cells.join(F.broadcast(tots))  # 1-row scalar
+        .select(F.round((p - qq) * F.log(p / qq) * 1e9).cast("long").alias("tq"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.round(F.sum("tq") / 1e9, 6).alias("psi"),
+        )
+    )

@@ -110,3 +110,48 @@ def test_fano_matches_numpy(spark):
         x = np.asarray(counts, dtype=np.float64)
         assert got[et]["n_days"] == len(counts)
         assert abs(got[et]["fano"] - x.var() / x.mean()) < 1e-4
+
+
+def test_dunning_g2_hand_case(spark):
+    """The G² expression used by dunning_g2_collocations equals the
+    textbook four-cell log-likelihood ratio on a hand-computed 2×2."""
+    # contingency: k11=10 joint, row total r=40, col total c=30, N=1000
+    k11, r, c, n = 10.0, 40.0, 30.0, 1000.0
+    k12, k21 = r - k11, c - k11
+    k22 = n - r - c + k11
+
+    def ll(k, total_row, total_col):
+        e = total_row * total_col / n
+        return k * math.log(k / e) if k > 0 else 0.0
+
+    g2_textbook = 2.0 * (
+        ll(k11, r, c)
+        + ll(k12, r, n - c)
+        + ll(k21, n - r, c)
+        + ll(k22, n - r, n - c)
+    )
+    # the face's ratio-of-ratios form (overflow-safe at corpus scale)
+    g2_face = 2.0 * (
+        k11 * math.log((k11 / r) * (n / c))
+        + k12 * math.log((k12 / r) * (n / (n - c)))
+        + k21 * math.log((k21 / (n - r)) * (n / c))
+        + k22 * math.log((k22 / (n - r)) * (n / (n - c)))
+    )
+    assert abs(g2_face - g2_textbook) < 1e-9
+
+
+def test_benford_expected_shares_sum_to_one(spark):
+    """The Benford face's observed shares and expectations are coherent:
+    shares sum to 1, expectations sum to 1, chi2 terms non-negative."""
+    rows = get_query("benford_first_digit").fn(spark, SF_SMOKE).collect()
+    assert {r["digit"] for r in rows} <= set("123456789")
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    benford_total = sum(
+        math.log10(1 + 1 / d) for d in range(1, 10)
+    )
+    assert abs(benford_total - 1.0) < 1e-12
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    # expectations on rows match the law
+    for r in rows:
+        d = int(r["digit"])
+        assert abs(r["benford_p"] - round(math.log10(1 + 1 / d), 6)) < 1e-9
