@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from f1_bigdata_pyspark_spark.catalog import load_table
-from f1_bigdata_pyspark_spark.functions.vectors import norm2
+from f1_bigdata_pyspark_spark.functions.vectors import cosine, norm2
 from f1_bigdata_pyspark_spark.operators.similarity import (
     brute_force_topk,
     ivf_assign,
@@ -1343,4 +1343,191 @@ def cosine_distribution_histogram(
             "n_pairs",
         )
         .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_intrinsic_dim_twonn — TwoNN intrinsic-dimension estimate
+# (Facco et al. 2017): for each vector, the ratio μ = d2/d1 of its
+# second- to first-nearest-neighbor COSINE distances; the MLE of the
+# manifold dimension is d = N / Σ ln μ. A 64-dim embedding whose data sit
+# on a ~10-dim manifold quantizes/indexes far better than its ambient
+# width suggests — the number that justifies PQ subspace budgets.
+# Determinism: distance = 1 − cos with the cosine rounded to 6 dp first
+# (the repo's established cross-engine total order; 1 − x on a rounded
+# value is exact in binary), vec_id tie-break; each ln μ quantizes to
+# 1e-9 before the global integer sum. Degenerate d1=0 pairs (exact
+# duplicates) are excluded as the estimator requires. Scale: the O(n²)
+# pair scan is the exact baseline (LSH/IVF candidate generation bounds it
+# at corpus scale — same caveat as every exact-pair face).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_intrinsic_dim_twonn",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         1.0 - round(list_cosine_similarity(a.v, b.v), 6) AS dist
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dist,
+         row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC)
+           AS rk
+  FROM pairs
+),
+nn AS (
+  SELECT src,
+         max(CASE WHEN rk = 1 THEN dist END) AS d1,
+         max(CASE WHEN rk = 2 THEN dist END) AS d2
+  FROM ranked WHERE rk <= 2 GROUP BY src
+),
+mu AS (
+  SELECT CAST(round(ln(d2 / d1) * 1e9) AS BIGINT) AS lnmu_q
+  FROM nn WHERE d1 > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(count(*) * 1e9 / sum(lnmu_q), 6) AS intrinsic_dim
+FROM mu
+""",
+)
+def embedding_intrinsic_dim_twonn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    # cosine distance on the ROUNDED similarity — the repo's established
+    # cross-engine total order (1 − x on a 6-dp value is exact in binary)
+    dist = F.lit(1.0) - F.round(cosine(F.col("va"), F.col("vb")), 6)
+    pairs = materialize(
+        a.join(b, F.col("src") != F.col("dst")).select(
+            "src", "dst", dist.alias("dist")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    nn = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("src")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("dist"))).alias("d1"),
+            F.max(F.when(F.col("rk") == 2, F.col("dist"))).alias("d2"),
+        )
+    )
+    mu = nn.filter(F.col("d1") > 0).select(
+        F.round(F.log(F.col("d2") / F.col("d1")) * 1e9)
+        .cast("long")
+        .alias("lnmu_q")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.count(F.lit(1)) * 1e9 / F.sum("lnmu_q"), 6).alias(
+            "intrinsic_dim"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: knn_hubness_skew — hubness diagnostic: how often each vector appears
+# in other vectors' k=5 nearest-neighbor lists (its k-occurrence N_k).
+# High-dimensional spaces concentrate: a few "hub" points show up in
+# everyone's neighbor lists and poison kNN-based dedup/retrieval — the
+# skewness of the N_k distribution is the standard severity score
+# (Radovanović et al. 2010). Ranks use the rounded-cosine total order;
+# N_k counts are exact; the skew reads out from integer power sums
+# (N_k ≤ n ⇒ cubes fit int64 at any realistic panel). Scale: same pair
+# scan as TwoNN (bounded by candidate generation at corpus scale), then
+# an occurrence rollup + one-row moment readout.
+# --------------------------------------------------------------------------
+@query(
+    "knn_hubness_skew",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         1.0 - round(list_cosine_similarity(a.v, b.v), 6) AS dist
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC)
+           AS rk
+  FROM pairs
+),
+occ AS (
+  SELECT e.vec_id,
+         CAST(COALESCE(h.nk, 0) AS BIGINT) AS nk
+  FROM e LEFT JOIN (
+    SELECT dst, count(*) AS nk FROM ranked WHERE rk <= 5 GROUP BY dst
+  ) h ON e.vec_id = h.dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(nk) AS BIGINT) AS s1,
+         CAST(sum(nk * nk) AS BIGINT) AS s2,
+         CAST(sum(nk * nk * nk) AS BIGINT) AS s3,
+         CAST(max(nk) AS BIGINT) AS max_nk
+  FROM occ
+)
+SELECT n AS n_points, max_nk,
+       round(s1 * 1.0 / n, 6) AS mean_occurrence,
+       round((s3 * 1.0 / n - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+              + 2.0 * POW(s1 * 1.0 / n, 3))
+             / POW(s2 * 1.0 / n - POW(s1 * 1.0 / n, 2), 1.5), 6)
+         AS occurrence_skewness
+FROM s
+""",
+)
+def knn_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    dist = F.lit(1.0) - F.round(cosine(F.col("va"), F.col("vb")), 6)
+    pairs = materialize(
+        a.join(b, F.col("src") != F.col("dst")).select(
+            "src", "dst", dist.alias("dist")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    h = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("nk_raw"))
+    )
+    occ = emb.select("vec_id").join(
+        h, emb.vec_id == h.dst, "left"
+    ).select(F.coalesce(F.col("nk_raw"), F.lit(0)).cast("long").alias("nk"))
+    s = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nk").cast("long").alias("s1"),
+        F.sum(F.col("nk") * F.col("nk")).cast("long").alias("s2"),
+        F.sum(F.col("nk") * F.col("nk") * F.col("nk")).cast("long").alias("s3"),
+        F.max("nk").cast("long").alias("max_nk"),
+    )
+    m1 = F.col("s1") * 1.0 / F.col("n")
+    m2 = F.col("s2") * 1.0 / F.col("n") - m1 * m1
+    m3 = (
+        F.col("s3") * 1.0 / F.col("n")
+        - 3.0 * m1 * (F.col("s2") * 1.0 / F.col("n"))
+        + 2.0 * m1 * m1 * m1
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        "max_nk",
+        F.round(m1, 6).alias("mean_occurrence"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("occurrence_skewness"),
     )
