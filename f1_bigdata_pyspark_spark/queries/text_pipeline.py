@@ -3486,3 +3486,68 @@ def doc_length_lognormal_params(
         F.round(F.sqrt(var_q) / 1000000.0, 6).alias("sigma_ln"),
         F.round(F.exp(mu_q / 1000000.0), 6).alias("implied_median_chars"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q: vocab_spectrum_stats — the frequency-of-frequencies spectrum per
+# source, folded into three canonical corpus statistics: hapax share
+# (V1/V — how much of the vocabulary occurs once), Good–Turing unseen
+# mass (N1/N — the probability the NEXT token is novel, the smoothing
+# constant every LM estimates), and Yule's K = 1e4·(Σ m²·V(m) − N)/N²
+# (the stylometry repeat-rate constant, scale-free in N). All three read
+# out from ONE (source, token)→count pass followed by a count-of-counts
+# rollup — exact BIGINTs until the fixed-order readouts (Σm²V(m) =
+# Σc² over the tf table ≤ N·max_c, int64 headroom stated in the moments
+# face). Scale: two map-side-combinable rollups, nothing corpus-sized
+# after the first.
+# --------------------------------------------------------------------------
+@query(
+    "vocab_spectrum_stats",
+    oracle="""
+WITH tf AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY source, t
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count_if(c = 1) AS BIGINT) AS v1,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM tf GROUP BY source
+)
+SELECT source, v AS n_types, n AS n_tokens, v1 AS n_hapax,
+       round(v1 * 1.0 / v, 6) AS hapax_share,
+       round(v1 * 1.0 / n, 6) AS good_turing_unseen,
+       round(10000.0 * (sc2 - n) / (n * 1.0 * n), 6) AS yules_k
+FROM s
+ORDER BY source
+""",
+)
+def vocab_spectrum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.count_if(F.col("c") == 1).cast("long").alias("v1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    return s.select(
+        "source",
+        F.col("v").alias("n_types"),
+        F.col("n").alias("n_tokens"),
+        F.col("v1").alias("n_hapax"),
+        F.round(F.col("v1") * 1.0 / F.col("v"), 6).alias("hapax_share"),
+        F.round(F.col("v1") * 1.0 / F.col("n"), 6).alias("good_turing_unseen"),
+        F.round(
+            10000.0 * (F.col("sc2") - F.col("n"))
+            / (F.col("n") * 1.0 * F.col("n")),
+            6,
+        ).alias("yules_k"),
+    ).orderBy("source")
