@@ -1077,3 +1077,101 @@ def repeat_purchase_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_days_to_second",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: event_entropy_rate — information-theoretic summary of user behavior:
+# per-state conditional entropy H(next|cur) of the lag-1 transition
+# matrix, and the chain's entropy rate H = Σ_s π(s)·H(next|s) weighted by
+# the EMPIRICAL state occupancy (the predecessor-count distribution — the
+# sample analogue of the stationary weights the Markov face iterates
+# for). A behavior stream near 0 bits is deterministic botlike traffic;
+# near log₂(k) is noise — the one-number behavioral-entropy gate.
+# Determinism: transition and occupancy counts are exact BIGINTs; each
+# p·log₂p term quantizes to 1e-12 before the per-state fold and the
+# per-state entropies to 1e-9 before the occupancy-weighted fold (all
+# integer sums). Scale: ONE user-keyed window exchange, then everything
+# is type-vocabulary-sized.
+# --------------------------------------------------------------------------
+@query(
+    "event_entropy_rate",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+cells AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY cur, nxt
+),
+rows_ AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM cells GROUP BY cur),
+hterms AS (
+  SELECT c.cur,
+         CAST(round(-(c.n * 1.0 / r.n_cur) * log2(c.n * 1.0 / r.n_cur)
+                    * 1e12) AS BIGINT) AS tq
+  FROM cells c JOIN rows_ r ON c.cur = r.cur
+),
+hstate AS (
+  SELECT cur, CAST(round(sum(tq) / 1e3) AS BIGINT) AS h_q9
+  FROM hterms GROUP BY cur
+),
+tot AS (SELECT CAST(sum(n_cur) AS BIGINT) AS nn FROM rows_)
+SELECT h.cur AS state, r.n_cur AS n_transitions,
+       round(h.h_q9 / 1e9, 6) AS h_next_bits,
+       round(sum(h.h_q9 * r.n_cur) OVER () / (1e9 * (SELECT nn FROM tot)), 6)
+         AS entropy_rate_bits
+FROM hstate h JOIN rows_ r ON h.cur = r.cur
+ORDER BY state
+""",
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    # the ≤k²-cell transition table feeds five consumers (marginals,
+    # entropy terms, totals, the rate fold): pin it once so each reads
+    # the tiny table instead of replanning the corpus window exchange
+    cells = materialize(
+        pairs.groupBy("cur", "nxt").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    rows_ = cells.groupBy("cur").agg(F.sum("n").cast("long").alias("n_cur"))
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    p = F.col("n") * 1.0 / F.col("n_cur")
+    hterms = cells.join(broadcast_if_small(rows_), "cur").select(
+        "cur",
+        F.round(-p * F.log2(p) * 1e12).cast("long").alias("tq"),
+    )
+    hstate = hterms.groupBy("cur").agg(
+        F.round(F.sum("tq") / 1e3).cast("long").alias("h_q9")
+    )
+    tot = rows_.agg(F.sum("n_cur").cast("long").alias("nn"))
+    joined = hstate.join(rows_, "cur").join(F.broadcast(tot))  # 1-row scalar
+    # the occupancy-weighted rate folds over the ≤k-state table as exact
+    # integers; emit it per row (same scalar) for a flat readout
+    rate_num = joined.agg(
+        F.sum(F.col("h_q9") * F.col("n_cur")).cast("long").alias("rn")
+    )
+    return (
+        joined.join(F.broadcast(rate_num))  # 1-row scalar
+        .select(
+            F.col("cur").alias("state"),
+            F.col("n_cur").alias("n_transitions"),
+            F.round(F.col("h_q9") / 1e9, 6).alias("h_next_bits"),
+            F.round(
+                F.col("rn") / (1e9 * F.col("nn")), 6
+            ).alias("entropy_rate_bits"),
+        )
+        .orderBy("state")
+    )
