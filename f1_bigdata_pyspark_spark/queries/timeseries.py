@@ -1363,3 +1363,143 @@ def daily_value_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: piecewise_trend_breakpoint — two-segment linear-trend changepoint:
+# fit y = a + b·x separately to days 1..k and k+1..n for EVERY candidate
+# breakpoint k, pick the k minimizing total SSE (deterministic tiebreak:
+# smallest k). CUSUM finds MEAN shifts; this finds SLOPE breaks — "growth
+# stalled on day 17" — the ramp-detection companion. Everything derives
+# from integer prefix sums over the bounded day grid: daily totals are
+# exact counts, x is the day index, and for any segment [i..j] the OLS
+# SSE is a fixed-order closed form over (Σ1, Σx, Σy, Σxy, Σx², Σy²)
+# differences of prefix rows — so the per-candidate evaluation is pure
+# scalar arithmetic on exact BIGINTs (y ≤ 1e6/day keeps Σy² in int64 to
+# ~1e6 days; DECIMAL beyond, stated). The candidate scan is the day grid
+# itself (≤366 rows — allowlisted bounded windows), never the corpus.
+# --------------------------------------------------------------------------
+@query(
+    "piecewise_trend_breakpoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS x, y FROM daily
+),
+pre AS (
+  SELECT x, y,
+         CAST(sum(x)     OVER w AS BIGINT) AS sx,
+         CAST(sum(y)     OVER w AS BIGINT) AS sy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy
+  FROM idx
+  WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+  SELECT CAST(max(x) AS BIGINT) AS n,
+         CAST(max(sx) AS BIGINT) AS tx, CAST(max(sy) AS BIGINT) AS ty,
+         CAST(max(sxy) AS BIGINT) AS txy, CAST(max(sxx) AS BIGINT) AS txx,
+         CAST(max(syy) AS BIGINT) AS tyy
+  FROM pre
+),
+cand AS (
+  SELECT p.x AS k,
+         p.sx AS lx, p.sy AS ly, p.sxy AS lxy, p.sxx AS lxx, p.syy AS lyy,
+         t.n, t.tx - p.sx AS rx, t.ty - p.sy AS ry,
+         t.txy - p.sxy AS rxy, t.txx - p.sxx AS rxx, t.tyy - p.syy AS ryy
+  FROM pre p CROSS JOIN tot t
+  WHERE p.x >= 2 AND p.x <= t.n - 2
+),
+scored AS (
+  SELECT k,
+    (lyy - (ly * ly * 1.0) / k
+       - POW(lxy - (lx * ly * 1.0) / k, 2)
+         / (lxx - (lx * lx * 1.0) / k)) AS sse_l,
+    (ryy - (ry * ry * 1.0) / (n - k)
+       - POW(rxy - (rx * ry * 1.0) / (n - k), 2)
+         / (rxx - (rx * rx * 1.0) / (n - k))) AS sse_r,
+    round((lxy - (lx * ly * 1.0) / k) / (lxx - (lx * lx * 1.0) / k), 6)
+      AS slope_left,
+    round((rxy - (rx * ry * 1.0) / (n - k))
+          / (rxx - (rx * rx * 1.0) / (n - k)), 6) AS slope_right
+  FROM cand
+),
+best AS (
+  SELECT k, slope_left, slope_right,
+         round(sse_l + sse_r, 4) AS sse_total,
+         row_number() OVER (ORDER BY round(sse_l + sse_r, 4) ASC, k ASC)
+           AS rn
+  FROM scored
+)
+SELECT k AS breakpoint_day_index, slope_left, slope_right, sse_total
+FROM best WHERE rn = 1
+""",
+)
+def piecewise_trend_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    # bounded day-grid windows (allowlisted): index + integer prefix sums
+    widx = Window.orderBy("d")
+    wrun = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = daily.select(
+        F.row_number().over(widx).cast("long").alias("x"), "y"
+    )
+    pre = materialize(
+        idx.select(
+            "x",
+            F.sum("x").over(wrun).cast("long").alias("sx"),
+            F.sum("y").over(wrun).cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).over(wrun).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).over(wrun).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).over(wrun).cast("long").alias("syy"),
+        )
+    )
+    tot = pre.agg(
+        F.max("x").cast("long").alias("n"),
+        F.max("sx").cast("long").alias("tx"),
+        F.max("sy").cast("long").alias("ty"),
+        F.max("sxy").cast("long").alias("txy"),
+        F.max("sxx").cast("long").alias("txx"),
+        F.max("syy").cast("long").alias("tyy"),
+    )
+    cand = (
+        pre.join(F.broadcast(tot))  # 1-row scalar
+        .filter((F.col("x") >= 2) & (F.col("x") <= F.col("n") - 2))
+    )
+    k = F.col("x")
+    nr = F.col("n") - k
+    lx, ly, lxy, lxx, lyy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    rx, ry = F.col("tx") - lx, F.col("ty") - ly
+    rxy, rxx = F.col("txy") - lxy, F.col("txx") - lxx
+    ryy = F.col("tyy") - lyy
+    sl_num, sl_den = lxy - lx * ly * 1.0 / k, lxx - lx * lx * 1.0 / k
+    sr_num, sr_den = rxy - rx * ry * 1.0 / nr, rxx - rx * rx * 1.0 / nr
+    sse_l = lyy - ly * ly * 1.0 / k - F.pow(sl_num, F.lit(2)) / sl_den
+    sse_r = ryy - ry * ry * 1.0 / nr - F.pow(sr_num, F.lit(2)) / sr_den
+    scored = cand.select(
+        k.alias("k"),
+        F.round(sl_num / sl_den, 6).alias("slope_left"),
+        F.round(sr_num / sr_den, 6).alias("slope_right"),
+        F.round(sse_l + sse_r, 4).alias("sse_total"),
+    )
+    wbest = Window.orderBy(F.col("sse_total").asc(), F.col("k").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("breakpoint_day_index"),
+            "slope_left",
+            "slope_right",
+            "sse_total",
+        )
+    )

@@ -367,6 +367,7 @@ _GLOBAL_WINDOW_OK = {
     "kendall_tau_source_rankers",  # two ranks over the ~20-row source table
     "order_backlog_daily_peak",    # sweep-line running sum over the date grid
     "repeat_purchase_timing",      # percentile cumulative over the bounded day histogram
+    "piecewise_trend_breakpoint",  # index/prefix/argmin windows over the day grid
 }
 
 
