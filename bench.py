@@ -5,8 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is timed end-to-end (plan + execute + collect), after a shared
-session warm-up, over three sweeps reporting the per-query MIN (sheds
-hypervisor noisy-neighbor inflation) — invoked the same way the correctness
+session warm-up, over five sweeps reporting the per-query MIN (sheds
+hypervisor noisy-neighbor inflation; round-4 measurements showed sustained
+multi-minute external load on this host, so more sweeps = more chances to
+catch each query in a quiet window) — invoked the same way the correctness
 driver invokes queries. Headline set = the ``bench=True`` queries in the registry (one per
 operator family: agg, having-agg, nested agg, slope, window dedup, star join,
 time window, text, near-dup, vector search).
@@ -30,9 +32,43 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 
+def _reap_stale_spark_jvms() -> None:
+    """A SIGKILLed / timed-out earlier Spark run leaves its JVM spinning:
+    the py4j python parent dies but the SparkSubmit child survives,
+    burning 10+ cores indefinitely (observed 1100% CPU — it inflated every
+    round-4 bench query ~1.6x). Any SparkSubmit process alive when bench
+    STARTS is by definition stale on this single-tenant box (bench hasn't
+    created its own yet), so reap it and let the load decay before timing.
+    Best-effort: failures to scan/kill are ignored."""
+    import signal
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True
+        ).stdout
+        victims = [
+            int(line.strip().split(None, 1)[0])
+            for line in out.splitlines()
+            if "org.apache.spark.deploy.SparkSubmit" in line
+        ]
+        for pid in victims:
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except OSError:
+                pass
+        if victims:
+            print(f"bench: reaped stale Spark JVMs {victims}", file=sys.stderr)
+            time.sleep(10)  # let the scheduler/load settle
+    except Exception:
+        pass
+
+
 def main() -> None:
     from f1_bigdata_pyspark_spark.queries.registry import _REGISTRY
     from f1_bigdata_pyspark_spark.session import env_sf_dir, get_spark
+
+    _reap_stale_spark_jvms()
 
     sf_dir = env_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,12 +99,12 @@ def main() -> None:
         .count()
     )
 
-    # three passes, per-query min: the host occasionally steals CPU for a
+    # five passes, per-query min: the host occasionally steals CPU for a
     # minute or more (hypervisor noisy neighbor), inflating whichever queries
     # it overlaps; the min across sweeps reports steady-state execution.
     def time_queries(target_dir: str) -> dict[str, float]:
         timings: dict[str, float] = {}
-        for _ in range(3):
+        for _ in range(5):
             for q in _REGISTRY.values():
                 if not q.bench:
                     continue

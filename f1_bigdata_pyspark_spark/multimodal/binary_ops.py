@@ -383,14 +383,27 @@ def parse_wav_timing(media: DataFrame) -> DataFrame:
     same hex/substring/conv arithmetic as ``parse_media_headers``, then
     duration_ms = data_bytes * 1000 / byte_rate — the corpus-intake
     "how many listening hours is this bucket" pass, codegen end to end.
-    Non-WAV payloads are dropped (sniffed by magic, not trusted metadata)."""
+    Non-WAV payloads are dropped (sniffed by magic, not trusted metadata),
+    and so are non-canonical layouts: the fixed offsets are only valid for
+    the classic 44-byte header (16-byte PCM fmt chunk immediately followed
+    by ``data``), so the sniff also pins ``fmt `` at byte 13 with chunk
+    size 16 and ``data`` at byte 37 — a WAV with a ``fact``/``LIST`` chunk
+    or extensible fmt is explicitly dropped rather than silently misread.
+    byte_rate = 0 rows are dropped too (duration is undefined, and a
+    malformed fmt chunk should not survive into the hours rollup)."""
     ph = F.lower(F.hex(F.col("payload")))
-    is_wav = (F.substring(ph, 1, 8) == "52494646") & (
-        F.substring(ph, 17, 8) == "57415645"
+    is_wav = (
+        (F.substring(ph, 1, 8) == "52494646")
+        & (F.substring(ph, 17, 8) == "57415645")
+        # canonical layout only: 'fmt ' at byte 13 with LE chunk size 16,
+        # 'data' chunk header at byte 37
+        & (F.substring(ph, 25, 8) == "666d7420")
+        & (F.substring(ph, 33, 8) == "10000000")
+        & (F.substring(ph, 73, 8) == "64617461")
     )
     byte_rate = _u_le(ph, 57, 4)
     data_bytes = _u_le(ph, 81, 4)
-    return media.filter(is_wav).select(
+    return media.filter(is_wav & (byte_rate > 0)).select(
         "media_id",
         _u_le(ph, 45, 2).alias("channels"),
         _u_le(ph, 49, 4).alias("sample_rate"),
@@ -409,8 +422,10 @@ def synth_mp4_media(docs: DataFrame) -> DataFrame:
     constructs bit-identical blobs. Movie timescale and duration derive
     from doc_id. The body's hex encoding contains no 'd' character (body
     bytes are ASCII hex digits, whose own hex digits are 3/6 + 0-9/1-6),
-    so scanning for the 'mvhd' tag (6d766864) cannot false-positive inside
-    the body — the same argument that protects the JPEG marker scan."""
+    so the SQL ORACLE's strpos scan for the 'mvhd' tag (6d766864) cannot
+    false-positive inside the body; the Spark-side parser no longer needs
+    that guarantee — it walks the size-prefixed box chain and never looks
+    inside mdat."""
     d = F.col("doc_id")
     timescale = (F.lit(1000) * (F.lit(1) + d % 4)).cast("long")
     duration = (F.lit(500) + d % 100000).cast("long")
@@ -441,18 +456,100 @@ def synth_mp4_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _u_be_at(ph, pos, n_hex: int):
+    """Big-endian unsigned int of ``n_hex`` hex chars at COLUMN-valued
+    1-based hex position ``pos``."""
+    return F.conv(ph.substr(pos.cast("int"), F.lit(n_hex)), 16, 10).cast("long")
+
+
+def _fold_box_walk(ph, start, limit, tag_hex: str, hops: int):
+    """1-based hex position of the SIZE field of the first box whose 4-byte
+    tag hex-encodes to ``tag_hex``, walking the ISO-BMFF size-prefixed box
+    chain from hex position ``start`` while headers fit at or before hex
+    index ``limit``; 0 when absent within ``hops`` boxes. Implemented as a
+    RUNTIME FOLD — ``F.aggregate`` over a constant hop sequence threading a
+    (pos, found) struct — so the expression tree is constant-size and the
+    iteration happens at evaluation time. The alternatives both go
+    exponential in Catalyst: an unrolled when/otherwise chain duplicates
+    the position subtree ~5x per hop (analysis never returns at 8 hops),
+    and a per-hop projection chain gets re-inlined by filter pushdown /
+    alias substitution the moment anything selective sits above it
+    (measured 480 s on a 1-row frame). A box that declares a size too
+    small to be a header (< 8 bytes) halts the walk instead of looping in
+    place."""
+
+    def step(acc, _i):
+        pos, found = acc["pos"], acc["found"]
+        live = (found == 0) & (pos > 0) & (pos + 15 <= limit)
+        tag = ph.substr((pos + 8).cast("int"), F.lit(8))
+        size_hex = _u_be_at(ph, pos, 8) * 2  # box size in hex chars
+        hit = live & (tag == tag_hex)
+        return F.struct(
+            F.when(live & (tag != tag_hex) & (size_hex >= 16), pos + size_hex)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("pos"),
+            F.when(hit, pos).otherwise(found).alias("found"),
+        )
+
+    init = F.struct(
+        start.cast("long").alias("pos"), F.lit(0).cast("long").alias("found")
+    )
+    return F.aggregate(F.sequence(F.lit(1), F.lit(hops)), init, step)["found"]
+
+
 def parse_mp4_timing(media: DataFrame) -> DataFrame:
-    """MP4 playback timing FROM THE BYTES: locate the mvhd box by tag scan
-    (not a trusted fixed offset), then read the big-endian u32 timescale
-    and duration at their version-0 offsets (tag + 4 version/flags + 8
-    created/modified). duration_ms = units * 1000 / timescale. Non-BMFF
-    payloads (no ftyp at byte 5 or no mvhd) are dropped."""
+    """MP4 playback timing FROM THE BYTES: walk the top-level size-prefixed
+    box chain to the ``moov`` box, then walk moov's children to the
+    version-0 ``mvhd``, and read the big-endian u32 timescale and duration
+    at their fixed offsets past the version/created/modified words.
+    duration_ms = units * 1000 / timescale. The walk (not a raw substring
+    scan) means an ``mdat`` body that happens to contain the bytes
+    ``mvhd`` — or an mdat-before-moov layout — parses correctly: payload
+    bytes are skipped by declared box size, never inspected. Dropped rows:
+    non-BMFF payloads (no ftyp at byte 5), containers without moov/mvhd in
+    the first 8 boxes of each level, and version-1 mvhd (64-bit times use
+    different offsets; dropping beats silently misreading)."""
     ph = F.lower(F.hex(F.col("payload")))
     is_mp4 = F.substring(ph, 9, 8) == "66747970"  # 'ftyp' at byte 5
-    mv = F.locate("6d766864", ph)  # 1-based hex position of the mvhd tag
-    timescale = _u_be(ph, mv + 32, 8)
-    duration = _u_be(ph, mv + 40, 8)
-    return media.filter(is_mp4 & (mv > 0)).select(
+    df = media.filter(is_mp4).select("media_id", ph.alias("_ph"))
+    ph = F.col("_ph")
+    moov = _fold_box_walk(ph, F.lit(1), F.length(ph), "6d6f6f76", hops=8)
+    # Materialize the first walk's result as COLUMNS before the second walk
+    # references it: pyspark lambda parameters are named from the python
+    # function signature, so embedding one fold's (unresolved) lambda
+    # expression inside another fold's lambda body mis-binds the inner
+    # ``acc`` to the outer lambda (observed: the normal moov-before-mdat
+    # layout silently dropped). Through a projection the second lambda is
+    # analyzed against plain attributes and resolution is unambiguous.
+    df = df.select(
+        "media_id",
+        "_ph",
+        moov.alias("_moov"),
+        # last valid hex index inside moov, clamped to the payload
+        F.least(moov + _u_be_at(ph, moov, 8) * 2 - 1, F.length(ph)).alias(
+            "_moov_last"
+        ),
+    )
+    # children start after moov's 8-byte header (16 hex chars)
+    df = df.select(
+        "media_id",
+        "_ph",
+        F.when(
+            F.col("_moov") > 0,
+            _fold_box_walk(
+                ph, F.col("_moov") + 16, F.col("_moov_last"), "6d766864", hops=8
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("_mvhd"),
+    )
+    mvhd = F.col("_mvhd")
+    version0 = ph.substr((mvhd + 16).cast("int"), F.lit(2)) == "00"
+    # mvhd layout (v0): size(4) tag(4) version+flags(4) created(4)
+    # modified(4) timescale(4) duration(4) — offsets in hex chars below
+    timescale = _u_be_at(ph, mvhd + 40, 8)
+    duration = _u_be_at(ph, mvhd + 48, 8)
+    return df.filter((mvhd > 0) & version0).select(
         "media_id",
         timescale.alias("timescale"),
         duration.alias("duration_units"),

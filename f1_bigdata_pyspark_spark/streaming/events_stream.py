@@ -241,9 +241,16 @@ def foreach_batch_countmin_append(root: str, key_col: str):
 
 
 def read_countmin(spark: SparkSession, root: str) -> DataFrame:
-    """Merged (r, col, cnt) Count-Min table = sum over all epoch partials."""
-    import glob
+    """Merged (r, col, cnt) Count-Min table = sum over all epoch partials.
 
-    paths = sorted(glob.glob(f"{root}/batch-*"))
-    df = spark.read.parquet(*paths)
+    The partials are discovered with a Hadoop-FS path glob (``batch-*``)
+    rather than a driver-local ``glob.glob`` so the same code works on an
+    object store; before any micro-batch has committed a partial the fold
+    is the empty sketch, not an AnalysisException."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(f"{root}/batch-*")
+    except AnalysisException:
+        return spark.createDataFrame([], "r INT, col BIGINT, cnt BIGINT")
     return df.groupBy("r", "col").agg(F.sum("cnt").alias("cnt"))

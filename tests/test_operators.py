@@ -853,7 +853,7 @@ def test_mp4_parser_on_genuine_file(spark):
     def box(tag, payload):
         return struct.pack(">I", 8 + len(payload)) + tag + payload
 
-    def mp4(timescale, duration):
+    def mp4(timescale, duration, mdat_first=False, mdat_body=b"\x11" * 16):
         mvhd = box(
             b"mvhd",
             struct.pack(">B3x", 0)          # version 0 + flags
@@ -866,25 +866,33 @@ def test_mp4_parser_on_genuine_file(spark):
             + b"\x00" * 24
             + struct.pack(">I", 2),
         )
-        return (
-            box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
-            + box(b"moov", mvhd)
-            + box(b"mdat", b"\x11" * 16)
-        )
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+        moov, mdat = box(b"moov", mvhd), box(b"mdat", mdat_body)
+        return ftyp + (mdat + moov if mdat_first else moov + mdat)
 
     media = spark.createDataFrame(
         [
             (1, bytearray(mp4(90000, 450000))),   # 5 s at 90 kHz
             (2, bytearray(mp4(1000, 1500))),      # 1.5 s at ms timescale
             (3, bytearray(b"RIFF\x24\x00\x00\x00WAVEnot-a-real-fmt")),
+            # adversarial layouts for the box WALK (a raw 'mvhd' substring
+            # scan reads garbage on both): mdat precedes moov, and the mdat
+            # body embeds the literal 'mvhd' tag bytes plus a fake payload
+            (4, bytearray(mp4(600, 2400, mdat_first=True,
+                              mdat_body=b"mvhd" + struct.pack(">6I", 0, 0, 0,
+                                                              7, 9, 0)))),
         ],
         "media_id long, payload binary",
     )
     got = {r.media_id: r.asDict() for r in parse_mp4_timing(media).collect()}
-    assert set(got) == {1, 2}
+    assert set(got) == {1, 2, 4}
     assert (got[1]["timescale"], got[1]["duration_units"]) == (90000, 450000)
     assert got[1]["duration_ms"] == 5000.0
     assert got[2]["duration_ms"] == 1500.0
+    # the walk skipped the decoy mdat (with its embedded 'mvhd' bytes and
+    # fake timescale=7/duration=9) and parsed the real moov that follows it
+    assert (got[4]["timescale"], got[4]["duration_units"]) == (600, 2400)
+    assert got[4]["duration_ms"] == 4000.0
     # the triad parsers partition the corpus: the mp4 payloads are
     # invisible to the WAV path (no RIFF magic), and the RIFF decoy is
     # invisible to the mp4 path (no ftyp) — magic dispatch, not extension

@@ -490,3 +490,20 @@ def test_shuffle_count_ceiling_across_registry(spark, sf_smoke):
         if n > 12:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_readme_registry_count_is_fresh():
+    """The README states the registered-query count; pin it to the live
+    registry so the number can never drift again (round-4 advice: docs
+    said 290 while the registry imported 291)."""
+    import os
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme, encoding="utf-8") as f:
+        m = re.search(r"(\d+) queries, every one with a DuckDB", f.read())
+    assert m, "README no longer states the registry count"
+    assert int(m.group(1)) == len(_REGISTRY), (
+        f"README says {m.group(1)} queries but the registry has "
+        f"{len(_REGISTRY)} — update README.md (and SCALE.md's as-of note)"
+    )

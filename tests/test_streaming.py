@@ -740,7 +740,7 @@ def test_file_stream_countmin_partials_merge_exact(spark, tmp_path):
     batch = cm_rows(countmin_partial(all_keys, "k"))
     assert merged == batch and len(merged) > 0
 
-    # replay batch 1 (same id, same data): identical bytes, nothing changes
+    # replay batch 0 (same id, same data): identical bytes, nothing changes
     sink(spark.createDataFrame([(k,) for k in drop1], "k string"), 0)
     assert cm_rows(read_countmin(spark, root)) == merged
 
