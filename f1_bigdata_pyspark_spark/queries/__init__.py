@@ -29,3 +29,4 @@ from f1_bigdata_pyspark_spark.queries import sketches  # noqa: E402,F401
 from f1_bigdata_pyspark_spark.queries import functions_probe  # noqa: E402,F401
 from f1_bigdata_pyspark_spark.queries import anomaly  # noqa: E402,F401
 from f1_bigdata_pyspark_spark.queries import evaluation  # noqa: E402,F401
+from f1_bigdata_pyspark_spark.queries import privacy  # noqa: E402,F401
