@@ -888,3 +888,102 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: woe_information_value — weight-of-evidence / information value of the
+# customer market segment at predicting urgent orders (priority 1/2): the
+# standard feature-screening readout before training a scorecard or
+# deciding a feature is worth its pipeline cost. WOE_b = ln((pos_b/P) /
+# (neg_b/N)); IV = Σ_b (pos_b/P − neg_b/N)·WOE_b, with the conventional
+# IV bands (<0.02 useless, >0.3 strong). Exactness discipline: the corpus
+# collapses to per-bin BIGINT counts in one map-side-combined pass; every
+# per-bin float is a fixed-order readout; the cross-bin IV sum runs over
+# 1e-12-quantized BIGINT terms (order-stable in any engine), and the
+# total joins back to the 5-row bin table through a 1-row broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "woe_information_value",
+    oracle="""
+WITH labeled AS (
+  SELECT c.c_mktsegment AS bin,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+bins AS (
+  SELECT bin,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM labeled GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS p, CAST(sum(n_neg) AS BIGINT) AS n
+  FROM bins
+),
+scored AS (
+  SELECT bin, n_pos, n_neg,
+         ln((n_pos * 1.0 / p) / (n_neg * 1.0 / n)) AS woe,
+         (n_pos * 1.0 / p - n_neg * 1.0 / n)
+           * ln((n_pos * 1.0 / p) / (n_neg * 1.0 / n)) AS iv_term
+  FROM bins CROSS JOIN tot
+),
+total AS (
+  SELECT CAST(sum(CAST(round(iv_term * 1e12) AS BIGINT)) AS BIGINT) AS ivq
+  FROM scored
+)
+SELECT bin, n_pos, n_neg,
+       round(woe, 6) AS woe,
+       round(iv_term, 6) AS iv_term,
+       round(ivq / 1e12, 6) AS total_iv
+FROM scored CROSS JOIN total
+ORDER BY bin
+""",
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import broadcast_if_small
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    labeled = orders.join(
+        broadcast_if_small(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    bins = labeled.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    tot = bins.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("n"),
+    )
+    pos_rate = F.col("n_pos") / F.col("p")
+    neg_rate = F.col("n_neg") / F.col("n")
+    woe = F.log(pos_rate / neg_rate)
+    scored = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        ((pos_rate - neg_rate) * woe).alias("iv_term"),
+    )
+    total = scored.agg(
+        F.sum(F.round(F.col("iv_term") * 1e12).cast("long")).alias("ivq")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.round("woe", 6).alias("woe"),
+            F.round("iv_term", 6).alias("iv_term"),
+            F.round(F.col("ivq") / 1e12, 6).alias("total_iv"),
+        )
+        .orderBy("bin")
+    )

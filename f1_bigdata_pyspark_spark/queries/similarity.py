@@ -1531,3 +1531,105 @@ def knn_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m1, 6).alias("mean_occurrence"),
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("occurrence_skewness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: kmeans_training_rounds — MULTI-round Lloyd training (3 unrolled
+# iterations from the deterministic first-16 seed), extending
+# ivf_kmeans_cells (one step) with the same loop-unrolling discipline as
+# PageRank/k-core/BPE: per round, the cohesion trajectory the training
+# monitor actually watches (n vectors, active cells, avg best-cosine).
+# Physically each round is one broadcast cross-join (k centroids, tiny) +
+# one keyed argmax + one posexplode mean — and the k×dim centroid table is
+# rebuilt as a LocalRelation between rounds (as_local_dim), so every
+# round's broadcast is planner-approved from real size stats, and round
+# r+1's plan does not drag round r's full lineage behind it. The DuckDB
+# twin unrolls all three rounds in MATERIALIZED CTEs (inlined CTE chains
+# re-plan the cross join exponentially) and must reproduce every count and
+# cohesion value. Assignment ties resolve by rounded-cosine + centroid-id
+# everywhere, so the trajectory is oracle-checkable, not a float lottery.
+# --------------------------------------------------------------------------
+@query(
+    "kmeans_training_rounds",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+), a1 AS MATERIALIZED (
+  SELECT vec_id, cid, cs FROM (
+    SELECT e.vec_id, c0.cid,
+           round(list_cosine_similarity(e.v, c0.cv), 6) AS cs,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC,
+                        c0.cid ASC) AS rn
+    FROM e CROSS JOIN c0) WHERE rn = 1
+), x1 AS MATERIALIZED (
+  SELECT a1.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+  FROM a1 JOIN e USING (vec_id)
+), c1 AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, avg(val) AS m FROM x1 GROUP BY cid, pos
+  ) m1 GROUP BY cid
+), a2 AS MATERIALIZED (
+  SELECT vec_id, cid, cs FROM (
+    SELECT e.vec_id, c1.cid,
+           round(list_cosine_similarity(e.v, c1.cv), 6) AS cs,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC,
+                        c1.cid ASC) AS rn
+    FROM e CROSS JOIN c1) WHERE rn = 1
+), x2 AS MATERIALIZED (
+  SELECT a2.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+  FROM a2 JOIN e USING (vec_id)
+), c2 AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, avg(val) AS m FROM x2 GROUP BY cid, pos
+  ) m2 GROUP BY cid
+), a3 AS MATERIALIZED (
+  SELECT vec_id, cid, cs FROM (
+    SELECT e.vec_id, c2.cid,
+           round(list_cosine_similarity(e.v, c2.cv), 6) AS cs,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c2.cv), 6) DESC,
+                        c2.cid ASC) AS rn
+    FROM e CROSS JOIN c2) WHERE rn = 1
+)
+SELECT * FROM (
+  SELECT 1 AS round, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
+         round(avg(cs), 6) AS avg_cos FROM a1
+  UNION ALL
+  SELECT 2, CAST(count(*) AS BIGINT), CAST(count(DISTINCT cid) AS BIGINT),
+         round(avg(cs), 6) FROM a2
+  UNION ALL
+  SELECT 3, CAST(count(*) AS BIGINT), CAST(count(DISTINCT cid) AS BIGINT),
+         round(avg(cs), 6) FROM a3
+) ORDER BY round
+""",
+)
+def kmeans_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import as_local_dim
+    from f1_bigdata_pyspark_spark.operators.similarity import kmeans_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cur = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    stats = []
+    for r in (1, 2, 3):
+        assigned = ivf_assign(emb, cur)
+        stats.append(
+            assigned.agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.countDistinct("centroid_id").cast("long").alias("n_cells"),
+                F.round(F.avg("cos_sim"), 6).alias("avg_cos"),
+            ).select(F.lit(r).alias("round"), "n_vecs", "n_cells", "avg_cos")
+        )
+        if r < 3:
+            cur = as_local_dim(kmeans_step(emb, cur))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

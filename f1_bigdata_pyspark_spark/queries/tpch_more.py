@@ -1755,3 +1755,76 @@ def part_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: item_item_cosine — cosine-normalized co-occurrence similarity (the
+# classic item-item collaborative-filtering score): sim(i,j) =
+# n_ij / sqrt(n_i · n_j) over distinct order baskets, top-15 pairs. The
+# normalization separates "popular with everything" from "genuinely bought
+# together" — raw copurchase counts (copurchase_part_pairs) rank ubiquity;
+# cosine ranks affinity. Scale: the pair space stays basket-bounded
+# (Σ C(basket,2), same discipline as the raw-count face); the per-item
+# marginals are an item-sized table that joins the pair table through the
+# size-aware broadcast policy. Determinism: cosine is rounded to 6 dp and
+# the rank order carries a full (cos, p1, p2) tiebreaker chain.
+# --------------------------------------------------------------------------
+@query(
+    "item_item_cosine",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+marg AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i FROM op GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS n_ij
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1, p2, n_ij, m1.n_i AS n_p1, m2.n_i AS n_p2,
+       round(n_ij / sqrt(m1.n_i * m2.n_i), 6) AS cosine_sim
+FROM pairs
+JOIN marg m1 ON m1.l_partkey = p1
+JOIN marg m2 ON m2.l_partkey = p2
+ORDER BY cosine_sim DESC, p1, p2
+LIMIT 15
+""",
+)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    m1 = broadcast_if_small(
+        marg.select(F.col("l_partkey").alias("p1"), F.col("n_i").alias("n_p1"))
+    )
+    m2 = broadcast_if_small(
+        marg.select(F.col("l_partkey").alias("p2"), F.col("n_i").alias("n_p2"))
+    )
+    return (
+        pairs.join(m1, "p1")
+        .join(m2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_ij",
+            "n_p1",
+            "n_p2",
+            F.round(
+                F.col("n_ij") / F.sqrt(F.col("n_p1") * F.col("n_p2")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), "p1", "p2")
+        .limit(15)
+    )

@@ -10,6 +10,7 @@ the triangle-undercount lesson applied to the stats family).
 from __future__ import annotations
 
 import duckdb
+import pytest
 import math
 
 import numpy as np
@@ -155,3 +156,51 @@ def test_benford_expected_shares_sum_to_one(spark):
     for r in rows:
         d = int(r["digit"])
         assert abs(r["benford_p"] - round(math.log10(1 + 1 / d), 6)) < 1e-9
+
+
+def test_kmeans_training_rounds_matches_numpy(spark, sf_smoke):
+    """Independent numpy replay of the 3-round Lloyd trajectory: same
+    first-16 seed, same rounded-cosine + centroid-id tiebreak, same
+    element-wise mean update — catches a shared Spark/oracle slip in the
+    unrolled round plumbing (the triangle-undercount lesson applied to the
+    training loop)."""
+    import duckdb
+    import numpy as np
+
+    from f1_bigdata_pyspark_spark.queries.registry import get_query
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = emb["vec_id"].to_numpy()
+    V = np.array([np.array(v, dtype=float) for v in emb["embedding"]])
+    cent_ids = ids[ids < 16]
+    C = V[ids < 16].copy()
+
+    def assign(C, cids):
+        # rounded cosine, centroid-id tiebreak (argmax keeps FIRST max —
+        # centroids are already in ascending cid order)
+        cos = (V @ C.T) / (
+            np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        cos = np.round(cos, 6)
+        best = cos.argmax(axis=1)
+        return cids[best], cos[np.arange(len(V)), best]
+
+    want = []
+    for r in (1, 2, 3):
+        a, cs = assign(C, cent_ids)
+        want.append((r, len(V), len(set(a)), round(float(cs.mean()), 6)))
+        if r < 3:
+            alive = sorted(set(a))
+            C = np.array([V[a == c].mean(axis=0) for c in alive])
+            cent_ids = np.array(alive)
+
+    got = [
+        (row.round, row.n_vecs, row.n_cells, row.avg_cos)
+        for row in get_query("kmeans_training_rounds").fn(spark, sf_smoke).collect()
+    ]
+    assert got == [
+        (r, n, c, pytest.approx(a, abs=2e-6)) for r, n, c, a in want
+    ]
