@@ -2584,3 +2584,189 @@ def lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: eb_shrunk_urgent_rates — empirical-Bayes shrinkage of per-nation
+# urgent-order rates (beta-binomial, method of moments): small nations'
+# noisy raw rates pull toward the cross-nation prior, big nations keep
+# their data — the standard fix for "the tiny segment tops every ranking"
+# in per-entity rate tables. Prior Beta(α, β) fitted by MoM on the raw
+# rate distribution over the BOUNDED nation table (m = avg p_i, v =
+# var_pop p_i, α+β = m(1−m)/v − 1); shrunk_i = (x_i + α)/(n_i + α + β).
+# Scale: the corpus collapses to per-nation (n, x) BIGINT counts in one
+# map-side-combined pass; all float math runs on the 25-row rollup and
+# its 1-row broadcast prior. Degenerate guard: if the MoM variance is 0
+# or the implied strength is non-positive, shrinkage is a no-op (α=β=0).
+# --------------------------------------------------------------------------
+@query(
+    "eb_shrunk_urgent_rates",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_nationkey AS nk,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+nations AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS x
+  FROM per_cust GROUP BY nk
+),
+prior AS (
+  SELECT avg(x * 1.0 / n) AS m,
+         avg((x * 1.0 / n) * (x * 1.0 / n)) - avg(x * 1.0 / n) * avg(x * 1.0 / n)
+           AS v
+  FROM nations
+),
+fit AS (
+  SELECT m, v,
+         CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+              THEN m * (1 - m) / v - 1 ELSE 0 END AS strength
+  FROM prior
+)
+SELECT nk AS nationkey, n, x,
+       round(x * 1.0 / n, 6) AS raw_rate,
+       round((x + m * strength) / (n + strength), 6) AS shrunk_rate,
+       round(m, 6) AS prior_mean,
+       round(strength, 6) AS prior_strength
+FROM nations CROSS JOIN fit
+ORDER BY nationkey
+""",
+)
+def eb_shrunk_urgent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per = orders.join(
+        broadcast_if_small(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    nations = per.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("x"),
+    )
+    p = F.col("x") / F.col("n")
+    prior = nations.agg(
+        F.avg(p).alias("m"), (F.avg(p * p) - F.avg(p) * F.avg(p)).alias("v")
+    )
+    raw_strength = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    fit = prior.select(
+        "m",
+        "v",
+        F.when((F.col("v") > 0) & (raw_strength > 0), raw_strength)
+        .otherwise(F.lit(0.0))
+        .alias("strength"),
+    )
+    return (
+        nations.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("nk").alias("nationkey"),
+            "n",
+            "x",
+            F.round(p, 6).alias("raw_rate"),
+            F.round(
+                (F.col("x") + F.col("m") * F.col("strength"))
+                / (F.col("n") + F.col("strength")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round("m", 6).alias("prior_mean"),
+            F.round("strength", 6).alias("prior_strength"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: lineitem_corr_matrix — the full pairwise covariance / correlation
+# matrix of the four lineitem measures (quantity, extendedprice, discount,
+# tax) from ONE corpus pass: 14 mergeable sufficient statistics (4 means,
+# 4 mean-squares, 6 cross-means), then the 10 matrix cells (4 variances +
+# 6 covariances) are read out of the 1-row aggregate in long form. This is
+# the feature-screening / multicollinearity readout a modeling pipeline
+# wants before fitting anything — computed the only way that scales (no
+# per-pair passes, no corr() called 6 times re-scanning the corpus).
+# Floats follow the house avg()-based policy (6-dp rounded readout).
+# --------------------------------------------------------------------------
+@query(
+    "lineitem_corr_matrix",
+    oracle="""
+WITH s AS (
+  SELECT avg(l_quantity) AS m1, avg(l_extendedprice) AS m2,
+         avg(l_discount) AS m3, avg(l_tax) AS m4,
+         avg(l_quantity * l_quantity) AS s11,
+         avg(l_extendedprice * l_extendedprice) AS s22,
+         avg(l_discount * l_discount) AS s33,
+         avg(l_tax * l_tax) AS s44,
+         avg(l_quantity * l_extendedprice) AS s12,
+         avg(l_quantity * l_discount) AS s13,
+         avg(l_quantity * l_tax) AS s14,
+         avg(l_extendedprice * l_discount) AS s23,
+         avg(l_extendedprice * l_tax) AS s24,
+         avg(l_discount * l_tax) AS s34
+  FROM lineitem
+)
+SELECT var_a, var_b, round(cov_pop, 6) AS cov_pop, round(corr, 6) AS corr
+FROM (
+  SELECT 'quantity' AS var_a, 'extendedprice' AS var_b,
+         s12 - m1 * m2 AS cov_pop,
+         (s12 - m1 * m2) / (sqrt(s11 - m1 * m1) * sqrt(s22 - m2 * m2)) AS corr
+  FROM s
+  UNION ALL
+  SELECT 'quantity', 'discount', s13 - m1 * m3,
+         (s13 - m1 * m3) / (sqrt(s11 - m1 * m1) * sqrt(s33 - m3 * m3)) FROM s
+  UNION ALL
+  SELECT 'quantity', 'tax', s14 - m1 * m4,
+         (s14 - m1 * m4) / (sqrt(s11 - m1 * m1) * sqrt(s44 - m4 * m4)) FROM s
+  UNION ALL
+  SELECT 'extendedprice', 'discount', s23 - m2 * m3,
+         (s23 - m2 * m3) / (sqrt(s22 - m2 * m2) * sqrt(s33 - m3 * m3)) FROM s
+  UNION ALL
+  SELECT 'extendedprice', 'tax', s24 - m2 * m4,
+         (s24 - m2 * m4) / (sqrt(s22 - m2 * m2) * sqrt(s44 - m4 * m4)) FROM s
+  UNION ALL
+  SELECT 'discount', 'tax', s34 - m3 * m4,
+         (s34 - m3 * m4) / (sqrt(s33 - m3 * m3) * sqrt(s44 - m4 * m4)) FROM s
+)
+ORDER BY var_a, var_b
+""",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.col("l_quantity"),
+        "extendedprice": F.col("l_extendedprice"),
+        "discount": F.col("l_discount"),
+        "tax": F.col("l_tax"),
+    }
+    names = list(cols)
+    aggs = [F.avg(cols[a]).alias(f"m_{a}") for a in names]
+    aggs += [
+        F.avg(cols[a] * cols[b]).alias(f"s_{a}_{b}")
+        for i, a in enumerate(names)
+        for b in names[i:]
+    ]
+    s = li.agg(*aggs)
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    rows = []
+    for a, b in pairs:
+        cov = F.col(f"s_{a}_{b}") - F.col(f"m_{a}") * F.col(f"m_{b}")
+        var_a = F.col(f"s_{a}_{a}") - F.col(f"m_{a}") * F.col(f"m_{a}")
+        var_b = F.col(f"s_{b}_{b}") - F.col(f"m_{b}") * F.col(f"m_{b}")
+        rows.append(
+            s.select(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.round(cov, 6).alias("cov_pop"),
+                F.round(cov / (F.sqrt(var_a) * F.sqrt(var_b)), 6).alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("var_a", "var_b")

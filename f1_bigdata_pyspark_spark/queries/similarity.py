@@ -1633,3 +1633,154 @@ def kmeans_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Q: jl_projection_distortion — Johnson–Lindenstrauss random projection
+# (64 → 16 dims, deterministic ±1 Rademacher matrix derived from md5 so
+# both engines and an audit replay build the SAME matrix) with the
+# distance-distortion readout on a fixed 20-vector panel (190 pairs):
+# ratio = (‖Ra−Rb‖²/16) / ‖a−b‖², plus the share inside the ±40% band.
+# This is the dimensionality-reduction step a 100-TB ANN stack runs BEFORE
+# LSH/IVF (project once, bucket in the cheap space), shipped with its own
+# quality audit. Exactness discipline: embeddings are quantized to 1e-6
+# integers FIRST, so every projection component and every squared distance
+# is an exact BIGINT reachable in any accumulation order (the ratio is
+# DEFINED on the quantized vectors — parity is exact, and at |v| ≤ 0.53
+# the 1e-6 grid is far below any meaningful distortion); floats appear
+# only in the per-pair fixed-order ratio and the quantized-sum average.
+# Scale: projection is a narrow per-row map (the sign matrix is 1024
+# literals, compile-time constant); panel pairs are 190 rows by
+# construction.
+# --------------------------------------------------------------------------
+_JL_DIN, _JL_DOUT = 64, 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """+1/−1 from the parity of the 60-bit md5 integer of 'i#j' — the same
+    hash the SQL oracle computes with substr(md5(...), 1, 15)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{i}#{j}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+
+
+@query(
+    "jl_projection_distortion",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1e6) AS BIGINT)) AS qs
+  FROM embeddings WHERE vec_id < 20
+),
+grid AS (
+  SELECT i.i, j.j,
+         CASE WHEN CAST(('0x' || substr(md5(i.i || '#' || j.j), 1, 15))
+                   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 63) AS i(i), generate_series(0, 15) AS j(j)
+),
+y AS MATERIALIZED (
+  SELECT e.vec_id, g.j, CAST(sum(g.s * e.qs[g.i + 1]) AS BIGINT) AS yj
+  FROM e, grid g GROUP BY e.vec_id, g.j
+),
+din AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum((a.qs[k.k] - b.qs[k.k]) * (a.qs[k.k] - b.qs[k.k]))
+              AS BIGINT) AS din2
+  FROM e a, e b, generate_series(1, 64) AS k(k)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+dout AS MATERIALIZED (
+  SELECT ya.vec_id AS va, yb.vec_id AS vb,
+         CAST(sum((ya.yj - yb.yj) * (ya.yj - yb.yj)) AS BIGINT) AS dout2
+  FROM y ya JOIN y yb ON ya.j = yb.j AND ya.vec_id < yb.vec_id
+  GROUP BY 1, 2
+),
+ratios AS (
+  SELECT (d2.dout2 / 16.0) / d1.din2 AS ratio
+  FROM din d1 JOIN dout d2 ON d1.va = d2.va AND d1.vb = d2.vb
+  WHERE d1.din2 > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(round(ratio * 1e9) AS BIGINT)) AS BIGINT)
+             / 1e9 / count(*), 6) AS avg_ratio,
+       round(min(ratio), 6) AS min_ratio,
+       round(max(ratio), 6) AS max_ratio,
+       CAST(sum(CASE WHEN ratio BETWEEN 0.6 AND 1.4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_40pct
+FROM ratios
+""",
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1e6).cast("long"),
+        ).alias("qs"),
+    )
+    # 16 sibling folds over the 64 input dims; the Rademacher signs are
+    # python-computed literals (compile-time constant matrix), so each
+    # fold's lambda references only attributes and literals — nothing
+    # re-evaluates per element and no lambda nests inside another
+    # (closure factory: pyspark derives lambda arity from the python
+    # signature, so the output-dim index must be captured, not a 3rd param)
+    def _fold_for(j: int):
+        signs = F.array(*[F.lit(_jl_sign(i_, j)) for i_ in range(_JL_DIN)])
+
+        def merge(acc, i):
+            k = (i + 1).cast("int")
+            return acc + F.element_at(signs, k).cast("long") * F.element_at(
+                F.col("qs"), k
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(_JL_DIN - 1)),
+            F.lit(0).cast("long"),
+            merge,
+        )
+
+    yq = F.array(*[_fold_for(j) for j in range(_JL_DOUT)]).alias("yq")
+    proj = q.select("vec_id", "qs", yq)
+    a = proj.select(
+        F.col("vec_id").alias("va"),
+        F.col("qs").alias("qa"),
+        F.col("yq").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qs").alias("qb"),
+        F.col("yq").alias("yb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("va") < F.col("vb"))
+    din2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    dout2 = F.aggregate(
+        F.zip_with(F.col("ya"), F.col("yb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    ratios = pairs.select(
+        din2.alias("din2"), dout2.alias("dout2")
+    ).filter(F.col("din2") > 0).select(
+        ((F.col("dout2") / F.lit(16.0)) / F.col("din2")).alias("ratio")
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("ratio") * 1e9).cast("long"))
+            / 1e9
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.sum(
+            F.when(F.col("ratio").between(0.6, 1.4), 1).otherwise(0)
+        ).cast("long").alias("n_within_40pct"),
+    )
