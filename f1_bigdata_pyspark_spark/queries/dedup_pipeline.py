@@ -1459,53 +1459,65 @@ def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q: cross_source_dup_matrix — corpus-governance readout: which sources
-# duplicate WHICH (who scrapes whom): for every exact-fingerprint group
-# spanning more than one document, count the cross-source (and same-source)
-# ordered-pair cells. The group sizes are tiny (dup multiplicity), so the
-# per-group pair expansion is bounded by max-copies², never corpus² — the
-# matrix comes from ONE fingerprint groupBy plus a group-keyed self-join.
-# Cells are exact BIGINTs; sorted (src_a ≤ src_b) so each unordered pair
-# appears once. Scale: fingerprint rollup (map-side combinable) → join
-# keyed on the fingerprint (dup groups only — the unique 99% of the corpus
-# is filtered before the join).
+# duplicate WHICH (who scrapes whom): for every NEAR-dup pair (word-3-gram
+# Jaccard ≥ 0.2 — the same verified pair table as ngram_jaccard_dups;
+# exact-fingerprint groups are a measure-zero subset in this corpus, which
+# made the exact-only matrix vacuous below sf0.1), count the cross-source
+# (and same-source) unordered-pair cells. Cells are exact BIGINTs; sorted
+# (src_a ≤ src_b) so each unordered pair appears once. Scale: at 100 TB
+# the pair table comes from the MinHash-LSH bucketed candidate path, not
+# the exact shingle self-join used at test SF — this face consumes pairs
+# and joins sources, it does not choose the candidate generator. The two
+# source lookups are doc-keyed joins against a projection of documents
+# (doc_id, source only — column-pruned at the scan).
 # --------------------------------------------------------------------------
 @query(
     "cross_source_dup_matrix",
     oracle="""
-WITH fp AS (
-  SELECT doc_id, source, md5(lower(trim(text))) AS f FROM documents
-),
-dup AS (
-  SELECT f FROM fp GROUP BY f HAVING count(*) > 1
-),
-d AS (SELECT fp.* FROM fp JOIN dup USING (f)),
-pairs AS (
-  SELECT least(a.source, b.source) AS src_a,
-         greatest(a.source, b.source) AS src_b
-  FROM d a JOIN d b ON a.f = b.f AND a.doc_id < b.doc_id
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt ca ON ca.doc_id = d1
+  JOIN cnt cb ON cb.doc_id = d2
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+), cells AS (
+  SELECT least(sa.source, sb.source) AS src_a,
+         greatest(sa.source, sb.source) AS src_b
+  FROM pairs
+  JOIN documents sa ON sa.doc_id = d1
+  JOIN documents sb ON sb.doc_id = d2
 )
 SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
-FROM pairs
+FROM cells
 GROUP BY src_a, src_b
 ORDER BY n_dup_pairs DESC, src_a, src_b
 """,
 )
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", fingerprint(F.col("text")).alias("f")
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
     )
-    dup = (
-        docs.groupBy("f")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .select("f")
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+        "d1", "d2"
     )
-    d = docs.join(dup, "f")  # dup groups only — unique docs never join
-    a = d.select("f", F.col("doc_id").alias("ida"), F.col("source").alias("sa"))
-    b = d.select("f", F.col("doc_id").alias("idb"), F.col("source").alias("sb"))
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
     return (
-        a.join(b, "f")
-        .filter(F.col("ida") < F.col("idb"))
+        pairs.join(broadcast_if_small(sa), "d1")
+        .join(broadcast_if_small(sb), "d2")
         .select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),

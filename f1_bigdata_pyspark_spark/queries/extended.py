@@ -2770,3 +2770,69 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("var_a", "var_b")
+
+
+# --------------------------------------------------------------------------
+# Q: grouped_kfold_audit — deterministic GROUP-aware k-fold assignment
+# over the events table: fold = portable md5 hash of user_id mod 5, so
+# every event of a user lands in the same fold BY CONSTRUCTION (the
+# group-aware split that prevents user-level leakage between folds — the
+# per-row random split a naive pipeline uses leaks user behavior across
+# train/validation). The audit readout per fold: event share, user share,
+# and the positive-label (purchase) rate — the stratification-balance
+# numbers a training run checks before trusting CV estimates. Scale: fold
+# is a pure narrow hash of the grouping key (no shuffle to assign), one
+# aggregate per fold after that; the per-fold user distinct is the only
+# exchange and it's keyed.
+# --------------------------------------------------------------------------
+@query(
+    "grouped_kfold_audit",
+    oracle="""
+WITH ev AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 5 AS fold,
+         user_id, event_type
+  FROM events
+),
+tot AS (SELECT count(*) AS n_total FROM ev)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6)
+         AS event_share,
+       round(CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+             / count(*), 6) AS purchase_rate
+FROM ev
+GROUP BY fold
+ORDER BY fold
+""",
+)
+def grouped_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (md5_long(F.col("user_id").cast("string")) % 5).alias("fold"),
+        "user_id",
+        "event_type",
+    )
+    per_fold = ev.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+    )
+    total = per_fold.agg(F.sum("n_events").alias("n_total"))
+    return (
+        per_fold.crossJoin(broadcast_if_small(total))
+        .select(
+            "fold",
+            "n_events",
+            "n_users",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_total"), 6
+            ).alias("event_share"),
+            F.round(
+                F.col("n_purchase").cast("double") / F.col("n_events"), 6
+            ).alias("purchase_rate"),
+        )
+        .orderBy("fold")
+    )

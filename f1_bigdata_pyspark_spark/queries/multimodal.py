@@ -636,3 +636,228 @@ def media_av_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("timescale")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: image_patch_grid — ViT-style patch planning from the parsed container
+# dims: for every image payload (PNG IHDR / JPEG SOF0, parsed from the
+# BYTES by parse_media_headers — correctness of that parse is pinned
+# bit-level by media_header_dims), compute the 224×224 patch grid a vision
+# encoder would see: patches per axis (ceil division in exact integer
+# arithmetic), total patches, and the padding fraction wasted by rounding
+# the image up to whole patches. Rolled up per container format. This is
+# the capacity-planning pass of a multimodal training pipeline — "how many
+# ViT tokens does this corpus cost" — and runs as a narrow codegen map +
+# one small aggregate; the pixel DECODE stays behind the codec gate, the
+# PLAN never needs it. The oracle derives dims from the synth generator's
+# formula (parse==formula is what media_header_dims pins), then replays
+# the same integer grid math.
+# --------------------------------------------------------------------------
+@query(
+    "image_patch_grid",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS container,
+         CAST(16 + doc_id % 2048 AS BIGINT) AS w,
+         CAST(16 + (doc_id * 7) % 2048 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+),
+grid AS (
+  SELECT container, w, h,
+         (w + 223) // 224 AS nx,
+         (h + 223) // 224 AS ny
+  FROM dims
+)
+SELECT container,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(nx * ny) AS BIGINT) AS total_patches,
+       round(avg(CAST(nx * ny AS DOUBLE)), 6) AS avg_patches,
+       round(avg(1.0 - CAST(w * h AS DOUBLE) / (nx * ny * 224 * 224)), 6)
+         AS avg_pad_frac,
+       CAST(max(nx) AS BIGINT) AS max_nx,
+       CAST(max(ny) AS BIGINT) AS max_ny
+FROM grid
+GROUP BY container
+ORDER BY container
+""",
+)
+def image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_media_headers,
+        synth_container_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = parse_media_headers(synth_container_media(docs)).filter(
+        F.col("container").isin("png", "jpeg")
+    )
+    nx = F.expr("(width + 223) div 224")
+    ny = F.expr("(height + 223) div 224")
+    grid = dims.select(
+        "container",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+        nx.alias("nx"),
+        ny.alias("ny"),
+    )
+    return (
+        grid.groupBy("container")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum(F.col("nx") * F.col("ny")).cast("long").alias("total_patches"),
+            F.round(F.avg((F.col("nx") * F.col("ny")).cast("double")), 6).alias(
+                "avg_patches"
+            ),
+            F.round(
+                F.avg(
+                    F.lit(1.0)
+                    - (F.col("w") * F.col("h")).cast("double")
+                    / (F.col("nx") * F.col("ny") * 224 * 224)
+                ),
+                6,
+            ).alias("avg_pad_frac"),
+            F.max("nx").cast("long").alias("max_nx"),
+            F.max("ny").cast("long").alias("max_ny"),
+        )
+        .orderBy("container")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: audio_stft_frame_plan — STFT framing plan from the parsed WAV header:
+# samples per clip = data_bytes div block_align (both recovered from the
+# RIFF bytes by parse_wav_timing / the fmt chunk), then the sliding-window
+# frame count for an 8-sample window with hop 4 — the exact shape every
+# speech pipeline computes before any DSP runs (frames = tokens = cost).
+# All integer arithmetic, per (sample_rate, channels, bits) format cell.
+# Scale: narrow codegen map + one aggregate keyed on the format cell
+# (bounded cardinality); no Python, no codec, no decode.
+# --------------------------------------------------------------------------
+@query(
+    "audio_stft_frame_plan",
+    oracle="""
+WITH wavs AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS sr,
+         CAST(16 + 8 * (doc_id % 2) AS BIGINT) AS bits
+  FROM documents WHERE doc_id % 3 = 2
+),
+plan AS (
+  SELECT sr, ch, bits,
+         32 // (ch * bits // 8) AS n_samples
+  FROM wavs
+),
+framed AS (
+  SELECT sr, ch, bits, n_samples,
+         CASE WHEN n_samples >= 8 THEN 1 + (n_samples - 8) // 4
+              ELSE 0 END AS n_frames
+  FROM plan
+)
+SELECT sr AS sample_rate, ch AS channels, bits AS bits_per_sample,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(max(n_samples) AS BIGINT) AS samples_per_clip,
+       CAST(max(n_frames) AS BIGINT) AS frames_per_clip,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM framed
+GROUP BY sr, ch, bits
+ORDER BY sample_rate, channels, bits_per_sample
+""",
+)
+def audio_stft_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_wav_timing,
+        synth_container_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wav = parse_wav_timing(synth_container_media(docs))
+    block_align = F.expr("channels * bits_per_sample div 8")
+    n_samples = F.expr(
+        "data_bytes div (channels * bits_per_sample div 8)"
+    )
+    plan = wav.select(
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        n_samples.alias("n_samples"),
+    ).withColumn(
+        "n_frames",
+        F.when(
+            F.col("n_samples") >= 8,
+            F.lit(1) + F.expr("(n_samples - 8) div 4"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        plan.groupBy("sample_rate", "channels", "bits_per_sample")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.max("n_samples").cast("long").alias("samples_per_clip"),
+            F.max("n_frames").cast("long").alias("frames_per_clip"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+        )
+        .orderBy("sample_rate", "channels", "bits_per_sample")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: video_frame_sample_plan — fixed-rate frame-sampling plan from the
+# parsed mvhd timing: one frame every 250 ms of movie time, with the count
+# computed ENTIRELY in integer space (frames = (duration_units * 4) div
+# timescale + 1 — 1000ms/250ms = 4 sample points per second of units), so
+# no float-division boundary can diverge between engines. This is the
+# "how many frames will the vision tower see" pass of a video-training
+# pipeline; the frame DECODE is the codec-gated step, the sampling plan
+# never needs it. Rolled up per timescale with the exact sampled-frame
+# total and the per-video max.
+# --------------------------------------------------------------------------
+@query(
+    "video_frame_sample_plan",
+    oracle="""
+WITH base AS (
+  SELECT CAST(1000 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+         CAST(500 + doc_id % 100000 AS BIGINT) AS dur
+  FROM documents
+),
+plan AS (
+  SELECT timescale, dur,
+         (dur * 4) // timescale + 1 AS n_frames
+  FROM base
+)
+SELECT timescale,
+       CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       round(avg(CAST(n_frames AS DOUBLE)), 6) AS avg_frames,
+       CAST(max(n_frames) AS BIGINT) AS max_frames
+FROM plan
+GROUP BY timescale
+ORDER BY timescale
+""",
+)
+def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.multimodal.binary_ops import (
+        parse_mp4_timing,
+        synth_mp4_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    timing = parse_mp4_timing(synth_mp4_media(docs))
+    plan = timing.select(
+        "timescale",
+        (
+            F.expr("(duration_units * 4) div timescale") + F.lit(1)
+        ).alias("n_frames"),
+    )
+    return (
+        plan.groupBy("timescale")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_videos"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.round(F.avg(F.col("n_frames").cast("double")), 6).alias(
+                "avg_frames"
+            ),
+            F.max("n_frames").cast("long").alias("max_frames"),
+        )
+        .orderBy("timescale")
+    )

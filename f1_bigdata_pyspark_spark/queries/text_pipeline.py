@@ -3551,3 +3551,67 @@ def vocab_spectrum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yules_k"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q: oov_rate_by_source — out-of-vocabulary rate per source against a
+# fixed-budget vocabulary (top-K tokens by global count, count-desc /
+# token-asc tiebreak). The tokenizer-coverage readout every LM data run
+# computes before committing a vocab budget: which sources blow up into
+# UNK / byte-fallback tokens. K = 16 here because the synthetic corpus has
+# ~31 distinct tokens (a production run uses the tokenizer's real budget —
+# the plan is identical). Scale: the vocab is a TakeOrdered top-K (never a
+# global window), K rows forever, so the membership probe is a broadcast
+# hash join against the exploded token stream under the size policy; one
+# aggregate per source after that.
+# --------------------------------------------------------------------------
+@query(
+    "oov_rate_by_source",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS n FROM tok GROUP BY t
+    ORDER BY n DESC, t ASC LIMIT 16
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE vocab.t IS NULL) AS BIGINT) AS n_oov,
+       round(CAST(count(*) FILTER (WHERE vocab.t IS NULL) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+GROUP BY source
+ORDER BY source
+""",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t").asc())
+        .limit(16)
+        .select(F.col("t").alias("vt"))
+    )
+    probe = tok.join(
+        broadcast_if_small(vocab), tok["t"] == F.col("vt"), "left"
+    )
+    return (
+        probe.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_if(F.col("vt").isNull()).cast("long").alias("n_oov"),
+            F.round(
+                F.count_if(F.col("vt").isNull()).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1503,3 +1503,52 @@ def piecewise_trend_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sse_total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: moving_median_daily_revenue — 7-day trailing moving MEDIAN of daily
+# order revenue: the robust twin of events_moving_avg (a mean-based moving
+# average chases one whale order; the median doesn't — this is the spike-
+# resistant smoother an anomaly monitor actually wants). Daily revenue is
+# quantized to cents (round 2) BEFORE the median on both engines, so the
+# order-unstable double sum can't leak into the median input; the median
+# of an exact-valued window is then engine-stable (odd window = element,
+# even window = midpoint of two exact values). Scale: one keyed aggregate
+# to the day grain, then a rank-6 window over the DAY GRID — calendar-
+# bounded cardinality (same class as seasonal_decomposition's 7-day MA),
+# allowlisted in the plan audit with that justification.
+# --------------------------------------------------------------------------
+@query(
+    "moving_median_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+       round(median(revenue) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS mov_median_7d
+FROM daily
+ORDER BY day
+""",
+)
+def moving_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    # Spark disallows median() over a window frame — build the exact
+    # median from the frame's sorted value array instead (≤7 elements, so
+    # the array is constant-size; stays in codegen).
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("revenue").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return daily.select(
+        "day",
+        "revenue",
+        F.round((mid_lo + mid_hi) / 2.0, 6).alias("mov_median_7d"),
+    ).orderBy("day")

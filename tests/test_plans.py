@@ -368,6 +368,7 @@ _GLOBAL_WINDOW_OK = {
     "order_backlog_daily_peak",    # sweep-line running sum over the date grid
     "repeat_purchase_timing",      # percentile cumulative over the bounded day histogram
     "piecewise_trend_breakpoint",  # index/prefix/argmin windows over the day grid
+    "moving_median_daily_revenue",  # 7-day median over the bounded day grid
 }
 
 
@@ -506,4 +507,13 @@ def test_readme_registry_count_is_fresh():
     assert int(m.group(1)) == len(_REGISTRY), (
         f"README says {m.group(1)} queries but the registry has "
         f"{len(_REGISTRY)} — update README.md (and SCALE.md's as-of note)"
+    )
+
+    scale = os.path.join(os.path.dirname(__file__), "..", "SCALE.md")
+    with open(scale, encoding="utf-8") as f:
+        m = re.search(r"\((\d+) registered queries\)", f.read())
+    assert m, "SCALE.md no longer states the registry count"
+    assert int(m.group(1)) == len(_REGISTRY), (
+        f"SCALE.md says {m.group(1)} queries but the registry has "
+        f"{len(_REGISTRY)} — update SCALE.md"
     )
