@@ -2836,3 +2836,91 @@ def grouped_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_skipping_scan — END-TO-END data skipping on the snapshot
+# table: commit orders year-by-year (one immutable file per year, the
+# layout a date-partitioned ingest produces), then read back with a date
+# predicate through the manifest's file-level min/max stats. The returned
+# row carries BOTH the query answer (per-year revenue over the scanned
+# range) and the skipping proof (files total vs files scanned) — so the
+# oracle check fails if the pruning ever reads the wrong file set OR the
+# wrong rows. Revenue is cents-exact (integer sum) — no double-order
+# sensitivity. Scale: this is the Delta/Iceberg read path — the manifest
+# is metadata (file paths + stats), pruning is O(#files) on the planner,
+# and the scan touches only surviving files; at 100 TB with daily commits
+# the same predicate reads days, not the table.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_skipping_scan",
+    oracle="""
+WITH yr AS (
+  SELECT year(o_orderdate) AS y, o_totalprice FROM orders
+),
+files AS (
+  SELECT count(DISTINCT y) AS n_total,
+         count(DISTINCT CASE WHEN y >= 1999 THEN y END) AS n_scanned
+  FROM yr
+)
+SELECT y AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
+       (SELECT CAST(n_total AS BIGINT) FROM files) AS n_files_total,
+       (SELECT CAST(n_scanned AS BIGINT) FROM files) AS n_files_scanned
+FROM yr
+WHERE y >= 1999
+GROUP BY y
+ORDER BY y
+""",
+)
+def snapshot_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    years = sorted(
+        r.y for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    root = tempfile.mkdtemp(prefix="snap_skip_")
+    try:
+        table = SnapshotTable(root)
+        for y in years:
+            table.commit(
+                orders.filter(F.year("o_orderdate") == y).coalesce(1),
+                mode="append",
+            )
+        cut = datetime.datetime(1999, 1, 1)
+        rep = table.scan_stats(where=[("o_orderdate", ">=", cut)])
+        scanned = table.read(spark, where=[("o_orderdate", ">=", cut)])
+        out = materialize(
+            scanned.groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned", F.lit(rep["n_files_scanned"]).cast("long")
+            )
+            .orderBy("order_year")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

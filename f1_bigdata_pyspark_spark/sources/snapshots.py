@@ -49,6 +49,169 @@ class SnapshotConflictError(RuntimeError):
     loser). Re-read the latest version and retry the commit."""
 
 
+def _json_stat_value(v):
+    """Serialize a parquet-footer min/max into JSON, tagged so pruning can
+    reconstruct a comparable value. Returns (tag, value) or None for types
+    we don't index (structs, arrays, decimals...) — unindexed means the
+    file is never skipped on that column, which is always safe."""
+    import datetime
+
+    if isinstance(v, bool):  # bool before int: bool IS int in Python
+        return None
+    if isinstance(v, (int, float)):
+        return ["num", v]
+    if isinstance(v, str):
+        return ["str", v]
+    if isinstance(v, bytes):
+        try:
+            return ["str", v.decode("utf-8")]
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        # footer stats come back tz-aware (UTC); store naive-UTC so the
+        # stored form compares cleanly with naive session-time literals
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ["ts", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["ts", datetime.datetime(v.year, v.month, v.day).isoformat()]
+    return None
+
+
+def _file_column_stats(path: str) -> dict:
+    """Per-column {min, max} for one parquet file, straight from the row-
+    group FOOTER statistics (no data read — the same numbers the writer
+    already computed). Only top-level primitive columns with complete
+    min/max across every row group are indexed. At cluster scale this
+    collection runs where the files are written (executor-side, merged
+    into the commit like Delta's add-file stats); the driver-side footer
+    read here is the local-mode stand-in — it is O(#new files) metadata,
+    never data."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    acc: dict[str, list] = {}
+    complete: set[str] = set()
+    if md.num_row_groups == 0:
+        return {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        seen: set[str] = set()
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf — not a top-level column
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn = _json_stat_value(st.min)
+            mx = _json_stat_value(st.max)
+            if mn is None or mx is None or mn[0] != mx[0]:
+                continue
+            seen.add(name)
+            if name not in acc:
+                acc[name] = [mn, mx]
+            else:
+                if mn[1] < acc[name][0][1]:
+                    acc[name][0] = mn
+                if mx[1] > acc[name][1][1]:
+                    acc[name][1] = mx
+        complete = seen if rg == 0 else (complete & seen)
+    return {
+        name: {"min": acc[name][0], "max": acc[name][1]}
+        for name in complete
+    }
+
+
+def _stat_to_py(tagged):
+    """Tagged JSON stat back to a comparable Python value."""
+    import datetime
+
+    tag, v = tagged
+    return datetime.datetime.fromisoformat(v) if tag == "ts" else v
+
+
+def _coerce_literal(lit, tag):
+    """Make the user's predicate literal comparable with a stored stat."""
+    import datetime
+
+    if tag == "ts":
+        if isinstance(lit, str):
+            lit = datetime.datetime.fromisoformat(lit)
+        elif isinstance(lit, datetime.date) and not isinstance(
+            lit, datetime.datetime
+        ):
+            lit = datetime.datetime(lit.year, lit.month, lit.day)
+        if isinstance(lit, datetime.datetime) and lit.tzinfo is not None:
+            lit = lit.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return lit
+
+
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
+    """Can ANY row of a file with these [min, max] satisfy ``col op lit``?
+    Unknown column / unindexable literal -> True (never skip on doubt)."""
+    if col not in stats:
+        return True
+    tag = stats[col]["min"][0]
+    try:
+        lit = _coerce_literal(lit, tag)
+        mn, mx = _stat_to_py(stats[col]["min"]), _stat_to_py(stats[col]["max"])
+        if op in ("=", "=="):
+            return mn <= lit <= mx
+        if op == "<":
+            return mn < lit
+        if op == "<=":
+            return mn <= lit
+        if op == ">":
+            return mx > lit
+        if op == ">=":
+            return mx >= lit
+    except TypeError:  # incomparable literal vs stat type
+        return True
+    raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
+
+
+def prune_files(manifest: dict, where: list[tuple[str, str, object]]) -> list[str]:
+    """File paths of ``manifest`` that may contain rows satisfying the
+    conjunction ``where`` — the data-skipping planner. A file survives
+    only if EVERY predicate is possibly true within its [min, max]."""
+    for _, op, _lit in where:
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})"
+            )
+    stats = manifest.get("stats", {})
+    return [
+        f
+        for f in manifest["files"]
+        if all(
+            _file_may_match(stats.get(f, {}), col, op, lit)
+            for col, op, lit in where
+        )
+    ]
+
+
+def _predicate_column(where: list[tuple[str, str, object]]):
+    """The row-level Column for the same conjunction (skipping is coarse;
+    this is the exact filter applied after the pruned scan)."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for col, op, lit in where:
+        c = F.col(col)
+        e = {
+            "=": c == lit, "==": c == lit,
+            "<": c < lit, "<=": c <= lit,
+            ">": c > lit, ">=": c >= lit,
+        }[op]
+        out = e if out is None else (out & e)
+    return out
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -157,7 +320,21 @@ class SnapshotTable:
                 )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
-        df.write.mode("error").parquet(out_dir)
+        # Spark's legacy-compat default writes timestamps as INT96, which
+        # carries NO footer min/max — that would silently disable data
+        # skipping on every timestamp column. Pin the modern physical type
+        # for the commit write (and restore the session conf after).
+        conf = df.sparkSession.conf
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = conf.get(key, None)
+        conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("error").parquet(out_dir)
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
         new_files = sorted(
             os.path.join(out_dir, f)
             for f in os.listdir(out_dir)
@@ -168,11 +345,20 @@ class SnapshotTable:
             if (base is not None and mode == "append")
             else []
         )
+        prior_stats = (
+            self._read_manifest(base).get("stats", {})
+            if (base is not None and mode == "append")
+            else {}
+        )
+        stats = dict(prior_stats)
+        for f in new_files:
+            stats[f] = _file_column_stats(f)
         version = 0 if base is None else base + 1
         manifest = {
             "version": version,
             "mode": mode,
             "files": prior + new_files,
+            "stats": stats,
             "schema": df.schema.json(),
         }
         if txn is not None:
@@ -192,6 +378,7 @@ class SnapshotTable:
                 "version": version,
                 "mode": f"rollback-to-v{to_version}",
                 "files": target["files"],
+                "stats": target.get("stats", {}),
                 "schema": target["schema"],
             },
         )
@@ -199,22 +386,56 @@ class SnapshotTable:
 
     # -- read path ----------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
         """Snapshot read: the file list of ``version`` (default latest),
         planned as an explicit multi-path parquet scan. Empty table (no
-        files in the version) -> empty frame with the committed schema."""
+        files in the version) -> empty frame with the committed schema.
+
+        ``where`` — optional conjunction of simple predicates
+        ``(column, op, literal)`` with op in {=, <, <=, >, >=}. Files whose
+        manifest min/max stats PROVE the conjunction empty are dropped
+        from the scan (Delta/Iceberg data skipping: the manifest is the
+        coarse index, file granularity); the predicate is then still
+        applied row-level, so skipping is purely an I/O optimization and
+        never changes the answer. Columns without stats keep the file."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no commits at {self.root}")
         manifest = self._read_manifest(v)
         files = manifest["files"]
+        if where:
+            files = prune_files(manifest, where)
         if not files:
             from pyspark.sql.types import StructType
 
-            return spark.createDataFrame(
+            df = spark.createDataFrame(
                 [], StructType.fromJson(json.loads(manifest["schema"]))
             )
-        return spark.read.parquet(*files)
+        else:
+            df = spark.read.parquet(*files)
+        if where:
+            df = df.filter(_predicate_column(where))
+        return df
+
+    def scan_stats(
+        self, version: int | None = None, where: list | None = None
+    ) -> dict:
+        """Skipping report for a (version, predicate) pair WITHOUT reading
+        any data: total files in the snapshot vs files a ``read(where=)``
+        would scan — the observability hook a table-format exposes so a
+        pipeline can assert its layout actually clusters its predicates."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(v)
+        total = len(manifest["files"])
+        kept = len(prune_files(manifest, where)) if where else total
+        return {"n_files_total": total, "n_files_scanned": kept}
 
     def history(self) -> list[dict]:
         """One dict per version: version, mode, n_files."""

@@ -311,3 +311,97 @@ def test_incremental_view_maintenance_matches_recompute(spark, table):
         }
         got = {(r.grp): (r.n, r.s) for r in view.collect()}
         assert got == want, (v, got, want)
+
+
+# -- file-level column stats + data skipping --------------------------------
+
+
+def _range_df(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("double").alias("v"),
+            F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("name"),
+        )
+        .coalesce(1)
+    )
+
+
+def test_commit_records_minmax_stats(spark, table):
+    table.commit(_range_df(spark, 0, 100), mode="append")
+    m = table._read_manifest(0)
+    assert len(m["files"]) == 1
+    st = m["stats"][m["files"][0]]
+    assert st["k"]["min"] == ["num", 0] and st["k"]["max"] == ["num", 99]
+    assert st["v"]["max"] == ["num", 198.0]
+    assert st["name"]["min"] == ["str", "u000000"]
+
+
+def test_skipping_prunes_disjoint_files_and_answer_unchanged(spark, table):
+    for lo in (0, 100, 200, 300):
+        table.commit(_range_df(spark, lo, lo + 100), mode="append")
+    rep = table.scan_stats(where=[("k", ">=", 250)])
+    assert rep == {"n_files_total": 4, "n_files_scanned": 2}
+    got = sorted(r.k for r in table.read(spark, where=[("k", ">=", 250)]).collect())
+    assert got == list(range(250, 400))  # row-level filter still applied
+    # conjunction prunes from both ends
+    rep2 = table.scan_stats(where=[("k", ">=", 150), ("k", "<", 250)])
+    assert rep2["n_files_scanned"] == 2
+    got2 = sorted(
+        r.k
+        for r in table.read(
+            spark, where=[("k", ">=", 150), ("k", "<", 250)]
+        ).collect()
+    )
+    assert got2 == list(range(150, 250))
+
+
+def test_skipping_on_strings_and_equality(spark, table):
+    for lo in (0, 100):
+        table.commit(_range_df(spark, lo, lo + 100), mode="append")
+    assert table.scan_stats(where=[("name", "=", "u000150")])["n_files_scanned"] == 1
+    assert table.read(spark, where=[("name", "=", "u000150")]).count() == 1
+    # out-of-range equality scans nothing and returns empty, not an error
+    assert table.scan_stats(where=[("k", "=", 999)])["n_files_scanned"] == 0
+    assert table.read(spark, where=[("k", "=", 999)]).count() == 0
+
+
+def test_skipping_unknown_column_is_safe(spark, table):
+    table.commit(_range_df(spark, 0, 100), mode="append")
+    # a column with no stats never prunes (and the filter still applies)
+    m = table._read_manifest(0)
+    m["stats"][m["files"][0]].pop("v")
+    from f1_bigdata_pyspark_spark.sources.snapshots import prune_files
+
+    assert prune_files(m, [("v", ">", 1e9)]) == m["files"]
+
+
+def test_stats_survive_append_and_rollback(spark, table):
+    table.commit(_range_df(spark, 0, 100), mode="append")
+    table.commit(_range_df(spark, 100, 200), mode="append")
+    table.rollback(0)
+    rep = table.scan_stats(where=[("k", "<", 50)])
+    assert rep == {"n_files_total": 1, "n_files_scanned": 1}
+
+
+def test_skipping_timestamps(spark, table):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 48).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    table.commit(df.filter("k < 24").coalesce(1), mode="append")
+    table.commit(df.filter("k >= 24").coalesce(1), mode="append")
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    rep = table.scan_stats(where=[("ts", ">=", cut)])
+    assert rep == {"n_files_total": 2, "n_files_scanned": 1}
+    assert table.read(spark, where=[("ts", ">=", cut)]).count() == 24
