@@ -987,3 +987,151 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: isotonic_calibration_bins — isotonic (monotone nondecreasing)
+# calibration of the stopword-ratio quality score against the lang=='en'
+# label, on the quantized score-bin histogram. Instead of the sequential
+# pool-adjacent-violators sweep (inherently serial), the fit uses the
+# minimax characterization of isotonic regression —
+#   iso(k) = max_{i<=k} min_{j>=k} (S_j - S_{i-1}) / (N_j - N_{i-1})
+# over bin prefix sums S (positives) and N (counts) — which is pure
+# relational algebra: the corpus collapses onto <=21 score bins FIRST, and
+# the (k, i, j) triple space is ~B^3/6 cells of the BOUNDED bin table
+# (B=21 -> ~1.5k rows), generated by two sequence-explodes and equality
+# joins (no range join, no cartesian). Every ratio is a BIGINT/BIGINT
+# division — bit-identical in any engine; the bin windows are over the
+# bounded histogram (plan-audit allowlisted like the AUC face). This is
+# the standard post-hoc calibrator a quality-score gate trains before
+# thresholding; composes with quality_classifier_auc (same score, same
+# label) and calibration_brier_bins (the diagnostic it fixes).
+# --------------------------------------------------------------------------
+@query(
+    "isotonic_calibration_bins",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(round(
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','an','of','to','and','in','is')))
+           * 20.0 / len(string_split(text, ' '))) AS BIGINT) AS bin
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+cells AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY bin
+),
+idx AS (
+  SELECT bin, n, pos,
+         CAST(row_number() OVER (ORDER BY bin) - 1 AS BIGINT) AS rn,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+         CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos
+  FROM cells
+),
+m AS (SELECT max(rn) AS mx FROM idx),
+ki AS (
+  SELECT k.rn AS k, k.bin, k.n, k.pos, u.i AS i,
+         li.cum_n - li.n AS nx, li.cum_pos - li.pos AS sx
+  FROM idx k
+  CROSS JOIN m
+  JOIN UNNEST(generate_series(0, (SELECT mx FROM m))) AS u(i)
+    ON u.i <= k.rn
+  JOIN idx li ON li.rn = u.i
+),
+kij AS (
+  SELECT ki.k, ki.bin, ki.n, ki.pos, ki.i,
+         (rj.cum_pos - ki.sx) * 1.0 / (rj.cum_n - ki.nx) AS ratio
+  FROM ki
+  CROSS JOIN m
+  JOIN UNNEST(generate_series(0, (SELECT mx FROM m))) AS v(j)
+    ON v.j >= ki.k
+  JOIN idx rj ON rj.rn = v.j
+),
+inner_min AS (
+  SELECT k, bin, n, pos, i, min(ratio) AS mn
+  FROM kij GROUP BY k, bin, n, pos, i
+)
+SELECT bin,
+       n AS n_docs,
+       round(pos * 1.0 / n, 6) AS raw_rate,
+       round(max(mn), 6) AS iso_rate
+FROM inner_min
+GROUP BY bin, n, pos
+ORDER BY bin
+""",
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "a", "an", "of", "to", "and", "in", "is"),
+        )
+    )
+    scored = docs.filter(F.size(toks) > 0).select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.round(stop * 20.0 / F.size(toks)).cast("long").alias("bin"),
+    )
+    cells = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wrn = Window.orderBy("bin")
+    idx = cells.select(
+        "bin",
+        "n",
+        "pos",
+        (F.row_number().over(wrn) - 1).cast("long").alias("rn"),
+        F.sum("n").over(wcum).cast("long").alias("cum_n"),
+        F.sum("pos").over(wcum).cast("long").alias("cum_pos"),
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    idx = materialize(idx)  # tiny (<=21 rows), read three times below
+    mx = idx.agg(F.max("rn").alias("mx"))
+    ks = idx.select(
+        F.col("rn").alias("k"), "bin", "n", "pos"
+    ).crossJoin(F.broadcast(mx))
+    ki = ks.select(
+        "k", "bin", "n", "pos", "mx",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("k"))).alias("i"),
+    ).join(
+        idx.select(
+            F.col("rn").alias("i"),
+            (F.col("cum_n") - F.col("n")).alias("nx"),
+            (F.col("cum_pos") - F.col("pos")).alias("sx"),
+        ),
+        "i",
+    )
+    kij = ki.select(
+        "k", "bin", "n", "pos", "i", "nx", "sx",
+        F.explode(F.sequence(F.col("k"), F.col("mx"))).alias("j"),
+    ).join(
+        idx.select(
+            F.col("rn").alias("j"),
+            F.col("cum_n").alias("nj"),
+            F.col("cum_pos").alias("sj"),
+        ),
+        "j",
+    )
+    ratio = (F.col("sj") - F.col("sx")) * F.lit(1.0) / (
+        F.col("nj") - F.col("nx")
+    )
+    inner_min = kij.groupBy("k", "bin", "n", "pos", "i").agg(
+        F.min(ratio).alias("mn")
+    )
+    return (
+        inner_min.groupBy("bin", "n", "pos")
+        .agg(F.round(F.max("mn"), 6).alias("iso_rate"))
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )

@@ -1552,3 +1552,65 @@ def moving_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((mid_lo + mid_hi) / 2.0, 6).alias("mov_median_7d"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Q: daily_value_ohlc — per-day open/high/low/close of the event value
+# stream (the standard downsampling for any metered series: first/last
+# need an ORDER, high/low don't). Open/close are struct-extrema — min/max
+# over the lexicographic (ts, event_id, value) tuple, so intra-day ties on
+# ts resolve by the unique event id in BOTH engines (min_by alone has
+# unspecified tie order — the dup-key lesson from A11) — which keeps the
+# whole query ONE map-side-combinable aggregate per day: no window, no
+# per-day sort, one exchange on the day key. The oracle states the same
+# order with row_number over (ts, event_id).
+# --------------------------------------------------------------------------
+@query(
+    "daily_value_ohlc",
+    oracle="""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id, value
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT day, value,
+         row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC)
+           AS rl
+  FROM ev
+)
+SELECT day,
+       round(max(CASE WHEN rf = 1 THEN value END), 6) AS open_value,
+       round(max(value), 6) AS high_value,
+       round(min(value), 6) AS low_value,
+       round(max(CASE WHEN rl = 1 THEN value END), 6) AS close_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY day
+ORDER BY day
+""",
+)
+def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.groupBy("day")
+        .agg(
+            F.round(first["value"], 6).alias("open_value"),
+            F.round(F.max("value"), 6).alias("high_value"),
+            F.round(F.min("value"), 6).alias("low_value"),
+            F.round(last["value"], 6).alias("close_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )

@@ -97,3 +97,52 @@ def test_ndcg_matches_naive_recompute(spark):
         for r in get_query("ndcg_label_retrieval").fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_isotonic_matches_naive_pav(spark):
+    """Recompute the isotonic fit with the textbook sequential
+    pool-adjacent-violators sweep (the algorithm the relational minimax
+    form replaces) and pin equality bin-by-bin."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT lang, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    stop = {"the", "a", "an", "of", "to", "and", "in", "is"}
+    cells: dict[int, list[int]] = {}
+    for lang, text in rows:
+        toks = text.split(" ")
+        if not toks:
+            continue
+        b = math.floor(sum(t in stop for t in toks) / len(toks) * 20.0 + 0.5)
+        n, p = cells.get(b, (0, 0))
+        cells[b] = (n + 1, p + (1 if lang == "en" else 0))
+    bins = sorted(cells)
+    # classic PAV: pools of (weight, sum); merge while the mean decreases
+    pools: list[list[float]] = []  # [weight, positives]
+    for b in bins:
+        n, p = cells[b]
+        pools.append([n, p])
+        while (
+            len(pools) > 1
+            and pools[-2][1] * pools[-1][0] >= pools[-1][1] * pools[-2][0]
+        ):
+            w2, s2 = pools.pop()
+            pools[-1][0] += w2
+            pools[-1][1] += s2
+    expected = {}
+    i = 0
+    for w, s in pools:
+        rate = round(s / w, 6)
+        consumed = 0
+        while consumed < w:
+            n, _ = cells[bins[i]]
+            expected[bins[i]] = rate
+            consumed += n
+            i += 1
+    got = {
+        r["bin"]: r["iso_rate"]
+        for r in get_query("isotonic_calibration_bins")
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expected
