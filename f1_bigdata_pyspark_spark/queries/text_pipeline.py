@@ -3615,3 +3615,124 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: kneser_ney_lm_scores — interpolated Kneser–Ney bigram scoring, the
+# production-grade smoother the add-1 face (ngram_lm_perplexity) is the
+# baseline for. Same trained-on-itself corpus-LM shape, but the
+# probability is the real KN estimate
+#   P(w2|w1) = (C(w1,w2) − d)/C(w1·) + λ(w1)·P_cont(w2),   d = 0.75
+#   λ(w1)    = d · N1+(w1,·)/C(w1·)
+#   P_cont(w2) = N1+(·,w2)/N1+(·,·)
+# — continuation counts (HOW MANY contexts a word follows) instead of raw
+# frequency, which is what stops high-frequency-but-fixed collocates
+# ("Francisco") from leaking mass. Every term is a count-table ratio:
+# bigram counts, left-context totals + distinct continuations (ONE
+# grouped aggregate), distinct left-contexts per word, and the global
+# distinct-bigram count (1-row broadcast) — so the whole model trains in
+# three vocab-sized aggregates and scores through one bigram-keyed join,
+# the identical dataflow budget as the add-1 face; every vocab-sized side
+# goes through the size policy, never a hard-coded broadcast. Scored
+# bigrams are all seen (the corpus scores itself), so the discounted term
+# is always positive and the oracle needs no unseen-mass branch.
+# --------------------------------------------------------------------------
+@query(
+    "kneser_ney_lm_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, w[i] AS t, w[i+1] AS t2
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(range(1, (SELECT max(len(string_split(text, ' '))) FROM documents) + 1)) AS i)
+  WHERE i <= len(w)
+),
+pairs AS (SELECT doc_id, source, t, t2 FROM toks WHERE t2 IS NOT NULL),
+big AS (SELECT t, t2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY t, t2),
+lefts AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS cl,
+         CAST(count(DISTINCT t2) AS BIGINT) AS n1f
+  FROM pairs GROUP BY t
+),
+conts AS (
+  SELECT t2, CAST(count(DISTINCT t) AS BIGINT) AS n1b FROM pairs GROUP BY t2
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbig FROM big),
+scores AS (
+  SELECT b.t, b.t2,
+         ln((b.c2 - 0.75) / l.cl
+            + (0.75 * l.n1f / l.cl) * (c.n1b * 1.0 / (SELECT nbig FROM nb)))
+           AS lnp
+  FROM big b JOIN lefts l ON b.t = l.t JOIN conts c ON b.t2 = c.t2
+),
+per_doc AS (
+  SELECT p.doc_id, p.source, round(-sum(s.lnp) / count(*), 6) AS xent
+  FROM pairs p JOIN scores s ON p.t = s.t AND p.t2 = s.t2
+  GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(xent), 4) AS avg_xent,
+       round(min(xent), 6) AS min_xent,
+       round(max(xent), 6) AS max_xent,
+       round(median(xent), 6) AS median_xent
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def kneser_ney_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        "doc_id", "source", "t", F.lead("t", 1).over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    big = pairs.groupBy("t", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    lefts = pairs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cl"),
+        F.countDistinct("t2").cast("long").alias("n1f"),
+    )
+    conts = pairs.groupBy("t2").agg(
+        F.countDistinct("t").cast("long").alias("n1b")
+    )
+    nb = big.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
+    scores = (
+        big.join(broadcast_if_small(lefts), "t")
+        .join(broadcast_if_small(conts), "t2")
+        .crossJoin(F.broadcast(nb))  # 1-row scalar
+        .select(
+            "t",
+            "t2",
+            F.log(
+                (F.col("c2") - 0.75) / F.col("cl")
+                + (0.75 * F.col("n1f") / F.col("cl"))
+                * (F.col("n1b") * F.lit(1.0) / F.col("nbig"))
+            ).alias("lnp"),
+        )
+    )
+    per_doc = (
+        pairs.join(broadcast_if_small(scores), ["t", "t2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(-F.sum("lnp") / F.count(F.lit(1)), 6).alias("xent")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("xent"), 4).alias("avg_xent"),
+            F.round(F.min("xent"), 6).alias("min_xent"),
+            F.round(F.max("xent"), 6).alias("max_xent"),
+            F.round(F.median("xent"), 6).alias("median_xent"),
+        )
+        .orderBy("source")
+    )

@@ -146,3 +146,72 @@ def test_isotonic_matches_naive_pav(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_kneser_ney_matches_naive_recompute(spark):
+    """Full independent recompute of the interpolated-KN per-source stats
+    in pure Python over the same docs (counts, discount, continuation
+    mass, per-doc mean, HALF_UP quantization) — hash-green alone can't
+    catch a smoothing formula both engines mis-state the same way."""
+    import collections
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    big = collections.Counter()
+    cl = collections.Counter()
+    n1f = collections.defaultdict(set)
+    n1b = collections.defaultdict(set)
+    doc_pairs = {}
+    for doc_id, source, text in rows:
+        w = text.split(" ")
+        ps = list(zip(w, w[1:]))
+        if not ps:
+            continue
+        doc_pairs[doc_id] = (source, ps)
+        for a, b in ps:
+            big[(a, b)] += 1
+            cl[a] += 1
+            n1f[a].add(b)
+            n1b[b].add(a)
+    nbig = len(big)
+    d = 0.75
+
+    def lnp(a, b):
+        return math.log(
+            (big[(a, b)] - d) / cl[a]
+            + (d * len(n1f[a]) / cl[a]) * (len(n1b[b]) * 1.0 / nbig)
+        )
+
+    def q(x, dp):  # HALF_UP like both engines (Python round is HALF_EVEN)
+        s = 10**dp
+        return math.floor(x * s + 0.5) / s if x >= 0 else -math.floor(-x * s + 0.5) / s
+
+    per_source = collections.defaultdict(list)
+    for doc_id, (source, ps) in doc_pairs.items():
+        xent = q(-sum(lnp(a, b) for a, b in ps) / len(ps), 6)
+        per_source[source].append(xent)
+    expected = {}
+    for s, xs in per_source.items():
+        xs.sort()
+        n = len(xs)
+        med = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+        expected[s] = (
+            n,
+            q(sum(xs) / n, 4),
+            q(min(xs), 6),
+            q(max(xs), 6),
+            q(med, 6),
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["avg_xent"],
+            r["min_xent"],
+            r["max_xent"],
+            r["median_xent"],
+        )
+        for r in get_query("kneser_ney_lm_scores").fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
