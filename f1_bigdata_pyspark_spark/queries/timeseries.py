@@ -1614,3 +1614,141 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: daily_time_weighted_value — TWAP-style time-weighted daily mean of
+# the event value stream: each value holds from its event until the next
+# event THAT DAY (segment weight = whole milliseconds of the gap — the
+# timestamps carry microseconds, so integer-µs arithmetic with a div-1000
+# truncation is the only form both engines state identically; a seconds
+# truncation silently disagrees with a fractional epoch()), so a burst of
+# readings in one minute no longer dominates the daily mean the way the
+# row-weighted average lets it. Per-segment mass is exact integer
+# round(value·1e6)·gap_ms, and the DAY SUM is bounded by
+# max|v|·1e6 · 86.4e6 ms ≈ 8.6e16 — inside int64 BECAUSE within-day gaps
+# sum to at most the day length, regardless of event count. The lead()
+# window partitions by DAY — calendar-keyed, horizontally scalable; the
+# day's last event has no successor and contributes no segment (stated in
+# both engines by the NULL lead filter).
+# --------------------------------------------------------------------------
+@query(
+    "daily_time_weighted_value",
+    oracle="""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         epoch_us(ts) AS t, event_id, value
+  FROM events WHERE value IS NOT NULL
+),
+seg AS (
+  SELECT day, value,
+         lead(t) OVER (PARTITION BY day ORDER BY t, event_id) - t AS gap_us
+  FROM ev
+),
+mass AS (
+  SELECT day,
+         CAST(round(value * 1000000) AS BIGINT) * (gap_us // 1000) AS vw,
+         gap_us // 1000 AS g
+  FROM seg WHERE gap_us IS NOT NULL
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(g) AS BIGINT) AS covered_ms,
+       round(sum(vw) * 1.0 / sum(g) / 1000000.0, 6) AS twa_value
+FROM mass
+GROUP BY day
+HAVING sum(g) > 0
+ORDER BY day
+""",
+)
+def daily_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            "value",
+        )
+    )
+    w = Window.partitionBy("day").orderBy("t", "event_id")
+    seg = ev.select(
+        "day",
+        "value",
+        F.expr("(lead(t, 1) OVER (PARTITION BY day ORDER BY t, event_id) - t) div 1000").alias("g"),
+    ).filter(F.col("g").isNotNull())
+    vw = F.round(F.col("value") * 1000000).cast("long") * F.col("g")
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("g").cast("long").alias("covered_ms"),
+            F.round(
+                F.sum(vw) * F.lit(1.0) / F.sum("g") / 1000000.0, 6
+            ).alias("twa_value"),
+        )
+        .filter(F.col("covered_ms") > 0)
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_debounce_stats — telemetry debouncing: collapse same-(user,
+# type) events arriving within 5 seconds of the PREVIOUS KEPT event? No —
+# the standard relational debounce keeps an event iff it is ≥5 s (integer-µs compare) after
+# its immediate predecessor in the same (user, type) stream (lag-gap
+# rule: one window pass, no sequential chase; the chase variant needs
+# transitive state and is what the sessionization operator provides).
+# Readout per event type: raw events, kept events, collapse ratio — the
+# dedup dial a telemetry intake reports. One user-keyed exchange.
+# --------------------------------------------------------------------------
+@query(
+    "event_debounce_stats",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+),
+gapped AS (
+  SELECT event_type,
+         t - lag(t) OVER (
+           PARTITION BY user_id, event_type ORDER BY t, event_id
+         ) AS gap
+  FROM ev
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(*) FILTER (WHERE gap IS NULL OR gap >= 5000000) AS BIGINT)
+         AS n_kept,
+       round(1.0 - CAST(count(*) FILTER (WHERE gap IS NULL OR gap >= 5000000)
+                        AS DOUBLE) / count(*), 6) AS collapse_ratio
+FROM gapped
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def event_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    gapped = ev.select(
+        "event_type", (F.col("t") - F.lag("t", 1).over(w)).alias("gap")
+    )
+    kept = F.count_if(F.col("gap").isNull() | (F.col("gap") >= 5_000_000))
+    return (
+        gapped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            kept.cast("long").alias("n_kept"),
+            F.round(
+                F.lit(1.0)
+                - kept.cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("collapse_ratio"),
+        )
+        .orderBy("event_type")
+    )
