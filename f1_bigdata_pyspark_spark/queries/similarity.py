@@ -1784,3 +1784,140 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ratio").between(0.6, 1.4), 1).otherwise(0)
         ).cast("long").alias("n_within_40pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_nprobe_recall_curve — the recall/cost CURVE of IVF search, the
+# table a vector-store operator actually tunes from: for nprobe ∈ {1,2,4}
+# probed cells (of 16), how many candidate vectors does the probe touch
+# and what recall@10 does it buy against the exact top-10? One coarse
+# assignment (broadcast centroids, rounded-argmax — shared by all three
+# readings via a localCheckpoint), then each nprobe level is a semi-join
+# candidate set + a 10-row TakeOrdered; the three result rows union. The
+# monotonicity pytest pins the probe-widening property; THIS face makes
+# the whole curve value-hash-checkable. Scale: candidates are cell-bounded
+# (Σ probed cells, never corpus), the exact top-10 is the verifier leg.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_nprobe_recall_curve",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), rankedcells AS (
+  SELECT c.centroid_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+                    c.centroid_id ASC
+         ) AS rc
+  FROM c CROSS JOIN q
+), probes AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+cand AS (
+  SELECT p.nprobe, a.vec_id
+  FROM assign a
+  JOIN rankedcells r ON a.centroid_id = r.centroid_id
+  JOIN probes p ON r.rc <= p.nprobe
+), ctop AS (
+  SELECT nprobe, vec_id FROM (
+    SELECT cand.nprobe, cand.vec_id,
+           row_number() OVER (
+             PARTITION BY cand.nprobe
+             ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                      cand.vec_id ASC
+           ) AS rn
+    FROM cand JOIN e ON e.vec_id = cand.vec_id CROSS JOIN q
+  ) WHERE rn <= 10
+), exact10 AS (
+  SELECT vec_id FROM e CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT p.nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand
+        WHERE cand.nprobe = p.nprobe) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM ctop
+        WHERE ctop.nprobe = p.nprobe
+          AND ctop.vec_id IN (SELECT vec_id FROM exact10)) AS n_hits,
+       round((SELECT count(*) FROM ctop
+              WHERE ctop.nprobe = p.nprobe
+                AND ctop.vec_id IN (SELECT vec_id FROM exact10)) / 10.0, 6)
+         AS recall_at_10
+FROM probes p
+ORDER BY p.nprobe
+""",
+)
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    q = F.lit(qv).cast("array<double>")
+    assigned = materialize(
+        ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    )
+    qcells_all = (
+        centroids.select(
+            "centroid_id",
+            F.round(cosine(F.col("centroid"), q), 6).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("centroid_id").asc())
+        .limit(16)
+        .collect()
+    )  # 16 rows — the ranked centroid panel, bounded by construction
+    exact10 = materialize(
+        brute_force_topk(emb, qv, k=10).select("vec_id")
+    )
+    rows = []
+    for p in (1, 2, 4):
+        probe_ids = [r["centroid_id"] for r in qcells_all[:p]]
+        cand = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(
+            "vec_id"
+        )
+        top10 = (
+            emb.join(cand, "vec_id", "left_semi")
+            .select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), q), 6).alias("cs"),
+            )
+            .orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+            .limit(10)
+        )
+        hits = top10.join(exact10, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        ncand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        rows.append(
+            ncand.crossJoin(F.broadcast(hits)).select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "n_candidates",
+                "n_hits",
+                F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")
