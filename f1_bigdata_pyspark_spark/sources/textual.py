@@ -41,3 +41,44 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.options(**_JSON_OPTS).schema(schema).json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON-lines read with corrupt-record QUARANTINE: returns
+    (good, bad) where ``bad`` carries the raw un-parseable line. A 100 TB
+    web-scrape ingest always contains malformed rows; FAILFAST kills the
+    whole job on row one billion, and silent DROPMALFORMED destroys the
+    evidence — the quarantine split is the production contract (parse what
+    parses, keep the rest re-processable). One scan plans both frames; the
+    corrupt column is populated by the parser itself, no second pass.
+
+    Caveat baked into the split: Spark leaves every OTHER field NULL on a
+    corrupt row, so `good` filters on the corrupt column being NULL rather
+    than any data field."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    with_corrupt = schema.add("_corrupt_record", StringType())
+    raw = (
+        spark.read.options(**_JSON_OPTS)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_corrupt)
+        .json(path)
+    )
+    # Spark refuses plans that reference ONLY the corrupt column over a raw
+    # file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the parsed result must
+    # be pinned first; localCheckpoint also means the file parses ONCE for
+    # both output frames.
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    raw = materialize(raw)
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

@@ -228,3 +228,29 @@ def test_analyze_table_feeds_optimizer_stats(spark, sf_smoke, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_events_stats")
         spark.conf.set("spark.sql.cbo.enabled", prev)
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed lines land in the quarantine frame with their raw text;
+    parseable lines come out typed; nothing is silently dropped."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from f1_bigdata_pyspark_spark.sources.textual import read_jsonl_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"k": 1, "name": "a"}\n'
+        "this is not json\n"
+        '{"k": 2, "name": "b"}\n'
+        '{"k": "not-a-number", "name": "c"}\n'
+    )
+    schema = StructType(
+        [StructField("k", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    assert sorted((r.k, r.name) for r in good.collect()) == [(1, "a"), (2, "b")]
+    bad_rows = [r.raw_line for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert "this is not json" in bad_rows[0] or "this is not json" in bad_rows[1]
+    # conservation: every input line is either good or quarantined
+    assert good.count() + bad.count() == 4
