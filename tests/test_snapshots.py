@@ -405,3 +405,31 @@ def test_skipping_timestamps(spark, table):
     rep = table.scan_stats(where=[("ts", ">=", cut)])
     assert rep == {"n_files_total": 2, "n_files_scanned": 1}
     assert table.read(spark, where=[("ts", ">=", cut)]).count() == 24
+
+
+def test_optimize_improves_skipping_and_preserves_rows(spark, table):
+    """OPTIMIZE composes with data skipping: interleaved ingest commits
+    smear the key range across every file (skipping prunes nothing);
+    after the sorted rewrite each file owns a disjoint range and a point
+    predicate scans ~1 file. Rows identical, history intact."""
+    # four commits, each containing keys from the FULL range (k % 4 == i)
+    from pyspark.sql import functions as F
+
+    full = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).cast("double").alias("v")
+    )
+    for i in range(4):
+        table.commit(full.filter(F.col("k") % 4 == i).coalesce(1), mode="append")
+    before = table.scan_stats(where=[("k", ">=", 300)])
+    assert before == {"n_files_total": 4, "n_files_scanned": 4}  # no pruning
+
+    v_opt = table.optimize(spark, ["k"], target_files=4)
+    after = table.scan_stats(version=v_opt, where=[("k", ">=", 300)])
+    assert after["n_files_total"] == 4
+    assert after["n_files_scanned"] <= 2  # disjoint ranges now prune
+
+    got = sorted((r.k, r.v) for r in table.read(spark, version=v_opt).collect())
+    want = sorted((r.k, r.v) for r in full.collect())
+    assert got == want
+    # pre-optimize versions still readable (time travel intact)
+    assert table.read(spark, version=3).count() == 400
