@@ -3690,9 +3690,16 @@ def kneser_ney_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = tok.select(
-        "doc_id", "source", "t", F.lead("t", 1).over(w).alias("t2")
-    ).filter(F.col("t2").isNotNull())
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    # the pair stream feeds FOUR aggregates (bigram counts, left totals,
+    # continuation counts, the scoring probe) — materialize it once so the
+    # doc-keyed window exchange is paid once, not re-planned per branch
+    pairs = materialize(
+        tok.select(
+            "doc_id", "source", "t", F.lead("t", 1).over(w).alias("t2")
+        ).filter(F.col("t2").isNotNull())
+    )
     big = pairs.groupBy("t", "t2").agg(
         F.count(F.lit(1)).cast("long").alias("c2")
     )
