@@ -1921,3 +1921,84 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("nprobe")
+
+
+# --------------------------------------------------------------------------
+# Q: hard_negative_mining — contrastive-training data prep: for each query
+# in a fixed panel (vec_id < 8, one anchor per early id), the top-3
+# most-similar vectors with a DIFFERENT label. Random negatives are easy
+# and teach nothing; the high-cosine wrong-label neighbors are the hard
+# negatives a contrastive or reranker objective actually needs, and this
+# is exactly how they're mined (anchor panel × candidate scan, rank per
+# anchor). Complements negative_sampling_pairs (the random baseline).
+# Scale: the panel is broadcast-bounded (8 anchors), the scan is one
+# narrow cosine map over candidates, the rank window is keyed per anchor;
+# at 100 TB the candidate scan is LSH/IVF-blocked first (the repo's
+# standard generate/verify split) — the mining logic is unchanged.
+# --------------------------------------------------------------------------
+@query(
+    "hard_negative_mining",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+anchors AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT a.qid, a.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+         round(list_cosine_similarity(e.v, a.qv), 6) AS cos_sim
+  FROM anchors a JOIN e ON e.label <> a.qlabel
+),
+ranked AS (
+  SELECT qid, qlabel, neg_id, neg_label, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, neg_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid AS query_id, qlabel AS query_label,
+       CAST(rnk AS BIGINT) AS rank, neg_id, neg_label, cos_sim
+FROM ranked WHERE rnk <= 3
+ORDER BY query_id, rank
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(anchors),  # 8-row panel, bounded by construction
+            F.col("label") != F.col("qlabel"),
+        )
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").alias("query_label"),
+            "rank",
+            "neg_id",
+            "neg_label",
+            "cos_sim",
+        )
+        .orderBy("query_id", "rank")
+    )
