@@ -42,6 +42,9 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import shiftleft as F_shiftleft
+from pyspark.sql.functions import shiftright as F_shiftright
 
 
 class SnapshotConflictError(RuntimeError):
@@ -371,6 +374,8 @@ class SnapshotTable:
         spark: SparkSession,
         sort_cols: list[str],
         target_files: int = 1,
+        zorder: bool = False,
+        zorder_bits: int = 12,
     ) -> int:
         """OPTIMIZE: rewrite the CURRENT snapshot into ``target_files``
         range-partitioned files sorted within each file by ``sort_cols``,
@@ -385,11 +390,41 @@ class SnapshotTable:
         pinned in tests/test_snapshots.py. Scale: repartitionByRange is
         one range exchange of the live snapshot (sampled boundaries), the
         per-file sort is local; small-file count drops from O(#commits)
-        to O(target_files)."""
+        to O(target_files).
+
+        ``zorder=True`` (Delta's OPTIMIZE ZORDER BY): instead of a
+        lexicographic sort — which clusters only the LEADING key —
+        cluster by the Morton interleave of the (non-negative integer)
+        sort columns' low ``zorder_bits`` bits, so each rewritten file
+        owns a compact range in EVERY sort dimension and the manifest
+        stats prune predicates on any of them (pinned in tests: the
+        lexicographic layout prunes nothing on the second column, the
+        z-ordered one does). The z key is a pure narrow map; the
+        exchange/sort cost is identical to the plain sort."""
         current = self.read(spark)
-        rewritten = current.repartitionByRange(
-            target_files, *sort_cols
-        ).sortWithinPartitions(*sort_cols)
+        if zorder:
+            if len(sort_cols) < 2:
+                raise ValueError("zorder needs >= 2 columns")
+            z = None
+            for b in range(zorder_bits):
+                for ci, c in enumerate(sort_cols):
+                    bit = F_shiftleft(
+                        F_shiftright(
+                            F_col(c).cast("long").bitwiseAND(1 << b), b
+                        ),
+                        b * len(sort_cols) + ci,
+                    )
+                    z = bit if z is None else z + bit
+            keyed = current.withColumn("__z", z)
+            rewritten = (
+                keyed.repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            rewritten = current.repartitionByRange(
+                target_files, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
         return self.commit(rewritten, mode="overwrite")
 
     def rollback(self, to_version: int) -> int:

@@ -433,3 +433,37 @@ def test_optimize_improves_skipping_and_preserves_rows(spark, table):
     assert got == want
     # pre-optimize versions still readable (time travel intact)
     assert table.read(spark, version=3).count() == 400
+
+
+def test_zorder_optimize_prunes_on_both_dimensions(spark, table):
+    """Lexicographic sort clusters only the leading key — predicates on
+    the SECOND column prune nothing; the Morton-interleaved rewrite gives
+    every file a compact range in both dimensions, so both predicate
+    columns skip files. Rows identical either way."""
+    from pyspark.sql import functions as F
+
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    table.commit(grid, mode="append")
+
+    v_lex = table.optimize(spark, ["a", "b"], target_files=16)
+    lex_a = table.scan_stats(version=v_lex, where=[("a", "<", 4)])
+    lex_b = table.scan_stats(version=v_lex, where=[("b", "<", 4)])
+    assert lex_a["n_files_scanned"] <= 2      # leading key clusters
+    assert lex_b["n_files_scanned"] == 16     # second key doesn't
+
+    v_z = table.optimize(spark, ["a", "b"], target_files=16, zorder=True)
+    z_a = table.scan_stats(version=v_z, where=[("a", "<", 4)])
+    z_b = table.scan_stats(version=v_z, where=[("b", "<", 4)])
+    assert z_a["n_files_scanned"] < 16        # both dimensions skip now
+    assert z_b["n_files_scanned"] < 16
+    assert z_b["n_files_scanned"] <= 8        # and meaningfully so
+
+    got = sorted(
+        (r.a, r.b, r.v) for r in table.read(spark, version=v_z).collect()
+    )
+    want = sorted((r.a, r.b, r.v) for r in grid.collect())
+    assert got == want
