@@ -3743,3 +3743,85 @@ def kneser_ney_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: dataset_card_documents — the dataset-card numbers a corpus release
+# ships (HuggingFace dataset card / Datasheets-for-Datasets style), as ONE
+# composed readout row: volume (docs, tokens, length percentiles),
+# provenance breadth (sources, languages, English share), redundancy
+# (exact-duplicate rate via fingerprint distinct), and a quality marker
+# (mean stopword ratio). Everything reduces in a single corpus scan —
+# count/sum/selection aggregates plus one distinct on the 16-byte
+# fingerprint — so the card costs one pass at any scale; the median is
+# the exact selection statistic over per-doc token counts (engine-stable
+# integers). The value of the face is the COMPOSITION: every number here
+# is individually pinned elsewhere (token stats, dedup, lang-ID), and the
+# card proves they can be stated together without a second scan.
+# --------------------------------------------------------------------------
+@query(
+    "dataset_card_documents",
+    oracle="""
+WITH d AS (
+  SELECT source, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','an','of','to','and','in','is'))) AS n_stop,
+         md5(lower(trim(text))) AS f
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(CAST(n_tok AS DOUBLE)), 6) AS avg_doc_tokens,
+       round(CAST(median(n_tok) AS DOUBLE), 6) AS p50_doc_tokens,
+       round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+             / count(*), 6) AS english_share,
+       round(1.0 - CAST(count(DISTINCT f) AS DOUBLE) / count(*), 6)
+         AS exact_dup_rate,
+       round(avg(CAST(n_stop AS DOUBLE) / n_tok), 6) AS mean_stopword_ratio
+FROM d
+""",
+)
+def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "a", "an", "of", "to", "and", "in", "is"),
+        )
+    )
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        n_stop.alias("n_stop"),
+        fingerprint(F.col("text")).alias("f"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tok").cast("double")), 6).alias(
+            "avg_doc_tokens"
+        ),
+        F.round(F.median(F.col("n_tok")).cast("double"), 6).alias(
+            "p50_doc_tokens"
+        ),
+        F.round(
+            F.count_if(F.col("lang") == "en").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("english_share"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.avg(F.col("n_stop").cast("double") / F.col("n_tok")), 6
+        ).alias("mean_stopword_ratio"),
+    )
