@@ -2002,3 +2002,102 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: triplet_mining — completes the contrastive-data story: for each
+# anchor in the panel, the hardest POSITIVE (lowest-cosine SAME-label
+# vector — the stretch the objective must hold together) and the hardest
+# NEGATIVE (highest-cosine different-label vector, as in
+# hard_negative_mining), plus the triplet margin pos_cos − neg_cos. A
+# negative margin is a triplet the current embedding GETS WRONG — the
+# count of those is the curriculum signal. Same scale shape as the
+# negative face: broadcast anchor panel, one narrow cosine map, two
+# keyed rank windows.
+# --------------------------------------------------------------------------
+@query(
+    "triplet_mining",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+anchors AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT a.qid, a.qlabel, e.vec_id, e.label,
+         round(list_cosine_similarity(e.v, a.qv), 6) AS cs
+  FROM anchors a JOIN e ON e.vec_id <> a.qid
+),
+pos AS (
+  SELECT qid, vec_id AS pos_id, cs AS pos_cos FROM (
+    SELECT qid, vec_id, cs,
+           row_number() OVER (PARTITION BY qid ORDER BY cs ASC, vec_id ASC) AS rn
+    FROM scored WHERE label = qlabel
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT qid, vec_id AS neg_id, cs AS neg_cos FROM (
+    SELECT qid, vec_id, cs,
+           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id ASC) AS rn
+    FROM scored WHERE label <> qlabel
+  ) WHERE rn = 1
+)
+SELECT p.qid AS query_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       round(p.pos_cos - n.neg_cos, 6) AS margin,
+       (p.pos_cos - n.neg_cos) < 0 AS is_violated
+FROM pos p JOIN neg n ON p.qid = n.qid
+ORDER BY query_id
+""",
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cs"),
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("cs").asc(), F.col("vec_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("pos_id"), F.col("cs").alias("pos_cos"))
+    )
+    wn = Window.partitionBy("qid").orderBy(
+        F.col("cs").desc(), F.col("vec_id").asc()
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("neg_id"), F.col("cs").alias("neg_cos"))
+    )
+    return (
+        pos.join(neg, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+            ((F.col("pos_cos") - F.col("neg_cos")) < 0).alias("is_violated"),
+        )
+        .orderBy("query_id")
+    )
