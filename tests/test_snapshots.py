@@ -467,3 +467,34 @@ def test_zorder_optimize_prunes_on_both_dimensions(spark, table):
     )
     want = sorted((r.a, r.b, r.v) for r in grid.collect())
     assert got == want
+
+
+def test_prune_soundness_property():
+    """Property (hypothesis): pruning NEVER drops a file whose [min, max]
+    interval contains a value satisfying the predicate — soundness is the
+    one invariant data skipping must never lose (completeness is just
+    performance). Pure-python check over the pruner itself."""
+    from hypothesis import given, strategies as st
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import _file_may_match
+
+    ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+    vals = st.integers(min_value=-1000, max_value=1000)
+
+    @given(lo=vals, hi=vals, lit=vals, op=ops, probe=vals)
+    def check(lo, hi, lit, op, probe):
+        mn, mx = min(lo, hi), max(lo, hi)
+        stats = {"c": {"min": ["num", mn], "max": ["num", mx]}}
+        may = _file_may_match(stats, "c", op, lit)
+        if mn <= probe <= mx:  # probe is a value the file COULD contain
+            satisfied = {
+                "=": probe == lit,
+                "<": probe < lit,
+                "<=": probe <= lit,
+                ">": probe > lit,
+                ">=": probe >= lit,
+            }[op]
+            if satisfied:
+                assert may, (mn, mx, op, lit, probe)
+
+    check()
