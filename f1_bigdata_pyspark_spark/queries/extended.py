@@ -2924,3 +2924,46 @@ def snapshot_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: sql_pipe_revenue_report — the Spark 4 SQL PIPE syntax face (|>):
+# the same declarative plan as a nested classic query, stated as a linear
+# dataflow (FROM → WHERE → AGGREGATE → WHERE → ORDER), which is how the
+# engine executes it anyway — pipe syntax is pure parser surface, Catalyst
+# sees the identical logical plan, so it costs nothing and reads like the
+# pipeline it is. The DuckDB oracle states the classic-SQL equivalent;
+# the hash check therefore ALSO pins that the pipe parse means what the
+# classic query means. Post-agg HAVING is a |> WHERE after AGGREGATE.
+# --------------------------------------------------------------------------
+@query(
+    "sql_pipe_revenue_report",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING count(*) > 10
+ORDER BY o_orderpriority
+""",
+)
+def sql_pipe_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders_v"
+    )
+    return spark.sql(
+        """
+FROM pipe_orders_v
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE count(*) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+   GROUP BY o_orderpriority
+|> WHERE n_orders > 10
+|> SELECT o_orderpriority, n_orders, revenue
+|> ORDER BY o_orderpriority
+"""
+    )
