@@ -61,7 +61,16 @@ def _json_stat_value(v):
 
     if isinstance(v, bool):  # bool before int: bool IS int in Python
         return None
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        # a NaN bound poisons pruning (NaN comparisons are all False, so
+        # "<" would UNSOUNDLY skip the file); writers are supposed to omit
+        # stats for NaN-containing columns, but never trust that
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return ["num", v]
+    if isinstance(v, int):
         return ["num", v]
     if isinstance(v, str):
         return ["str", v]

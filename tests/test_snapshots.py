@@ -498,3 +498,27 @@ def test_prune_soundness_property():
                 assert may, (mn, mx, op, lit, probe)
 
     check()
+
+
+def test_nan_float_stats_never_poison_pruning(spark, table):
+    """A NaN min/max would make every comparison False and UNSOUNDLY skip
+    the file; the stats collector must refuse to index such a column, and
+    reads must then keep the file."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 7.0)], "k long, x double"
+    ).coalesce(1)
+    table.commit(df, mode="append")
+    m = table._read_manifest(0)
+    st = m["stats"][m["files"][0]]
+    # either the writer omitted NaN stats or we refused them — never indexed
+    if "x" in st:
+        assert not math.isnan(st["x"]["min"][1])
+        assert not math.isnan(st["x"]["max"][1])
+    rep = table.scan_stats(where=[("x", "<", 6.0)])
+    assert rep["n_files_scanned"] == 1  # file kept
+    got = [r.k for r in table.read(spark, where=[("x", "<", 6.0)]).collect()]
+    assert got == [2]
