@@ -3825,3 +3825,101 @@ def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("n_stop").cast("double") / F.col("n_tok")), 6
         ).alias("mean_stopword_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: source_quality_token_frontier — the data-mixing FRONTIER: rank
+# sources by mean quality (stopword-ratio proxy, quantized to an exact
+# integer mean before ranking), then read off the cumulative token budget
+# as lower-quality sources are admitted. This is the curve a curation run
+# consults to pick its quality cutoff — "the top-k sources buy N tokens".
+# The corpus collapses to ONE row per source first; the running sum is a
+# window over the ~20-row source table (post-aggregate, allowlisted like
+# the other rollup windows). Quality mean is per-mille-quantized per doc
+# then averaged as an exact integer ratio — no float-sum drift can
+# reorder the frontier.
+# --------------------------------------------------------------------------
+@query(
+    "source_quality_token_frontier",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(round(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','an','of','to','and','in','is')))
+              * 1000.0 / len(string_split(text, ' '))) AS BIGINT) AS q_pm
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         round(sum(q_pm) * 1.0 / count(*) / 1000.0, 6) AS mean_quality
+  FROM d GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS all_tokens FROM per_src)
+SELECT row_number() OVER w AS quality_rank,
+       source, n_docs, n_tokens, mean_quality,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       round(CAST(sum(n_tokens) OVER w AS DOUBLE)
+             / (SELECT all_tokens FROM tot), 6) AS cum_token_share
+FROM per_src
+WINDOW w AS (ORDER BY mean_quality DESC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY quality_rank
+""",
+)
+def source_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "a", "an", "of", "to", "and", "in", "is"),
+        )
+    )
+    d = docs.filter(F.size(toks) > 0).select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.round(n_stop * 1000.0 / F.size(toks)).cast("long").alias("q_pm"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("q_pm") * F.lit(1.0) / F.count(F.lit(1)) / 1000.0, 6
+        ).alias("mean_quality"),
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    per_src = materialize(per_src)  # ~20 rows; window + total both read it
+    total = per_src.agg(F.sum("n_tokens").alias("all_tokens"))
+    w = Window.orderBy(
+        F.col("mean_quality").desc(), F.col("source").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("mean_quality").desc(), F.col("source").asc()
+                )
+            )
+            .cast("long")
+            .alias("quality_rank"),
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.round(
+                F.sum("n_tokens").over(w).cast("double")
+                / F.col("all_tokens"),
+                6,
+            ).alias("cum_token_share"),
+        )
+        .orderBy("quality_rank")
+    )

@@ -369,6 +369,7 @@ _GLOBAL_WINDOW_OK = {
     "repeat_purchase_timing",      # percentile cumulative over the bounded day histogram
     "piecewise_trend_breakpoint",  # index/prefix/argmin windows over the day grid
     "moving_median_daily_revenue",  # 7-day median over the bounded day grid
+    "source_quality_token_frontier",  # rank/cumsum over the ~20-row source rollup
 }
 
 
