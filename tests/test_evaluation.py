@@ -215,3 +215,88 @@ def test_kneser_ney_matches_naive_recompute(spark):
         for r in get_query("kneser_ney_lm_scores").fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_metered_series_faces_match_naive_recompute(spark):
+    """OHLC, TWAP, and debounce recomputed independently in pure Python
+    over the raw events (struct-extrema order, integer-µs segment math,
+    lag-gap rule) — the oracle proves Spark==SQL; this proves both mean
+    the textbook operation."""
+    import collections
+    import datetime
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_id, ts, user_id, event_type, value "
+        f"FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+    # --- OHLC ---
+    by_day = collections.defaultdict(list)
+    for eid, ts, uid, et, v in rows:
+        if v is None:
+            continue
+        by_day[ts.date()].append((ts, eid, v))
+    expected_ohlc = {}
+    for day, evs in by_day.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        expected_ohlc[day] = (
+            q6(evs[0][2]), q6(max(vals)), q6(min(vals)), q6(evs[-1][2]), len(evs)
+        )
+    got = {
+        r["day"]: (
+            r["open_value"], r["high_value"], r["low_value"],
+            r["close_value"], r["n_events"],
+        )
+        for r in get_query("daily_value_ohlc").fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected_ohlc
+
+    # --- TWAP (integer-µs, div-1000 truncation) ---
+    epoch = datetime.datetime(1970, 1, 1)
+    expected_twap = {}
+    for day, evs in by_day.items():
+        evs.sort()
+        vw = g = n = 0
+        for (t1, e1, v1), (t2, e2, _) in zip(evs, evs[1:]):
+            gap_ms = (
+                int((t2 - epoch).total_seconds() * 1e6)
+                - int((t1 - epoch).total_seconds() * 1e6)
+            ) // 1000
+            vw += int(math.floor(v1 * 1e6 + 0.5)) * gap_ms
+            g += gap_ms
+            n += 1
+        if g > 0:
+            expected_twap[day] = (n, g, q6(vw / g / 1e6))
+    got_twap = {
+        r["day"]: (r["n_segments"], r["covered_ms"], r["twa_value"])
+        for r in get_query("daily_time_weighted_value")
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got_twap == expected_twap
+
+    # --- debounce (>=5s after predecessor per user/type stream) ---
+    streams = collections.defaultdict(list)
+    for eid, ts, uid, et, v in rows:
+        streams[(uid, et)].append((ts, eid))
+    raw = collections.Counter()
+    kept = collections.Counter()
+    for (uid, et), evs in streams.items():
+        evs.sort()
+        prev = None
+        for ts, eid in evs:
+            raw[et] += 1
+            t_us = int((ts - epoch).total_seconds() * 1e6)
+            if prev is None or t_us - prev >= 5_000_000:
+                kept[et] += 1
+            prev = t_us
+    got_db = {
+        r["event_type"]: (r["n_raw"], r["n_kept"])
+        for r in get_query("event_debounce_stats").fn(spark, SF_SMOKE).collect()
+    }
+    assert got_db == {et: (raw[et], kept[et]) for et in raw}
