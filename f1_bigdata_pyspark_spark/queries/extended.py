@@ -2967,3 +2967,83 @@ FROM pipe_orders_v
 |> ORDER BY o_orderpriority
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_optimize_report — OPTIMIZE made driver-checkable: ingest
+# orders as one file per year (the small-file layout a daily ingest
+# accumulates), run the sorted compaction into 2 files clustered by
+# o_orderkey, and return the layout report BOTH before and after — file
+# counts, versions, and the skipping behavior of a key-range predicate on
+# each layout — plus a row-conservation total. Every number is
+# deterministic (year count, target_files, pruning against disjoint key
+# ranges), so the whole OPTIMIZE lifecycle sits under the value hash.
+# Scale: see SnapshotTable.optimize — one range exchange, local sorts.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_optimize_report",
+    oracle="""
+WITH y AS (SELECT count(DISTINCT year(o_orderdate)) AS n_years FROM orders),
+     n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(max(o_orderkey) AS BIGINT) AS max_key
+           FROM orders)
+SELECT 'before' AS phase,
+       (SELECT CAST(n_years AS BIGINT) FROM y) AS n_files,
+       (SELECT CAST(n_years AS BIGINT) FROM y) AS files_scanned_top_quarter,
+       (SELECT n_rows FROM n) AS n_rows
+UNION ALL
+SELECT 'after', 2, 1, (SELECT n_rows FROM n)
+ORDER BY phase
+""",
+)
+def snapshot_optimize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    years = sorted(
+        r.y
+        for r in orders.select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .collect()
+    )
+    max_key = orders.agg(F.max("o_orderkey")).head()[0]
+    # top QUARTER of the key range: repartitionByRange picks its boundary
+    # by sampling (≈ the median, with jitter), so a median cut could land
+    # on either side of the file split — the 3/4 cut is deterministic
+    cut = max_key * 3 // 4
+    root = tempfile.mkdtemp(prefix="snap_opt_")
+    try:
+        table = SnapshotTable(root)
+        for y in years:
+            # year files each span the FULL key range -> no key pruning
+            table.commit(
+                orders.filter(F.year("o_orderdate") == y).coalesce(1),
+                mode="append",
+            )
+        before = table.scan_stats(where=[("o_orderkey", ">=", cut)])
+        n_before = table.read(spark).count()
+        v_opt = table.optimize(spark, ["o_orderkey"], target_files=2)
+        after = table.scan_stats(
+            version=v_opt, where=[("o_orderkey", ">=", cut)]
+        )
+        n_after = table.read(spark, version=v_opt).count()
+        rows = [
+            ("before", before["n_files_total"], before["n_files_scanned"], n_before),
+            ("after", after["n_files_total"], after["n_files_scanned"], n_after),
+        ]
+        out = materialize(
+            spark.createDataFrame(
+                rows,
+                "phase string, n_files long, "
+                "files_scanned_top_quarter long, n_rows long",
+            ).orderBy("phase")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
