@@ -1761,3 +1761,98 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: dup_quality_interaction — the curation cross-check: are NEAR-DUP
+# documents systematically lower-quality than unique ones? (Boilerplate
+# and mirror pages duplicate AND score badly — if the interaction is
+# strong, dedup and the quality gate are partially redundant and the
+# budget math changes.) Docs are flagged duplicated iff they appear in
+# the verified near-dup pair table (Jaccard >= 0.2, same machinery as
+# ngram_jaccard_dups — endpoints exploded, distinct); per flag: doc
+# count, mean/min/max of the per-mille-quantized stopword quality. The
+# pair table at 100 TB comes from the LSH candidate path; this face
+# consumes pair endpoints only (doc ids), never text.
+# --------------------------------------------------------------------------
+@query(
+    "dup_quality_interaction",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dup_ids AS (
+  SELECT DISTINCT node FROM (
+    SELECT d1 AS node FROM inter
+    JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+    UNION ALL
+    SELECT d2 FROM inter
+    JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+  )
+), q AS (
+  SELECT doc_id,
+         CAST(round(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','an','of','to','and','in','is')))
+              * 1000.0 / len(string_split(text, ' '))) AS BIGINT) AS q_pm
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+)
+SELECT (dup_ids.node IS NOT NULL) AS is_near_dup,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(q_pm) * 1.0 / count(*) / 1000.0, 6) AS mean_quality,
+       CAST(min(q_pm) AS BIGINT) AS min_q_pm,
+       CAST(max(q_pm) AS BIGINT) AS max_q_pm
+FROM q LEFT JOIN dup_ids ON q.doc_id = dup_ids.node
+GROUP BY 1
+ORDER BY is_near_dup
+""",
+)
+def dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    dup_ids = (
+        pairs.select(F.explode(F.array("d1", "d2")).alias("node"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "a", "an", "of", "to", "and", "in", "is"),
+        )
+    )
+    q = docs.filter(F.size(toks) > 0).select(
+        "doc_id",
+        F.round(n_stop * 1000.0 / F.size(toks)).cast("long").alias("q_pm"),
+    )
+    return (
+        q.join(
+            broadcast_if_small(dup_ids),
+            q["doc_id"] == dup_ids["node"],
+            "left",
+        )
+        .groupBy(F.col("is_dup").isNotNull().alias("is_near_dup"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("q_pm") * F.lit(1.0) / F.count(F.lit(1)) / 1000.0, 6
+            ).alias("mean_quality"),
+            F.min("q_pm").cast("long").alias("min_q_pm"),
+            F.max("q_pm").cast("long").alias("max_q_pm"),
+        )
+        .orderBy("is_near_dup")
+    )
