@@ -1798,3 +1798,160 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_anf_curve — the Approximate Neighborhood Function (ANF,
+# Palmer et al.): per-node portable-HLL sketches of the h-hop reachable
+# set, advanced by MAX-MERGING registers along edges — the classic trick
+# that turns "distance distribution of a 100 TB graph" (all-pairs BFS,
+# O(n·m)) into h rounds of one edge join + one register max each, with
+# per-node state of 64 registers regardless of graph size (registers are
+# a max-semilattice, so merging along edges IS the frontier expansion).
+# Readout: for h ∈ {0,1,2}, the average estimated neighborhood size and
+# the estimated reachable-pair share — the curve whose knee is the
+# effective diameter (the dense co-supplier graph saturates by h=2).
+# Same portable md5 HLL discipline as portable_hll_users_by_type (exact
+# integer rho, 4-dp rounding absorbing float-sum ulp), 64 buckets, so
+# the DuckDB oracle replays every register bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_anf_curve",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM pairs a JOIN pairs b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+h0 AS MATERIALIZED (
+  SELECT node,
+         CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 64 AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))
+                        AS BIGINT) // 64 = 0 THEN 55
+              ELSE 55 - length(bin(CAST(('0x' || substr(md5(CAST(node AS
+                   VARCHAR)), 1, 15)) AS BIGINT) // 64))::BIGINT
+         END AS rho
+  FROM nodes
+),
+h1 AS MATERIALIZED (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT e.dst AS node, r.bucket, r.rho
+    FROM edges e JOIN h0 r ON r.node = e.src
+    UNION ALL SELECT node, bucket, rho FROM h0
+  ) GROUP BY node, bucket
+),
+h2 AS MATERIALIZED (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT e.dst AS node, r.bucket, r.rho
+    FROM edges e JOIN h1 r ON r.node = e.src
+    UNION ALL SELECT node, bucket, rho FROM h1
+  ) GROUP BY node, bucket
+),
+est AS (
+  SELECT hop, node,
+         CASE WHEN CAST(0.7093409548395029 AS DOUBLE) * 4096.0 / (s + (64 - nb)) <= 160.0
+                   AND nb < 64
+              THEN 64.0 * ln(64.0 / (64 - nb))
+              ELSE CAST(0.7093409548395029 AS DOUBLE) * 4096.0 / (s + (64 - nb))
+         END AS nhat
+  FROM (
+    SELECT 0 AS hop, node, count(*) AS nb, sum(power(2.0, -rho)) AS s
+    FROM h0 GROUP BY node
+    UNION ALL
+    SELECT 1, node, count(*), sum(power(2.0, -rho)) FROM h1 GROUP BY node
+    UNION ALL
+    SELECT 2, node, count(*), sum(power(2.0, -rho)) FROM h2 GROUP BY node
+  )
+)
+SELECT CAST(hop AS BIGINT) AS hop,
+       round(avg(nhat), 4) AS avg_neighborhood_est,
+       round(sum(nhat) / ((SELECT n FROM n) * 1.0 * (SELECT n FROM n)), 6)
+         AS reach_pair_share_est
+FROM est
+GROUP BY hop
+ORDER BY hop
+""",
+)
+def supplier_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    a = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = materialize(
+        a.join(b, "pk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    hashed = nodes.select(
+        "node", md5_long(F.col("node").cast("string")).alias("x")
+    )
+    w = F.expr("x DIV 64")  # integer div — x is 60-bit, floats would round
+    # 60-bit hash, 6 bucket bits -> 54 payload bits; rho = leading zeros + 1
+    rho = (
+        F.when(w == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    regs = [
+        materialize(
+            hashed.select(
+                "node", (F.col("x") % 64).alias("bucket"), rho.alias("rho")
+            )
+        )
+    ]
+    for _ in range(2):
+        prev = regs[-1]
+        merged = (
+            edges.join(prev, edges["src"] == prev["node"])
+            .select(F.col("dst").alias("node"), "bucket", "rho")
+            .unionByName(prev.select("node", "bucket", "rho"))
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        regs.append(materialize(merged))
+    n_nodes = nodes.count()
+    ests = []
+    for hop, r in enumerate(regs):
+        per_node = r.groupBy("node").agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        )
+        raw = (
+            F.lit(0.7093409548395029)
+            * F.lit(4096.0)
+            / (F.col("s") + (F.lit(64) - F.col("nb")))
+        )
+        linear = F.lit(64.0) * F.log(
+            F.lit(64.0) / (F.lit(64) - F.col("nb"))
+        )
+        nhat = F.when((raw <= 160.0) & (F.col("nb") < 64), linear).otherwise(
+            raw
+        )
+        ests.append(
+            per_node.agg(
+                F.lit(hop).cast("long").alias("hop"),
+                F.round(F.avg(nhat), 4).alias("avg_neighborhood_est"),
+                F.round(
+                    F.sum(nhat) / F.lit(float(n_nodes) * float(n_nodes)), 6
+                ).alias("reach_pair_share_est"),
+            )
+        )
+    out = ests[0]
+    for e in ests[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("hop")

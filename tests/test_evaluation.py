@@ -300,3 +300,35 @@ def test_metered_series_faces_match_naive_recompute(spark):
         for r in get_query("event_debounce_stats").fn(spark, SF_SMOKE).collect()
     }
     assert got_db == {et: (raw[et], kept[et]) for et in raw}
+
+
+def test_anf_hop1_estimate_within_hll_error_of_exact(spark):
+    """ANF's hop-1 HLL estimate must sit within sketch error of the EXACT
+    average closed-1-hop-neighborhood size (m=64 -> ~1.04/sqrt(64) = 13%
+    standard error; assert 3 sigma). Pins that the register merge really
+    tracks the frontier, independent of the oracle replay."""
+    con = duckdb.connect()
+    exact = con.sql(
+        f"""
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey
+          FROM '{SF_SMOKE}/lineitem.parquet'
+        ),
+        edges AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM pairs a JOIN pairs b
+            ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+        )
+        SELECT avg(cnt + 1) FROM (
+          SELECT src, count(DISTINCT dst) AS cnt FROM edges GROUP BY src
+        )
+        """
+    ).fetchone()[0]
+    rows = {
+        r["hop"]: r["avg_neighborhood_est"]
+        for r in get_query("supplier_anf_curve").fn(spark, SF_SMOKE).collect()
+    }
+    assert abs(rows[1] - exact) / exact < 0.39, (rows[1], exact)
+    # hop 0 is a single element; hop estimates are monotone nondecreasing
+    assert rows[0] < 2.0
+    assert rows[0] <= rows[1] <= rows[2] + 1e-9
