@@ -1955,3 +1955,114 @@ def supplier_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in ests[1:]:
         out = out.unionByName(e)
     return out.orderBy("hop")
+
+
+# --------------------------------------------------------------------------
+# Q: personalized_pagerank_seed — Personalized PageRank: the restart mass
+# goes to ONE SEED node instead of everywhere (teleport vector = e_seed),
+# so scores measure proximity TO THE SEED — the similar-items /
+# recommendation primitive, vs global PageRank's importance. Same loop-
+# unrolled plumbing as pagerank_suppliers (3 rounds, one dst-keyed
+# map-side-combined exchange per round; rank/degree frames node-sized);
+# seed = the minimum supplier key in the edge set (deterministic, SF-
+# independent choice). Starting vector is e_seed as well, so every round
+# is exactly the power iteration of the PPR linear system.
+# --------------------------------------------------------------------------
+@query(
+    "personalized_pagerank_seed",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM pairs a JOIN pairs b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+),
+seed AS (SELECT min(src) AS s FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT src AS node,
+         CASE WHEN src = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END AS pr
+  FROM (SELECT DISTINCT src FROM edges)
+),
+r1 AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CASE WHEN e.dst = (SELECT s FROM seed) THEN 0.15 ELSE 0.0 END
+         + 0.85 * sum(r0.pr / deg.outdeg) AS pr
+  FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r2 AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CASE WHEN e.dst = (SELECT s FROM seed) THEN 0.15 ELSE 0.0 END
+         + 0.85 * sum(r1.pr / deg.outdeg) AS pr
+  FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CASE WHEN e.dst = (SELECT s FROM seed) THEN 0.15 ELSE 0.0 END
+         + 0.85 * sum(r2.pr / deg.outdeg) AS pr
+  FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)
+SELECT node AS s_suppkey, round(pr, 6) AS ppr
+FROM r3
+WHERE round(pr, 6) > 0
+ORDER BY ppr DESC, s_suppkey ASC
+LIMIT 10
+""",
+)
+def personalized_pagerank_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.join_policy import (
+        broadcast_if_small,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    a = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = pairs.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = materialize(
+        a.join(b, "pk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    seed = edges.agg(F.min("src")).head()[0]  # 1-value probe, bounded
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    rank = edges.select(F.col("src").alias("node")).distinct().select(
+        "node",
+        F.when(F.col("node") == seed, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(broadcast_if_small(rank), edges["src"] == rank["node"])
+            .join(broadcast_if_small(deg), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+        )
+        rank = contrib.groupBy("node").agg(
+            (
+                F.when(F.col("node") == seed, F.lit(0.15)).otherwise(
+                    F.lit(0.0)
+                )
+                + F.lit(0.85) * F.sum("c")
+            ).alias("pr")
+        )
+    return (
+        rank.select("node", F.round("pr", 6).alias("ppr"))
+        .filter(F.col("ppr") > 0)
+        .orderBy(F.col("ppr").desc(), F.col("node").asc())
+        .limit(10)
+        .select(F.col("node").alias("s_suppkey"), "ppr")
+    )
