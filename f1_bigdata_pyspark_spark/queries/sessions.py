@@ -1175,3 +1175,76 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: user_burst_detection — rate-limit / bot screening: for every event,
+# the count of events by the SAME user in the trailing 60-second window
+# (RANGE frame over integer epoch-microseconds — keyed by user, so the
+# window scales horizontally); a user "bursts" if any such count reaches
+# the threshold. Readout per event type: users observed, bursting users, the max
+# trailing-window count, and burst share. The RANGE frame is the
+# idiomatic Spark form of "N requests in any rolling minute" — no
+# self-join, no explode; one user-keyed exchange. The burst threshold is
+# 2 here because the synthetic stream is sparse (~2 events/user/day —
+# a production limiter sets hundreds); the threshold is the only knob.
+# --------------------------------------------------------------------------
+@query(
+    "user_burst_detection",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+winned AS (
+  SELECT user_id, event_type,
+         count(*) OVER (
+           PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW
+         ) AS w_cnt
+  FROM ev
+),
+per_user AS (
+  SELECT event_type, user_id, max(w_cnt) AS max_cnt
+  FROM winned GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE max_cnt >= 2) AS BIGINT) AS n_bursting,
+       CAST(max(max_cnt) AS BIGINT) AS max_window_count,
+       round(CAST(count(*) FILTER (WHERE max_cnt >= 2) AS DOUBLE)
+             / count(*), 6) AS burst_share
+FROM per_user
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def user_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-60_000_000, 0)
+    )
+    winned = ev.select(
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+    )
+    per_user = winned.groupBy("event_type", "user_id").agg(
+        F.max("w_cnt").alias("max_cnt")
+    )
+    bursting = F.count_if(F.col("max_cnt") >= 2)
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            bursting.cast("long").alias("n_bursting"),
+            F.max("max_cnt").cast("long").alias("max_window_count"),
+            F.round(
+                bursting.cast("double") / F.count(F.lit(1)), 6
+            ).alias("burst_share"),
+        )
+        .orderBy("event_type")
+    )
