@@ -518,3 +518,25 @@ def test_readme_registry_count_is_fresh():
         f"SCALE.md says {m.group(1)} queries but the registry has "
         f"{len(_REGISTRY)} — update SCALE.md"
     )
+
+    # round-5 verdict: SURVEY.md's counts drifted (317 vs 324) because only
+    # README and SCALE were pinned — pin every count SURVEY states too.
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(survey, encoding="utf-8") as f:
+        text = f.read()
+    m = re.search(
+        r"\*\*(\d+) registered queries, (\d+) with DuckDB oracles", text
+    )
+    assert m, "SURVEY.md no longer states the registry count"
+    assert int(m.group(1)) == len(_REGISTRY) and int(m.group(2)) == len(
+        _REGISTRY
+    ), (
+        f"SURVEY.md says {m.group(1)}/{m.group(2)} queries but the registry "
+        f"has {len(_REGISTRY)} — update SURVEY.md's counts paragraph"
+    )
+    m = re.search(r"green over all (\d+)\.", text)
+    assert m, "SURVEY.md no longer states the plan-audit count"
+    assert int(m.group(1)) == len(_REGISTRY), (
+        f"SURVEY.md plan-audit note says {m.group(1)} but the registry has "
+        f"{len(_REGISTRY)} — update SURVEY.md"
+    )
