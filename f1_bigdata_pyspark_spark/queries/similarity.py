@@ -2101,3 +2101,124 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_indexed_topk — the PERSISTED IVF index (round-6 composition of the
+# layout and ANN stacks): cell assignments + vectors are committed to a
+# SnapshotTable partitioned by centroid_id (one immutable file per cell),
+# and the nprobe=2 search reads back through the manifest's partition
+# point-stats with ('centroid_id','in',probed) — so the scan PLANS only the
+# probed cells' files, exactly how a 100 TB vector store serves a query
+# (the index is built once at ingest; a search touches nprobe/k of the
+# corpus bytes, enforced by the manifest, not by a runtime filter). The
+# file counts sit INSIDE the hashed result: if pruning ever reads the
+# wrong file set, the hash breaks — the same discipline as
+# snapshot_skipping_scan. Same centroid panel / rounded-argmax assignment
+# / top-k contract as ann_ivf_nprobe_topk, so the oracle is the nprobe
+# search plus manifest arithmetic (cells = distinct assigned centroids;
+# every cell is nonempty because a centroid self-assigns at cos=1).
+# --------------------------------------------------------------------------
+@query(
+    "ivf_indexed_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}
+), qcells AS (
+  SELECT c.centroid_id
+  FROM c CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+           c.centroid_id ASC
+  LIMIT 2
+), files AS (
+  SELECT CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT CASE WHEN centroid_id IN
+              (SELECT centroid_id FROM qcells) THEN centroid_id END)
+              AS BIGINT) AS n_scanned
+  FROM assign
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+       (SELECT n_total FROM files) AS n_files_total,
+       (SELECT n_scanned FROM files) AS n_files_scanned
+FROM e
+JOIN assign a ON a.vec_id = e.vec_id
+CROSS JOIN q
+WHERE a.centroid_id IN (SELECT centroid_id FROM qcells)
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 20
+""",
+)
+def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    q = F.lit(qv).cast("array<double>")
+    # probed cells: 16-row panel ranked driver-side — bounded metadata, the
+    # planner input (like a partition predicate), not a data collect
+    probe = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id",
+            F.round(cosine(F.col("centroid"), q), 6).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("centroid_id").asc())
+        .limit(2)
+        .collect()
+    ]
+    index_rows = (
+        ivf_assign(emb, centroids)
+        .select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        table = SnapshotTable(root)
+        # one task -> one file per cell dir: the inverted-file layout
+        table.commit(
+            index_rows.coalesce(1), mode="append",
+            partition_by=["centroid_id"],
+        )
+        where = [("centroid_id", "in", probe)]
+        rep = table.scan_stats(where=where)
+        cells = table.read(spark, where=where)
+        out = materialize(
+            cells.select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(20)
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned", F.lit(rep["n_files_scanned"]).cast("long")
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

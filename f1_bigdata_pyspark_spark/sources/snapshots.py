@@ -160,7 +160,7 @@ def _coerce_literal(lit, tag):
     return lit
 
 
-_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
 
 
 def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
@@ -170,8 +170,14 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
         return True
     tag = stats[col]["min"][0]
     try:
-        lit = _coerce_literal(lit, tag)
         mn, mx = _stat_to_py(stats[col]["min"]), _stat_to_py(stats[col]["max"])
+        if op == "in":
+            # IN-list: the file survives if ANY member could be present —
+            # the multi-point form a probed-cell index scan needs
+            return any(
+                mn <= _coerce_literal(v, tag) <= mx for v in lit
+            )
+        lit = _coerce_literal(lit, tag)
         if op in ("=", "=="):
             return mn <= lit <= mx
         if op == "<":
@@ -187,6 +193,20 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
     raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
 
 
+def _file_evidence(manifest: dict, f: str) -> dict:
+    """Everything the manifest knows about one file's column ranges:
+    parquet-footer min/max stats, plus — for Hive-partitioned commits —
+    the directory partition values as POINT stats (min == max == value).
+    Unifying the two tiers here means every pruning path (directory
+    partitioning AND footer skipping) fires on the same ``read(where=)``
+    scan with one planner."""
+    ev = dict(manifest.get("stats", {}).get(f, {}))
+    for col, tv in manifest.get("partitions", {}).get(f, {}).items():
+        if tv is not None:
+            ev[col] = {"min": tv, "max": tv}
+    return ev
+
+
 def prune_files(manifest: dict, where: list[tuple[str, str, object]]) -> list[str]:
     """File paths of ``manifest`` that may contain rows satisfying the
     conjunction ``where`` — the data-skipping planner. A file survives
@@ -196,12 +216,11 @@ def prune_files(manifest: dict, where: list[tuple[str, str, object]]) -> list[st
             raise ValueError(
                 f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})"
             )
-    stats = manifest.get("stats", {})
     return [
         f
         for f in manifest["files"]
         if all(
-            _file_may_match(stats.get(f, {}), col, op, lit)
+            _file_may_match(_file_evidence(manifest, f), col, op, lit)
             for col, op, lit in where
         )
     ]
@@ -215,12 +234,48 @@ def _predicate_column(where: list[tuple[str, str, object]]):
     out = None
     for col, op, lit in where:
         c = F.col(col)
-        e = {
-            "=": c == lit, "==": c == lit,
-            "<": c < lit, "<=": c <= lit,
-            ">": c > lit, ">=": c >= lit,
-        }[op]
+        if op == "in":
+            e = c.isin(list(lit))
+        else:
+            e = {
+                "=": c == lit, "==": c == lit,
+                "<": c < lit, "<=": c <= lit,
+                ">": c > lit, ">=": c >= lit,
+            }[op]
         out = e if out is None else (out & e)
+    return out
+
+
+def _parse_partition_segments(
+    segments: list[str], type_by_col: dict[str, str]
+) -> dict:
+    """Decode Hive-style ``col=value`` path segments into tagged stat
+    values (the manifest's point-stat form). ``__HIVE_DEFAULT_PARTITION__``
+    (NULL partition) maps to None — a file with a NULL partition value is
+    never pruned on that column (NULL satisfies no range predicate proof,
+    and IS NULL is not a prune op)."""
+    import urllib.parse
+
+    out: dict = {}
+    for seg in segments:
+        if "=" not in seg:
+            continue
+        col, _, raw = seg.partition("=")
+        raw = urllib.parse.unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[col] = None
+            continue
+        t = type_by_col.get(col, "string")
+        if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+            out[col] = ["num", int(raw)]
+        elif t in ("float", "double"):
+            out[col] = ["num", float(raw)]
+        elif t in ("date", "timestamp", "timestamp_ntz"):
+            out[col] = _json_stat_value(
+                __import__("datetime").datetime.fromisoformat(raw)
+            )
+        else:
+            out[col] = ["str", raw]
     return out
 
 
@@ -297,6 +352,7 @@ class SnapshotTable:
         mode: str = "append",
         expected_base_version: int | None = None,
         txn: tuple[str, int] | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write ``df``'s rows as new immutable files and publish the next
         manifest. mode='append' keeps prior files; 'overwrite' starts the
@@ -304,7 +360,16 @@ class SnapshotTable:
         ``expected_base_version`` (optimistic check): refuse if the table
         advanced past it since the caller read. ``txn=(app_id, batch_id)``
         stamps the manifest for exactly-once streaming writers (see
-        ``last_committed_batch``)."""
+        ``last_committed_batch``).
+
+        ``partition_by`` — Hive-style directory partitioning for the
+        commit's files (``col=value/`` subdirs). The manifest records each
+        file's partition values as POINT stats, so ``read(where=)`` prunes
+        on the partition column through the exact same planner as footer
+        stats — the two tiers (directory pruning + stats skipping) compose
+        on one scan. Appends to a partitioned table must repeat the same
+        ``partition_by`` (the Delta/Hive invariant: partitioning is a
+        table property, not a per-write choice)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         base = self.latest_version()
@@ -312,6 +377,14 @@ class SnapshotTable:
             raise SnapshotConflictError(
                 f"table advanced to v{base}, expected v{expected_base_version}"
             )
+        if mode == "append" and base is not None:
+            committed_pb = self._read_manifest(base).get("partition_by") or []
+            if list(partition_by or []) != committed_pb:
+                raise ValueError(
+                    f"append partition_by {partition_by!r} does not match "
+                    f"the table's {committed_pb!r}; use mode='overwrite' to "
+                    "re-partition"
+                )
         if mode == "append" and base is not None:
             # schema-on-write (Delta's contract): an appended frame must
             # match the committed schema by field NAME and TYPE, else the
@@ -341,30 +414,41 @@ class SnapshotTable:
         prev = conf.get(key, None)
         conf.set(key, "TIMESTAMP_MICROS")
         try:
-            df.write.mode("error").parquet(out_dir)
+            w = df.write.mode("error")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(out_dir)
         finally:
             if prev is None:
                 conf.unset(key)
             else:
                 conf.set(key, prev)
         new_files = sorted(
-            os.path.join(out_dir, f)
-            for f in os.listdir(out_dir)
+            os.path.join(dirpath, f)
+            for dirpath, _, files in os.walk(out_dir)
+            for f in files
             if f.endswith(".parquet")
         )
-        prior = (
-            self._read_manifest(base)["files"]
-            if (base is not None and mode == "append")
-            else []
-        )
-        prior_stats = (
-            self._read_manifest(base).get("stats", {})
+        prior_manifest = (
+            self._read_manifest(base)
             if (base is not None and mode == "append")
             else {}
         )
-        stats = dict(prior_stats)
+        prior = prior_manifest.get("files", [])
+        stats = dict(prior_manifest.get("stats", {}))
+        partitions = dict(prior_manifest.get("partitions", {}))
+        type_by_col = {
+            f["name"]: f["type"]
+            for f in json.loads(df.schema.json())["fields"]
+            if isinstance(f["type"], str)
+        }
         for f in new_files:
             stats[f] = _file_column_stats(f)
+            if partition_by:
+                partitions[f] = _parse_partition_segments(
+                    os.path.relpath(f, out_dir).split(os.sep)[:-1],
+                    type_by_col,
+                )
         version = 0 if base is None else base + 1
         manifest = {
             "version": version,
@@ -373,6 +457,12 @@ class SnapshotTable:
             "stats": stats,
             "schema": df.schema.json(),
         }
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
+            manifest["partitions"] = partitions
+        elif partitions:  # unpartitioned append onto... unreachable (checked
+            # above), but keep carried info if a future mode allows it
+            manifest["partitions"] = partitions
         if txn is not None:
             manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
         self._publish(version, manifest)
@@ -442,16 +532,17 @@ class SnapshotTable:
         target = self._read_manifest(to_version)
         base = self.latest_version()
         version = (base if base is not None else -1) + 1
-        self._publish(
-            version,
-            {
-                "version": version,
-                "mode": f"rollback-to-v{to_version}",
-                "files": target["files"],
-                "stats": target.get("stats", {}),
-                "schema": target["schema"],
-            },
-        )
+        manifest = {
+            "version": version,
+            "mode": f"rollback-to-v{to_version}",
+            "files": target["files"],
+            "stats": target.get("stats", {}),
+            "schema": target["schema"],
+        }
+        for k in ("partition_by", "partitions"):
+            if k in target:
+                manifest[k] = target[k]
+        self._publish(version, manifest)
         return version
 
     # -- read path ----------------------------------------------------------
@@ -480,17 +571,50 @@ class SnapshotTable:
         files = manifest["files"]
         if where:
             files = prune_files(manifest, where)
-        if not files:
-            from pyspark.sql.types import StructType
-
-            df = spark.createDataFrame(
-                [], StructType.fromJson(json.loads(manifest["schema"]))
-            )
-        else:
-            df = spark.read.parquet(*files)
+        df = self._plan_scan(spark, manifest, files)
         if where:
             df = df.filter(_predicate_column(where))
         return df
+
+    def _plan_scan(
+        self, spark: SparkSession, manifest: dict, files: list[str]
+    ) -> DataFrame:
+        """Plan an explicit-file-list parquet scan honoring the manifest's
+        schema. Partitioned commits need partition-value RECOVERY (the
+        column lives in the directory name, not the file), which Spark
+        does per ``basePath`` — so files are grouped by their commit dir,
+        scanned with that commit's basePath, unioned by name, and
+        normalized back to the committed column order/types. The union is
+        planner-level (no data movement); at 100 TB this is one multi-
+        scan plan, not N jobs."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not files:
+            return spark.createDataFrame([], schema)
+        if not manifest.get("partition_by"):
+            df = spark.read.parquet(*files)
+        else:
+            by_commit: dict[str, list[str]] = {}
+            for f in files:
+                commit_root = os.path.join(
+                    self.data_dir,
+                    os.path.relpath(f, self.data_dir).split(os.sep)[0],
+                )
+                by_commit.setdefault(commit_root, []).append(f)
+            parts = [
+                spark.read.option("basePath", root).parquet(*fs)
+                for root, fs in sorted(by_commit.items())
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        # normalize to the committed schema: partition discovery appends
+        # partition columns LAST and re-infers their type from the dir
+        # string — select in committed order and cast back
+        return df.select(
+            *[F_col(f.name).cast(f.dataType) for f in schema.fields]
+        )
 
     def scan_stats(
         self, version: int | None = None, where: list | None = None
@@ -675,4 +799,7 @@ def read_changes_since(
                 seen.add(f)
     if not new_files:
         return None, latest
-    return spark.read.parquet(*new_files), latest
+    return (
+        table._plan_scan(spark, table._read_manifest(latest), new_files),
+        latest,
+    )

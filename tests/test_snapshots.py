@@ -522,3 +522,138 @@ def test_nan_float_stats_never_poison_pruning(spark, table):
     assert rep["n_files_scanned"] == 1  # file kept
     got = [r.k for r in table.read(spark, where=[("x", "<", 6.0)]).collect()]
     assert got == [2]
+
+
+# -- partitioned commits (directory pruning + footer stats on ONE scan) ----
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, y long")
+
+
+def test_partitioned_commit_round_trip(spark, table):
+    """partition_by commits write Hive-style col=value dirs; read() must
+    recover the partition column (it lives in the path, not the file) and
+    return the COMMITTED schema order/types, across multiple commits."""
+    table.commit(
+        _pdf(spark, [(1, "a", 2000), (2, "b", 2001)]).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    table.commit(
+        _pdf(spark, [(3, "c", 2000)]).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    got = table.read(spark)
+    assert got.columns == ["k", "v", "y"]  # committed order, y recovered
+    assert dict(got.dtypes)["y"] == "bigint"  # committed TYPE, not inferred
+    rows = sorted((r.k, r.v, r.y) for r in got.collect())
+    assert rows == [(1, "a", 2000), (2, "b", 2001), (3, "c", 2000)]
+    # files actually landed under y=... dirs
+    m = table._read_manifest(1)
+    assert all("y=" in f for f in m["files"])
+    assert m["partition_by"] == ["y"]
+
+
+def test_partition_and_stats_pruning_compose_on_one_scan(spark, table):
+    """The round-5 gap: directory partitioning and footer-stats skipping
+    existed on separate storage paths. One read(where=) must now fire
+    BOTH tiers: the y=2000 predicate drops the other partition's files
+    (directory tier), k>=10 drops the low-range file (stats tier)."""
+    table.commit(  # files: y=2000 (k 0..9), y=2001 (k 0..9)
+        _pdf(
+            spark,
+            [(i, "x", 2000) for i in range(10)]
+            + [(i, "x", 2001) for i in range(10)],
+        ).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    table.commit(  # files: y=2000 (k 10..19), y=2001 (k 10..19)
+        _pdf(
+            spark,
+            [(i, "x", 2000) for i in range(10, 20)]
+            + [(i, "x", 2001) for i in range(10, 20)],
+        ).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    where = [("y", "=", 2000), ("k", ">=", 10)]
+    rep = table.scan_stats(where=where)
+    assert rep == {"n_files_total": 4, "n_files_scanned": 1}
+    got = sorted(r.k for r in table.read(spark, where=where).collect())
+    assert got == list(range(10, 20))
+
+
+def test_prune_in_op_keeps_only_member_files(spark, table):
+    """('col','in',[...]) prunes to files whose [min,max] could contain
+    ANY member — the probed-cell scan shape of an IVF index read."""
+    for lo in (0, 10, 20):
+        table.commit(
+            _pdf(spark, [(k, "x", 1) for k in range(lo, lo + 10)]).coalesce(1),
+            mode="append",
+        )
+    rep = table.scan_stats(where=[("k", "in", [5, 25])])
+    assert rep == {"n_files_total": 3, "n_files_scanned": 2}
+    got = sorted(r.k for r in table.read(spark, where=[("k", "in", [5, 25])]).collect())
+    assert got == [5, 25]
+
+
+def test_partitioned_append_mismatch_refused(spark, table):
+    table.commit(
+        _pdf(spark, [(1, "a", 2000)]).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        table.commit(_pdf(spark, [(2, "b", 2001)]).coalesce(1), mode="append")
+    with pytest.raises(ValueError, match="partition_by"):
+        table.commit(
+            _pdf(spark, [(2, "b", 2001)]).coalesce(1),
+            mode="append",
+            partition_by=["v"],
+        )
+    # overwrite may legally re-partition
+    table.commit(
+        _pdf(spark, [(9, "z", 2002)]).coalesce(1), mode="overwrite"
+    )
+    assert table.read(spark).count() == 1
+
+
+def test_null_partition_value_round_trips_and_never_prunes(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 2000), (2, "b", None)], "k long, v string, y long"
+    ).coalesce(1)
+    table.commit(df, mode="append", partition_by=["y"])
+    rows = sorted(
+        (r.k, r.y) for r in table.read(spark).collect()
+    )
+    assert rows == [(1, 2000), (2, None)]
+    # the NULL-partition file is never pruned (no proof possible)…
+    rep = table.scan_stats(where=[("y", "=", 1999)])
+    assert rep["n_files_scanned"] == 1
+    # …but the row-level filter still removes its rows
+    assert table.read(spark, where=[("y", "=", 1999)]).count() == 0
+
+
+def test_partitioned_rollback_and_change_feed(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import read_changes_since
+
+    table.commit(
+        _pdf(spark, [(1, "a", 2000)]).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    table.commit(
+        _pdf(spark, [(2, "b", 2001)]).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    delta, cur = read_changes_since(spark, table, 0)
+    assert cur == 1
+    assert [(r.k, r.y) for r in delta.collect()] == [(2, 2001)]
+    v = table.rollback(0)
+    m = table._read_manifest(v)
+    assert m["partition_by"] == ["y"]  # partition metadata survives rollback
+    assert [r.k for r in table.read(spark).collect()] == [1]
