@@ -3047,3 +3047,144 @@ def snapshot_optimize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_merge_rollup — copy-on-write MERGE made driver-checkable:
+# orders land in 4 disjoint key-range files; a derived changeset (price
+# bumps in the first quartile, deletes in the second, 3 appended keys) is
+# MERGEd through SnapshotTable.merge, which rewrites ONLY the quartile
+# files the changeset touches. The returned rollup is computed from the
+# POST-MERGE snapshot, and the carried/rewritten file counts sit inside
+# the hashed row — if CoW ever rewrites an untouched file (or misses a
+# touched one) the hash breaks, not just a pytest. The oracle replays the
+# merge relationally (update CASE + delete anti-filter + insert UNION)
+# and derives the same file arithmetic from the quartile cuts. Scale:
+# this is the Delta MERGE path — find-touched is a stats-pruned semi-join,
+# rewrite is O(touched files), the rest of the 100 TB table is metadata.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_merge_rollup",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+cuts AS (
+  SELECT m, m * 1 // 4 AS c1, m * 2 // 4 AS c2, m * 3 // 4 AS c3 FROM mk
+),
+t AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey FROM t, cuts
+  WHERE o_orderkey % 97 = 0 AND o_orderkey <= c1
+),
+del AS (
+  SELECT o_orderkey FROM t, cuts
+  WHERE o_orderkey % 101 = 0 AND o_orderkey > c1 AND o_orderkey <= c2
+),
+merged AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd)
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS p
+  FROM t
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+  UNION ALL
+  SELECT m + i, '1-URGENT', 1000.5 FROM cuts CROSS JOIN range(1, 4) r(i)
+),
+touched AS (
+  SELECT DISTINCT CASE WHEN o_orderkey <= c1 THEN 0
+                       WHEN o_orderkey <= c2 THEN 1
+                       WHEN o_orderkey <= c3 THEN 2 ELSE 3 END AS q
+  FROM (SELECT o_orderkey FROM upd
+        UNION ALL SELECT o_orderkey FROM del) u, cuts
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
+       (SELECT CAST(count(*) AS BIGINT) FROM touched) AS n_files_rewritten,
+       (SELECT CAST(4 - count(*) AS BIGINT) FROM touched) AS n_files_carried
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def snapshot_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    cuts = [mk * 1 // 4, mk * 2 // 4, mk * 3 // 4]
+    ranges = [
+        F.col("o_orderkey") <= cuts[0],
+        (F.col("o_orderkey") > cuts[0]) & (F.col("o_orderkey") <= cuts[1]),
+        (F.col("o_orderkey") > cuts[1]) & (F.col("o_orderkey") <= cuts[2]),
+        F.col("o_orderkey") > cuts[2],
+    ]
+    # the changeset: updates live in quartile 1, deletes in quartile 2,
+    # inserts past the key range -> files 3 and 4 must carry by identity
+    upd = orders.filter(
+        (F.col("o_orderkey") % 97 == 0) & ranges[0]
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(None).cast("string").alias("new_priority"),
+        (F.col("o_totalprice") + 10.0).alias("new_price"),
+    )
+    dele = orders.filter(
+        (F.col("o_orderkey") % 101 == 0) & ranges[1]
+    ).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_priority"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    ins = spark.createDataFrame(
+        [(mk + i, "I", "1-URGENT", 1000.5) for i in (1, 2, 3)],
+        "o_orderkey long, op string, new_priority string, new_price double",
+    )
+    source = upd.unionByName(dele).unionByName(ins)
+    root = tempfile.mkdtemp(prefix="snap_merge_")
+    try:
+        table = SnapshotTable(root)
+        for cond in ranges:  # 4 disjoint key-range files
+            table.commit(orders.filter(cond).coalesce(1), mode="append")
+        rep = table.merge(
+            spark,
+            source,
+            ["o_orderkey"],
+            matched_delete=F.col("op") == "D",
+            matched_update={"o_totalprice": F.col("new_price")},
+            update_condition=F.col("op") == "U",
+            not_matched_insert={
+                "o_orderpriority": F.col("new_priority"),
+                "o_totalprice": F.col("new_price"),
+            },
+        )
+        out = materialize(
+            table.read(spark)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .withColumn(
+                "n_files_rewritten",
+                F.lit(rep["files_rewritten"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_carried", F.lit(rep["files_carried"]).cast("long")
+            )
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -43,6 +43,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import input_file_name as F_input_file_name
+from pyspark.sql.functions import max as F_max
+from pyspark.sql.functions import min as F_min
 from pyspark.sql.functions import shiftleft as F_shiftleft
 from pyspark.sql.functions import shiftright as F_shiftright
 
@@ -403,6 +406,44 @@ class SnapshotTable:
                     f"table has {want}, frame has {got}; "
                     "use mode='overwrite' to change the schema"
                 )
+        new_files, new_stats, new_partitions = self._write_data_files(
+            df, partition_by
+        )
+        prior_manifest = (
+            self._read_manifest(base)
+            if (base is not None and mode == "append")
+            else {}
+        )
+        prior = prior_manifest.get("files", [])
+        stats = dict(prior_manifest.get("stats", {}))
+        partitions = dict(prior_manifest.get("partitions", {}))
+        stats.update(new_stats)
+        partitions.update(new_partitions)
+        version = 0 if base is None else base + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": prior + new_files,
+            "stats": stats,
+            "schema": df.schema.json(),
+        }
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
+            manifest["partitions"] = partitions
+        elif partitions:  # unpartitioned append onto... unreachable (checked
+            # above), but keep carried info if a future mode allows it
+            manifest["partitions"] = partitions
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        self._publish(version, manifest)
+        return version
+
+    def _write_data_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> tuple[list[str], dict, dict]:
+        """Write ``df`` as a fresh immutable file set under a new commit
+        dir and return (files, footer stats, partition point-stats) —
+        the shared physical-write half of commit() and merge()."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
         # Spark's legacy-compat default writes timestamps as INT96, which
@@ -429,44 +470,142 @@ class SnapshotTable:
             for f in files
             if f.endswith(".parquet")
         )
-        prior_manifest = (
-            self._read_manifest(base)
-            if (base is not None and mode == "append")
-            else {}
-        )
-        prior = prior_manifest.get("files", [])
-        stats = dict(prior_manifest.get("stats", {}))
-        partitions = dict(prior_manifest.get("partitions", {}))
         type_by_col = {
             f["name"]: f["type"]
             for f in json.loads(df.schema.json())["fields"]
             if isinstance(f["type"], str)
         }
-        for f in new_files:
-            stats[f] = _file_column_stats(f)
-            if partition_by:
-                partitions[f] = _parse_partition_segments(
+        stats = {f: _file_column_stats(f) for f in new_files}
+        partitions = (
+            {
+                f: _parse_partition_segments(
                     os.path.relpath(f, out_dir).split(os.sep)[:-1],
                     type_by_col,
                 )
-        version = 0 if base is None else base + 1
-        manifest = {
+                for f in new_files
+            }
+            if partition_by
+            else {}
+        )
+        return new_files, stats, partitions
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        matched_delete=None,
+        matched_update=None,
+        update_condition=None,
+        not_matched_insert=None,
+    ) -> dict:
+        """Copy-on-write MERGE INTO this snapshot table — the transactional
+        form of ``operators/merge.merge_into`` (which this delegates to for
+        the row semantics; reference upsert: ingest_laps.py:59-66):
+
+        1. **Find touched files** (Delta's findTouchedFiles): semi-join the
+           target scan against the source's distinct keys, collecting the
+           distinct ``input_file_name()`` set — data-proven, so a file is
+           rewritten ONLY if it really contains a matched key. The scan is
+           first PRE-PRUNED by the manifest's min/max stats on the leading
+           key against the source's key range: at 100 TB the semi-join
+           probe reads only files whose key range overlaps the changeset,
+           and the source side broadcasts when small (the usual case).
+        2. **Rewrite only those files**: merge_into over the touched rows —
+           source keys absent from touched rows are absent from the whole
+           table (any file holding a matched key IS touched), so matched /
+           not-matched classification over the subset equals the global
+           one. Untouched files carry into the new manifest BY IDENTITY
+           (same paths, same stats — zero I/O).
+        3. Publish as the next version, mode='merge'. Time travel, CDC
+           (snapshot_diff) and rollback work unchanged.
+
+        Returns {"version", "files_rewritten", "files_carried"}.
+        """
+        from urllib.parse import unquote, urlparse
+
+        from f1_bigdata_pyspark_spark.operators.merge import merge_into
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+
+        # stats pre-prune: only files overlapping the changeset's key range
+        # can be touched (single-row source agg — bounded metadata)
+        lead = keys[0]
+        rng = source.agg(
+            F_min(lead).alias("mn"), F_max(lead).alias("mx")
+        ).head()
+        candidates = (
+            prune_files(
+                manifest, [(lead, ">=", rng.mn), (lead, "<=", rng.mx)]
+            )
+            if rng.mn is not None
+            else []
+        )
+        src_keys = source.select(*keys).distinct()
+        touched: set[str] = set()
+        if candidates:
+            probe = (
+                self._plan_scan(spark, manifest, candidates)
+                .withColumn("__file", F_input_file_name())
+                .join(src_keys, keys, "left_semi")
+                .select("__file")
+                .distinct()
+            )
+            # one path per touched FILE — manifest-scale metadata, never
+            # data-proportional
+            touched = {
+                unquote(urlparse(r["__file"]).path) for r in probe.collect()
+            }
+        touched_files = [f for f in manifest["files"] if f in touched]
+        carried = [f for f in manifest["files"] if f not in touched]
+
+        target_subset = self._plan_scan(spark, manifest, touched_files)
+        merged = merge_into(
+            target_subset,
+            source,
+            keys,
+            matched_delete=matched_delete,
+            matched_update=matched_update,
+            update_condition=update_condition,
+            not_matched_insert=not_matched_insert,
+        )
+        partition_by = manifest.get("partition_by")
+        new_files, new_stats, new_partitions = self._write_data_files(
+            merged, partition_by
+        )
+        stats = {
+            f: s
+            for f, s in manifest.get("stats", {}).items()
+            if f in set(carried)
+        }
+        stats.update(new_stats)
+        partitions = {
+            f: p
+            for f, p in manifest.get("partitions", {}).items()
+            if f in set(carried)
+        }
+        partitions.update(new_partitions)
+        version = base + 1
+        out = {
             "version": version,
-            "mode": mode,
-            "files": prior + new_files,
+            "mode": "merge",
+            "files": carried + new_files,
             "stats": stats,
-            "schema": df.schema.json(),
+            "schema": manifest["schema"],
         }
         if partition_by:
-            manifest["partition_by"] = list(partition_by)
-            manifest["partitions"] = partitions
-        elif partitions:  # unpartitioned append onto... unreachable (checked
-            # above), but keep carried info if a future mode allows it
-            manifest["partitions"] = partitions
-        if txn is not None:
-            manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
-        self._publish(version, manifest)
-        return version
+            out["partition_by"] = partition_by
+            out["partitions"] = partitions
+        self._publish(version, out)
+        return {
+            "version": version,
+            "files_rewritten": len(touched_files),
+            "files_carried": len(carried),
+        }
 
     def optimize(
         self,
@@ -525,6 +664,86 @@ class SnapshotTable:
                 target_files, *sort_cols
             ).sortWithinPartitions(*sort_cols)
         return self.commit(rewritten, mode="overwrite")
+
+    def optimize_incremental(
+        self,
+        spark: SparkSession,
+        small_file_max_bytes: int,
+        target_file_bytes: int | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> dict:
+        """Incremental OPTIMIZE (the runnable-at-100-TB form of
+        ``optimize()``): compact ONLY the live files smaller than
+        ``small_file_max_bytes`` into ~``target_file_bytes`` outputs;
+        every adequately-sized file carries into the new version BY
+        IDENTITY — same path, same manifest stats, zero I/O. A full
+        rewrite per OPTIMIZE is not runnable at scale; this touches
+        O(small-file bytes), which for a steady-state ingest is the last
+        few commits. This is the executable form of the
+        compaction_file_planner face (queries/extended.py): same
+        size-threshold bin math, applied through a snapshot commit.
+
+        ``sort_cols`` additionally range-clusters the compacted rows so
+        the NEW files get tight min/max stats (the skipping payoff);
+        untouched files keep whatever stats they had. No-op (returns the
+        current version, nothing written) when fewer than 2 small files
+        exist. Returns {"version", "files_compacted", "files_carried",
+        "files_written"}."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        sizes = {f: os.path.getsize(f) for f in manifest["files"]}
+        small = [f for f in manifest["files"] if sizes[f] < small_file_max_bytes]
+        large = [f for f in manifest["files"] if sizes[f] >= small_file_max_bytes]
+        if len(small) < 2:
+            return {
+                "version": base,
+                "files_compacted": 0,
+                "files_carried": len(manifest["files"]),
+                "files_written": 0,
+            }
+        if target_file_bytes is None:
+            target_file_bytes = small_file_max_bytes
+        n_out = max(1, -(-sum(sizes[f] for f in small) // target_file_bytes))
+        df = self._plan_scan(spark, manifest, small)
+        if sort_cols:
+            df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            df = df.repartition(n_out)
+        new_files, new_stats, new_partitions = self._write_data_files(
+            df, manifest.get("partition_by")
+        )
+        stats = {
+            f: s for f, s in manifest.get("stats", {}).items() if f in set(large)
+        }
+        stats.update(new_stats)
+        partitions = {
+            f: p
+            for f, p in manifest.get("partitions", {}).items()
+            if f in set(large)
+        }
+        partitions.update(new_partitions)
+        version = base + 1
+        out = {
+            "version": version,
+            "mode": "optimize-incremental",
+            "files": large + new_files,
+            "stats": stats,
+            "schema": manifest["schema"],
+        }
+        if manifest.get("partition_by"):
+            out["partition_by"] = manifest["partition_by"]
+            out["partitions"] = partitions
+        self._publish(version, out)
+        return {
+            "version": version,
+            "files_compacted": len(small),
+            "files_carried": len(large),
+            "files_written": len(new_files),
+        }
 
     def rollback(self, to_version: int) -> int:
         """Publish a NEW version whose file set equals ``to_version``'s —

@@ -657,3 +657,167 @@ def test_partitioned_rollback_and_change_feed(spark, table):
     m = table._read_manifest(v)
     assert m["partition_by"] == ["y"]  # partition metadata survives rollback
     assert [r.k for r in table.read(spark).collect()] == [1]
+
+
+# -- copy-on-write MERGE ---------------------------------------------------
+
+
+def test_cow_merge_rewrites_only_touched_files(spark, table):
+    """The lakehouse DML gap (round-5 verdict #3): MERGE routed through a
+    snapshot commit must rewrite ONLY files containing matched keys —
+    untouched files survive by IDENTITY (same path, same stats) — and the
+    CDC diff across the merge version equals the merge delta."""
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import snapshot_diff
+
+    for lo in (0, 10, 20):  # 3 disjoint key-range files
+        table.commit(
+            _df(spark, [(k, f"v{k}") for k in range(lo, lo + 10)]).coalesce(1),
+            mode="append",
+        )
+    v0 = table.latest_version()
+    m0 = table._read_manifest(v0)
+    source = spark.createDataFrame(
+        [(5, "U", "upd5"), (7, "D", None), (100, "I", "new100")],
+        "k long, op string, nv string",
+    )
+    rep = table.merge(
+        spark,
+        source,
+        ["k"],
+        matched_delete=F.col("op") == "D",
+        matched_update={"v": F.col("nv")},
+        update_condition=F.col("op") == "U",
+        not_matched_insert={"v": F.col("nv")},
+    )
+    assert rep["files_rewritten"] == 1
+    assert rep["files_carried"] == 2
+    m1 = table._read_manifest(rep["version"])
+    carried = sorted(set(m0["files"]) & set(m1["files"]))
+    assert len(carried) == 2  # identity, not re-written copies
+    for f in carried:
+        assert m1["stats"][f] == m0["stats"][f]  # stats carried intact
+    rows = {r.k: r.v for r in table.read(spark).collect()}
+    assert rows[5] == "upd5"
+    assert 7 not in rows
+    assert rows[100] == "new100"
+    assert len(rows) == 30  # 30 - 1 delete + 1 insert
+    # pre-merge snapshot still reads (time travel across DML)
+    assert table.read(spark, version=v0).count() == 30
+    # CDC across the merge == the merge delta, nothing else
+    diff = snapshot_diff(spark, table, v0, rep["version"], ["k"])
+    got = {(r.k, r.change_type) for r in diff.collect()}
+    assert got == {(5, "update"), (7, "delete"), (100, "insert")}
+
+
+def test_cow_merge_insert_only_touches_nothing(spark, table):
+    from pyspark.sql import functions as F
+
+    for lo in (0, 10):
+        table.commit(
+            _df(spark, [(k, "x") for k in range(lo, lo + 10)]).coalesce(1),
+            mode="append",
+        )
+    source = spark.createDataFrame([(50, "new")], "k long, nv string")
+    rep = table.merge(
+        spark, source, ["k"], not_matched_insert={"v": F.col("nv")}
+    )
+    assert rep["files_rewritten"] == 0
+    assert rep["files_carried"] == 2
+    rows = {r.k: r.v for r in table.read(spark).collect()}
+    assert rows[50] == "new" and len(rows) == 21
+
+
+def test_cow_merge_on_partitioned_table_preserves_layout(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(
+        _pdf(
+            spark,
+            [(1, "a", 2000), (2, "b", 2000), (3, "c", 2001)],
+        ).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    source = spark.createDataFrame([(2, "B2")], "k long, nv string")
+    rep = table.merge(
+        spark,
+        source,
+        ["k"],
+        matched_update={"v": F.col("nv")},
+    )
+    assert rep["files_rewritten"] == 1  # only the y=2000 file
+    assert rep["files_carried"] == 1
+    m = table._read_manifest(rep["version"])
+    assert m["partition_by"] == ["y"]  # layout preserved through DML
+    assert all("y=" in f for f in m["files"])
+    rows = sorted((r.k, r.v, r.y) for r in table.read(spark).collect())
+    assert rows == [(1, "a", 2000), (2, "B2", 2000), (3, "c", 2001)]
+
+
+# -- incremental OPTIMIZE --------------------------------------------------
+
+
+def test_optimize_incremental_carries_large_files_by_identity(spark, table):
+    """Round-5 verdict #3 follow-on: a full rewrite per OPTIMIZE is not
+    runnable at 100 TB — only under-sized files may be compacted; every
+    adequately-sized file must survive with the SAME path and the SAME
+    manifest stats (zero I/O on the bulk of the table)."""
+    big = _df(spark, [(k, "x" * 50) for k in range(20000)]).coalesce(1)
+    table.commit(big, mode="append")
+    for lo in (0, 10, 20):  # 3 tiny ingest files
+        table.commit(
+            _df(spark, [(k, "y") for k in range(lo, lo + 10)]).coalesce(1),
+            mode="append",
+        )
+    v0 = table.latest_version()
+    m0 = table._read_manifest(v0)
+    import os as _os
+
+    big_files = [f for f in m0["files"] if _os.path.getsize(f) >= 50_000]
+    assert len(big_files) == 1  # fixture sanity: one large, three small
+    rep = table.optimize_incremental(spark, small_file_max_bytes=50_000)
+    assert rep["files_compacted"] == 3
+    assert rep["files_carried"] == 1
+    m1 = table._read_manifest(rep["version"])
+    assert big_files[0] in m1["files"]  # identity, not a rewritten copy
+    assert m1["stats"][big_files[0]] == m0["stats"][big_files[0]]
+    assert table.read(spark).count() == 20030  # rows conserved
+    # history intact: the pre-compaction version still reads
+    assert table.read(spark, version=v0).count() == 20030
+
+
+def test_optimize_incremental_noop_below_two_small_files(spark, table):
+    table.commit(_df(spark, [(1, "a")] * 1).coalesce(1), mode="append")
+    v = table.latest_version()
+    rep = table.optimize_incremental(spark, small_file_max_bytes=10)
+    assert rep == {
+        "version": v,
+        "files_compacted": 0,
+        "files_carried": 1,
+        "files_written": 0,
+    }
+    assert table.latest_version() == v  # nothing published
+
+
+def test_optimize_incremental_sorted_compaction_restores_skipping(spark, table):
+    """sort_cols range-clusters the compacted rows so the NEW files get
+    tight min/max — a key-range predicate prunes again after compaction."""
+    # 4 tiny files, each smeared across the FULL key range (no pruning)
+    for i in range(4):
+        table.commit(
+            _df(spark, [(k, "z") for k in range(0, 40, 4)]).coalesce(1),
+            mode="append",
+        )
+    before = table.scan_stats(where=[("k", ">=", 30)])
+    assert before["n_files_scanned"] == 4  # smeared: nothing prunes
+    rep = table.optimize_incremental(
+        spark, small_file_max_bytes=50_000, target_file_bytes=1_000,
+        sort_cols=["k"],
+    )
+    assert rep["files_compacted"] == 4 and rep["files_written"] >= 2
+    after = table.scan_stats(where=[("k", ">=", 30)])
+    assert after["n_files_scanned"] < after["n_files_total"]
+    got = sorted(r.k for r in table.read(spark, where=[("k", ">=", 30)]).collect())
+    assert got == sorted([k for k in range(0, 40, 4) if k >= 30] * 4)
