@@ -359,3 +359,33 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def positioned_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Non-distinct (doc, i, xm): every n-token window WITH its 1-based
+    start position — the rewrite form of ``raw_shingle_hashes`` (mapping a
+    flagged fingerprint back to the exact token span it covers needs the
+    position, which the distinct doc×hash table deliberately drops). Same
+    relational build and explicit doc-keyed exchange as ``_raw_shingles``;
+    the extra int column adds nothing to the shuffle that matters."""
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    return (
+        tok.select(
+            "doc",
+            (F.col("pos") + 1).alias("i"),
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc", "i", md5_long(F.col("s")).alias("xm"))
+    )

@@ -1856,3 +1856,146 @@ def dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_near_dup")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: passage_dedup_rewrite — duplicate_passages taken to its SHIPPED form
+# (round-6): not just flagging shared 8-token windows but producing the
+# CLEANED corpus a training run would read. Keep-first canonical policy:
+# for every cross-document fingerprint, the lowest doc_id containing it
+# keeps its text; every other document drops the token span each flagged
+# occurrence covers (overlapping spans union — a token dies once). The
+# result is one row per document with the cleaned text pinned by md5 and
+# the token conservation arithmetic (before − dropped = after, where
+# "after" is independently recomputed by re-tokenizing the rebuilt text) —
+# all under one value hash against an oracle that replays the whole
+# rewrite relationally. Scale: positions ride the same doc-keyed exchange
+# as the fingerprints (operators/dedup.positioned_shingle_hashes); the
+# shared-fingerprint table is corpus-duplication-sized and broadcasts;
+# reconstruction is one groupBy(doc) sort — O(corpus) total, no
+# quadratic pair space anywhere.
+# --------------------------------------------------------------------------
+@query(
+    "passage_dedup_rewrite",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents
+),
+shpos AS (
+  SELECT doc, i,
+         CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+              || ' ' || w[i+7]), 1, 15)) AS BIGINT) AS xm
+  FROM toks, (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i + 7 <= len(w)
+),
+shared AS (
+  SELECT xm, min(doc) AS keeper
+  FROM (SELECT DISTINCT doc, xm FROM shpos)
+  GROUP BY xm HAVING count(*) >= 2
+),
+drops AS (
+  SELECT DISTINCT p.doc, p.i + offs.o AS j
+  FROM shpos p
+  JOIN shared s ON p.xm = s.xm AND p.doc <> s.keeper,
+       (SELECT unnest(range(0, 8)) AS o) offs
+),
+tokpos AS (
+  SELECT doc, generate_subscripts(w, 1) AS j, unnest(w) AS t FROM toks
+),
+kept AS (
+  SELECT k.doc, k.j, k.t FROM tokpos k
+  WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc = k.doc AND d.j = k.j)
+),
+clean AS (
+  SELECT doc, string_agg(t, ' ' ORDER BY j) AS cleaned FROM kept GROUP BY doc
+),
+dcnt AS (SELECT doc, count(*) AS nd FROM drops GROUP BY doc)
+SELECT t.doc AS doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(dc.nd, 0) AS BIGINT) AS n_tokens_dropped,
+       CAST(CASE WHEN coalesce(c.cleaned, '') = '' THEN 0
+            ELSE len(string_split(c.cleaned, ' ')) END AS BIGINT)
+         AS n_tokens_after,
+       md5(coalesce(c.cleaned, '')) AS cleaned_md5
+FROM toks t
+LEFT JOIN clean c ON c.doc = t.doc
+LEFT JOIN dcnt dc ON dc.doc = t.doc
+ORDER BY doc_id
+""",
+)
+def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import tokens
+    from f1_bigdata_pyspark_spark.operators.dedup import (
+        positioned_shingle_hashes,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    # one doc-keyed exchange feeds BOTH the fingerprint windows and the
+    # token-position table; materialized so the two consumers (plus the
+    # final per-doc rebuild) don't re-plan the upstream exchange
+    tok = materialize(
+        docs.repartition(par, F.col("doc_id")).select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
+        )
+    )
+    shpos = materialize(
+        positioned_shingle_hashes(docs, "doc_id", "text", 8)
+    )
+    shared = (
+        shpos.select("doc", "xm")
+        .distinct()
+        .groupBy("xm")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc").alias("keeper"))
+        .filter(F.col("nd") >= 2)
+        .select("xm", "keeper")
+    )
+    drops = materialize(
+        shpos.join(shared, "xm")
+        .filter(F.col("doc") != F.col("keeper"))
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(7))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    kept = tok.select("doc", (F.col("pos") + 1).alias("j"), "t").join(
+        drops, ["doc", "j"], "left_anti"
+    )
+    clean = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "t"))),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("cleaned")
+    )
+    dcnt = drops.groupBy("doc").agg(F.count(F.lit(1)).alias("nd"))
+    base = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens_before"),
+    )
+    cleaned = F.coalesce(F.col("cleaned"), F.lit(""))
+    return (
+        base.join(clean, "doc", "left")
+        .join(dcnt, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens_before",
+            F.coalesce(F.col("nd"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_dropped"),
+            F.when(cleaned == "", F.lit(0))
+            .otherwise(F.size(F.split(cleaned, " ")))
+            .cast("long")
+            .alias("n_tokens_after"),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1248,3 +1248,101 @@ def user_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: statestore_key_audit — the streaming state-store reader surfaced as a
+# batch-queryable face (round-6: the r5 ops surface was pytest-only). A
+# deterministic fixture stream (events grouped by user_id, availableNow,
+# 8 state partitions) is run to a checkpoint, then audited through
+# format("statestore"): (a) the flattened state must equal the batch twin
+# of the same aggregation, and (b) the keys-per-partition skew histogram
+# must equal the PLANNED placement pmod(murmur3(key), 8) — the same
+# hash-partitioning contract the shuffle uses, recomputed independently
+# with F.hash. Both checks ride the hashed row as booleans; the scalar
+# columns (distinct keys, state row total) are oracle-pinned against the
+# events table. Scale: the statestore source plans one task per state
+# partition — the audit parallelizes like the stream and never funnels
+# state through the driver (streaming/state_audit.py).
+# --------------------------------------------------------------------------
+@query(
+    "statestore_key_audit",
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS n_partitions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events_in_state,
+       true AS state_equals_batch,
+       true AS skew_matches_planned
+FROM events
+""",
+)
+def statestore_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.streaming.state_audit import (
+        read_aggregation_state,
+        state_key_skew,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    root = tempfile.mkdtemp(prefix="state_audit_")
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ev.write.parquet(src)
+        # state partition count is captured from this conf at checkpoint
+        # creation — pin it so the fixture (and the oracle's literal 8)
+        # is session-independent, restore after
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # the store's value schema carries the PHYSICAL accumulator name
+        state = materialize(
+            read_aggregation_state(spark, ckpt).select(
+                "user_id", F.col("count").alias("n"), "partition_id"
+            )
+        )
+        batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        sv = state.select("user_id", "n")
+        state_eq = (
+            sv.exceptAll(batch).count() == 0
+            and batch.exceptAll(sv).count() == 0
+        )
+        skew = state_key_skew(spark, ckpt)
+        planned = (
+            batch.select(
+                F.pmod(F.hash("user_id"), F.lit(8)).alias("partition_id")
+            )
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+        )
+        skew_eq = (
+            skew.exceptAll(planned).count() == 0
+            and planned.exceptAll(skew).count() == 0
+        )
+        n_users = state.select("user_id").distinct().count()
+        n_rows = state.agg(F.sum("n")).head()[0]
+        out = materialize(
+            spark.createDataFrame(
+                [(8, n_users, int(n_rows), state_eq, skew_eq)],
+                "n_partitions long, n_users long, n_events_in_state long, "
+                "state_equals_batch boolean, skew_matches_planned boolean",
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
