@@ -3188,3 +3188,108 @@ def snapshot_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_incremental_optimize_report — incremental OPTIMIZE made
+# driver-checkable (the round-6 companion of snapshot_optimize_report,
+# which rewrites the WHOLE live set and so is not runnable at 100 TB):
+# one adequately-sized base file (first key half) plus one small ingest
+# file per year of the second half; optimize_incremental compacts ONLY
+# the small files into one, and the base file must survive BY IDENTITY.
+# The hashed row pins the file arithmetic before/after, the identity
+# boolean (same path in both manifests), row conservation, and a rollup
+# over the post-compaction table. The oracle derives the same counts
+# from the year/key arithmetic. Scale: compaction I/O is O(small files)
+# — the steady-state daily tail — never O(table).
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_incremental_optimize_report",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+half AS (SELECT m // 2 AS cut FROM mk),
+yrs AS (
+  SELECT count(DISTINCT year(o_orderdate)) AS n_years
+  FROM orders, half WHERE o_orderkey > cut
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+SELECT CAST(1 + (SELECT n_years FROM yrs) AS BIGINT) AS n_files_before,
+       CAST(2 AS BIGINT) AS n_files_after,
+       CAST((SELECT n_years FROM yrs) AS BIGINT) AS n_files_compacted,
+       CAST(1 AS BIGINT) AS n_files_carried,
+       true AS base_file_carried_by_identity,
+       (SELECT n_rows FROM n) AS n_rows_after
+""",
+)
+def snapshot_incremental_optimize_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cut = orders.agg(F.max("o_orderkey")).head()[0] // 2
+    years = sorted(
+        r.y
+        for r in orders.filter(F.col("o_orderkey") > cut)
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="snap_incr_opt_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(  # the adequately-sized base file
+            orders.filter(F.col("o_orderkey") <= cut).coalesce(1),
+            mode="append",
+        )
+        m0 = table._read_manifest(0)
+        base_file = m0["files"][0]
+        for y in years:  # the small-file ingest tail
+            table.commit(
+                orders.filter(
+                    (F.col("o_orderkey") > cut)
+                    & (F.year("o_orderdate") == y)
+                ).coalesce(1),
+                mode="append",
+            )
+        before = len(table._read_manifest(table.latest_version())["files"])
+        # threshold sits between the year-slice and half-table file sizes
+        # at any correctness SF; huge target -> exactly one compacted file
+        rep = table.optimize_incremental(
+            spark,
+            small_file_max_bytes=100_000,
+            target_file_bytes=1 << 30,
+            sort_cols=["o_orderkey"],
+        )
+        m1 = table._read_manifest(rep["version"])
+        identity = (
+            base_file in m1["files"]
+            and m1["stats"][base_file] == m0["stats"][base_file]
+        )
+        n_rows_after = table.read(spark).count()
+        out = materialize(
+            spark.createDataFrame(
+                [
+                    (
+                        before,
+                        len(m1["files"]),
+                        rep["files_compacted"],
+                        rep["files_carried"],
+                        identity,
+                        n_rows_after,
+                    )
+                ],
+                "n_files_before long, n_files_after long, "
+                "n_files_compacted long, n_files_carried long, "
+                "base_file_carried_by_identity boolean, n_rows_after long",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1346,3 +1346,143 @@ def statestore_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: stream_session_window_parity — Structured Streaming's session_window
+# pinned against the relational gaps-and-islands twin on the SAME data: a
+# fixture stream of the events table (availableNow) sessionizes with a
+# 30-minute gap into a memory sink; the batch twin computes sessions as
+# lag-gap breaks + running session ids, with session end = last event +
+# gap (the session_window contract, closed-open: an event landing exactly
+# at gap distance starts a NEW session). The face returns the stream's
+# session counts (oracle-pinned by DuckDB's gaps-and-islands) plus the
+# set-equality boolean of (user, start, end, n) between engine paths —
+# streaming merge-sessions state vs batch window arithmetic agreeing row
+# for row. Scale: session_window state is per-user and merge-on-arrival
+# (no unbounded buffering); the batch twin is one user-keyed exchange.
+# --------------------------------------------------------------------------
+@query(
+    "stream_session_window_parity",
+    oracle="""
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       true AS stream_equals_batch
+FROM g
+""",
+)
+def stream_session_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    root = tempfile.mkdtemp(prefix="sess_parity_")
+    src = os.path.join(root, "src")
+    sink = "sess_parity_" + uuid.uuid4().hex[:8]
+    try:
+        ev.write.parquet(src)
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        stream_sessions = materialize(
+            spark.table(sink).select(
+                "user_id",
+                F.col("session_window.start").alias("st"),
+                F.col("session_window.end").alias("en"),
+                "n",
+            )
+        )
+        w = Window.partitionBy("user_id").orderBy("ts")
+        brk = F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                >= 1800
+            ),
+            1,
+        ).otherwise(0)
+        batch_sessions = (
+            ev.withColumn("brk", brk)
+            .withColumn(
+                "sid",
+                F.sum("brk").over(
+                    Window.partitionBy("user_id")
+                    .orderBy("ts")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts").alias("st"),
+                (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("en"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("user_id", "st", "en", "n")
+        )
+        eq = (
+            stream_sessions.exceptAll(batch_sessions).count() == 0
+            and batch_sessions.exceptAll(stream_sessions).count() == 0
+        )
+        summary = stream_sessions.agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("max_session_events"),
+        ).head()
+        out = materialize(
+            spark.createDataFrame(
+                [
+                    (
+                        summary.n_sessions,
+                        summary.n_users,
+                        summary.n_events,
+                        summary.max_session_events,
+                        eq,
+                    )
+                ],
+                "n_sessions long, n_users long, n_events long, "
+                "max_session_events long, stream_equals_batch boolean",
+            )
+        )
+    finally:
+        spark.catalog.dropTempView(sink) if sink in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(root, ignore_errors=True)
+    return out

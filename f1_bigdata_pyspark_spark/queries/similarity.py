@@ -2197,10 +2197,359 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         table = SnapshotTable(root)
         # one task -> one file per cell dir: the inverted-file layout
+        # repartition, not coalesce: coalesce(1) would collapse the
+        # assignment window + cross-join upstream into ONE task; the
+        # explicit exchange keeps the build parallel and only the write
+        # single-file per cell
         table.commit(
-            index_rows.coalesce(1), mode="append",
+            index_rows.repartition(1), mode="append",
             partition_by=["centroid_id"],
         )
+        where = [("centroid_id", "in", probe)]
+        rep = table.scan_stats(where=where)
+        cells = table.read(spark, where=where)
+        out = materialize(
+            cells.select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(20)
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned", F.lit(rep["n_files_scanned"]).cast("long")
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_pq_indexed_topk — the full persisted vector index (round-6
+# composition of ivf_pq_adc_topk and the snapshot layout): the long-form
+# PQ CODE TABLE (vec_id, cell, m, code) — 8 int rows per vector, never
+# the vectors — is committed to a SnapshotTable partitioned by coarse
+# cell, and ADC search reads back ONLY the nprobe probed cells' files via
+# ('cell','in',probed) manifest pruning. This is what a 100 TB ANN serve
+# path actually stores and scans: codes are ~64x smaller than the
+# embeddings, the probed-cell read is nprobe/k of THAT, and the LUT is a
+# 128-row broadcast. Scanned/total file counts ride the hashed result;
+# every distance is exact integer arithmetic (x1000 quantization), so the
+# oracle replays encode + ADC + the manifest arithmetic bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_pq_indexed_topk",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+coarse AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_PQ_SEED}
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_IL2_SQL.format(a="b.v", b="c.cv")} ASC, c.cid ASC
+           ) AS rn
+    FROM base b CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+subcent AS MATERIALIZED (
+  SELECT mm.m, cid AS scid,
+         list_slice(cv, mm.m * {_PQ_DSUB} + 1, mm.m * {_PQ_DSUB} + {_PQ_DSUB}) AS sc
+  FROM coarse, (SELECT unnest(range({_PQ_M})) AS m) mm
+),
+sub AS (
+  SELECT vec_id, mm.m,
+         list_slice(v, mm.m * {_PQ_DSUB} + 1, mm.m * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM base, (SELECT unnest(range({_PQ_M})) AS m) mm
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, scid AS code FROM (
+    SELECT s.vec_id, s.m, c.scid,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {_IL2_SQL.format(a="s.sv", b="c.sc")} ASC, c.scid ASC
+           ) AS rn
+    FROM sub s JOIN subcent c ON s.m = c.m
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM base WHERE vec_id = {_QUERY_VEC_ID}),
+lut AS MATERIALIZED (
+  SELECT c.m, c.scid,
+         {_IL2_SQL.format(
+             a=("list_slice(q.qv, c.m * %d + 1, c.m * %d + %d)"
+                % (_PQ_DSUB, _PQ_DSUB, _PQ_DSUB)),
+             b="c.sc")} AS qd
+  FROM subcent c, q
+),
+probed AS (
+  SELECT cid AS cell FROM coarse, q
+  ORDER BY {_IL2_SQL.format(a="q.qv", b="coarse.cv")} ASC, cid ASC
+  LIMIT {_PQ_NPROBE}
+),
+files AS (
+  SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT CASE WHEN cell IN (SELECT cell FROM probed)
+              THEN cell END) AS BIGINT) AS n_scanned
+  FROM assign
+),
+adc AS (
+  SELECT k.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist
+  FROM codes k
+  JOIN lut l ON k.m = l.m AND k.code = l.scid
+  JOIN assign a ON a.vec_id = k.vec_id
+  WHERE a.cell IN (SELECT cell FROM probed)
+    AND k.vec_id <> {_QUERY_VEC_ID}
+  GROUP BY k.vec_id
+)
+SELECT row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank,
+       vec_id, adc_dist,
+       (SELECT n_total FROM files) AS n_files_total,
+       (SELECT n_scanned FROM files) AS n_files_scanned
+FROM adc
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def ivf_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.operators.join_policy import as_local_dim
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    M, DSUB, SEED, NPROBE = _PQ_M, _PQ_DSUB, _PQ_SEED, _PQ_NPROBE
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcomp = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    base = materialize(emb.select("vec_id", qcomp.alias("v")))
+
+    def il2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+
+    coarse = as_local_dim(
+        base.filter(F.col("vec_id") < SEED).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    assign = (
+        base.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            F.struct(
+                il2(F.col("v"), F.col("cv")).alias("d"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cell"))
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
+    subcent = as_local_dim(
+        base.filter(F.col("vec_id") < SEED)
+        .select(F.col("vec_id").alias("scid"), F.col("v").alias("cv"), ms)
+        .select(
+            "m", "scid", F.slice("cv", F.col("m") * DSUB + 1, DSUB).alias("sc")
+        )
+    )
+    sub = base.select("vec_id", "v", ms).select(
+        "vec_id", "m", F.slice("v", F.col("m") * DSUB + 1, DSUB).alias("sv")
+    )
+    codes = (
+        sub.join(F.broadcast(subcent), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                il2(F.col("sv"), F.col("sc")).alias("d"),
+                F.col("scid").alias("scid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", "m", F.col("b.scid").alias("code"))
+    )
+    qrow = base.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    lut = as_local_dim(
+        subcent.crossJoin(qrow).select(
+            "m",
+            "scid",
+            il2(
+                F.slice("qv", F.col("m") * DSUB + 1, DSUB), F.col("sc")
+            ).alias("qd"),
+        )
+    )
+    probed_cells = [
+        r.cid
+        for r in coarse.crossJoin(qrow)
+        .select("cid", il2(F.col("qv"), F.col("cv")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(NPROBE)
+        .collect()
+    ]
+    index_rows = codes.join(assign, "vec_id")  # vec_id, m, code, cell
+    root = tempfile.mkdtemp(prefix="ivf_pq_index_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(  # repartition: see ivf_indexed_topk note
+            index_rows.repartition(1), mode="append", partition_by=["cell"]
+        )
+        where = [("cell", "in", probed_cells)]
+        rep = table.scan_stats(where=where)
+        scanned = table.read(spark, where=where).filter(
+            F.col("vec_id") != _QUERY_VEC_ID
+        )
+        adc = (
+            scanned.join(F.broadcast(lut), ["m"])
+            .filter(F.col("code") == F.col("scid"))
+            .groupBy("vec_id")
+            .agg(F.sum("qd").cast("long").alias("adc_dist"))
+        )
+        w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        out = materialize(
+            adc.select(
+                F.row_number().over(w).cast("long").alias("rank"),
+                "vec_id",
+                "adc_dist",
+            )
+            .orderBy("adc_dist", "vec_id")
+            .limit(10)
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned", F.lit(rep["n_files_scanned"]).cast("long")
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_index_incremental_append — index MAINTENANCE, the part of a
+# persisted ANN store that runs every day: the base corpus (4/5 of the
+# vectors) is indexed into the cell-partitioned snapshot, then the
+# remaining fifth arrives and is appended as a SECOND commit with the
+# same partition_by — only the arriving vectors are assigned and written
+# (one new file per cell that received data); every base cell file is
+# untouched. The search result over the incrementally-built index equals
+# a from-scratch full-corpus IVF search by construction (union of
+# commits == full table), and the file arithmetic in the hashed row pins
+# that the append really was incremental: total files = base cells +
+# appended cells, probed scan = probed cells across BOTH commits. At
+# 100 TB this is the difference between an O(day's data) index update
+# and an O(corpus) rebuild. Same centroid panel / assignment / top-k
+# contract as ivf_indexed_topk.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_index_incremental_append",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+  FROM scored) t WHERE rn = 1
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}
+), qcells AS (
+  SELECT c.centroid_id
+  FROM c CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+           c.centroid_id ASC
+  LIMIT 2
+), files AS (
+  SELECT CAST(count(DISTINCT CASE WHEN vec_id < 16 OR vec_id % 5 <> 0
+                   THEN centroid_id END)
+            + count(DISTINCT CASE WHEN vec_id >= 16 AND vec_id % 5 = 0
+                   THEN centroid_id END) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT CASE WHEN (vec_id < 16 OR vec_id % 5 <> 0)
+                   AND centroid_id IN (SELECT centroid_id FROM qcells)
+                   THEN centroid_id END)
+            + count(DISTINCT CASE WHEN vec_id >= 16 AND vec_id % 5 = 0
+                   AND centroid_id IN (SELECT centroid_id FROM qcells)
+                   THEN centroid_id END) AS BIGINT) AS n_scanned
+  FROM assign
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+       (SELECT n_total FROM files) AS n_files_total,
+       (SELECT n_scanned FROM files) AS n_files_scanned
+FROM e
+JOIN assign a ON a.vec_id = e.vec_id
+CROSS JOIN q
+WHERE a.centroid_id IN (SELECT centroid_id FROM qcells)
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 20
+""",
+)
+def ivf_index_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    q = F.lit(qv).cast("array<double>")
+    probe = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id",
+            F.round(cosine(F.col("centroid"), q), 6).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("centroid_id").asc())
+        .limit(2)
+        .collect()
+    ]
+    is_new = (F.col("vec_id") >= 16) & (F.col("vec_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="ivf_incr_")
+    try:
+        table = SnapshotTable(root)
+        for batch_filter in (~is_new, is_new):  # base build, then the day's
+            # arrivals: ONLY this batch is assigned and written
+            rows = (
+                ivf_assign(emb.filter(batch_filter), centroids)
+                .select("vec_id", "centroid_id")
+                .join(emb.select("vec_id", "embedding"), "vec_id")
+            )
+            table.commit(  # repartition: see ivf_indexed_topk note
+                rows.repartition(1), mode="append",
+                partition_by=["centroid_id"],
+            )
         where = [("centroid_id", "in", probe)]
         rep = table.scan_stats(where=where)
         cells = table.read(spark, where=where)

@@ -3923,3 +3923,90 @@ def source_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("quality_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: sequence_packing_report — the step between a curated corpus and a
+# training run: concat-then-chunk packing of each source shard's token
+# stream into fixed 256-token training sequences (docs ordered by id,
+# ordered cumulative offsets, chunk = offset // 256). Reports, per shard:
+# sequence count, tail padding, the docs whose tokens SPAN a chunk
+# boundary (the attention-masking cost of concat packing), and packing
+# efficiency. Packing is inherently sequential WITHIN a stream, so the
+# 100 TB form is exactly this shape: shard by source (a real pipeline
+# shards finer — the key is free), one partitioned cumulative-sum window
+# per shard, no global order anywhere. Integer token offsets end-to-end;
+# the one ratio is rounded at the readout.
+# --------------------------------------------------------------------------
+@query(
+    "sequence_packing_report",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS nt FROM documents
+),
+x AS (
+  SELECT source, nt,
+         coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM d
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(nt) AS n_tokens,
+         sum(CASE WHEN (s // 256) <> ((s + nt - 1) // 256)
+             THEN 1 ELSE 0 END) AS n_boundary_docs
+  FROM x GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ceil(n_tokens * 1.0 / 256) AS BIGINT) AS n_sequences,
+       CAST(CAST(ceil(n_tokens * 1.0 / 256) AS BIGINT) * 256 - n_tokens
+            AS BIGINT) AS padding_tokens,
+       CAST(n_boundary_docs AS BIGINT) AS n_boundary_docs,
+       round(n_tokens * 1.0
+             / (CAST(ceil(n_tokens * 1.0 / 256) AS BIGINT) * 256), 6)
+         AS packing_efficiency
+FROM agg
+ORDER BY source
+""",
+)
+def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.text import tokens
+
+    L = 256
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("nt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = docs.withColumn(
+        "s", F.coalesce(F.sum("nt").over(w), F.lit(0)).cast("long")
+    )
+    spans = F.when(
+        F.floor(F.col("s") / L) != F.floor((F.col("s") + F.col("nt") - 1) / L),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    agg = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum(spans).cast("long").alias("n_boundary_docs"),
+    )
+    n_seq = F.ceil(F.col("n_tokens") / F.lit(float(L))).cast("long")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        n_seq.alias("n_sequences"),
+        (n_seq * L - F.col("n_tokens")).cast("long").alias("padding_tokens"),
+        "n_boundary_docs",
+        F.round(
+            F.col("n_tokens") / (n_seq * L).cast("double"), 6
+        ).alias("packing_efficiency"),
+    ).orderBy("source")
