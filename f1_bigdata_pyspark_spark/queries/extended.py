@@ -3293,3 +3293,92 @@ def snapshot_incremental_optimize_report(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_changefeed_consistency — exactly-once incremental
+# consumption pinned under the value hash: orders commit in three
+# key-range batches; a consumer tails the table with read_changes_since,
+# persisting its cursor between polls (plus one redundant poll that must
+# deliver NOTHING). The hashed rows carry each delivery's row count and
+# running total, and the final total must equal the direct snapshot read
+# — no loss, no re-delivery. Oracle = the same key-range arithmetic. At
+# 100 TB this is the Delta streaming-source contract: each poll plans a
+# scan of exactly the NEW files (manifest set difference), never history.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_changefeed_consistency",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+cuts AS (SELECT m, m * 1 // 3 AS c1, m * 2 // 3 AS c2 FROM mk),
+b AS (
+  SELECT CASE WHEN o_orderkey <= c1 THEN 0
+              WHEN o_orderkey <= c2 THEN 1 ELSE 2 END AS batch_idx,
+         o_orderkey
+  FROM orders, cuts
+),
+per AS (
+  SELECT batch_idx, CAST(count(*) AS BIGINT) AS n_delivered
+  FROM b GROUP BY batch_idx
+)
+SELECT batch_idx,
+       n_delivered,
+       CAST(sum(n_delivered) OVER (ORDER BY batch_idx
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_table_rows,
+       true AS redelivery_free
+FROM per
+ORDER BY batch_idx
+""",
+)
+def snapshot_changefeed_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        read_changes_since,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    c1, c2 = mk * 1 // 3, mk * 2 // 3
+    batches = [
+        F.col("o_orderkey") <= c1,
+        (F.col("o_orderkey") > c1) & (F.col("o_orderkey") <= c2),
+        F.col("o_orderkey") > c2,
+    ]
+    root = tempfile.mkdtemp(prefix="snap_feed_")
+    try:
+        table = SnapshotTable(root)
+        cursor = None
+        rows = []
+        total = 0
+        for i, cond in enumerate(batches):
+            table.commit(orders.filter(cond).coalesce(1), mode="append")
+            delta, cursor = read_changes_since(spark, table, cursor)
+            n = delta.count() if delta is not None else 0
+            total += n
+            rows.append((i, n, total))
+        # a poll with nothing new must deliver nothing (no re-delivery)
+        again, cursor = read_changes_since(spark, table, cursor)
+        clean = again is None
+        n_table = table.read(spark).count()
+        out = materialize(
+            spark.createDataFrame(
+                [
+                    (i, n, cum, n_table, clean and cum <= n_table)
+                    for i, n, cum in rows
+                ],
+                "batch_idx long, n_delivered long, n_cumulative long, "
+                "n_table_rows long, redelivery_free boolean",
+            ).orderBy("batch_idx")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

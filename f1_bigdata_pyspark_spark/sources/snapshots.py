@@ -356,6 +356,7 @@ class SnapshotTable:
         expected_base_version: int | None = None,
         txn: tuple[str, int] | None = None,
         partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Write ``df``'s rows as new immutable files and publish the next
         manifest. mode='append' keeps prior files; 'overwrite' starts the
@@ -388,24 +389,40 @@ class SnapshotTable:
                     f"the table's {committed_pb!r}; use mode='overwrite' to "
                     "re-partition"
                 )
+        table_schema_json = df.schema.json()
+        evolved = False
         if mode == "append" and base is not None:
             # schema-on-write (Delta's contract): an appended frame must
             # match the committed schema by field NAME and TYPE, else the
             # mixed file list silently drops/nulls columns depending on
             # which footer Spark samples at read time. Nullability is not
             # compared (parquet writers legitimately tighten it).
-            committed = json.loads(self._read_manifest(base)["schema"])
+            prior_m = self._read_manifest(base)
+            committed = json.loads(prior_m["schema"])
             want = [(f["name"], f["type"]) for f in committed["fields"]]
             got = [
                 (f["name"], f["type"])
                 for f in json.loads(df.schema.json())["fields"]
             ]
+            evolved = bool(prior_m.get("evolved"))
             if want != got:
-                raise ValueError(
-                    f"append schema mismatch vs v{base}: "
-                    f"table has {want}, frame has {got}; "
-                    "use mode='overwrite' to change the schema"
-                )
+                # ADDITIVE schema evolution (Delta's mergeSchema): the
+                # shared prefix must agree; a LONGER frame widens the
+                # table schema (old files read the new columns as NULL),
+                # a shorter one appends with its columns (the new ones
+                # read NULL for these rows). Anything non-prefix is a
+                # hard refuse — silent column remapping is how tables rot.
+                k = min(len(want), len(got))
+                if not merge_schema or want[:k] != got[:k]:
+                    raise ValueError(
+                        f"append schema mismatch vs v{base}: "
+                        f"table has {want}, frame has {got}; "
+                        "pass merge_schema=True for additive evolution or "
+                        "mode='overwrite' to change the schema"
+                    )
+                evolved = True
+                if len(want) > len(got):
+                    table_schema_json = prior_m["schema"]  # keep the wider
         new_files, new_stats, new_partitions = self._write_data_files(
             df, partition_by
         )
@@ -425,8 +442,11 @@ class SnapshotTable:
             "mode": mode,
             "files": prior + new_files,
             "stats": stats,
-            "schema": df.schema.json(),
+            "schema": table_schema_json,
+            "committed_at": __import__("time").time(),
         }
+        if evolved:
+            manifest["evolved"] = True
         if partition_by:
             manifest["partition_by"] = list(partition_by)
             manifest["partitions"] = partitions
@@ -596,7 +616,10 @@ class SnapshotTable:
             "files": carried + new_files,
             "stats": stats,
             "schema": manifest["schema"],
+            "committed_at": __import__("time").time(),
         }
+        if manifest.get("evolved"):
+            out["evolved"] = True  # carried files may still be old-schema
         if partition_by:
             out["partition_by"] = partition_by
             out["partitions"] = partitions
@@ -733,7 +756,10 @@ class SnapshotTable:
             "files": large + new_files,
             "stats": stats,
             "schema": manifest["schema"],
+            "committed_at": __import__("time").time(),
         }
+        if manifest.get("evolved"):
+            out["evolved"] = True
         if manifest.get("partition_by"):
             out["partition_by"] = manifest["partition_by"]
             out["partitions"] = partitions
@@ -758,7 +784,7 @@ class SnapshotTable:
             "stats": target.get("stats", {}),
             "schema": target["schema"],
         }
-        for k in ("partition_by", "partitions"):
+        for k in ("partition_by", "partitions", "evolved"):
             if k in target:
                 manifest[k] = target[k]
         self._publish(version, manifest)
@@ -766,11 +792,28 @@ class SnapshotTable:
 
     # -- read path ----------------------------------------------------------
 
+    def version_as_of(self, ts: float) -> int:
+        """Largest version committed at or before unix time ``ts`` —
+        timestamp time travel (Delta's ``timestampAsOf``). Pre-feature
+        manifests without a committed_at stamp are treated as older than
+        any timestamp."""
+        best = None
+        for v in self.versions():
+            at = self._read_manifest(v).get("committed_at", float("-inf"))
+            if at <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version committed at or before {ts} in {self.root}"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         where: list[tuple[str, str, object]] | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Snapshot read: the file list of ``version`` (default latest),
         planned as an explicit multi-path parquet scan. Empty table (no
@@ -783,6 +826,10 @@ class SnapshotTable:
         coarse index, file granularity); the predicate is then still
         applied row-level, so skipping is purely an I/O optimization and
         never changes the answer. Columns without stats keep the file."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no commits at {self.root}")
@@ -806,34 +853,50 @@ class SnapshotTable:
         normalized back to the committed column order/types. The union is
         planner-level (no data movement); at 100 TB this is one multi-
         scan plan, not N jobs."""
+        from pyspark.sql.functions import lit as F_lit
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not files:
             return spark.createDataFrame([], schema)
-        if not manifest.get("partition_by"):
+        partitioned = bool(manifest.get("partition_by"))
+        if not partitioned and not manifest.get("evolved"):
             df = spark.read.parquet(*files)
-        else:
-            by_commit: dict[str, list[str]] = {}
-            for f in files:
-                commit_root = os.path.join(
-                    self.data_dir,
-                    os.path.relpath(f, self.data_dir).split(os.sep)[0],
+            return df.select(
+                *[F_col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+        # per-commit grouping: partitioned commits need a basePath each
+        # for partition-value recovery, and schema-evolved tables need
+        # per-group NULL-fill (a single multi-file scan samples ONE footer
+        # and would drop or mis-type the columns the other commits carry)
+        by_commit: dict[str, list[str]] = {}
+        for f in files:
+            commit_root = os.path.join(
+                self.data_dir,
+                os.path.relpath(f, self.data_dir).split(os.sep)[0],
+            )
+            by_commit.setdefault(commit_root, []).append(f)
+        parts = []
+        for root, fs in sorted(by_commit.items()):
+            r = spark.read
+            if partitioned:
+                r = r.option("basePath", root)
+            p = r.parquet(*fs)
+            for fld in schema.fields:  # evolution: absent columns read NULL
+                if fld.name not in p.columns:
+                    p = p.withColumn(fld.name, F_lit(None).cast(fld.dataType))
+            parts.append(
+                p.select(
+                    *[F_col(f.name).cast(f.dataType) for f in schema.fields]
                 )
-                by_commit.setdefault(commit_root, []).append(f)
-            parts = [
-                spark.read.option("basePath", root).parquet(*fs)
-                for root, fs in sorted(by_commit.items())
-            ]
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         # normalize to the committed schema: partition discovery appends
         # partition columns LAST and re-infers their type from the dir
         # string — select in committed order and cast back
-        return df.select(
-            *[F_col(f.name).cast(f.dataType) for f in schema.fields]
-        )
+        return df
 
     def scan_stats(
         self, version: int | None = None, where: list | None = None

@@ -821,3 +821,115 @@ def test_optimize_incremental_sorted_compaction_restores_skipping(spark, table):
     assert after["n_files_scanned"] < after["n_files_total"]
     got = sorted(r.k for r in table.read(spark, where=[("k", ">=", 30)]).collect())
     assert got == sorted([k for k in range(0, 40, 4) if k >= 30] * 4)
+
+
+def test_gdpr_erasure_merge_then_vacuum_removes_bytes(spark, table):
+    """Right-to-be-forgotten through the lakehouse stack: a delete-only
+    CoW merge removes the subject's rows from the live version, and after
+    the retention window a vacuum physically deletes every file that held
+    them — the remaining files must not contain the subject's key, and
+    the erased rows must be gone from DISK, not just the manifest."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    for lo in (0, 10):
+        table.commit(
+            _df(spark, [(k, f"v{k}") for k in range(lo, lo + 10)]).coalesce(1),
+            mode="append",
+        )
+    subject = spark.createDataFrame([(3,), (7,)], "k long")
+    rep = table.merge(
+        spark, subject, ["k"], matched_delete=F.lit(True)
+    )
+    assert rep["files_rewritten"] == 1  # only the 0-9 file held the subject
+    live = {r.k for r in table.read(spark).collect()}
+    assert 3 not in live and 7 not in live and len(live) == 18
+    # pre-merge version still exposes the data (retention window)...
+    assert 3 in {r.k for r in table.read(spark, version=1).collect()}
+    # ...until vacuum expires it; then NO file on disk carries the key
+    vacuum(table, keep_versions=1, grace_seconds=0)
+    with __import__("pytest").raises(FileNotFoundError):
+        table.read(spark, version=1)
+    on_disk = set()
+    m = table._read_manifest(table.latest_version())
+    import os as _os
+
+    for dirpath, _, files in _os.walk(table.data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = _os.path.join(dirpath, f)
+                assert p in m["files"]  # nothing unreferenced survives
+                on_disk.update(
+                    pq.read_table(p, columns=["k"])["k"].to_pylist()
+                )
+    assert 3 not in on_disk and 7 not in on_disk
+
+
+# -- additive schema evolution + timestamp time travel ---------------------
+
+
+def test_merge_schema_append_widens_and_nullfills(spark, table):
+    """Delta's mergeSchema contract: an appended frame may ADD trailing
+    columns (old files read them as NULL) or OMIT them (its rows read
+    NULL); any non-prefix change still refuses."""
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        table.commit(wide, mode="append")
+    table.commit(wide, mode="append", merge_schema=True)
+    got = {r.k: (r.v, r.score) for r in table.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    assert table.read(spark).columns == ["k", "v", "score"]
+    # an old-schema writer can still append after evolution
+    table.commit(_df(spark, [(3, "c")]), mode="append", merge_schema=True)
+    got = {r.k: r.score for r in table.read(spark).collect()}
+    assert got == {1: None, 2: 9.5, 3: None}
+    # pruning still sound across mixed schemas: score stats exist only
+    # for the wide file; others are never skipped on that column
+    rows = table.read(spark, where=[("score", ">=", 5.0)]).collect()
+    assert [(r.k, r.score) for r in rows] == [(2, 9.5)]
+    # non-prefix change (renamed column) refuses even with merge_schema
+    bad = spark.createDataFrame([(4, "d")], "k long, w string")
+    with pytest.raises(ValueError):
+        table.commit(bad, mode="append", merge_schema=True)
+
+
+def test_merge_schema_survives_merge_and_compaction(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), mode="append")
+    table.commit(
+        spark.createDataFrame([(3, "c", 1.5)], "k long, v string, s double")
+        .coalesce(1),
+        mode="append",
+        merge_schema=True,
+    )
+    src = spark.createDataFrame([(2, "B")], "k long, nv string")
+    rep = table.merge(spark, src, ["k"], matched_update={"v": F.col("nv")})
+    got = {r.k: (r.v, r.s) for r in table.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("B", None), 3: ("c", 1.5)}
+    rep2 = table.optimize_incremental(spark, small_file_max_bytes=10_000_000)
+    got2 = {r.k: (r.v, r.s) for r in table.read(spark).collect()}
+    assert got2 == got
+
+
+def test_timestamp_time_travel(spark, table):
+    import time
+
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    t0 = time.time()
+    time.sleep(0.05)
+    table.commit(_df(spark, [(2, "b")]), mode="append")
+    assert table.version_as_of(t0) == 0
+    assert sorted(r.k for r in table.read(spark, as_of=t0).collect()) == [1]
+    assert sorted(
+        r.k for r in table.read(spark, as_of=time.time()).collect()
+    ) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        table.version_as_of(0.0)  # before the table existed
+    with pytest.raises(ValueError):
+        table.read(spark, version=0, as_of=t0)
