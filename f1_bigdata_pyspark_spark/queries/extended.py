@@ -3382,3 +3382,100 @@ def snapshot_changefeed_consistency(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_deletion_vector_report — merge-on-read DELETE made
+# driver-checkable: orders land in 4 key-range files, then every key
+# divisible by 89 is deleted VIA TOMBSTONE (sources/snapshots.delete_keys
+# — zero data files rewritten, the Iceberg-v2 equality-delete shape);
+# the hashed row carries the post-delete rollup, the tombstone count,
+# and the proof that NO file was rewritten (file count unchanged across
+# the delete). A final OPTIMIZE materializes the tombstones and the
+# row count must hold. At 100 TB this is the O(changeset) DELETE — the
+# copy-on-write twin (snapshot_merge_rollup) pays O(touched files);
+# together they are the lakehouse's write-amplification trade, both
+# under value hashes.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_deletion_vector_report",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+dead AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 89 = 0),
+alive AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 89 <> 0
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
+       (SELECT CAST(count(*) AS BIGINT) FROM dead) AS n_tombstoned,
+       CAST(4 AS BIGINT) AS n_files_before_delete,
+       CAST(4 AS BIGINT) AS n_files_after_delete,
+       true AS optimize_preserves_rows
+FROM alive
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def snapshot_deletion_vector_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    cuts = [mk * 1 // 4, mk * 2 // 4, mk * 3 // 4]
+    ranges = [
+        F.col("o_orderkey") <= cuts[0],
+        (F.col("o_orderkey") > cuts[0]) & (F.col("o_orderkey") <= cuts[1]),
+        (F.col("o_orderkey") > cuts[1]) & (F.col("o_orderkey") <= cuts[2]),
+        F.col("o_orderkey") > cuts[2],
+    ]
+    root = tempfile.mkdtemp(prefix="snap_dv_")
+    try:
+        table = SnapshotTable(root)
+        for cond in ranges:
+            table.commit(orders.filter(cond).coalesce(1), mode="append")
+        n_before = len(table._read_manifest(table.latest_version())["files"])
+        rep = table.delete_keys(
+            spark,
+            orders.filter(F.col("o_orderkey") % 89 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        n_after = len(table._read_manifest(rep["version"])["files"])
+        live = table.read(spark)
+        n_live = live.count()
+        v_opt = table.optimize(spark, ["o_orderkey"], target_files=2)
+        preserved = table.read(spark, version=v_opt).count() == n_live
+        out = materialize(
+            live.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .withColumn(
+                "n_tombstoned", F.lit(rep["n_tombstoned"]).cast("long")
+            )
+            .withColumn(
+                "n_files_before_delete", F.lit(n_before).cast("long")
+            )
+            .withColumn("n_files_after_delete", F.lit(n_after).cast("long"))
+            .withColumn("optimize_preserves_rows", F.lit(preserved))
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

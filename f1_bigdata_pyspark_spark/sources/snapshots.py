@@ -437,16 +437,25 @@ class SnapshotTable:
         stats.update(new_stats)
         partitions.update(new_partitions)
         version = 0 if base is None else base + 1
+        file_seq = dict(prior_manifest.get("file_seq", {}))
+        for f in new_files:
+            file_seq[f] = version
         manifest = {
             "version": version,
             "mode": mode,
             "files": prior + new_files,
             "stats": stats,
             "schema": table_schema_json,
+            "file_seq": file_seq,
             "committed_at": __import__("time").time(),
         }
         if evolved:
             manifest["evolved"] = True
+        # appends keep live tombstones (they still apply to prior files);
+        # overwrite starts clean — the file set they scoped is gone
+        if mode == "append" and prior_manifest.get("tombstones"):
+            manifest["tombstones"] = prior_manifest["tombstones"]
+            manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
         if partition_by:
             manifest["partition_by"] = list(partition_by)
             manifest["partitions"] = partitions
@@ -569,8 +578,9 @@ class SnapshotTable:
         touched: set[str] = set()
         if candidates:
             probe = (
-                self._plan_scan(spark, manifest, candidates)
-                .withColumn("__file", F_input_file_name())
+                self._scan_with_tombstones(
+                    spark, manifest, candidates, with_file_name=True
+                )
                 .join(src_keys, keys, "left_semi")
                 .select("__file")
                 .distinct()
@@ -583,7 +593,9 @@ class SnapshotTable:
         touched_files = [f for f in manifest["files"] if f in touched]
         carried = [f for f in manifest["files"] if f not in touched]
 
-        target_subset = self._plan_scan(spark, manifest, touched_files)
+        target_subset = self._scan_with_tombstones(
+            spark, manifest, touched_files
+        )
         merged = merge_into(
             target_subset,
             source,
@@ -610,16 +622,30 @@ class SnapshotTable:
         }
         partitions.update(new_partitions)
         version = base + 1
+        file_seq = {
+            f: s_
+            for f, s_ in manifest.get("file_seq", {}).items()
+            if f in set(carried)
+        }
+        for f in new_files:
+            file_seq[f] = version
         out = {
             "version": version,
             "mode": "merge",
             "files": carried + new_files,
             "stats": stats,
             "schema": manifest["schema"],
+            "file_seq": file_seq,
             "committed_at": __import__("time").time(),
         }
         if manifest.get("evolved"):
             out["evolved"] = True  # carried files may still be old-schema
+        if manifest.get("tombstones"):
+            # rewritten files were built THROUGH the tombstones and get a
+            # post-delete seq, so carried tombstones keep applying only to
+            # the untouched old files — no resurrection, no double-delete
+            out["tombstones"] = manifest["tombstones"]
+            out["tombstone_keys"] = manifest["tombstone_keys"]
         if partition_by:
             out["partition_by"] = partition_by
             out["partitions"] = partitions
@@ -729,7 +755,7 @@ class SnapshotTable:
         if target_file_bytes is None:
             target_file_bytes = small_file_max_bytes
         n_out = max(1, -(-sum(sizes[f] for f in small) // target_file_bytes))
-        df = self._plan_scan(spark, manifest, small)
+        df = self._scan_with_tombstones(spark, manifest, small)
         if sort_cols:
             df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
                 *sort_cols
@@ -750,16 +776,29 @@ class SnapshotTable:
         }
         partitions.update(new_partitions)
         version = base + 1
+        file_seq = {
+            f: s_
+            for f, s_ in manifest.get("file_seq", {}).items()
+            if f in set(large)
+        }
+        for f in new_files:
+            file_seq[f] = version
         out = {
             "version": version,
             "mode": "optimize-incremental",
             "files": large + new_files,
             "stats": stats,
             "schema": manifest["schema"],
+            "file_seq": file_seq,
             "committed_at": __import__("time").time(),
         }
         if manifest.get("evolved"):
             out["evolved"] = True
+        if manifest.get("tombstones"):
+            # compacted files were rewritten through the tombstones; the
+            # carried large files still need them
+            out["tombstones"] = manifest["tombstones"]
+            out["tombstone_keys"] = manifest["tombstone_keys"]
         if manifest.get("partition_by"):
             out["partition_by"] = manifest["partition_by"]
             out["partitions"] = partitions
@@ -784,13 +823,106 @@ class SnapshotTable:
             "stats": target.get("stats", {}),
             "schema": target["schema"],
         }
-        for k in ("partition_by", "partitions", "evolved"):
+        for k in (
+            "partition_by",
+            "partitions",
+            "evolved",
+            "file_seq",
+            "tombstones",
+            "tombstone_keys",
+        ):
             if k in target:
                 manifest[k] = target[k]
         self._publish(version, manifest)
         return version
 
     # -- read path ----------------------------------------------------------
+
+    def delete_keys(
+        self, spark: SparkSession, keys_df: DataFrame, keys: list[str]
+    ) -> dict:
+        """Merge-on-read DELETE (the deletion-vector idea of modern Delta /
+        Iceberg v2, at key granularity): instead of rewriting every file
+        containing a matched key (copy-on-write — ``merge`` with a delete
+        clause), the distinct keys are written as a tiny TOMBSTONE file
+        and referenced by the next manifest; ``read`` applies one anti-join
+        against the union of live tombstones. DELETE becomes O(changeset)
+        regardless of how many 100 TB-table files hold the keys — the
+        write-amplification knob every lakehouse exposes (delete cheap /
+        read +1 anti-join), paid back when OPTIMIZE materializes: a full
+        ``optimize`` reads through the tombstones and publishes a clean
+        version with none. Appends carry tombstones (they keep applying to
+        old files); the change feed refuses to cross a delete (same
+        re-sync contract as overwrite). Returns {"version",
+        "n_tombstoned"}."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        prior_keys = manifest.get("tombstone_keys")
+        if prior_keys is not None and prior_keys != keys:
+            raise ValueError(
+                f"tombstone keys {keys!r} differ from the table's "
+                f"{prior_keys!r}"
+            )
+        distinct = keys_df.select(*keys).distinct()
+        new_files, _, _ = self._write_data_files(distinct)
+        n = (
+            spark.read.parquet(*new_files).count() if new_files else 0
+        )
+        version = base + 1
+        out = dict(manifest)
+        out.update(
+            {
+                "version": version,
+                "mode": "delete",
+                # sequence-scoped (Iceberg v2 equality-delete contract):
+                # a tombstone applies only to data files COMMITTED BEFORE
+                # it, so a later re-insert of the same key is visible
+                "tombstones": manifest.get("tombstones", [])
+                + [{"path": f, "seq": version} for f in new_files],
+                "tombstone_keys": keys,
+                "committed_at": __import__("time").time(),
+            }
+        )
+        self._publish(version, out)
+        return {"version": version, "n_tombstoned": n}
+
+    def _scan_with_tombstones(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        files: list[str],
+        with_file_name: bool = False,
+    ) -> DataFrame:
+        """Seq-aware merge-on-read scan: data files are grouped by WHICH
+        tombstones postdate them (≤ #delete-commits + 1 groups), each
+        group anti-joins its applicable tombstone union, groups union
+        back. No tombstones → plain scan, zero cost."""
+        ts = manifest.get("tombstones") or []
+        if not ts:
+            return self._plan_scan(
+                spark, manifest, files, with_file_name=with_file_name
+            )
+        seqs = manifest.get("file_seq", {})
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            s = seqs.get(f, -1)  # unknown seq: oldest — deletes apply (sound)
+            applicable = tuple(t["path"] for t in ts if t["seq"] > s)
+            groups.setdefault(applicable, []).append(f)
+        parts = []
+        for applicable, fs in sorted(groups.items()):
+            df = self._plan_scan(
+                spark, manifest, fs, with_file_name=with_file_name
+            )
+            if applicable:
+                dead = spark.read.parquet(*list(applicable)).distinct()
+                df = df.join(dead, manifest["tombstone_keys"], "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def version_as_of(self, ts: float) -> int:
         """Largest version committed at or before unix time ``ts`` —
@@ -837,13 +969,17 @@ class SnapshotTable:
         files = manifest["files"]
         if where:
             files = prune_files(manifest, where)
-        df = self._plan_scan(spark, manifest, files)
+        df = self._scan_with_tombstones(spark, manifest, files)
         if where:
             df = df.filter(_predicate_column(where))
         return df
 
     def _plan_scan(
-        self, spark: SparkSession, manifest: dict, files: list[str]
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        files: list[str],
+        with_file_name: bool = False,
     ) -> DataFrame:
         """Plan an explicit-file-list parquet scan honoring the manifest's
         schema. Partitioned commits need partition-value RECOVERY (the
@@ -858,12 +994,24 @@ class SnapshotTable:
 
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not files:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            return (
+                df.withColumn("__file", F_lit(None).cast("string"))
+                if with_file_name
+                else df
+            )
+        # ``with_file_name``: the provenance column must be attached ON
+        # the scan (input_file_name() refuses plans with >1 file source,
+        # so it can never be added above a union or a join)
+        extra = (
+            [F_input_file_name().alias("__file")] if with_file_name else []
+        )
         partitioned = bool(manifest.get("partition_by"))
         if not partitioned and not manifest.get("evolved"):
             df = spark.read.parquet(*files)
             return df.select(
-                *[F_col(f.name).cast(f.dataType) for f in schema.fields]
+                *[F_col(f.name).cast(f.dataType) for f in schema.fields],
+                *extra,
             )
         # per-commit grouping: partitioned commits need a basePath each
         # for partition-value recovery, and schema-evolved tables need
@@ -887,7 +1035,8 @@ class SnapshotTable:
                     p = p.withColumn(fld.name, F_lit(None).cast(fld.dataType))
             parts.append(
                 p.select(
-                    *[F_col(f.name).cast(f.dataType) for f in schema.fields]
+                    *[F_col(f.name).cast(f.dataType) for f in schema.fields],
+                    *extra,
                 )
             )
         df = parts[0]
@@ -929,7 +1078,9 @@ class SnapshotTable:
         vacuum candidates. Live files are never listed."""
         referenced: set[str] = set()
         for v in self.versions():
-            referenced.update(self._read_manifest(v)["files"])
+            m = self._read_manifest(v)
+            referenced.update(m["files"])
+            referenced.update(t["path"] for t in m.get("tombstones", []))
         orphans = []
         for dirpath, _, files in os.walk(self.data_dir):
             for f in files:
@@ -1022,7 +1173,9 @@ def vacuum(
     drop, keep = vs[:-keep_versions], vs[-keep_versions:]
     kept_files: set[str] = set()
     for v in keep:
-        kept_files.update(table._read_manifest(v)["files"])
+        m = table._read_manifest(v)
+        kept_files.update(m["files"])
+        kept_files.update(t["path"] for t in m.get("tombstones", []))
     for v in drop:
         os.unlink(table._manifest_path(v))
     removed = 0

@@ -933,3 +933,131 @@ def test_timestamp_time_travel(spark, table):
         table.version_as_of(0.0)  # before the table existed
     with pytest.raises(ValueError):
         table.read(spark, version=0, as_of=t0)
+
+
+# -- merge-on-read DELETE (deletion vectors / equality deletes) -------------
+
+
+def test_delete_keys_merge_on_read_no_rewrite(spark, table):
+    """delete_keys must not rewrite ANY data file (O(changeset) DELETE):
+    the tombstone applies at read time, history still shows the rows."""
+    for lo in (0, 10, 20):
+        table.commit(
+            _df(spark, [(k, f"v{k}") for k in range(lo, lo + 10)]).coalesce(1),
+            mode="append",
+        )
+    v0 = table.latest_version()
+    files_before = table._read_manifest(v0)["files"]
+    rep = table.delete_keys(
+        spark, spark.createDataFrame([(5,), (25,)], "k long"), ["k"]
+    )
+    assert rep["n_tombstoned"] == 2
+    m = table._read_manifest(rep["version"])
+    assert m["files"] == files_before  # zero rewrite
+    live = {r.k for r in table.read(spark).collect()}
+    assert 5 not in live and 25 not in live and len(live) == 28
+    # pre-delete version unaffected (time travel across the delete)
+    assert 5 in {r.k for r in table.read(spark, version=v0).collect()}
+    # stats pruning still composes: the tombstoned row never comes back
+    got = {r.k for r in table.read(spark, where=[("k", "<", 10)]).collect()}
+    assert got == set(range(10)) - {5}
+
+
+def test_delete_then_reinsert_is_visible(spark, table):
+    """Sequence scoping (Iceberg v2 equality-delete contract): a tombstone
+    applies only to files committed BEFORE it — a later append may
+    legitimately re-insert the key."""
+    table.commit(_df(spark, [(1, "old"), (2, "x")]).coalesce(1), mode="append")
+    table.delete_keys(spark, spark.createDataFrame([(1,)], "k long"), ["k"])
+    assert {r.k for r in table.read(spark).collect()} == {2}
+    table.commit(_df(spark, [(1, "new")]).coalesce(1), mode="append")
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "new", 2: "x"}  # resurrection is INTENTIONAL here
+
+
+def test_optimize_materializes_tombstones(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import read_changes_since
+
+    table.commit(
+        _df(spark, [(k, "x") for k in range(20)]).coalesce(1), mode="append"
+    )
+    table.delete_keys(
+        spark, spark.createDataFrame([(3,), (7,)], "k long"), ["k"]
+    )
+    # the change feed refuses to cross a delete (re-sync contract)
+    with pytest.raises(ValueError):
+        read_changes_since(spark, table, 0)
+    v = table.optimize(spark, ["k"], target_files=1)
+    m = table._read_manifest(v)
+    assert "tombstones" not in m  # materialized away
+    assert table.read(spark, version=v).count() == 18
+    # physically gone from the rewritten file
+    import pyarrow.parquet as pq
+
+    on_disk = pq.read_table(m["files"][0], columns=["k"])["k"].to_pylist()
+    assert 3 not in on_disk and 7 not in on_disk
+
+
+def test_merge_after_delete_does_not_resurrect(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), mode="append"
+    )
+    table.delete_keys(spark, spark.createDataFrame([(2,)], "k long"), ["k"])
+    # update source touching the DELETED key: it is not matched (row is
+    # dead), and with no insert clause it must be ignored
+    rep = table.merge(
+        spark,
+        spark.createDataFrame([(2, "ZOMBIE"), (3, "C2")], "k long, nv string"),
+        ["k"],
+        matched_update={"v": F.col("nv")},
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "a", 3: "C2"}  # 2 stays dead
+
+
+def test_vacuum_spares_live_tombstones(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    table.commit(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), mode="append")
+    table.delete_keys(spark, spark.createDataFrame([(1,)], "k long"), ["k"])
+    table.commit(_df(spark, [(3, "c")]).coalesce(1), mode="append")
+    vacuum(table, keep_versions=2, grace_seconds=0)
+    # the tombstone file survived (still referenced by live manifests)
+    assert {r.k for r in table.read(spark).collect()} == {2, 3}
+
+
+def test_incremental_compaction_respects_tombstones(spark, table):
+    for lo in (0, 10):
+        table.commit(
+            _df(spark, [(k, "x") for k in range(lo, lo + 10)]).coalesce(1),
+            mode="append",
+        )
+    table.delete_keys(spark, spark.createDataFrame([(4,)], "k long"), ["k"])
+    rep = table.optimize_incremental(spark, small_file_max_bytes=10_000_000)
+    assert rep["files_compacted"] == 2
+    # deleted row must NOT materialize into the compacted file
+    assert {r.k for r in table.read(spark).collect()} == set(range(20)) - {4}
+
+
+def test_cow_merge_multi_commit_partitioned_probe(spark, table):
+    """Regression: the find-touched probe must attach input_file_name ON
+    each scan group (it refuses multi-source plans), so a merge over a
+    MULTI-commit partitioned table plans cleanly."""
+    from pyspark.sql import functions as F
+
+    for batch in ([(1, "a", 2000), (2, "b", 2001)], [(3, "c", 2000)]):
+        table.commit(
+            _pdf(spark, batch).coalesce(1), mode="append", partition_by=["y"]
+        )
+    rep = table.merge(
+        spark,
+        spark.createDataFrame([(3, "C3")], "k long, nv string"),
+        ["k"],
+        matched_update={"v": F.col("nv")},
+    )
+    assert rep["files_rewritten"] == 1  # only commit 2's y=2000 file
+    assert rep["files_carried"] == 2
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "C3")]
