@@ -3479,3 +3479,94 @@ def snapshot_deletion_vector_report(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_schema_evolution_report — additive schema evolution under
+# the value hash: orders commit with (key, price), then a second commit
+# ADDS a priority column via merge_schema=True, then an old-schema writer
+# appends again. The read must present ONE widened schema where rows from
+# pre-evolution files carry NULL priority — the per-source NULL
+# accounting and the grouped rollup over the mixed-schema table are
+# exactly predictable, so the whole evolution contract (prefix match,
+# NULL-fill, old-writer tolerance) sits in the hash. Scale: evolution is
+# a manifest-only operation — no backfill rewrite of the 100 TB of
+# already-written files, which is the entire point.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_schema_evolution_report",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+cuts AS (SELECT m, m * 1 // 3 AS c1, m * 2 // 3 AS c2 FROM mk),
+t AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey > c1 AND o_orderkey <= c2
+              THEN o_orderpriority END AS pr
+  FROM orders, cuts
+)
+SELECT coalesce(pr, '__null__') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM t
+GROUP BY coalesce(pr, '__null__')
+ORDER BY priority
+""",
+)
+def snapshot_schema_evolution_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders")
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    c1, c2 = mk * 1 // 3, mk * 2 // 3
+    narrow = orders.select("o_orderkey", "o_totalprice")
+    wide = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="snap_evo_")
+    try:
+        table = SnapshotTable(root)
+        # v0: pre-evolution writer (no priority column)
+        table.commit(
+            narrow.filter(F.col("o_orderkey") <= c1).coalesce(1),
+            mode="append",
+        )
+        # v1: the schema ADDS a column — manifest-only, no backfill
+        table.commit(
+            wide.filter(
+                (F.col("o_orderkey") > c1) & (F.col("o_orderkey") <= c2)
+            ).coalesce(1),
+            mode="append",
+            merge_schema=True,
+        )
+        # v2: an old-schema writer keeps appending after the evolution
+        table.commit(
+            narrow.filter(F.col("o_orderkey") > c2).coalesce(1),
+            mode="append",
+            merge_schema=True,
+        )
+        out = materialize(
+            table.read(spark)
+            .groupBy(
+                F.coalesce(F.col("o_orderpriority"), F.lit("__null__")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .orderBy("priority")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -2571,3 +2571,121 @@ def ivf_index_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_index_delete_unindex — UN-indexing through the deletion-vector
+# path: vectors leave a persisted ANN index (takedowns, GDPR, stale docs)
+# far more often than cells get rebuilt, so the index table reuses
+# snapshot delete_keys — every vec_id divisible by 7 is tombstoned in
+# O(changeset) with ZERO cell files rewritten, and the nprobe search
+# reads the probed cells as before with one anti-join folding the dead
+# vectors out. The hashed row pins the top-k WITHOUT the deleted
+# vectors, the tombstone count, and that the data file set is unchanged
+# across the delete. Composes round-6's two storage features (pruned
+# index reads + merge-on-read delete) on one table.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_index_delete_unindex",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+  FROM scored) t WHERE rn = 1
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}
+), qcells AS (
+  SELECT c.centroid_id
+  FROM c CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+           c.centroid_id ASC
+  LIMIT 2
+), files AS (
+  SELECT CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_total FROM assign
+), dead AS (SELECT vec_id FROM e WHERE vec_id % 7 = 0)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+       (SELECT CAST(count(*) AS BIGINT) FROM dead) AS n_tombstoned,
+       (SELECT n_total FROM files) AS n_files_before,
+       (SELECT n_total FROM files) AS n_files_after
+FROM e
+JOIN assign a ON a.vec_id = e.vec_id
+CROSS JOIN q
+WHERE a.centroid_id IN (SELECT centroid_id FROM qcells)
+  AND e.vec_id % 7 <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 20
+""",
+)
+def ivf_index_delete_unindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    q = F.lit(qv).cast("array<double>")
+    probe = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id",
+            F.round(cosine(F.col("centroid"), q), 6).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("centroid_id").asc())
+        .limit(2)
+        .collect()
+    ]
+    index_rows = (
+        ivf_assign(emb, centroids)
+        .select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    root = tempfile.mkdtemp(prefix="ivf_unindex_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(  # repartition: see ivf_indexed_topk note
+            index_rows.repartition(1), mode="append",
+            partition_by=["centroid_id"],
+        )
+        files_before = len(
+            table._read_manifest(table.latest_version())["files"]
+        )
+        rep = table.delete_keys(
+            spark,
+            emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+            ["vec_id"],
+        )
+        files_after = len(table._read_manifest(rep["version"])["files"])
+        cells = table.read(spark, where=[("centroid_id", "in", probe)])
+        out = materialize(
+            cells.select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(20)
+            .withColumn(
+                "n_tombstoned", F.lit(rep["n_tombstoned"]).cast("long")
+            )
+            .withColumn("n_files_before", F.lit(files_before).cast("long"))
+            .withColumn("n_files_after", F.lit(files_after).cast("long"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
