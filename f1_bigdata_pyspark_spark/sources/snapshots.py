@@ -838,6 +838,30 @@ class SnapshotTable:
 
     # -- read path ----------------------------------------------------------
 
+    def clone_from(self, source: "SnapshotTable") -> int:
+        """Shallow clone (Delta's CLONE SHALLOW): publish v0 referencing
+        the SOURCE table's current files — zero data copied, O(manifest).
+        The clone then evolves independently (its commits write under its
+        own root). Safety note, enforced by construction: ``vacuum`` only
+        deletes files under a table's OWN data_dir, so vacuuming a clone
+        can never destroy the source's files (the standard shallow-clone
+        caveat, made impossible rather than documented)."""
+        if self.versions():
+            raise ValueError(f"clone target {self.root} is not empty")
+        src_v = source.latest_version()
+        if src_v is None:
+            raise FileNotFoundError(f"no commits at {source.root}")
+        m = dict(source._read_manifest(src_v))
+        m.update(
+            {
+                "version": 0,
+                "mode": f"clone-of-{source.root}@v{src_v}",
+                "committed_at": __import__("time").time(),
+            }
+        )
+        self._publish(0, m)
+        return 0
+
     def delete_keys(
         self, spark: SparkSession, keys_df: DataFrame, keys: list[str]
     ) -> dict:

@@ -1061,3 +1061,63 @@ def test_cow_merge_multi_commit_partitioned_probe(spark, table):
     assert rep["files_carried"] == 2
     got = sorted((r.k, r.v) for r in table.read(spark).collect())
     assert got == [(1, "a"), (2, "b"), (3, "C3")]
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path, table):
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        vacuum,
+    )
+
+    table.commit(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), mode="append")
+    clone = SnapshotTable(str(tmp_path / "clone"))
+    clone.clone_from(table)
+    # zero copy: the clone references the SOURCE's files
+    assert clone._read_manifest(0)["files"] == table._read_manifest(0)["files"]
+    assert {r.k for r in clone.read(spark).collect()} == {1, 2}
+    # independent evolution: clone appends don't touch the source
+    clone.commit(_df(spark, [(3, "c")]).coalesce(1), mode="append")
+    assert clone.read(spark).count() == 3
+    assert table.read(spark).count() == 2
+    # vacuuming the clone can NEVER destroy source files (walks only its
+    # own data_dir)
+    clone.commit(_df(spark, [(9, "z")]).coalesce(1), mode="overwrite")
+    vacuum(clone, keep_versions=1, grace_seconds=0)
+    assert table.read(spark).count() == 2  # source intact
+    with pytest.raises(ValueError):
+        clone.clone_from(table)  # non-empty target refuses
+
+
+def test_tombstone_model_property(spark, table):
+    """Model-based soundness for the sequence-scoped tombstone semantics:
+    replay a fixed mixed script of appends / deletes / re-inserts against
+    a plain multiset model (delete removes every CURRENT row with the
+    key; later appends revive). The table must match the model after
+    every operation AND after a final incremental compaction."""
+    model: list[tuple[int, str]] = []
+    script = [
+        ("append", [(1, "a1"), (2, "b1"), (2, "b2")]),
+        ("delete", [2]),
+        ("append", [(2, "b3"), (3, "c1")]),
+        ("delete", [1, 3]),
+        ("append", [(1, "a2")]),
+        ("delete", [99]),           # no-op key
+        ("append", [(4, "d1"), (4, "d2")]),
+        ("delete", [4, 2]),
+    ]
+    for op, payload in script:
+        if op == "append":
+            table.commit(_df(spark, payload).coalesce(1), mode="append")
+            model.extend(payload)
+        else:
+            table.delete_keys(
+                spark,
+                spark.createDataFrame([(k,) for k in payload], "k long"),
+                ["k"],
+            )
+            model = [(k, v) for k, v in model if k not in set(payload)]
+        got = sorted((r.k, r.v) for r in table.read(spark).collect())
+        assert got == sorted(model), (op, payload)
+    table.optimize_incremental(spark, small_file_max_bytes=10_000_000)
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == sorted(model)
