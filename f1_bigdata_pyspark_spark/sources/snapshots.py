@@ -528,6 +528,7 @@ class SnapshotTable:
         matched_update=None,
         update_condition=None,
         not_matched_insert=None,
+        expected_base_version: int | None = None,
     ) -> dict:
         """Copy-on-write MERGE INTO this snapshot table — the transactional
         form of ``operators/merge.merge_into`` (which this delegates to for
@@ -559,6 +560,11 @@ class SnapshotTable:
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no commits at {self.root}")
+        if expected_base_version is not None and base != expected_base_version:
+            raise SnapshotConflictError(
+                f"table advanced to v{base}, expected "
+                f"v{expected_base_version}"
+            )
         manifest = self._read_manifest(base)
 
         # stats pre-prune: only files overlapping the changeset's key range
@@ -712,7 +718,14 @@ class SnapshotTable:
             rewritten = current.repartitionByRange(
                 target_files, *sort_cols
             ).sortWithinPartitions(*sort_cols)
-        return self.commit(rewritten, mode="overwrite")
+        # a partitioned table keeps its directory layout through OPTIMIZE
+        # (Delta compacts within partitions); file count becomes
+        # target_files x touched partition values
+        pb = None
+        latest = self.latest_version()
+        if latest is not None:
+            pb = self._read_manifest(latest).get("partition_by")
+        return self.commit(rewritten, mode="overwrite", partition_by=pb)
 
     def optimize_incremental(
         self,

@@ -1121,3 +1121,54 @@ def test_tombstone_model_property(spark, table):
     table.optimize_incremental(spark, small_file_max_bytes=10_000_000)
     got = sorted((r.k, r.v) for r in table.read(spark).collect())
     assert got == sorted(model)
+
+
+def test_optimize_preserves_partition_layout(spark, table):
+    table.commit(
+        _pdf(
+            spark,
+            [(k, "x", 2000 + (k % 2)) for k in range(20)],
+        ).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    table.commit(
+        _pdf(
+            spark,
+            [(k, "x", 2000 + (k % 2)) for k in range(20, 40)],
+        ).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    v = table.optimize(spark, ["k"], target_files=2)
+    m = table._read_manifest(v)
+    assert m["partition_by"] == ["y"]  # layout survives full OPTIMIZE
+    assert all("y=" in f for f in m["files"])
+    # directory pruning still fires on the compacted layout
+    rep = table.scan_stats(version=v, where=[("y", "=", 2000)])
+    assert rep["n_files_scanned"] < rep["n_files_total"]
+    got = sorted(r.k for r in table.read(spark, where=[("y", "=", 2000)]).collect())
+    assert got == [k for k in range(40) if k % 2 == 0]
+
+
+def test_merge_optimistic_check(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, [(1, "a")]).coalesce(1), mode="append")
+    table.commit(_df(spark, [(2, "b")]).coalesce(1), mode="append")
+    with pytest.raises(SnapshotConflictError):
+        table.merge(
+            spark,
+            spark.createDataFrame([(1, "A")], "k long, nv string"),
+            ["k"],
+            matched_update={"v": F.col("nv")},
+            expected_base_version=0,  # stale read
+        )
+    rep = table.merge(
+        spark,
+        spark.createDataFrame([(1, "A")], "k long, nv string"),
+        ["k"],
+        matched_update={"v": F.col("nv")},
+        expected_base_version=1,
+    )
+    assert {r.k: r.v for r in table.read(spark).collect()} == {1: "A", 2: "b"}
