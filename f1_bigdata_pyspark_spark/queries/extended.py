@@ -3570,3 +3570,72 @@ def snapshot_schema_evolution_report(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: recursive_month_spine — Spark 4's WITH RECURSIVE surface on a real
+# gaps-filling job: generate the complete month spine over the orders
+# date range by recursion (anchor = first month, step = add_months), then
+# LEFT JOIN monthly revenue so missing months would surface as zero rows
+# rather than silently vanish — the calendar-completeness contract a
+# reporting pipeline needs. The oracle is DuckDB's recursive CTE of the
+# same shape, so the hash ALSO pins that Spark's recursive evaluation
+# semantics (iterate-until-empty) agree with a second engine. Bounds are
+# inlined as literals on the Spark side (two-scalar driver lookup, the
+# planner-input discipline); the recursion itself is engine-evaluated.
+# Depth is the month span (~80 at any SF) — metadata-scale.
+# --------------------------------------------------------------------------
+@query(
+    "recursive_month_spine",
+    oracle="""
+WITH RECURSIVE spine(m) AS (
+  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+              AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+                 AS DATE)
+),
+rev AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT spine.m AS month_start,
+       coalesce(rev.n_orders, 0) AS n_orders,
+       coalesce(rev.revenue, 0.0) AS revenue
+FROM spine LEFT JOIN rev ON rev.m = spine.m
+ORDER BY month_start
+""",
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).head()
+    lo_m = lo.replace(day=1).isoformat()
+    hi_m = hi.replace(day=1).isoformat()
+    orders.createOrReplaceTempView("rms_orders_v")
+    return spark.sql(
+        f"""
+WITH RECURSIVE spine(m) AS (
+  SELECT CAST('{lo_m}' AS DATE)
+  UNION ALL
+  SELECT add_months(m, 1) FROM spine WHERE m < CAST('{hi_m}' AS DATE)
+),
+rev AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS revenue
+  FROM rms_orders_v GROUP BY 1
+)
+SELECT spine.m AS month_start,
+       coalesce(rev.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       coalesce(rev.revenue, 0.0) AS revenue
+FROM spine LEFT JOIN rev ON rev.m = spine.m
+ORDER BY month_start
+"""
+    )

@@ -1752,3 +1752,45 @@ def event_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: variant_props_rollup — the Spark 4 VARIANT path for semi-structured
+# data: props parsed ONCE into the binary variant encoding (parse_json),
+# fields read with variant_get. Same answers as the classic
+# get_json_object face (event_props_json) — by design: this pins that the
+# variant decode path agrees with string-path extraction, the way the
+# pipe-syntax face pins the parser. At 100 TB variant is the right
+# default: parse once per row into a typed binary, every downstream field
+# access is an O(1) path lookup instead of a re-parse of the JSON text.
+# --------------------------------------------------------------------------
+@query(
+    "variant_props_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
