@@ -3639,3 +3639,99 @@ FROM spine LEFT JOIN rev ON rev.m = spine.m
 ORDER BY month_start
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_datasource_scan — the snapshot table served through the
+# Spark Python DataSource (sources/snapshot_source.py): a PLAIN
+# ``spark.read.format("snapshot")... .filter(...)`` where Catalyst hands
+# the predicate to pushFilters and the manifest prunes the file list
+# before any file opens — the engine-integrated twin of
+# snapshot_skipping_scan (which proves the same planner through the
+# read(where=) side channel). Orders commit year-per-file; the 1999+
+# filter plans 3 of 7 files (the pruning arithmetic from scan_stats — the
+# SAME prune_files call the source makes — rides the hash next to the
+# query answer computed entirely through the DataSource path).
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_datasource_scan",
+    oracle="""
+WITH yr AS (
+  SELECT year(o_orderdate) AS y, o_totalprice FROM orders
+),
+files AS (
+  SELECT count(DISTINCT y) AS n_total,
+         count(DISTINCT CASE WHEN y >= 1999 THEN y END) AS n_scanned
+  FROM yr
+)
+SELECT y AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
+       (SELECT CAST(n_total AS BIGINT) FROM files) AS n_files_total,
+       (SELECT CAST(n_scanned AS BIGINT) FROM files) AS n_files_scanned
+FROM yr
+WHERE y >= 1999
+GROUP BY y
+ORDER BY y
+""",
+)
+def snapshot_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    years = sorted(
+        r.y
+        for r in orders.select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="snap_ds_")
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        table = SnapshotTable(root)
+        for y in years:
+            table.commit(
+                orders.filter(F.year("o_orderdate") == y).coalesce(1),
+                mode="append",
+            )
+        register(spark)
+        cut = datetime.datetime(1999, 1, 1)
+        rep = table.scan_stats(where=[("o_orderdate", ">=", cut)])
+        scanned = (
+            spark.read.format("snapshot")
+            .option("root", root)
+            .load()
+            .filter(F.col("o_orderdate") >= F.lit(cut))
+        )
+        out = materialize(
+            scanned.groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned", F.lit(rep["n_files_scanned"]).cast("long")
+            )
+            .orderBy("order_year")
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,194 @@
+"""The snapshot table as a first-class Spark Python DataSource with
+Catalyst FILTER PUSHDOWN driving the manifest pruning.
+
+``SnapshotTable.read(where=)`` proves the skipping mechanism but carries
+the predicate through a side channel; this source closes the loop with
+the engine: a plain
+
+    spark.read.format("snapshot").option("root", path).load()
+         .filter("k >= 10")
+
+hands the filter to ``pushFilters`` (the Spark 4.1 Python DataSource
+pushdown API), which prunes the FILE LIST through the exact same
+``prune_files`` planner (footer min/max stats + Hive partition point
+stats + IN-lists), and ``partitions()`` then plans one input partition
+per surviving file — the scan never opens a skipped file. Pruning is
+file-coarse, so every filter is also returned to Spark for row-level
+evaluation (skipping stays an I/O optimization that cannot change the
+answer, the same soundness contract as ``read(where=)``).
+
+Executor-side reads go through pyarrow straight to Arrow record batches
+(the DataSource fast path — no per-row Python), with Hive partition
+values re-attached as constant columns and absent (pre-evolution)
+columns null-filled, mirroring ``_plan_scan``.
+
+Scope: tables with live TOMBSTONES refuse (the anti-join belongs to the
+relational layer — use ``SnapshotTable.read``); run OPTIMIZE to
+materialize deletes before serving through this source.
+
+Engine caveat (pinned in tests/test_snapshot_source.py, observed on
+Spark 4.1's experimental ``spark.sql.python.filterPushdown.enabled``
+path): after executing a FILTERED action on a ``load()`` DataFrame,
+Spark reuses that pushed-down scan for a later UNFILTERED action on the
+SAME DataFrame object without re-consulting the reader (traced: no
+``reader()``/``partitions()`` call on the second action) — so issue a
+fresh ``load()`` per logical query, which is how sources are normally
+used (``spark.read...load().filter(...)`` in one chain). The reader
+itself is defensive: it consumes its pushed filters per ``partitions()``
+call, so repeated filtered plannings never accumulate stale predicates.
+
+Reference analog: none (the reference reads its store through pymongo);
+this is the Spark-native serving face of sources/snapshots.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from f1_bigdata_pyspark_spark.sources.snapshots import prune_files
+
+_OP_BY_FILTER = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+class SnapshotFilePartition(InputPartition):
+    def __init__(self, path: str, partition_values: dict):
+        self.path = path
+        self.partition_values = partition_values  # col -> python value
+
+
+class SnapshotReader(DataSourceReader):
+    def __init__(self, manifest: dict, schema: StructType):
+        self.manifest = manifest
+        self.schema = schema
+        self.where: list[tuple] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            op = _OP_BY_FILTER.get(type(f))
+            # only simple single-column comparisons prune; everything
+            # else is left entirely to Spark
+            if op is not None and len(f.attribute) == 1:
+                val = list(f.value) if op == "in" else f.value
+                self.where.append((f.attribute[0], op, val))
+            # coarse file-level pruning can never fully satisfy a
+            # row-level predicate: return EVERY filter for Spark to
+            # re-apply (sound by construction)
+            yield f
+
+    def partitions(self):
+        # CONSUME the pushed filters: Spark can reuse one reader instance
+        # across plannings of the same DataFrame, and an unfiltered query
+        # planned after a filtered one skips the pushFilters phase — a
+        # reader that kept yesterday's filters would then silently prune
+        # files the new query needs (observed: df.filter(...).collect()
+        # then df.collect() returned 10 of 30 rows). Filters apply to
+        # exactly ONE partitions() call.
+        where, self.where = self.where, []
+        files = (
+            prune_files(self.manifest, where)
+            if where
+            else self.manifest["files"]
+        )
+        from f1_bigdata_pyspark_spark.sources.snapshots import _stat_to_py
+
+        parts = self.manifest.get("partitions", {})
+        out = []
+        for f in files:
+            pv = {
+                col: (None if tv is None else _stat_to_py(tv))
+                for col, tv in parts.get(f, {}).items()
+            }
+            out.append(SnapshotFilePartition(f, pv))
+        return out
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl[field.name].cast(field.type))
+            elif field.name in partition.partition_values:
+                v = partition.partition_values[field.name]
+                cols.append(
+                    pa.nulls(n, field.type)
+                    if v is None
+                    else pa.array([v] * n).cast(field.type)
+                )
+            else:  # pre-evolution file: the committed column reads NULL
+                cols.append(pa.nulls(n, field.type))
+        yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+
+
+class SnapshotDataSource(DataSource):
+    """``spark.read.format("snapshot").option("root", path)`` — options:
+    ``root`` (required), ``version`` (optional int, default latest)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def _manifest(self) -> dict:
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("snapshot source requires option 'root'")
+        mdir = os.path.join(root, "_manifests")
+        version = self.options.get("version")
+        if version is None:
+            versions = sorted(
+                int(f[1:-5])
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            if not versions:
+                raise FileNotFoundError(f"no commits at {root}")
+            version = versions[-1]
+        with open(os.path.join(mdir, f"v{int(version)}.json")) as fh:
+            m = json.load(fh)
+        if m.get("tombstones"):
+            raise ValueError(
+                "table has live tombstones — OPTIMIZE to materialize "
+                "deletes, or read through SnapshotTable.read"
+            )
+        return m
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self._manifest()["schema"]))
+
+    def reader(self, schema: StructType) -> SnapshotReader:
+        return SnapshotReader(self._manifest(), schema)
+
+
+def register(spark) -> None:
+    """Register the source AND enable the Python-DataSource filter
+    pushdown conf (off by default in Spark 4.1; runtime-settable) —
+    without it Spark refuses a reader that implements pushFilters."""
+    spark.dataSource.register(SnapshotDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

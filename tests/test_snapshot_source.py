@@ -1,0 +1,180 @@
+"""Snapshot table served through the Spark Python DataSource with
+Catalyst filter pushdown driving manifest pruning
+(sources/snapshot_source.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.datasource import GreaterThanOrEqual, In
+
+from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+    SnapshotDataSource,
+    SnapshotReader,
+)
+from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in (0, 10, 20):
+        t.commit(
+            spark.createDataFrame(
+                [(k, f"v{k}") for k in range(lo, lo + 10)], "k long, v string"
+            ).coalesce(1),
+            mode="append",
+        )
+    spark.dataSource.register(SnapshotDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return t
+
+
+def test_roundtrip_and_filter_correct(spark, table):
+    df = spark.read.format("snapshot").option("root", table.root).load()
+    assert df.columns == ["k", "v"]
+    assert df.count() == 30
+    got = sorted(r.k for r in df.filter("k >= 25").collect())
+    assert got == list(range(25, 30))
+    # time travel through the source
+    v0 = (
+        spark.read.format("snapshot")
+        .option("root", table.root)
+        .option("version", 0)
+        .load()
+    )
+    assert v0.count() == 10
+
+
+def test_pushdown_prunes_file_partitions(spark, table):
+    """The engine-visible proof: pushFilters -> prune_files -> one input
+    partition per SURVIVING file only."""
+    m = table._read_manifest(table.latest_version())
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    reader = SnapshotReader(m, StructType.fromJson(_json.loads(m["schema"])))
+    returned = list(reader.pushFilters([GreaterThanOrEqual(("k",), 15)]))
+    assert len(returned) == 1  # every filter handed back for row-level eval
+    assert [p.path for p in reader.partitions()] == m["files"][1:]  # 2 of 3
+    reader2 = SnapshotReader(m, StructType.fromJson(_json.loads(m["schema"])))
+    list(reader2.pushFilters([In(("k",), (5, 25))]))
+    assert len(reader2.partitions()) == 2
+
+
+def test_partitioned_table_through_source(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "ptbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a", 2000), (2, "b", 2001)], "k long, v string, y long"
+        ).coalesce(1),
+        mode="append",
+        partition_by=["y"],
+    )
+    spark.dataSource.register(SnapshotDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = spark.read.format("snapshot").option("root", t.root).load()
+    rows = sorted((r.k, r.v, r.y) for r in df.collect())
+    assert rows == [(1, "a", 2000), (2, "b", 2001)]
+    got = df.filter("y = 2001").collect()
+    assert [(r.k, r.y) for r in got] == [(2, 2001)]
+
+
+def test_evolved_table_nullfills_and_tombstones_refuse(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "etbl"))
+    t.commit(
+        spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1),
+        mode="append",
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(2, "b", 5.5)], "k long, v string, s double"
+        ).coalesce(1),
+        mode="append",
+        merge_schema=True,
+    )
+    spark.dataSource.register(SnapshotDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = spark.read.format("snapshot").option("root", t.root).load()
+    got = {r.k: r.s for r in df.collect()}
+    assert got == {1: None, 2: 5.5}
+    t.delete_keys(spark, spark.createDataFrame([(1,)], "k long"), ["k"])
+    with pytest.raises(Exception, match="tombstones"):
+        spark.read.format("snapshot").option("root", t.root).load().collect()
+
+
+def test_pushdown_provably_never_opens_skipped_files(spark, table):
+    """Definitive end-to-end proof the DataSource scan skips pruned
+    files: publish a manifest referencing a GHOST file (never written)
+    whose stats exclude the predicate. A filtered read succeeds only if
+    pruning really removed the ghost from the plan; an UNFILTERED read
+    (fresh load — see the reuse caveat in snapshot_source.py) must fail
+    trying to open it — i.e. no pruning ever happens without a pushed
+    predicate."""
+    import os
+
+    def load():
+        return (
+            spark.read.format("snapshot").option("root", table.root).load()
+        )
+
+    base = table.latest_version()
+    m = dict(table._read_manifest(base))
+    ghost = os.path.join(table.data_dir, "ghost.parquet")
+    m["files"] = m["files"] + [ghost]
+    m["stats"] = dict(m["stats"])
+    m["stats"][ghost] = {"k": {"min": ["num", -100], "max": ["num", -50]}}
+    m["version"] = base + 1
+    table._publish(base + 1, m)
+    got = sorted(r.k for r in load().filter("k >= 15").collect())
+    assert got == list(range(15, 30))  # ghost provably skipped
+    with pytest.raises(Exception):
+        load().collect()  # unfiltered scan must try to open the ghost
+    # repeated filtered plannings on ONE frame stay correct (the reader
+    # consumes its filters per partitions() call — no accumulation)
+    df = load()
+    assert sorted(r.k for r in df.filter("k >= 15").collect()) == list(
+        range(15, 30)
+    )
+    # (k >= 0 excludes the ghost's [-100,-50] range; a bare k < 10 would
+    # legitimately keep the ghost — its stats CAN satisfy it)
+    assert sorted(
+        r.k for r in df.filter("k >= 0 AND k < 10").collect()
+    ) == list(range(10))
+
+
+def test_pushdown_timestamp_predicates_prune(spark, tmp_path):
+    import datetime
+    import os
+
+    t = SnapshotTable(str(tmp_path / "tstbl"))
+    rows = [
+        (1, datetime.datetime(1998, 1, 1)),
+        (2, datetime.datetime(2000, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    t.commit(df.filter("k = 1").coalesce(1), mode="append")
+    t.commit(df.filter("k = 2").coalesce(1), mode="append")
+    base = t.latest_version()
+    m = dict(t._read_manifest(base))
+    ghost = os.path.join(t.data_dir, "ghost.parquet")
+    m["files"] = m["files"] + [ghost]
+    m["stats"] = dict(m["stats"])
+    m["stats"][ghost] = {
+        "ts": {"min": ["ts", "1990-01-01T00:00:00"],
+               "max": ["ts", "1991-01-01T00:00:00"]}
+    }
+    m["version"] = base + 1
+    t._publish(base + 1, m)
+    spark.dataSource.register(SnapshotDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.read.format("snapshot")
+        .option("root", t.root)
+        .load()
+        .filter(F.col("ts") >= F.lit(datetime.datetime(1999, 1, 1)))
+        .collect()
+    )
+    assert [r.k for r in got] == [2]  # ghost skipped => ts pushdown pruned
