@@ -4010,3 +4010,186 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") / (n_seq * L).cast("double"), 6
         ).alias("packing_efficiency"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q: tokenizer_fertility_by_lang — tokenizer fertility (the budgeting
+# number multilingual corpus work runs on): per language, BPE-ish tokens
+# per whitespace word and characters per token, over the documents table
+# with the repo's regex token counter (functions/text.token_count) —
+# integer sums, one scan, ratios rounded at the readout. A fertility
+# skew between languages is how a shared tokenizer silently taxes some
+# of the corpus; this face is the per-shard readout that catches it.
+# --------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_tokens,
+         length(replace(text, ' ', '')) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) * 1.0 / sum(n_words), 6) AS tokens_per_word,
+       round(sum(n_chars) * 1.0 / sum(n_tokens), 6) AS chars_per_token
+FROM d
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), 0)
+        ).alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("n_chars"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: temporal_split_hygiene — train/eval TIME split audit (the ML-data
+# twin of grouped_kfold_audit's user hygiene): cut the events stream at
+# its 80% timestamp quantile computed on integer epoch-micros (exact,
+# engine-portable), everything strictly before the cut trains, the rest
+# evaluates. The leakage surface a time split does NOT remove — users
+# active on BOTH sides — is counted explicitly, with the boundary
+# contract (max train ts < cut <= min eval ts) as a hashed boolean. One
+# scan + one user-keyed aggregate; the quantile is an exact sorted-count
+# lookup, not an approx sketch, so the oracle reproduces it bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "temporal_split_hygiene",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+),
+cut AS (
+  SELECT tus AS c FROM e ORDER BY tus
+  LIMIT 1 OFFSET (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) FROM e)
+),
+sides AS (
+  SELECT user_id, tus,
+         CASE WHEN tus < (SELECT c FROM cut) THEN 0 ELSE 1 END AS side
+  FROM e
+),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_train,
+         max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_eval
+  FROM sides GROUP BY user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sides WHERE side = 0)
+         AS n_train_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM sides WHERE side = 1)
+         AS n_eval_events,
+       CAST(sum(CASE WHEN in_train = 1 AND in_eval = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users_spanning,
+       CAST(sum(CASE WHEN in_train = 1 AND in_eval = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users_train_only,
+       CAST(sum(CASE WHEN in_train = 0 AND in_eval = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users_eval_only,
+       (SELECT max(tus) FROM sides WHERE side = 0) < (SELECT c FROM cut)
+         AND (SELECT min(tus) FROM sides WHERE side = 1) >= (SELECT c FROM cut)
+         AS boundary_clean
+FROM u
+""",
+)
+def temporal_split_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    n = ev.count()
+    # exact 80% order statistic: sort-limit to the offset row — a
+    # two-scalar driver lookup (planner input), not a data collect
+    cut = (
+        ev.select("tus")
+        .orderBy("tus")
+        .offset(int(n * 8 // 10))
+        .limit(1)
+        .head()[0]
+    )
+    sides = materialize(
+        ev.withColumn(
+            "side", F.when(F.col("tus") < cut, 0).otherwise(1)
+        )
+    )
+    u = sides.groupBy("user_id").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_eval"),
+    )
+    agg = sides.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_events"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval_events"),
+        F.max(F.when(F.col("side") == 0, F.col("tus"))).alias("mx_train"),
+        F.min(F.when(F.col("side") == 1, F.col("tus"))).alias("mn_eval"),
+    ).head()
+    users = u.agg(
+        F.sum(
+            F.when((F.col("in_train") == 1) & (F.col("in_eval") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("spanning"),
+        F.sum(
+            F.when((F.col("in_train") == 1) & (F.col("in_eval") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("train_only"),
+        F.sum(
+            F.when((F.col("in_train") == 0) & (F.col("in_eval") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("eval_only"),
+    ).head()
+    clean = bool(agg.mx_train < cut <= agg.mn_eval)
+    return materialize(
+        spark.createDataFrame(
+            [
+                (
+                    agg.n_train_events,
+                    agg.n_eval_events,
+                    users.spanning,
+                    users.train_only,
+                    users.eval_only,
+                    clean,
+                )
+            ],
+            "n_train_events long, n_eval_events long, n_users_spanning long, "
+            "n_users_train_only long, n_users_eval_only long, "
+            "boundary_clean boolean",
+        )
+    )
