@@ -1172,3 +1172,33 @@ def test_merge_optimistic_check(spark, table):
         expected_base_version=1,
     )
     assert {r.k: r.v for r in table.read(spark).collect()} == {1: "A", 2: "b"}
+
+
+def test_prune_in_op_soundness_property():
+    """Property (hypothesis): the round-6 'in' prune op never drops a
+    file whose [min, max] could contain ANY list member — the probed-cell
+    index scan must be exactly as sound as the scalar ops."""
+    from hypothesis import given, strategies as st
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import _file_may_match
+
+    vals = st.integers(min_value=-1000, max_value=1000)
+
+    @given(
+        lo=vals,
+        hi=vals,
+        members=st.lists(vals, min_size=1, max_size=8),
+        probe=vals,
+    )
+    def check(lo, hi, members, probe):
+        mn, mx = min(lo, hi), max(lo, hi)
+        stats = {"c": {"min": ["num", mn], "max": ["num", mx]}}
+        may = _file_may_match(stats, "c", "in", members)
+        if mn <= probe <= mx and probe in members:
+            assert may, (mn, mx, members, probe)
+        # completeness too (exactness for point stats): if NO member is
+        # inside [mn, mx], the file must be skipped
+        if not any(mn <= m <= mx for m in members):
+            assert not may, (mn, mx, members)
+
+    check()
