@@ -3735,3 +3735,89 @@ def snapshot_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_clone_divergence — shallow clone under the value hash: the
+# orders table commits year-per-file, a clone is taken (metadata-only —
+# the manifest references the SOURCE's files, nothing copied), then the
+# clone alone appends a derived changeset. The hashed row pins the
+# zero-copy arithmetic (shared file count == the source's whole file
+# set), the divergence (clone rows = source rows + changeset; source
+# unchanged), and both rollups. At 100 TB a shallow clone is how a team
+# forks a table for an experiment in O(manifest) instead of O(data) —
+# this face is that contract, checked.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_clone_divergence",
+    oracle="""
+WITH yrs AS (
+  SELECT count(DISTINCT year(o_orderdate)) AS n_years FROM orders
+),
+chg AS (
+  SELECT count(*) AS n_chg FROM orders WHERE o_orderkey % 97 = 0
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+SELECT (SELECT CAST(n_years AS BIGINT) FROM yrs) AS n_files_shared,
+       (SELECT n_rows FROM n) AS n_source_rows,
+       (SELECT n_rows FROM n) + (SELECT CAST(n_chg AS BIGINT) FROM chg)
+         AS n_clone_rows,
+       (SELECT CAST(n_chg AS BIGINT) FROM chg) AS n_changeset_rows,
+       true AS source_unchanged
+""",
+)
+def snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    years = sorted(
+        r.y
+        for r in orders.select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="snap_clone_")
+    try:
+        src = SnapshotTable(os.path.join(root, "src"))
+        for y in years:
+            src.commit(
+                orders.filter(F.year("o_orderdate") == y).coalesce(1),
+                mode="append",
+            )
+        clone = SnapshotTable(os.path.join(root, "clone"))
+        clone.clone_from(src)
+        shared = len(
+            set(src._read_manifest(src.latest_version())["files"])
+            & set(clone._read_manifest(0)["files"])
+        )
+        n_src_before = src.read(spark).count()
+        changeset = orders.filter(F.col("o_orderkey") % 97 == 0)
+        clone.commit(changeset.coalesce(1), mode="append")
+        n_clone = clone.read(spark).count()
+        n_src_after = src.read(spark).count()
+        n_chg = changeset.count()
+        out = materialize(
+            spark.createDataFrame(
+                [
+                    (
+                        shared,
+                        n_src_after,
+                        n_clone,
+                        n_chg,
+                        n_src_before == n_src_after,
+                    )
+                ],
+                "n_files_shared long, n_source_rows long, n_clone_rows long, "
+                "n_changeset_rows long, source_unchanged boolean",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
