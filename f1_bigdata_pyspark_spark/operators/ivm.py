@@ -58,3 +58,103 @@ def apply_cdc_to_rollup(
         .alias("s"),
     )
     return merged.filter(F.col("n") > 0)
+
+
+# -- round 7: JOIN-view maintenance (two-table delta-join identity) ----------
+
+
+def signed_delta(diff: DataFrame, key_cols: list[str]) -> DataFrame:
+    """A ``snapshot_diff`` change feed as a ±1-SIGNED multiset delta
+    relation ΔX = X_new − X_old: inserts contribute (+1, new row),
+    deletes (−1, old row), updates BOTH (−1 old, +1 new). Signed deltas
+    are what make join maintenance linear algebra instead of case
+    analysis — joins of signed relations multiply signs, unions add."""
+    plus = diff.filter(F.col("change_type").isin("insert", "update")).select(
+        *key_cols, F.col("new_row.*"), F.lit(1).alias("__sign")
+    )
+    minus = diff.filter(F.col("change_type").isin("delete", "update")).select(
+        *key_cols, F.col("old_row.*"), F.lit(-1).alias("__sign")
+    )
+    return plus.unionByName(minus)
+
+
+def join_rollup_of(
+    a: DataFrame,
+    b: DataFrame,
+    join_keys: list[str],
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """The two-table view shape: per group, row count and value sum over
+    the a⋈b equi-join — the fact⋈dim (or pre-aggregated fact⋈fact)
+    rollup a pipeline would otherwise recompute nightly."""
+    return (
+        a.join(b, join_keys)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).cast("long").alias("s"),
+        )
+    )
+
+
+def apply_cdc_to_join_rollup(
+    rollup: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    join_keys: list[str],
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Maintain a ``join_rollup_of`` view from CDC feeds of BOTH inputs —
+    the standard delta-join identity on signed multisets:
+
+        Δ(A⋈B) = ΔA⋈B_old  ∪  A_old⋈ΔB  ∪  ΔA⋈ΔB
+
+    (expand (A_old+ΔA)⋈(B_old+ΔB) and cancel A_old⋈B_old; signs multiply
+    through the join). Each joined delta row contributes ``sign`` to the
+    group count and ``sign·value`` to the sum; one small groupBy over the
+    union folds into the view with the same full-outer merge as the
+    single-table path. Work ∝ changes: the two terms touching an OLD
+    snapshot join a small signed changeset against it — under the size
+    policy that's a broadcast of the changeset (map-only over the old
+    table's relevant files, stats-prunable on the join key at a real
+    table format), never a re-aggregation of A⋈B. ``delta_a`` /
+    ``delta_b`` are ``signed_delta`` frames; their non-sign columns must
+    match a_old / b_old."""
+    sa = F.col("__sign_a")
+    sb = F.col("__sign_b")
+    da = delta_a.withColumnRenamed("__sign", "__sign_a")
+    db = delta_b.withColumnRenamed("__sign", "__sign_b")
+    t1 = da.join(b_old, join_keys).select(
+        *group_cols, F.col(value_col).alias("__v"), sa.alias("__w")
+    )
+    t2 = a_old.join(db, join_keys).select(
+        *group_cols, F.col(value_col).alias("__v"), sb.alias("__w")
+    )
+    t3 = da.join(db, join_keys).select(
+        *group_cols, F.col(value_col).alias("__v"), (sa * sb).alias("__w")
+    )
+    delta = (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__w").alias("dn"),
+            F.sum(F.col("__w") * F.col("__v")).cast("long").alias("ds"),
+        )
+    )
+    merged = rollup.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("s"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    return merged.filter(F.col("n") > 0)

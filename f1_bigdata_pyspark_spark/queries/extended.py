@@ -3821,3 +3821,153 @@ def snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: ivm_join_rollup_maintenance — incremental view maintenance for a
+# two-table JOIN view (round 7, the 100 TB alternative to nightly
+# recompute): an orders⋈per-order-items rollup is maintained from the
+# snapshot CDC feeds of BOTH tables via the delta-join identity on
+# signed multisets, Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+# (operators/ivm.apply_cdc_to_join_rollup). Both tables mutate between
+# versions with inserts, deletes AND updates (orders %5→%7 key churn +
+# priority rewrites; items %3→%4 churn + count bumps), the view is
+# folded forward from the two snapshot_diff feeds, and the HASHED result
+# is the MAINTAINED view itself — the oracle recomputes the final state
+# directly, so any drift in the identity breaks the hash. The
+# maintained-equals-recomputed boolean is additionally computed
+# relationally (null-safe full-outer compare), not assumed. Work ∝
+# changes: the two old-snapshot terms broadcast the signed changesets
+# (map-only over A₀/B₀), never re-aggregate A⋈B.
+# --------------------------------------------------------------------------
+@query(
+    "ivm_join_rollup_maintenance",
+    oracle="""
+WITH a1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'HOT'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+b1 AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(count(*) + CASE WHEN l_orderkey % 9 = 0 THEN 5 ELSE 0 END
+              AS BIGINT) AS items
+  FROM lineitem WHERE l_orderkey % 4 <> 0 GROUP BY l_orderkey
+)
+SELECT a1.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(items) AS BIGINT) AS s,
+       TRUE AS maintained_equals_recomputed
+FROM a1 JOIN b1 USING (o_orderkey)
+GROUP BY a1.o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def ivm_join_rollup_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.operators.ivm import (
+        apply_cdc_to_join_rollup,
+        join_rollup_of,
+        signed_delta,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a0 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    a1 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("HOT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    items = lineitem.select(F.col("l_orderkey").alias("o_orderkey"))
+    b0 = (
+        items.filter(F.col("o_orderkey") % 3 != 0)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("items"))
+    )
+    b1 = (
+        items.filter(F.col("o_orderkey") % 4 != 0)
+        .groupBy("o_orderkey")
+        .agg(
+            (
+                F.count(F.lit(1))
+                + F.when(F.col("o_orderkey") % 9 == 0, F.lit(5)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("items")
+        )
+    )
+    roots = [tempfile.mkdtemp(prefix="ivm_a_"), tempfile.mkdtemp(prefix="ivm_b_")]
+    try:
+        ta, tb = SnapshotTable(roots[0]), SnapshotTable(roots[1])
+        ta.commit(a0.repartition(2), mode="append")
+        tb.commit(b0.repartition(2), mode="append")
+        ta.commit(a1.repartition(2), mode="overwrite")
+        tb.commit(b1.repartition(2), mode="overwrite")
+        a_old, b_old = ta.read(spark, version=0), tb.read(spark, version=0)
+        view0 = materialize(
+            join_rollup_of(
+                a_old, b_old, ["o_orderkey"], ["o_orderpriority"], "items"
+            )
+        )
+        da = signed_delta(
+            snapshot_diff(spark, ta, 0, 1, ["o_orderkey"]), ["o_orderkey"]
+        )
+        db = signed_delta(
+            snapshot_diff(spark, tb, 0, 1, ["o_orderkey"]), ["o_orderkey"]
+        )
+        maintained = materialize(
+            apply_cdc_to_join_rollup(
+                view0,
+                a_old,
+                b_old,
+                da,
+                db,
+                ["o_orderkey"],
+                ["o_orderpriority"],
+                "items",
+            )
+        )
+        recomputed = join_rollup_of(
+            ta.read(spark, version=1),
+            tb.read(spark, version=1),
+            ["o_orderkey"],
+            ["o_orderpriority"],
+            "items",
+        )
+        mism = (
+            maintained.withColumnRenamed("n", "mn").withColumnRenamed("s", "ms")
+            .join(recomputed, ["o_orderpriority"], "full_outer")
+            .filter(
+                ~(
+                    F.col("mn").eqNullSafe(F.col("n"))
+                    & F.col("ms").eqNullSafe(F.col("s"))
+                )
+            )
+            .count()
+        )
+        out = materialize(
+            maintained.select(
+                "o_orderpriority",
+                F.col("n").cast("long").alias("n"),
+                F.col("s").cast("long").alias("s"),
+                F.lit(mism == 0).alias("maintained_equals_recomputed"),
+            ).orderBy("o_orderpriority")
+        )
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+    return out

@@ -2196,13 +2196,14 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ivf_index_")
     try:
         table = SnapshotTable(root)
-        # one task -> one file per cell dir: the inverted-file layout
-        # repartition, not coalesce: coalesce(1) would collapse the
-        # assignment window + cross-join upstream into ONE task; the
-        # explicit exchange keeps the build parallel and only the write
-        # single-file per cell
+        # the SCALE layout: hash-repartition by cell, so index writers
+        # scale with cells — each cell lands wholly in one task and the
+        # partitionBy write still emits exactly ONE file per cell dir
+        # (same file arithmetic as a single writer, n_cells the
+        # parallelism). repartition, not coalesce: coalesce would
+        # collapse the assignment window + cross-join upstream too.
         table.commit(
-            index_rows.repartition(1), mode="append",
+            index_rows.repartition(16, "centroid_id"), mode="append",
             partition_by=["centroid_id"],
         )
         where = [("centroid_id", "in", probe)]
@@ -2411,8 +2412,10 @@ def ivf_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ivf_pq_index_")
     try:
         table = SnapshotTable(root)
-        table.commit(  # repartition: see ivf_indexed_topk note
-            index_rows.repartition(1), mode="append", partition_by=["cell"]
+        table.commit(  # per-cell writers: see ivf_indexed_topk note
+            index_rows.repartition(_PQ_SEED, "cell"),
+            mode="append",
+            partition_by=["cell"],
         )
         where = [("cell", "in", probed_cells)]
         rep = table.scan_stats(where=where)
@@ -2546,8 +2549,8 @@ def ivf_index_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vec_id", "centroid_id")
                 .join(emb.select("vec_id", "embedding"), "vec_id")
             )
-            table.commit(  # repartition: see ivf_indexed_topk note
-                rows.repartition(1), mode="append",
+            table.commit(  # per-cell writers: see ivf_indexed_topk note
+                rows.repartition(16, "centroid_id"), mode="append",
                 partition_by=["centroid_id"],
             )
         where = [("centroid_id", "in", probe)]
@@ -2658,8 +2661,8 @@ def ivf_index_delete_unindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ivf_unindex_")
     try:
         table = SnapshotTable(root)
-        table.commit(  # repartition: see ivf_indexed_topk note
-            index_rows.repartition(1), mode="append",
+        table.commit(  # per-cell writers: see ivf_indexed_topk note
+            index_rows.repartition(16, "centroid_id"), mode="append",
             partition_by=["centroid_id"],
         )
         files_before = len(
@@ -2684,6 +2687,224 @@ def ivf_index_delete_unindex(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("n_files_before", F.lit(files_before).cast("long"))
             .withColumn("n_files_after", F.lit(files_after).cast("long"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: ivf_hot_cell_split_rebalance — index MAINTENANCE part 3 (round 7):
+# incremental appends skew cells, and a skewed hot cell erodes the whole
+# point of nprobe pruning (probing it reads a corpus-sized file). The
+# production fix is a TARGETED SPLIT: pick the most-populated cell, train
+# two sub-centroids inside it (deterministic init: the cell's min/max
+# vec_id members; one assignment pass, rounded-cosine + id tiebreak),
+# and rewrite ONLY that cell through the round-7 ``replace_where``
+# primitive — every other cell's file carries into the new version BY
+# IDENTITY (zero I/O), proven by the file arithmetic riding the hashed
+# result (files_replaced=1, carried=cells-1, written=#non-empty
+# sub-cells). The index layout is two-level (centroid_id, subcell), so a
+# parent-granularity probe is UNCHANGED by the split (search-result
+# equality pre/post is computed, not assumed, and rides the hash), while
+# the refined probe now reads only the nearest sub-cell's file. This is
+# r6's merge/optimize machinery composed with the persisted ANN index —
+# the op that keeps nprobe effective as a 100 TB index drifts.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_hot_cell_split_rebalance",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}
+), qcells AS (
+  SELECT c.centroid_id
+  FROM c CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+           c.centroid_id ASC
+  LIMIT 2
+), hot AS (
+  SELECT centroid_id AS hc FROM assign
+  GROUP BY centroid_id ORDER BY count(*) DESC, centroid_id ASC LIMIT 1
+), hm AS (
+  SELECT a.vec_id, e.v FROM assign a JOIN e USING (vec_id)
+  WHERE a.centroid_id = (SELECT hc FROM hot)
+), init AS (
+  SELECT 1 AS sid, v AS sv FROM hm
+  WHERE vec_id = (SELECT min(vec_id) FROM hm)
+  UNION ALL
+  SELECT 2 AS sid, v AS sv FROM hm
+  WHERE vec_id = (SELECT max(vec_id) FROM hm)
+), sassign AS (
+  SELECT vec_id, sid FROM (
+    SELECT hm.vec_id, init.sid,
+           row_number() OVER (PARTITION BY hm.vec_id
+             ORDER BY round(list_cosine_similarity(hm.v, init.sv), 6) DESC,
+                      init.sid ASC) AS rn
+    FROM hm CROSS JOIN init) t WHERE rn = 1
+), nsub AS (SELECT count(DISTINCT sid) AS ns FROM sassign),
+files AS (
+  SELECT CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT CASE WHEN centroid_id IN
+              (SELECT centroid_id FROM qcells) THEN centroid_id END)
+              AS BIGINT) AS n_scanned
+  FROM assign
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+       (SELECT n_total FROM files) AS n_files_before,
+       (SELECT n_total - 1 + (SELECT ns FROM nsub) FROM files)
+         AS n_files_after,
+       (SELECT n_scanned
+          + (CASE WHEN (SELECT hc FROM hot) IN
+                  (SELECT centroid_id FROM qcells)
+             THEN (SELECT ns FROM nsub) - 1 ELSE 0 END)
+        FROM files) AS n_files_scanned_after,
+       CAST(1 AS BIGINT) AS n_files_replaced,
+       (SELECT n_total - 1 FROM files) AS n_files_carried,
+       (SELECT CAST(ns AS BIGINT) FROM nsub) AS n_files_written,
+       (SELECT CAST(hc AS BIGINT) FROM hot) AS hot_cell,
+       TRUE AS search_equal
+FROM e
+JOIN assign a ON a.vec_id = e.vec_id
+CROSS JOIN q
+WHERE a.centroid_id IN (SELECT centroid_id FROM qcells)
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 20
+""",
+)
+def ivf_hot_cell_split_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.operators.similarity import ivf_assign
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    q = F.lit(qv).cast("array<double>")
+    probe = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id",
+            F.round(cosine(F.col("centroid"), q), 6).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("centroid_id").asc())
+        .limit(2)
+        .collect()
+    ]
+    assign = materialize(
+        ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    )
+    index_rows = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "centroid_id",
+        F.lit(0).cast("long").alias("subcell"),
+        "embedding",
+    )
+    root = tempfile.mkdtemp(prefix="ivf_split_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(  # two-level layout from day one: (cell, subcell=0)
+            index_rows.repartition(16, "centroid_id"),
+            mode="append",
+            partition_by=["centroid_id", "subcell"],
+        )
+        where = [("centroid_id", "in", probe)]
+        rep0 = table.scan_stats(where=where)
+        # hot cell: 16-row panel ranked driver-side (bounded metadata)
+        hot = (
+            assign.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("centroid_id").asc())
+            .limit(1)
+            .collect()[0]
+            .centroid_id
+        )
+        members = index_rows.filter(F.col("centroid_id") == hot)
+        mm = members.agg(
+            F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+        ).head()
+        init = emb.filter(F.col("vec_id").isin([mm.mn, mm.mx])).select(
+            F.when(F.col("vec_id") == mm.mn, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+            .alias("sid"),
+            F.col("embedding").alias("scv"),
+        )
+        sub = ivf_assign(
+            members,
+            init,
+            centroid_id_col="sid",
+            centroid_vec_col="scv",
+        ).select("vec_id", F.col("sid").alias("subcell"))
+        new_rows = (
+            members.drop("subcell")
+            .join(sub, "vec_id")
+            .select("vec_id", "centroid_id", "subcell", "embedding")
+        )
+        rep = table.replace_where(
+            spark,
+            new_rows.repartition(2, "subcell"),
+            [("centroid_id", "=", hot)],
+        )
+        rep1 = table.scan_stats(version=rep["version"], where=where)
+        topk = lambda df: (  # noqa: E731
+            df.select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(20)
+        )
+        pre = topk(table.read(spark, version=0, where=where)).collect()
+        post_df = topk(table.read(spark, version=rep["version"], where=where))
+        post = post_df.collect()
+        search_equal = [  # bounded 20-row comparison, computed not assumed
+            (r.vec_id, r.cos_sim) for r in pre
+        ] == [(r.vec_id, r.cos_sim) for r in post]
+        out = materialize(
+            post_df.withColumn(
+                "n_files_before", F.lit(rep0["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_after", F.lit(rep1["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned_after",
+                F.lit(rep1["n_files_scanned"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_replaced", F.lit(rep["files_replaced"]).cast("long")
+            )
+            .withColumn(
+                "n_files_carried", F.lit(rep["files_carried"]).cast("long")
+            )
+            .withColumn(
+                "n_files_written", F.lit(rep["files_written"]).cast("long")
+            )
+            .withColumn("hot_cell", F.lit(hot).cast("long"))
+            .withColumn("search_equal", F.lit(search_equal))
             .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         )
     finally:

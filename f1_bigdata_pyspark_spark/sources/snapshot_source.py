@@ -54,6 +54,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
 )
@@ -68,6 +70,10 @@ _OP_BY_FILTER = {
     LessThan: "<",
     LessThanOrEqual: "<=",
     In: "in",
+    # value-less null tests (round 7): prune via the manifest's per-file
+    # null counts — IS NULL skips no-null files, IS NOT NULL all-null ones
+    IsNull: "is_null",
+    IsNotNull: "is_not_null",
 }
 
 
@@ -89,7 +95,12 @@ class SnapshotReader(DataSourceReader):
             # only simple single-column comparisons prune; everything
             # else is left entirely to Spark
             if op is not None and len(f.attribute) == 1:
-                val = list(f.value) if op == "in" else f.value
+                if op in ("is_null", "is_not_null"):
+                    val = None  # value-less ops
+                elif op == "in":
+                    val = list(f.value)
+                else:
+                    val = f.value
                 self.where.append((f.attribute[0], op, val))
             # coarse file-level pruning can never fully satisfy a
             # row-level predicate: return EVERY filter for Spark to
@@ -156,6 +167,17 @@ class SnapshotDataSource(DataSource):
         return "snapshot"
 
     def _manifest(self) -> dict:
+        # resolved ONCE per load() (memoized): schema() and reader() both
+        # need it, and resolving twice is not just a double JSON read — a
+        # commit landing between the two calls would pair version N+1's
+        # schema with version N's file list inside one query plan
+        cached = getattr(self, "_manifest_cache", None)
+        if cached is not None:
+            return cached
+        self._manifest_cache = self._load_manifest()
+        return self._manifest_cache
+
+    def _load_manifest(self) -> dict:
         root = self.options.get("root")
         if not root:
             raise ValueError("snapshot source requires option 'root'")

@@ -107,18 +107,29 @@ def _file_column_stats(path: str) -> dict:
     md = pq.ParquetFile(path).metadata
     acc: dict[str, list] = {}
     complete: set[str] = set()
+    nulls: dict[str, int] = {}
+    nulls_complete: set[str] = set()
     if md.num_row_groups == 0:
         return {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         seen: set[str] = set()
+        seen_n: set[str] = set()
         for ci in range(g.num_columns):
             c = g.column(ci)
             name = c.path_in_schema
             if "." in name:  # nested leaf — not a top-level column
                 continue
             st = c.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                continue
+            # null counts are tracked INDEPENDENTLY of min/max: an
+            # all-null column carries no min/max at all, yet its null
+            # count is exactly what lets IS NOT NULL skip the file
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                seen_n.add(name)
+            if not st.has_min_max:
                 continue
             mn = _json_stat_value(st.min)
             mx = _json_stat_value(st.max)
@@ -133,10 +144,16 @@ def _file_column_stats(path: str) -> dict:
                 if mx[1] > acc[name][1][1]:
                     acc[name][1] = mx
         complete = seen if rg == 0 else (complete & seen)
-    return {
+        nulls_complete = seen_n if rg == 0 else (nulls_complete & seen_n)
+    out: dict[str, dict] = {
         name: {"min": acc[name][0], "max": acc[name][1]}
         for name in complete
     }
+    for name in nulls_complete:
+        e = out.setdefault(name, {})
+        e["nc"] = nulls[name]  # nulls in this column across the file
+        e["nr"] = md.num_rows  # file row count (the all-null test's bound)
+    return out
 
 
 def _stat_to_py(tagged):
@@ -163,17 +180,52 @@ def _coerce_literal(lit, tag):
     return lit
 
 
-_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
+def _commit_root_of(path: str) -> str:
+    """The ``commit-<id>`` ancestor directory of a data file, derived
+    from the file's OWN path. Grouping scans by relpath against
+    *this* table's data_dir assumed every file lives under it — false
+    for a shallow clone (which references the SOURCE's files): the
+    leading relpath segment there is ``..``, so a partitioned clone
+    failed with 'Wrong basePath' and an evolved clone collapsed every
+    source commit into one scan group (silently NULLing evolved
+    columns). Each commit dir is the partition-discovery basePath and
+    the schema-evolution unit, wherever it physically lives."""
+    d = os.path.dirname(path)
+    while d and not os.path.basename(d).startswith("commit-"):
+        parent = os.path.dirname(d)
+        if parent == d:  # filesystem root — no commit dir (foreign file)
+            return os.path.dirname(path)
+        d = parent
+    return d or os.path.dirname(path)
+
+
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
 
 
 def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
     """Can ANY row of a file with these [min, max] satisfy ``col op lit``?
-    Unknown column / unindexable literal -> True (never skip on doubt)."""
+    Unknown column / unindexable literal -> True (never skip on doubt).
+
+    Null-count tier (round 7): per-file ``nc`` (null count) / ``nr`` (row
+    count) let ``is_null`` skip no-null files and ``is_not_null`` skip
+    all-null files — and an all-null file is also skipped by EVERY
+    comparison op (three-valued logic: NULL op lit is never true). The
+    literal is ignored for the null ops (pass None)."""
     if col not in stats:
         return True
-    tag = stats[col]["min"][0]
+    ev = stats[col]
+    nc, nr = ev.get("nc"), ev.get("nr")
+    if op == "is_null":
+        return True if nc is None else nc != 0
+    if op == "is_not_null":
+        return not (nc is not None and nr is not None and nc == nr and nr > 0)
+    if nc is not None and nr is not None and nc == nr and nr > 0:
+        return False  # all-null: no row can satisfy a comparison
+    if "min" not in ev:  # null-count-only entry (no usable min/max)
+        return True
+    tag = ev["min"][0]
     try:
-        mn, mx = _stat_to_py(stats[col]["min"]), _stat_to_py(stats[col]["max"])
+        mn, mx = _stat_to_py(ev["min"]), _stat_to_py(ev["max"])
         if op == "in":
             # IN-list: the file survives if ANY member could be present —
             # the multi-point form a probed-cell index scan needs
@@ -206,7 +258,15 @@ def _file_evidence(manifest: dict, f: str) -> dict:
     ev = dict(manifest.get("stats", {}).get(f, {}))
     for col, tv in manifest.get("partitions", {}).get(f, {}).items():
         if tv is not None:
-            ev[col] = {"min": tv, "max": tv}
+            # a value partition is null-free on that column (nc=0) —
+            # IS NULL prunes it; nr is unknown so is_not_null never
+            # (wrongly) treats it as all-null
+            ev[col] = {"min": tv, "max": tv, "nc": 0}
+        else:
+            # __HIVE_DEFAULT_PARTITION__: every row's value is NULL —
+            # encode as an all-null point (nc == nr), so IS NOT NULL and
+            # every comparison prune it while IS NULL keeps it
+            ev[col] = {"nc": 1, "nr": 1}
     return ev
 
 
@@ -239,6 +299,10 @@ def _predicate_column(where: list[tuple[str, str, object]]):
         c = F.col(col)
         if op == "in":
             e = c.isin(list(lit))
+        elif op == "is_null":
+            e = c.isNull()
+        elif op == "is_not_null":
+            e = c.isNotNull()
         else:
             e = {
                 "=": c == lit, "==": c == lit,
@@ -315,7 +379,14 @@ class SnapshotTable:
 
     def _publish(self, version: int, manifest: dict) -> None:
         """Atomically publish the manifest for ``version`` (write temp +
-        rename). Raises SnapshotConflictError if the version exists."""
+        rename). Raises SnapshotConflictError if the version exists.
+
+        Every published manifest carries ``committed_at`` — stamped HERE,
+        not per-path, so no commit mode can forget it (a rollback once
+        published unstamped, and ``version_as_of`` then resolved the
+        rollback version for EVERY timestamp because unstamped manifests
+        sort before any ts)."""
+        manifest.setdefault("committed_at", __import__("time").time())
         final = self._manifest_path(version)
         if os.path.exists(final):
             raise SnapshotConflictError(f"version {version} already committed")
@@ -357,6 +428,9 @@ class SnapshotTable:
         txn: tuple[str, int] | None = None,
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
+        evolve_partitioning: bool = False,
+        on_conflict: str = "error",
+        _before_publish=None,
     ) -> int:
         """Write ``df``'s rows as new immutable files and publish the next
         manifest. mode='append' keeps prior files; 'overwrite' starts the
@@ -373,99 +447,156 @@ class SnapshotTable:
         stats — the two tiers (directory pruning + stats skipping) compose
         on one scan. Appends to a partitioned table must repeat the same
         ``partition_by`` (the Delta/Hive invariant: partitioning is a
-        table property, not a per-write choice)."""
+        table property, not a per-write choice) — UNLESS
+        ``evolve_partitioning=True`` (Iceberg-style partition evolution):
+        the commit declares a NEW layout; old files keep pruning through
+        their recorded point stats, new files through the new layout, one
+        ``prune_files`` pass over both generations. A later OPTIMIZE
+        migrates old files to the current layout.
+
+        ``on_conflict`` — optimistic-concurrency policy when another
+        writer publishes this version first (Delta's logical conflict
+        resolution): ``'error'`` (default) raises SnapshotConflictError;
+        ``'rebase'`` (append mode only) automatically re-reads the new
+        head, re-VALIDATES schema/partitioning against it, and republishes
+        the SAME already-written file set as head+1 — two appends never
+        conflict logically (their file sets are disjoint by construction),
+        so the loser pays one manifest round-trip, zero data I/O. Rebase
+        is incompatible with ``expected_base_version`` (which asks for the
+        opposite: fail if the table moved)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        base = self.latest_version()
-        if expected_base_version is not None and base != expected_base_version:
-            raise SnapshotConflictError(
-                f"table advanced to v{base}, expected v{expected_base_version}"
-            )
-        if mode == "append" and base is not None:
-            committed_pb = self._read_manifest(base).get("partition_by") or []
-            if list(partition_by or []) != committed_pb:
+        if on_conflict not in ("error", "rebase"):
+            raise ValueError(f"on_conflict must be error|rebase, got {on_conflict!r}")
+        if on_conflict == "rebase":
+            if mode != "append":
                 raise ValueError(
-                    f"append partition_by {partition_by!r} does not match "
-                    f"the table's {committed_pb!r}; use mode='overwrite' to "
-                    "re-partition"
+                    "on_conflict='rebase' supports mode='append' only — a "
+                    "rebased overwrite would silently discard the winner's "
+                    "commit"
                 )
-        table_schema_json = df.schema.json()
-        evolved = False
-        if mode == "append" and base is not None:
-            # schema-on-write (Delta's contract): an appended frame must
-            # match the committed schema by field NAME and TYPE, else the
-            # mixed file list silently drops/nulls columns depending on
-            # which footer Spark samples at read time. Nullability is not
-            # compared (parquet writers legitimately tighten it).
-            prior_m = self._read_manifest(base)
-            committed = json.loads(prior_m["schema"])
-            want = [(f["name"], f["type"]) for f in committed["fields"]]
-            got = [
-                (f["name"], f["type"])
-                for f in json.loads(df.schema.json())["fields"]
-            ]
-            evolved = bool(prior_m.get("evolved"))
-            if want != got:
-                # ADDITIVE schema evolution (Delta's mergeSchema): the
-                # shared prefix must agree; a LONGER frame widens the
-                # table schema (old files read the new columns as NULL),
-                # a shorter one appends with its columns (the new ones
-                # read NULL for these rows). Anything non-prefix is a
-                # hard refuse — silent column remapping is how tables rot.
-                k = min(len(want), len(got))
-                if not merge_schema or want[:k] != got[:k]:
+            if expected_base_version is not None:
+                raise ValueError(
+                    "expected_base_version and on_conflict='rebase' are "
+                    "contradictory (pin the base OR follow the head)"
+                )
+        written: tuple | None = None
+        for _attempt in range(20):
+            base = self.latest_version()
+            if (
+                expected_base_version is not None
+                and base != expected_base_version
+            ):
+                raise SnapshotConflictError(
+                    f"table advanced to v{base}, "
+                    f"expected v{expected_base_version}"
+                )
+            if mode == "append" and base is not None:
+                committed_pb = (
+                    self._read_manifest(base).get("partition_by") or []
+                )
+                if (
+                    list(partition_by or []) != committed_pb
+                    and not evolve_partitioning
+                ):
                     raise ValueError(
-                        f"append schema mismatch vs v{base}: "
-                        f"table has {want}, frame has {got}; "
-                        "pass merge_schema=True for additive evolution or "
-                        "mode='overwrite' to change the schema"
+                        f"append partition_by {partition_by!r} does not "
+                        f"match the table's {committed_pb!r}; pass "
+                        "evolve_partitioning=True to change the layout or "
+                        "mode='overwrite' to rebuild"
                     )
-                evolved = True
-                if len(want) > len(got):
-                    table_schema_json = prior_m["schema"]  # keep the wider
-        new_files, new_stats, new_partitions = self._write_data_files(
-            df, partition_by
+            table_schema_json = df.schema.json()
+            evolved = False
+            if mode == "append" and base is not None:
+                # schema-on-write (Delta's contract): an appended frame
+                # must match the committed schema by field NAME and TYPE,
+                # else the mixed file list silently drops/nulls columns
+                # depending on which footer Spark samples at read time.
+                # Nullability is not compared (parquet writers
+                # legitimately tighten it). Re-checked on every rebase
+                # attempt — the new head may have evolved meanwhile.
+                prior_m = self._read_manifest(base)
+                committed = json.loads(prior_m["schema"])
+                want = [(f["name"], f["type"]) for f in committed["fields"]]
+                got = [
+                    (f["name"], f["type"])
+                    for f in json.loads(df.schema.json())["fields"]
+                ]
+                evolved = bool(prior_m.get("evolved"))
+                if want != got:
+                    # ADDITIVE schema evolution (Delta's mergeSchema): the
+                    # shared prefix must agree; a LONGER frame widens the
+                    # table schema (old files read the new columns as
+                    # NULL), a shorter one appends with its columns (the
+                    # new ones read NULL for these rows). Anything
+                    # non-prefix is a hard refuse — silent column
+                    # remapping is how tables rot.
+                    k = min(len(want), len(got))
+                    if not merge_schema or want[:k] != got[:k]:
+                        raise ValueError(
+                            f"append schema mismatch vs v{base}: "
+                            f"table has {want}, frame has {got}; "
+                            "pass merge_schema=True for additive evolution "
+                            "or mode='overwrite' to change the schema"
+                        )
+                    evolved = True
+                    if len(want) > len(got):
+                        table_schema_json = prior_m["schema"]  # keep wider
+            if written is None:  # data files written ONCE; rebases reuse
+                written = self._write_data_files(df, partition_by)
+            new_files, new_stats, new_partitions = written
+            prior_manifest = (
+                self._read_manifest(base)
+                if (base is not None and mode == "append")
+                else {}
+            )
+            prior = prior_manifest.get("files", [])
+            stats = dict(prior_manifest.get("stats", {}))
+            partitions = dict(prior_manifest.get("partitions", {}))
+            stats.update(new_stats)
+            partitions.update(new_partitions)
+            version = 0 if base is None else base + 1
+            file_seq = dict(prior_manifest.get("file_seq", {}))
+            for f in new_files:
+                file_seq[f] = version
+            manifest = {
+                "version": version,
+                "mode": mode,
+                "files": prior + new_files,
+                "stats": stats,
+                "schema": table_schema_json,
+                "file_seq": file_seq,
+                "committed_at": __import__("time").time(),
+            }
+            if evolved:
+                manifest["evolved"] = True
+            # appends keep live tombstones (they still apply to prior
+            # files); overwrite starts clean — the set they scoped is gone
+            if mode == "append" and prior_manifest.get("tombstones"):
+                manifest["tombstones"] = prior_manifest["tombstones"]
+                manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
+            if partition_by:
+                manifest["partition_by"] = list(partition_by)
+            if partitions:
+                # carried point stats survive even when the CURRENT layout
+                # dropped the column (partition evolution): old files keep
+                # pruning through what their directories recorded
+                manifest["partitions"] = partitions
+            if txn is not None:
+                manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
+            if _before_publish is not None:  # test seam: deterministic race
+                hook, _before_publish = _before_publish, None
+                hook()
+            try:
+                self._publish(version, manifest)
+                return version
+            except SnapshotConflictError:
+                if on_conflict != "rebase":
+                    raise
+                continue  # re-read head, re-validate, republish same files
+        raise SnapshotConflictError(
+            "rebase gave up after 20 attempts (writer livelock?)"
         )
-        prior_manifest = (
-            self._read_manifest(base)
-            if (base is not None and mode == "append")
-            else {}
-        )
-        prior = prior_manifest.get("files", [])
-        stats = dict(prior_manifest.get("stats", {}))
-        partitions = dict(prior_manifest.get("partitions", {}))
-        stats.update(new_stats)
-        partitions.update(new_partitions)
-        version = 0 if base is None else base + 1
-        file_seq = dict(prior_manifest.get("file_seq", {}))
-        for f in new_files:
-            file_seq[f] = version
-        manifest = {
-            "version": version,
-            "mode": mode,
-            "files": prior + new_files,
-            "stats": stats,
-            "schema": table_schema_json,
-            "file_seq": file_seq,
-            "committed_at": __import__("time").time(),
-        }
-        if evolved:
-            manifest["evolved"] = True
-        # appends keep live tombstones (they still apply to prior files);
-        # overwrite starts clean — the file set they scoped is gone
-        if mode == "append" and prior_manifest.get("tombstones"):
-            manifest["tombstones"] = prior_manifest["tombstones"]
-            manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
-        if partition_by:
-            manifest["partition_by"] = list(partition_by)
-            manifest["partitions"] = partitions
-        elif partitions:  # unpartitioned append onto... unreachable (checked
-            # above), but keep carried info if a future mode allows it
-            manifest["partitions"] = partitions
-        if txn is not None:
-            manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
-        self._publish(version, manifest)
-        return version
 
     def _write_data_files(
         self, df: DataFrame, partition_by: list[str] | None = None
@@ -529,6 +660,8 @@ class SnapshotTable:
         update_condition=None,
         not_matched_insert=None,
         expected_base_version: int | None = None,
+        on_conflict: str = "error",
+        _before_publish=None,
     ) -> dict:
         """Copy-on-write MERGE INTO this snapshot table — the transactional
         form of ``operators/merge.merge_into`` (which this delegates to for
@@ -550,6 +683,20 @@ class SnapshotTable:
            (same paths, same stats — zero I/O).
         3. Publish as the next version, mode='merge'. Time travel, CDC
            (snapshot_diff) and rollback work unchanged.
+
+        ``on_conflict='retry'`` — Delta-style logical conflict resolution
+        when another writer wins the version race: the merge's REWRITE is
+        reusable iff the winner(s) (a) did not remove or rewrite any of
+        this merge's touched files, (b) added no tombstones (our rewritten
+        files carry a newer seq and would escape them), and (c) added no
+        files containing this merge's source keys (proven by the same
+        stats-pre-pruned semi-join as findTouchedFiles, run over ONLY the
+        winner's added files — O(overlapping added files), not O(table)).
+        If all hold, the same new files are republished on the new head
+        with the winner's additions carried by identity; any violation
+        raises SnapshotConflictError (the caller must re-run the merge —
+        its matched/not-matched classification is stale). Overwrite or
+        rollback winners always raise (the file set was replaced).
 
         Returns {"version", "files_rewritten", "files_carried"}.
         """
@@ -573,31 +720,34 @@ class SnapshotTable:
         rng = source.agg(
             F_min(lead).alias("mn"), F_max(lead).alias("mx")
         ).head()
-        candidates = (
-            prune_files(
-                manifest, [(lead, ">=", rng.mn), (lead, "<=", rng.mx)]
-            )
-            if rng.mn is not None
-            else []
-        )
         src_keys = source.select(*keys).distinct()
-        touched: set[str] = set()
-        if candidates:
+
+        def probe_touched(m: dict, pool: list[str]) -> set[str]:
+            """Files of ``pool`` that really contain a source key:
+            stats-pre-prune the pool on the leading key's range, then one
+            semi-join collecting distinct input_file_name() — one path per
+            touched FILE, manifest-scale metadata, never data-proportional."""
+            if rng.mn is None or not pool:
+                return set()
+            sub = dict(m)
+            sub["files"] = pool
+            cand = prune_files(
+                sub, [(lead, ">=", rng.mn), (lead, "<=", rng.mx)]
+            )
+            if not cand:
+                return set()
             probe = (
-                self._scan_with_tombstones(
-                    spark, manifest, candidates, with_file_name=True
-                )
+                self._scan_with_tombstones(spark, m, cand, with_file_name=True)
                 .join(src_keys, keys, "left_semi")
                 .select("__file")
                 .distinct()
             )
-            # one path per touched FILE — manifest-scale metadata, never
-            # data-proportional
-            touched = {
+            return {
                 unquote(urlparse(r["__file"]).path) for r in probe.collect()
             }
+
+        touched = probe_touched(manifest, manifest["files"])
         touched_files = [f for f in manifest["files"] if f in touched]
-        carried = [f for f in manifest["files"] if f not in touched]
 
         target_subset = self._scan_with_tombstones(
             spark, manifest, touched_files
@@ -611,33 +761,186 @@ class SnapshotTable:
             update_condition=update_condition,
             not_matched_insert=not_matched_insert,
         )
-        partition_by = manifest.get("partition_by")
         new_files, new_stats, new_partitions = self._write_data_files(
-            merged, partition_by
+            merged, manifest.get("partition_by")
+        )
+        cur = manifest  # the manifest this rewrite is valid against
+        for _attempt in range(20):
+            carried = [f for f in cur["files"] if f not in touched]
+            carried_set = set(carried)
+            stats = {
+                f: s
+                for f, s in cur.get("stats", {}).items()
+                if f in carried_set
+            }
+            stats.update(new_stats)
+            partitions = {
+                f: p
+                for f, p in cur.get("partitions", {}).items()
+                if f in carried_set
+            }
+            partitions.update(new_partitions)
+            version = cur["version"] + 1
+            file_seq = {
+                f: s_
+                for f, s_ in cur.get("file_seq", {}).items()
+                if f in carried_set
+            }
+            for f in new_files:
+                file_seq[f] = version
+            out = {
+                "version": version,
+                "mode": "merge",
+                "files": carried + new_files,
+                "stats": stats,
+                "schema": cur["schema"],
+                "file_seq": file_seq,
+                "committed_at": __import__("time").time(),
+            }
+            if cur.get("evolved"):
+                out["evolved"] = True  # carried files may be old-schema
+            if cur.get("tombstones"):
+                # rewritten files were built THROUGH the tombstones and get
+                # a post-delete seq, so carried tombstones keep applying
+                # only to the untouched old files — no resurrection, no
+                # double-delete
+                out["tombstones"] = cur["tombstones"]
+                out["tombstone_keys"] = cur["tombstone_keys"]
+            if cur.get("partition_by"):
+                out["partition_by"] = cur["partition_by"]
+            if partitions:
+                out["partitions"] = partitions
+            if _before_publish is not None:  # test seam: deterministic race
+                hook, _before_publish = _before_publish, None
+                hook()
+            try:
+                self._publish(version, out)
+                return {
+                    "version": version,
+                    "files_rewritten": len(touched_files),
+                    "files_carried": len(carried),
+                }
+            except SnapshotConflictError:
+                if on_conflict != "retry":
+                    raise
+                head_v = self.latest_version()
+                for v in range(cur["version"] + 1, head_v + 1):
+                    wmode = self._read_manifest(v)["mode"]
+                    if wmode.startswith("rollback") or wmode == "overwrite":
+                        raise SnapshotConflictError(
+                            f"concurrent v{v} is {wmode!r} — the file set "
+                            "was replaced; re-run the merge from a fresh "
+                            "snapshot"
+                        )
+                head = self._read_manifest(head_v)
+                removed = set(cur["files"]) - set(head["files"])
+                if removed & touched:
+                    raise SnapshotConflictError(
+                        "concurrent writer rewrote/removed files this "
+                        "merge touched — re-run the merge"
+                    )
+                if head.get("tombstones", []) != cur.get("tombstones", []):
+                    raise SnapshotConflictError(
+                        "concurrent DELETE landed — this merge's rewritten "
+                        "files would escape its tombstones; re-run the merge"
+                    )
+                added = [
+                    f for f in head["files"] if f not in set(cur["files"])
+                ]
+                if probe_touched(head, added):
+                    raise SnapshotConflictError(
+                        "concurrent commit added rows matching the merge "
+                        "source — matched/not-matched classification is "
+                        "stale; re-run the merge"
+                    )
+                cur = head  # disjoint: republish the same rewrite on head
+        raise SnapshotConflictError(
+            "merge retry gave up after 20 attempts (writer livelock?)"
+        )
+
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        where: list[tuple[str, str, object]],
+        expected_base_version: int | None = None,
+    ) -> dict:
+        """Delta's ``replaceWhere``: atomically replace EXACTLY the rows
+        matching ``where`` with ``df``'s rows — the targeted-rewrite
+        primitive (repartition one hot cell, rebuild one day's partition,
+        backfill one tenant) that neither ``overwrite`` (loses everything
+        else) nor ``merge`` (key-matched, can't drop unmatched old rows)
+        expresses.
+
+        Exactness requires PROVABLE per-file membership, so every
+        predicate column must have a recorded partition point value on
+        EVERY live file (point stats make may-match == all-match; footer
+        min/max ranges can only prove "maybe"). Files whose point values
+        satisfy the whole conjunction are dropped; every other file is
+        carried by identity (zero I/O); ``df`` is written as new files
+        under the current layout. Refused when ``df`` contains rows
+        OUTSIDE the predicate (they would silently leak into the table —
+        the same guard Delta applies). Returns {"version",
+        "files_replaced", "files_carried", "files_written"}."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        if expected_base_version is not None and base != expected_base_version:
+            raise SnapshotConflictError(
+                f"table advanced to v{base}, expected "
+                f"v{expected_base_version}"
+            )
+        manifest = self._read_manifest(base)
+        part_values = manifest.get("partitions", {})
+        cols = {c for c, _, _ in where}
+        for f in manifest["files"]:
+            missing = cols - set(part_values.get(f, {}))
+            if missing:
+                raise ValueError(
+                    f"replace_where needs partition point values for "
+                    f"{sorted(cols)} on every live file; {f} lacks "
+                    f"{sorted(missing)} (partition the table by these "
+                    "columns, or OPTIMIZE after partition evolution)"
+                )
+        pred = _predicate_column(where)
+        # rows outside the predicate must not ride in (NULL predicate
+        # results count as outside — three-valued logic folded strictly)
+        from pyspark.sql.functions import coalesce as F_coalesce
+        from pyspark.sql.functions import lit as F_lit
+        n_outside = df.filter(~F_coalesce(pred, F_lit(False))).limit(1).count()
+        if n_outside:
+            raise ValueError(
+                "replace_where: df contains rows NOT matching the "
+                "predicate — they would leak outside the replaced region"
+            )
+        # point stats: may-match == all-match, so this removal is exact
+        removed = set(prune_files(manifest, where))
+        carried = [f for f in manifest["files"] if f not in removed]
+        carried_set = set(carried)
+        new_files, new_stats, new_partitions = self._write_data_files(
+            df, manifest.get("partition_by")
         )
         stats = {
             f: s
             for f, s in manifest.get("stats", {}).items()
-            if f in set(carried)
+            if f in carried_set
         }
         stats.update(new_stats)
         partitions = {
-            f: p
-            for f, p in manifest.get("partitions", {}).items()
-            if f in set(carried)
+            f: p for f, p in part_values.items() if f in carried_set
         }
         partitions.update(new_partitions)
         version = base + 1
         file_seq = {
             f: s_
             for f, s_ in manifest.get("file_seq", {}).items()
-            if f in set(carried)
+            if f in carried_set
         }
         for f in new_files:
             file_seq[f] = version
         out = {
             "version": version,
-            "mode": "merge",
+            "mode": "replace-where",
             "files": carried + new_files,
             "stats": stats,
             "schema": manifest["schema"],
@@ -645,21 +948,22 @@ class SnapshotTable:
             "committed_at": __import__("time").time(),
         }
         if manifest.get("evolved"):
-            out["evolved"] = True  # carried files may still be old-schema
+            out["evolved"] = True
         if manifest.get("tombstones"):
-            # rewritten files were built THROUGH the tombstones and get a
-            # post-delete seq, so carried tombstones keep applying only to
-            # the untouched old files — no resurrection, no double-delete
+            # carried old files still need them; the replacement files get
+            # a post-delete seq (their content is NEW rows by definition)
             out["tombstones"] = manifest["tombstones"]
             out["tombstone_keys"] = manifest["tombstone_keys"]
-        if partition_by:
-            out["partition_by"] = partition_by
+        if manifest.get("partition_by"):
+            out["partition_by"] = manifest["partition_by"]
+        if partitions:
             out["partitions"] = partitions
         self._publish(version, out)
         return {
             "version": version,
-            "files_rewritten": len(touched_files),
+            "files_replaced": len(removed),
             "files_carried": len(carried),
+            "files_written": len(new_files),
         }
 
     def optimize(
@@ -814,6 +1118,7 @@ class SnapshotTable:
             out["tombstone_keys"] = manifest["tombstone_keys"]
         if manifest.get("partition_by"):
             out["partition_by"] = manifest["partition_by"]
+        if partitions:  # carried point stats survive partition evolution
             out["partitions"] = partitions
         self._publish(version, out)
         return {
@@ -855,16 +1160,22 @@ class SnapshotTable:
         """Shallow clone (Delta's CLONE SHALLOW): publish v0 referencing
         the SOURCE table's current files — zero data copied, O(manifest).
         The clone then evolves independently (its commits write under its
-        own root). Safety note, enforced by construction: ``vacuum`` only
-        deletes files under a table's OWN data_dir, so vacuuming a clone
-        can never destroy the source's files (the standard shallow-clone
-        caveat, made impossible rather than documented)."""
+        own root). Safety is ONE-directional: ``vacuum`` only deletes
+        files under a table's OWN data_dir, so vacuuming a CLONE can
+        never destroy the source's files — but vacuuming the SOURCE
+        consults only the source's own manifests and WILL delete files a
+        shallow clone still references, breaking the clone (the standard
+        Delta shallow-clone caveat; see ``vacuum``). Don't vacuum a table
+        that has live shallow clones."""
         if self.versions():
             raise ValueError(f"clone target {self.root} is not empty")
         src_v = source.latest_version()
         if src_v is None:
             raise FileNotFoundError(f"no commits at {source.root}")
         m = dict(source._read_manifest(src_v))
+        # the source's txn stamp certifies the SOURCE writer's batch; a
+        # clone committed no such batch (see delete_keys for the hazard)
+        m.pop("txn", None)
         m.update(
             {
                 "version": 0,
@@ -909,6 +1220,11 @@ class SnapshotTable:
         )
         version = base + 1
         out = dict(manifest)
+        # the txn stamp certifies "THIS version committed streaming batch
+        # N"; deriving a delete manifest from the prior one must not carry
+        # it, or last_committed_batch reports a batch this version never
+        # wrote and an exactly-once writer silently skips epochs
+        out.pop("txn", None)
         out.update(
             {
                 "version": version,
@@ -1043,8 +1359,8 @@ class SnapshotTable:
         extra = (
             [F_input_file_name().alias("__file")] if with_file_name else []
         )
-        partitioned = bool(manifest.get("partition_by"))
-        if not partitioned and not manifest.get("evolved"):
+        part_values = manifest.get("partitions", {})
+        if not part_values and not manifest.get("evolved"):
             df = spark.read.parquet(*files)
             return df.select(
                 *[F_col(f.name).cast(f.dataType) for f in schema.fields],
@@ -1053,18 +1369,16 @@ class SnapshotTable:
         # per-commit grouping: partitioned commits need a basePath each
         # for partition-value recovery, and schema-evolved tables need
         # per-group NULL-fill (a single multi-file scan samples ONE footer
-        # and would drop or mis-type the columns the other commits carry)
+        # and would drop or mis-type the columns the other commits carry).
+        # Whether a group is partitioned is decided PER GROUP (partition
+        # evolution mixes laid-out and flat commits in one live file set).
         by_commit: dict[str, list[str]] = {}
         for f in files:
-            commit_root = os.path.join(
-                self.data_dir,
-                os.path.relpath(f, self.data_dir).split(os.sep)[0],
-            )
-            by_commit.setdefault(commit_root, []).append(f)
+            by_commit.setdefault(_commit_root_of(f), []).append(f)
         parts = []
         for root, fs in sorted(by_commit.items()):
             r = spark.read
-            if partitioned:
+            if any(part_values.get(f) for f in fs):
                 r = r.option("basePath", root)
             p = r.parquet(*fs)
             for fld in schema.fields:  # evolution: absent columns read NULL
@@ -1203,7 +1517,14 @@ def vacuum(
     which those files look like orphans; a graceless vacuum racing it
     would destroy the commit's data and the committer would then publish
     a manifest pointing at deleted files. Same defense as Delta VACUUM's
-    retention threshold. Pass 0 only when no writer can be live."""
+    retention threshold. Pass 0 only when no writer can be live.
+
+    SHALLOW CLONES: vacuum consults only THIS table's manifests. A
+    shallow clone of this table references these data files from its own
+    manifest, which vacuum cannot see — vacuuming a cloned-FROM table
+    deletes files the clone still needs (the standard Delta caveat).
+    Vacuuming the clone itself is always safe for the source (the walk
+    covers only the clone's own data_dir)."""
     import time
 
     vs = table.versions()

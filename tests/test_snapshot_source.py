@@ -178,3 +178,37 @@ def test_pushdown_timestamp_predicates_prune(spark, tmp_path):
         .collect()
     )
     assert [r.k for r in got] == [2]  # ghost skipped => ts pushdown pruned
+
+
+def test_pushdown_null_predicates_prune_ghost(spark, tmp_path):
+    """IsNull/IsNotNull reach the manifest's null-count stats through
+    Catalyst pushFilters: a ghost file whose stats say all-null (or
+    no-null) is provably never opened by the matching predicate."""
+    import os
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = SnapshotTable(str(tmp_path / "nulltbl"))
+    t.commit(
+        spark.createDataFrame([(1, "a"), (2, None)], "k long, v string")
+        .coalesce(1),
+        mode="append",
+    )
+    base = t.latest_version()
+    m = dict(t._read_manifest(base))
+    ghost = os.path.join(t.data_dir, "ghost.parquet")
+    m["files"] = m["files"] + [ghost]
+    m["stats"] = dict(m["stats"])
+    # ghost claims: v is ALL NULL across its 5 rows
+    m["stats"][ghost] = {"v": {"nc": 5, "nr": 5}}
+    m["version"] = base + 1
+    t._publish(base + 1, m)
+
+    def load():
+        return spark.read.format("snapshot").option("root", t.root).load()
+
+    got = sorted(r.k for r in load().filter("v IS NOT NULL").collect())
+    assert got == [1]  # ghost skipped via nc==nr, real rows filtered
+    with pytest.raises(Exception):
+        load().filter("v IS NULL").collect()  # ghost MAY match -> opened

@@ -514,8 +514,10 @@ def test_nan_float_stats_never_poison_pruning(spark, table):
     table.commit(df, mode="append")
     m = table._read_manifest(0)
     st = m["stats"][m["files"][0]]
-    # either the writer omitted NaN stats or we refused them — never indexed
-    if "x" in st:
+    # either the writer omitted NaN stats or we refused them — never
+    # indexed (a null-count-only entry without min/max is fine: nc/nr
+    # can't poison comparisons)
+    if "x" in st and "min" in st["x"]:
         assert not math.isnan(st["x"]["min"][1])
         assert not math.isnan(st["x"]["max"][1])
     rep = table.scan_stats(where=[("x", "<", 6.0)])
@@ -621,7 +623,7 @@ def test_partitioned_append_mismatch_refused(spark, table):
     assert table.read(spark).count() == 1
 
 
-def test_null_partition_value_round_trips_and_never_prunes(spark, table):
+def test_null_partition_value_round_trips_and_prunes_soundly(spark, table):
     df = spark.createDataFrame(
         [(1, "a", 2000), (2, "b", None)], "k long, v string, y long"
     ).coalesce(1)
@@ -630,11 +632,15 @@ def test_null_partition_value_round_trips_and_never_prunes(spark, table):
         (r.k, r.y) for r in table.read(spark).collect()
     )
     assert rows == [(1, 2000), (2, None)]
-    # the NULL-partition file is never pruned (no proof possible)…
+    # the NULL-partition file IS pruned by comparisons since round 7's
+    # null evidence (NULL satisfies no comparison — an exact proof)…
     rep = table.scan_stats(where=[("y", "=", 1999)])
-    assert rep["n_files_scanned"] == 1
-    # …but the row-level filter still removes its rows
+    assert rep["n_files_scanned"] == 0
     assert table.read(spark, where=[("y", "=", 1999)]).count() == 0
+    # …while IS NULL keeps exactly it, and the value file prunes
+    rep = table.scan_stats(where=[("y", "is_null", None)])
+    assert rep["n_files_scanned"] == 1
+    assert [r.k for r in table.read(spark, where=[("y", "is_null", None)]).collect()] == [2]
 
 
 def test_partitioned_rollback_and_change_feed(spark, table):
@@ -1202,3 +1208,505 @@ def test_prune_in_op_soundness_property():
             assert not may, (mn, mx, members)
 
     check()
+
+
+# -- round-7 advice fixes ----------------------------------------------------
+
+
+def test_rollback_is_timestamped_for_time_travel(spark, table):
+    """A rollback manifest must carry committed_at like every other
+    publish: unstamped, version_as_of treated it as older than ANY
+    timestamp and silently resolved the rollback version for every ts
+    (version_as_of(t0) returned the rollback instead of v0)."""
+    import time
+
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    t0 = time.time()
+    time.sleep(0.05)
+    table.commit(_df(spark, [(2, "b")]), mode="append")
+    time.sleep(0.05)
+    v_rb = table.rollback(0)
+    assert table._read_manifest(v_rb).get("committed_at", 0) >= t0
+    assert table.version_as_of(t0) == 0  # NOT the rollback version
+    assert table.version_as_of(time.time()) == v_rb
+    with pytest.raises(FileNotFoundError):
+        table.version_as_of(0.0)  # still raises pre-table
+
+
+def test_clone_of_partitioned_table_reads_and_prunes(spark, tmp_path, table):
+    """A shallow clone references the SOURCE's data files; scan grouping
+    must derive each file's commit root from the file's OWN path (the
+    old relpath-vs-own-data_dir logic produced 'Wrong basePath' on a
+    partitioned clone)."""
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "x", 30)], "k long, p string, v long"
+    )
+    table.commit(df.repartition(1), mode="append", partition_by=["p"])
+    clone = SnapshotTable(str(tmp_path / "pclone"))
+    clone.clone_from(table)
+    got = {(r.k, r.p, r.v) for r in clone.read(spark).collect()}
+    assert got == {(1, "x", 10), (2, "y", 20), (3, "x", 30)}
+    # partition point-stats still prune through the clone's manifest
+    st = clone.scan_stats(where=[("p", "=", "x")])
+    assert st["n_files_scanned"] < st["n_files_total"]
+    assert {r.k for r in clone.read(spark, where=[("p", "=", "x")]).collect()} == {1, 3}
+
+
+def test_clone_of_evolved_table_keeps_evolved_columns(spark, tmp_path, table):
+    """Clone of a schema-evolved source: per-commit scan groups must not
+    collapse (collapsing NULLed the evolved column for every row)."""
+    table.commit(_df(spark, [(1, "a")]).coalesce(1), mode="append")
+    wide = spark.createDataFrame([(2, "b", 99)], "k long, v string, extra long")
+    table.commit(wide.coalesce(1), mode="append", merge_schema=True)
+    clone = SnapshotTable(str(tmp_path / "eclone"))
+    clone.clone_from(table)
+    rows = {(r.k, r.v, r.extra) for r in clone.read(spark).collect()}
+    assert rows == {(1, "a", None), (2, "b", 99)}
+
+
+def test_delete_and_clone_do_not_carry_txn_stamp(spark, tmp_path, table):
+    """Manifests derived from a prior one (delete_keys, clone_from) must
+    strip the 'txn' stamp — it certifies the ORIGINAL version's streaming
+    batch; carried, a clone reports the source writer's batch and an
+    exactly-once writer reusing that app_id silently skips epochs."""
+    table.commit(_df(spark, [(1, "a"), (2, "b")]), mode="append", txn=("app", 5))
+    assert table.last_committed_batch("app") == 5
+    table.delete_keys(spark, _df(spark, [(1, "a")]).select("k"), ["k"])
+    assert "txn" not in table._read_manifest(1)
+    clone = SnapshotTable(str(tmp_path / "txnclone"))
+    # clone from the pre-delete version state: rebuild a clean source
+    src2 = SnapshotTable(str(tmp_path / "src2"))
+    src2.commit(_df(spark, [(7, "q")]), mode="append", txn=("app", 9))
+    clone.clone_from(src2)
+    assert "txn" not in clone._read_manifest(0)
+    assert clone.last_committed_batch("app") is None
+    assert src2.last_committed_batch("app") == 9
+
+
+# -- round-7: null-count skipping stats --------------------------------------
+
+
+def test_null_stats_prune_null_predicates(spark, table):
+    """Per-file null counts (nc/nr in the manifest stats) let IS NULL skip
+    no-null files and IS NOT NULL skip all-null files; mixed files always
+    survive both. Comparison ops additionally skip all-null files (NULL
+    satisfies no comparison)."""
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v string"
+    )
+    nonull = spark.createDataFrame([(3, "x"), (4, "y")], "k long, v string")
+    mixed = spark.createDataFrame([(5, None), (6, "z")], "k long, v string")
+    for df in (allnull, nonull, mixed):
+        table.commit(df.coalesce(1), mode="append")
+    assert table.scan_stats()["n_files_total"] == 3
+    # IS NOT NULL skips exactly the all-null file
+    st = table.scan_stats(where=[("v", "is_not_null", None)])
+    assert st["n_files_scanned"] == 2
+    got = {r.k for r in table.read(spark, where=[("v", "is_not_null", None)]).collect()}
+    assert got == {3, 4, 6}
+    # IS NULL skips exactly the no-null file
+    st = table.scan_stats(where=[("v", "is_null", None)])
+    assert st["n_files_scanned"] == 2
+    got = {r.k for r in table.read(spark, where=[("v", "is_null", None)]).collect()}
+    assert got == {1, 2, 5}
+    # a comparison on v also skips the all-null file (no row can match)
+    st = table.scan_stats(where=[("v", "=", "x")])
+    assert st["n_files_scanned"] <= 2
+    got = {r.k for r in table.read(spark, where=[("v", "=", "x")]).collect()}
+    assert got == {3}
+
+
+def test_null_stats_partition_point_evidence(spark, table):
+    """Partition point stats imply null evidence: a value partition is
+    null-free (IS NULL skips it); the __HIVE_DEFAULT_PARTITION__ file is
+    all-null (IS NOT NULL and comparisons skip it)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, p string"
+    )
+    table.commit(df.repartition(1), mode="append", partition_by=["p"])
+    assert table.scan_stats()["n_files_total"] == 3
+    st = table.scan_stats(where=[("p", "is_null", None)])
+    assert st["n_files_scanned"] == 1
+    assert {r.k for r in table.read(spark, where=[("p", "is_null", None)]).collect()} == {2}
+    st = table.scan_stats(where=[("p", "is_not_null", None)])
+    assert st["n_files_scanned"] == 2
+    assert {r.k for r in table.read(spark, where=[("p", "is_not_null", None)]).collect()} == {1, 3}
+    # equality on p skips the NULL partition AND the non-matching value
+    st = table.scan_stats(where=[("p", "=", "a")])
+    assert st["n_files_scanned"] == 1
+
+
+def test_null_prune_soundness_property():
+    """Property (hypothesis): null-stat pruning never skips a file that
+    contains a satisfying row, and is EXACT for the null ops (a file
+    whose nc/nr proves emptiness is always skipped)."""
+    from hypothesis import given, strategies as st
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import _file_may_match
+
+    rows = st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=0,
+        max_size=12,
+    )
+
+    @given(vals=rows, lit=st.integers(min_value=-50, max_value=50))
+    def check(vals, lit):
+        nonnull = [v for v in vals if v is not None]
+        ev = {"nc": len(vals) - len(nonnull), "nr": len(vals)}
+        if nonnull:
+            ev["min"] = ["num", min(nonnull)]
+            ev["max"] = ["num", max(nonnull)]
+        stats = {"c": ev}
+        # soundness: any op with a satisfying row keeps the file
+        if any(v is None for v in vals):
+            assert _file_may_match(stats, "c", "is_null", None)
+        if nonnull:
+            assert _file_may_match(stats, "c", "is_not_null", None)
+        for op, pred in (
+            ("=", lambda v: v == lit),
+            ("<", lambda v: v < lit),
+            ("<=", lambda v: v <= lit),
+            (">", lambda v: v > lit),
+            (">=", lambda v: v >= lit),
+        ):
+            if any(pred(v) for v in nonnull):
+                assert _file_may_match(stats, "c", op, lit), (op, vals, lit)
+        # exactness of the null ops under complete nc/nr
+        if not any(v is None for v in vals) and vals:
+            assert not _file_may_match(stats, "c", "is_null", None)
+        if vals and not nonnull:
+            assert not _file_may_match(stats, "c", "is_not_null", None)
+            assert not _file_may_match(stats, "c", "=", lit)
+
+    check()
+
+
+# -- round-7: concurrent-writer commit protocol (retry/rebase) ---------------
+
+
+def test_append_rebase_lands_both_writers(spark, table):
+    """Two interleaved appenders: writer A reads the head, writer B
+    commits first (injected via the _before_publish seam), A's publish
+    loses the version race — with on_conflict='rebase' A re-reads the
+    head and republishes its ALREADY-WRITTEN files as head+1. Both file
+    sets are live; zero data I/O repeated."""
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    v = table.commit(
+        _df(spark, [(3, "c")]),
+        mode="append",
+        on_conflict="rebase",
+        _before_publish=lambda: table.commit(
+            _df(spark, [(2, "b")]), mode="append"
+        ),
+    )
+    assert v == 2  # rebased past B's v1
+    assert {r.k for r in table.read(spark).collect()} == {1, 2, 3}
+    assert [h["mode"] for h in table.history()] == ["append"] * 3
+    # CDC across the rebased history: consuming from v0 yields B's and
+    # A's rows exactly once
+    from f1_bigdata_pyspark_spark.sources.snapshots import read_changes_since
+
+    delta, cursor = read_changes_since(spark, table, 0)
+    assert cursor == 2
+    assert sorted(r.k for r in delta.collect()) == [2, 3]
+
+
+def test_append_rebase_revalidates_against_new_head(spark, table):
+    """The rebase loop re-VALIDATES against the new head: if the winner
+    re-partitioned the table (overwrite with a layout), the loser's flat
+    append must refuse rather than publish a layout-violating commit."""
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+
+    def winner_repartitions():
+        table.commit(
+            _df(spark, [(9, "z")]).repartition(1),
+            mode="overwrite",
+            partition_by=["v"],
+        )
+
+    with pytest.raises(ValueError, match="partition_by"):
+        table.commit(
+            _df(spark, [(3, "c")]),
+            mode="append",
+            on_conflict="rebase",
+            _before_publish=winner_repartitions,
+        )
+
+
+def test_append_rebase_rejects_bad_combos(spark, table):
+    with pytest.raises(ValueError, match="rebase"):
+        table.commit(
+            _df(spark, [(1, "a")]), mode="overwrite", on_conflict="rebase"
+        )
+    with pytest.raises(ValueError, match="contradictory"):
+        table.commit(
+            _df(spark, [(1, "a")]),
+            mode="append",
+            expected_base_version=0,
+            on_conflict="rebase",
+        )
+
+
+def test_merge_retry_disjoint_concurrent_append_lands(spark, table):
+    """Merge loses the race to an append whose rows are DISJOINT from the
+    merge's source keys: the retry proves disjointness (stats pre-prune +
+    semi-join over only the winner's added files), then republishes the
+    same rewrite carrying the winner's file by identity."""
+    table.commit(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), mode="append")
+    src = spark.createDataFrame([(2, "B!")], "k long, new_v string")
+
+    from pyspark.sql import functions as F
+
+    res = table.merge(
+        spark,
+        src,
+        ["k"],
+        matched_update={"v": F.col("new_v")},
+        on_conflict="retry",
+        _before_publish=lambda: table.commit(
+            _df(spark, [(100, "far")]).coalesce(1), mode="append"
+        ),
+    )
+    assert res["version"] == 2  # v1 = winner append, v2 = rebased retry
+    got = {(r.k, r.v) for r in table.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B!"), (100, "far")}
+    # the winner's file was carried by identity
+    assert res["files_carried"] >= 1
+
+
+def test_merge_retry_overlapping_concurrent_append_refuses(spark, table):
+    """The winner appended a row matching the merge's source keys — the
+    merge's matched/not-matched classification is stale and the retry
+    must refuse (a blind republish would duplicate the key)."""
+    table.commit(_df(spark, [(1, "a")]).coalesce(1), mode="append")
+    src = spark.createDataFrame([(5, "ins")], "k long, new_v string")
+
+    from pyspark.sql import functions as F
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotConflictError,
+    )
+
+    with pytest.raises(SnapshotConflictError, match="source"):
+        table.merge(
+            spark,
+            src,
+            ["k"],
+            matched_update={"v": F.col("new_v")},
+            not_matched_insert={"k": F.col("k"), "v": F.col("new_v")},
+            on_conflict="retry",
+            _before_publish=lambda: table.commit(
+                _df(spark, [(5, "racer")]).coalesce(1), mode="append"
+            ),
+        )
+
+
+def test_merge_retry_winner_rewrote_touched_refuses(spark, table):
+    """Two merges touching the SAME file: the loser's rewrite is built on
+    files the winner already replaced — must refuse, never fork history."""
+    table.commit(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), mode="append")
+
+    from pyspark.sql import functions as F
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotConflictError,
+    )
+
+    def winner_merge():
+        table.merge(
+            spark,
+            spark.createDataFrame([(1, "WIN")], "k long, new_v string"),
+            ["k"],
+            matched_update={"v": F.col("new_v")},
+        )
+
+    with pytest.raises(SnapshotConflictError, match="touched|rewrote"):
+        table.merge(
+            spark,
+            spark.createDataFrame([(2, "LOSE")], "k long, new_v string"),
+            ["k"],
+            matched_update={"v": F.col("new_v")},
+            on_conflict="retry",
+            _before_publish=winner_merge,
+        )
+    # the winner's merge is the surviving history
+    assert {(r.k, r.v) for r in table.read(spark).collect()} == {
+        (1, "WIN"),
+        (2, "b"),
+    }
+
+
+def test_merge_retry_concurrent_delete_refuses(spark, table):
+    """A concurrent DELETE adds tombstones the merge's rewritten files
+    would escape (newer seq) — resurrection hazard, must refuse."""
+    table.commit(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), mode="append")
+
+    from pyspark.sql import functions as F
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotConflictError,
+    )
+
+    with pytest.raises(SnapshotConflictError, match="DELETE"):
+        table.merge(
+            spark,
+            spark.createDataFrame([(2, "upd")], "k long, new_v string"),
+            ["k"],
+            matched_update={"v": F.col("new_v")},
+            on_conflict="retry",
+            _before_publish=lambda: table.delete_keys(
+                spark, _df(spark, [(1, "a")]).select("k"), ["k"]
+            ),
+        )
+
+
+# -- round-7: partition evolution --------------------------------------------
+
+
+def test_partition_evolution_add_layout(spark, table):
+    """Iceberg-style partition evolution: a flat table gains a layout on
+    append; both generations read correctly and BOTH prune — old files
+    through footer min/max, new files through directory point stats."""
+    flat = spark.createDataFrame([(1, "x"), (2, "x")], "k long, p string")
+    table.commit(flat.coalesce(1), mode="append")
+    laid = spark.createDataFrame([(3, "y"), (4, "z")], "k long, p string")
+    table.commit(
+        laid.repartition(1),
+        mode="append",
+        partition_by=["p"],
+        evolve_partitioning=True,
+    )
+    got = {(r.k, r.p) for r in table.read(spark).collect()}
+    assert got == {(1, "x"), (2, "x"), (3, "y"), (4, "z")}
+    # old gen prunes via footer stats (p range ['x','x'] excludes 'y'),
+    # new gen via point stats: only the y file scans
+    st = table.scan_stats(where=[("p", "=", "y")])
+    assert st["n_files_scanned"] == 1
+    assert {r.k for r in table.read(spark, where=[("p", "=", "y")]).collect()} == {3}
+    # and the old generation is still reachable exactly
+    st = table.scan_stats(where=[("p", "=", "x")])
+    assert st["n_files_scanned"] == 1
+    # OPTIMIZE migrates everything to the current layout
+    table.optimize(spark, sort_cols=["k"])
+    m = table._read_manifest(table.latest_version())
+    assert m.get("partition_by") == ["p"]
+    assert set(m["files"]) == set(m.get("partitions", {}))  # all laid out
+    got = {(r.k, r.p) for r in table.read(spark).collect()}
+    assert got == {(1, "x"), (2, "x"), (3, "y"), (4, "z")}
+
+
+def test_partition_evolution_drop_layout(spark, table):
+    """The reverse evolution: a partitioned table goes flat. Old files
+    keep recovering the partition column from their directories (and
+    keep their point stats); new files carry it as a data column."""
+    laid = spark.createDataFrame([(1, "x"), (2, "y")], "k long, p string")
+    table.commit(laid.repartition(1), mode="append", partition_by=["p"])
+    flat = spark.createDataFrame([(3, "z")], "k long, p string")
+    table.commit(
+        flat.coalesce(1), mode="append", evolve_partitioning=True
+    )
+    got = {(r.k, r.p) for r in table.read(spark).collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "z")}
+    # old-gen point stats still prune
+    st = table.scan_stats(where=[("p", "=", "x")])
+    assert st["n_files_scanned"] < st["n_files_total"]
+    # without evolve_partitioning a layout mismatch still refuses
+    # (the table is NOW flat, so a partitioned append is the mismatch)
+    with pytest.raises(ValueError, match="partition_by"):
+        table.commit(
+            flat.coalesce(1), mode="append", partition_by=["p"]
+        )
+
+
+# -- round-7: replace_where ---------------------------------------------------
+
+
+def test_replace_where_rewrites_only_matching_partition(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, p string, v long"
+    )
+    table.commit(df.repartition(1), mode="append", partition_by=["p"])
+    repl = spark.createDataFrame(
+        [(20, "b", 200), (21, "b", 210)], "k long, p string, v long"
+    )
+    res = table.replace_where(spark, repl.coalesce(1), [("p", "=", "b")])
+    assert (res["files_replaced"], res["files_carried"]) == (1, 2)
+    got = {(r.k, r.p, r.v) for r in table.read(spark).collect()}
+    assert got == {(1, "a", 10), (20, "b", 200), (21, "b", 210), (3, "c", 30)}
+    # history intact: v0 still reads the original
+    assert {r.k for r in table.read(spark, version=0).collect()} == {1, 2, 3}
+
+
+def test_replace_where_guards(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, p string, v long"
+    )
+    table.commit(df.repartition(1), mode="append", partition_by=["p"])
+    # rows outside the predicate must refuse
+    leak = spark.createDataFrame([(9, "c", 90)], "k long, p string, v long")
+    with pytest.raises(ValueError, match="NOT matching"):
+        table.replace_where(spark, leak.coalesce(1), [("p", "=", "b")])
+    # non-partition predicate column must refuse (not provable per file)
+    repl = spark.createDataFrame([(2, "b", 99)], "k long, p string, v long")
+    with pytest.raises(ValueError, match="point values"):
+        table.replace_where(spark, repl.coalesce(1), [("v", "=", 20)])
+
+
+# -- round-7: JOIN-view incremental maintenance -------------------------------
+
+
+def test_join_view_ivm_matches_recompute_all_change_kinds(spark, tmp_path):
+    """Delta-join identity over signed multisets: inserts, deletes and
+    updates on BOTH sides — including the same key changing on both
+    sides at once (the ΔA⋈ΔB cross term, where signs must multiply) —
+    maintained view == recomputed view."""
+    from f1_bigdata_pyspark_spark.operators.ivm import (
+        apply_cdc_to_join_rollup,
+        join_rollup_of,
+        signed_delta,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    ta = SnapshotTable(str(tmp_path / "a"))
+    tb = SnapshotTable(str(tmp_path / "b"))
+    a0 = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (4, "g2")], "k long, g string"
+    )
+    b0 = spark.createDataFrame(
+        [(1, 10), (2, 20), (4, 40)], "k long, v long"
+    )
+    # k=1 updates on BOTH sides; k=2 deleted from both; k=3 inserted in
+    # both; k=4 updates only B; k=5 inserted only in A (no B match)
+    a1 = spark.createDataFrame(
+        [(1, "g2"), (3, "g1"), (4, "g2"), (5, "g1")], "k long, g string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 11), (3, 30), (4, 44)], "k long, v long"
+    )
+    ta.commit(a0.coalesce(1), mode="append")
+    tb.commit(b0.coalesce(1), mode="append")
+    ta.commit(a1.coalesce(1), mode="overwrite")
+    tb.commit(b1.coalesce(1), mode="overwrite")
+    a_old, b_old = ta.read(spark, version=0), tb.read(spark, version=0)
+    view0 = materialize(join_rollup_of(a_old, b_old, ["k"], ["g"], "v"))
+    da = signed_delta(snapshot_diff(spark, ta, 0, 1, ["k"]), ["k"])
+    db = signed_delta(snapshot_diff(spark, tb, 0, 1, ["k"]), ["k"])
+    maintained = {
+        (r.g, r.n, r.s)
+        for r in apply_cdc_to_join_rollup(
+            view0, a_old, b_old, da, db, ["k"], ["g"], "v"
+        ).collect()
+    }
+    recomputed = {
+        (r.g, r.n, r.s)
+        for r in join_rollup_of(
+            ta.read(spark, version=1), tb.read(spark, version=1),
+            ["k"], ["g"], "v",
+        ).collect()
+    }
+    assert maintained == recomputed
+    # and the hand-checked truth: k1 -> (g2, 11), k3 -> (g1, 30),
+    # k4 -> (g2, 44); k5 has no B match
+    assert recomputed == {("g1", 1, 30), ("g2", 2, 55)}
