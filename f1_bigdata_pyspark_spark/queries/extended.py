@@ -3971,3 +3971,307 @@ def ivm_join_rollup_maintenance(
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_null_skipping_scan — round-7 null-count data skipping made
+# driver-checkable: orders land in three files with a KNOWN null layout
+# on a derived value column (keys %4==0 -> an ALL-NULL file, %4==1 -> a
+# NO-NULL file, %4 in (2,3) -> a mixed file with nulls at %4==2), then
+# three reads run through the manifest's nc/nr stats: IS NOT NULL skips
+# the all-null file, IS NULL skips the no-null file, and a comparison
+# ALSO skips the all-null file (NULL satisfies no comparison — the
+# three-valued-logic proof). Scanned/total file counts AND the row
+# counts ride the hashed result, so an unsound skip (or a lost prune)
+# breaks the hash. This is the IS NOT NULL fast path every warehouse
+# query planner leans on, here enforced by the manifest instead of a
+# runtime filter.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_null_skipping_scan",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 IN (0, 2) THEN NULL
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         END AS val
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'comparison_gt' AS predicate,
+         CAST(3 AS BIGINT) AS n_files_total,
+         CAST(2 AS BIGINT) AS n_files_scanned,
+         (SELECT CAST(count(*) AS BIGINT) FROM v WHERE val > 0) AS n_rows
+  UNION ALL
+  SELECT 'is_not_null',
+         CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+         (SELECT CAST(count(*) AS BIGINT) FROM v WHERE val IS NOT NULL)
+  UNION ALL
+  SELECT 'is_null',
+         CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+         (SELECT CAST(count(*) AS BIGINT) FROM v WHERE val IS NULL)
+) ORDER BY predicate
+""",
+)
+def snapshot_null_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 1,
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 3,
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+        )
+        .alias("val"),  # %4 in (0, 2): NULL (when/when without otherwise)
+    )
+    batches = [
+        F.col("o_orderkey") % 4 == 0,  # all-null file
+        F.col("o_orderkey") % 4 == 1,  # no-null file
+        F.col("o_orderkey") % 4 >= 2,  # mixed file (%4 in 2,3)
+    ]
+    root = tempfile.mkdtemp(prefix="snap_null_")
+    try:
+        table = SnapshotTable(root)
+        for cond in batches:
+            table.commit(orders.filter(cond).coalesce(1), mode="append")
+        rows = []
+        for name, where in (
+            ("comparison_gt", [("val", ">", 0)]),
+            ("is_not_null", [("val", "is_not_null", None)]),
+            ("is_null", [("val", "is_null", None)]),
+        ):
+            st = table.scan_stats(where=where)
+            n = table.read(spark, where=where).count()
+            rows.append(
+                (name, st["n_files_total"], st["n_files_scanned"], n)
+            )
+        out = materialize(
+            spark.createDataFrame(
+                rows,
+                "predicate string, n_files_total long, "
+                "n_files_scanned long, n_rows long",
+            ).orderBy("predicate")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_partition_evolution_report — round-7 Iceberg-style partition
+# evolution made driver-checkable: generation 1 commits the lower half of
+# orders FLAT (one file, no layout); generation 2 evolves the table to
+# partition_by=[o_orderpriority] and appends the upper half (one file per
+# priority). A priority-equality read then prunes ACROSS generations in
+# one prune_files pass: the flat gen-1 file survives only because its
+# footer min/max on the string column brackets the probe value, the
+# gen-2 files through their directory point stats — 2 files scanned out
+# of 1 + n_priorities. OPTIMIZE then migrates everything to the current
+# layout (all files laid out, 1 file scanned for the same predicate) and
+# the matching row count is pinned unchanged across the migration. The
+# file arithmetic is data-derived (n_priorities from the data), not
+# hard-coded.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_partition_evolution_report",
+    oracle="""
+WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+np AS (SELECT count(DISTINCT o_orderpriority) AS n FROM orders
+       WHERE o_orderkey > (SELECT m FROM mk) // 2),
+minp AS (SELECT min(o_orderpriority) AS p FROM orders),
+pred AS (
+  SELECT count(*) AS nr FROM orders
+  WHERE o_orderpriority = (SELECT p FROM minp)
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM np) AS n_new_partitions,
+       (SELECT CAST(1 + n AS BIGINT) FROM np) AS n_files_mixed,
+       CAST(2 AS BIGINT) AS n_files_scanned_mixed,
+       (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        FROM orders) AS n_files_optimized,
+       CAST(1 AS BIGINT) AS n_files_scanned_optimized,
+       (SELECT CAST(nr AS BIGINT) FROM pred) AS n_rows_predicate,
+       TRUE AS rows_stable_across_migration
+""",
+)
+def snapshot_partition_evolution_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    lower = orders.filter(F.col("o_orderkey") <= mk // 2)
+    upper = orders.filter(F.col("o_orderkey") > mk // 2)
+    minp = orders.agg(F.min("o_orderpriority")).head()[0]
+    n_new = upper.select("o_orderpriority").distinct().count()
+    root = tempfile.mkdtemp(prefix="snap_pevo_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(lower.coalesce(1), mode="append")  # gen 1: flat
+        table.commit(  # gen 2: evolved layout, one file per priority
+            upper.repartition(8, "o_orderpriority"),
+            mode="append",
+            partition_by=["o_orderpriority"],
+            evolve_partitioning=True,
+        )
+        where = [("o_orderpriority", "=", minp)]
+        st_mixed = table.scan_stats(where=where)
+        n_pred = table.read(spark, where=where).count()
+        table.optimize(spark, sort_cols=["o_orderkey"], target_files=1)
+        st_opt = table.scan_stats(where=where)
+        n_pred_after = table.read(spark, where=where).count()
+        out = materialize(
+            spark.createDataFrame(
+                [
+                    (
+                        n_new,
+                        st_mixed["n_files_total"],
+                        st_mixed["n_files_scanned"],
+                        st_opt["n_files_total"],
+                        st_opt["n_files_scanned"],
+                        n_pred,
+                        n_pred == n_pred_after,
+                    )
+                ],
+                "n_new_partitions long, n_files_mixed long, "
+                "n_files_scanned_mixed long, n_files_optimized long, "
+                "n_files_scanned_optimized long, n_rows_predicate long, "
+                "rows_stable_across_migration boolean",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_concurrent_writers_protocol — round-7 optimistic-concurrency
+# protocol made driver-checkable, both paths exercised through injected
+# version races: (1) an APPEND loses its race to another append and
+# auto-REBASES (republishes its already-written file set on the new
+# head — appends never conflict logically); (2) a MERGE (doubling the
+# integer-cents value of every %7==0 key) loses its race to an append of
+# brand-new synthetic keys ABOVE the table's key range and RETRIES —
+# the winner's added file is provably disjoint from the merge source
+# (stats pre-prune: the added file's key range misses the source range
+# entirely, zero probe I/O), so the same rewrite lands on the new head
+# with the winner's file carried by identity. Serializable by
+# construction: the winner's keys are outside the source, so
+# merge-after-winner equals merge-before-winner. The hashed result is
+# the final per-priority rollup + the commit-mode history + row
+# conservation — any protocol drift (lost rows, double-applied merge,
+# forked history) breaks the hash.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_concurrent_writers_protocol",
+    oracle="""
+WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           * (CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END) AS val
+  FROM orders
+),
+winner AS (
+  SELECT (SELECT m FROM mk) + i AS o_orderkey,
+         'RACE' AS o_orderpriority,
+         CAST((i * 37) % 1000 AS BIGINT) AS val
+  FROM (SELECT unnest(range(1, 51)) AS i)
+),
+final AS (
+  SELECT * FROM base UNION ALL SELECT * FROM winner
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(val) AS BIGINT) AS total_cents,
+       'append,append,append,append,merge' AS history_modes,
+       (SELECT CAST(count(*) + 50 AS BIGINT) FROM orders) = (
+         SELECT count(*) FROM final) AS conservation_ok
+FROM final
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def snapshot_concurrent_writers_protocol(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("val"),
+    )
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    thirds = [
+        F.col("o_orderkey") % 3 == 0,
+        F.col("o_orderkey") % 3 == 1,
+        F.col("o_orderkey") % 3 == 2,
+    ]
+    winner_rows = spark.range(1, 51).select(
+        (F.col("id") + mk).alias("o_orderkey"),
+        F.lit("RACE").alias("o_orderpriority"),
+        ((F.col("id") * 37) % 1000).cast("long").alias("val"),
+    )
+    root = tempfile.mkdtemp(prefix="snap_ccw_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(orders.filter(thirds[0]).coalesce(1), mode="append")
+        # race 1: this append loses to the %3==1 batch and REBASES
+        table.commit(
+            orders.filter(thirds[2]).coalesce(1),
+            mode="append",
+            on_conflict="rebase",
+            _before_publish=lambda: table.commit(
+                orders.filter(thirds[1]).coalesce(1), mode="append"
+            ),
+        )
+        # race 2: the merge loses to a disjoint-key append and RETRIES
+        src = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", (F.col("val") * 2).alias("new_val")
+        )
+        table.merge(
+            spark,
+            src,
+            ["o_orderkey"],
+            matched_update={"val": F.col("new_val")},
+            on_conflict="retry",
+            _before_publish=lambda: table.commit(
+                winner_rows.coalesce(1), mode="append"
+            ),
+        )
+        modes = ",".join(h["mode"] for h in table.history())
+        final = table.read(spark)
+        n_final = final.count()
+        n_expected = orders.count() + 50
+        out = materialize(
+            final.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("val").cast("long").alias("total_cents"),
+            )
+            .withColumn("history_modes", F.lit(modes))
+            .withColumn("conservation_ok", F.lit(n_final == n_expected))
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

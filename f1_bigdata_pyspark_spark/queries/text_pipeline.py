@@ -4193,3 +4193,289 @@ def temporal_split_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boundary_clean boolean",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: packed_token_shards — the END of the training-data pipeline (round 7):
+# BPE vocab induction (operators/bpe.bpe_apply, 2 merge rounds) → corpus
+# ENCODE (each ≥2-char word to its learned-merge symbols, symbols to
+# dense vocab ids) → sequence PACKING (per-source global token order,
+# 64-token sequences, id-0 padding on the tail) → a snapshot COMMIT of
+# the packed array<long> shards partitioned by source → READ BACK. What
+# previously stopped at three reports (bpe_learned_merges,
+# sequence_packing_report, passage_dedup_rewrite) now lands as the
+# artifact a training job mounts, and every property is proven on the
+# READ-BACK table, not the pre-commit frame: token conservation
+# (non-pad ids == encoded token count, a computed boolean), a per-source
+# shard checksum over the exact id sequences (md5 of 'seq_id:ids' per
+# shard, summed mod 1e9+7 — any id, order, or padding drift breaks the
+# hash), and the vocab size. Packing is the scalable two-level form: a
+# doc-keyed window ranks tokens within docs, a doc-LEVEL cumulative sum
+# (one row per doc, not per token) assigns global offsets — no
+# corpus-sized single-partition window.
+# --------------------------------------------------------------------------
+def _packed_shards_oracle(rounds: int = 2, L: int = 64) -> str:
+    # the identical BPE unroll as _bpe_oracle, but emitting the FINAL
+    # merged state w{rounds} (the encoder's vocabulary view)
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT wid, count(*) AS freq, string_split(wid, '') AS syms FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS wid FROM documents
+  ) WHERE len(wid) >= 2 GROUP BY wid
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT wid, freq, u.i, u.s,
+         lead(u.s) OVER (PARTITION BY wid ORDER BY u.i) AS s2
+  FROM w{r - 1}, LATERAL (
+    SELECT unnest(generate_series(1, len(syms))) AS i, unnest(syms) AS s
+  ) u
+)""")
+        parts.append(f"""t{r} AS MATERIALIZED (
+  SELECT s AS a, s2 AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM p{r} WHERE s2 IS NOT NULL GROUP BY s, s2
+  ORDER BY cnt DESC, a, b LIMIT 1
+)""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT wid, freq, i, s, match AND (mrank % 2 = 1) AS merge FROM (
+    SELECT wid, freq, i, s, match,
+           sum(CASE WHEN match THEN 1 ELSE 0 END)
+             OVER (PARTITION BY wid, run ORDER BY i) AS mrank
+    FROM (
+      SELECT wid, freq, i, s, match,
+             coalesce(sum(CASE WHEN match THEN 0 ELSE 1 END)
+               OVER (PARTITION BY wid ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS run
+      FROM (
+        SELECT p.wid, p.freq, p.i, p.s,
+               coalesce(p.s = t.a AND p.s2 = t.b, false) AS match
+        FROM p{r} p, t{r} t
+      )
+    )
+  )
+)""")
+        parts.append(f"""w{r} AS MATERIALIZED (
+  SELECT wid, freq, list(sym ORDER BY i) AS syms FROM (
+    SELECT wid, freq, i,
+           CASE WHEN merge THEN (SELECT a || b FROM t{r}) ELSE s END AS sym,
+           coalesce(lag(merge) OVER (PARTITION BY wid ORDER BY i),
+                    false) AS consumed
+    FROM m{r}
+  ) WHERE NOT consumed GROUP BY wid, freq
+)""")
+    body = f"""vocab AS MATERIALIZED (
+  SELECT sym, row_number() OVER (ORDER BY sym) AS id
+  FROM (SELECT DISTINCT unnest(syms) AS sym FROM w{rounds})
+),
+wsyms AS MATERIALIZED (
+  SELECT s.wid, s.spos, v.id FROM (
+    SELECT wid, u.spos, u.sym
+    FROM w{rounds}, LATERAL (
+      SELECT unnest(generate_series(1, len(syms))) AS spos,
+             unnest(syms) AS sym
+    ) u
+  ) s JOIN vocab v ON v.sym = s.sym
+),
+doctoks AS MATERIALIZED (
+  SELECT source, doc_id, i AS wpos, w[i] AS wid
+  FROM (SELECT source, doc_id,
+               string_split(lower(text), ' ') AS w FROM documents),
+       (SELECT unnest(range(1,
+          (SELECT max(len(string_split(lower(text), ' ')))
+           FROM documents) + 1)) AS i)
+  WHERE i <= len(w) AND len(w[i]) >= 2
+),
+enc AS MATERIALIZED (
+  SELECT d.source, d.doc_id, d.wpos, s.spos, s.id
+  FROM doctoks d JOIN wsyms s ON s.wid = d.wid
+),
+ordered AS (
+  SELECT source, id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY doc_id, wpos, spos) - 1 AS gpos
+  FROM enc
+),
+seqs AS (
+  SELECT source, CAST(gpos // {L} AS BIGINT) AS seq_id,
+         list(id ORDER BY gpos) AS ids_raw
+  FROM ordered GROUP BY source, gpos // {L}
+),
+padded AS (
+  SELECT source, seq_id,
+         list_concat(ids_raw,
+           list_transform(range({L} - len(ids_raw)),
+                          x -> CAST(0 AS BIGINT))) AS ids
+  FROM seqs
+),
+hashed AS (
+  SELECT source, ids,
+         CAST(('0x' || substr(md5(CAST(seq_id AS VARCHAR) || ':' ||
+               array_to_string(ids, ',')), 1, 15)) AS BIGINT) AS h
+  FROM padded
+),
+tok AS (SELECT source, count(*) AS nt FROM enc GROUP BY source)
+SELECT h.source,
+       CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(sum(len(list_filter(ids, x -> x <> 0))) AS BIGINT) AS n_tokens,
+       CAST(sum({L} - len(list_filter(ids, x -> x <> 0))) AS BIGINT)
+         AS padding_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vocab_size,
+       CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS shard_checksum,
+       CAST(sum(len(list_filter(ids, x -> x <> 0))) AS BIGINT)
+         = (SELECT nt FROM tok WHERE tok.source = h.source)
+         AS conservation_ok
+FROM hashed h
+GROUP BY h.source
+ORDER BY h.source"""
+    return "WITH " + ",\n".join(parts) + ",\n" + body
+
+
+@query("packed_token_shards", oracle=_packed_shards_oracle(2, 64))
+def packed_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from f1_bigdata_pyspark_spark.functions.text import md5_long
+    from f1_bigdata_pyspark_spark.operators.bpe import bpe_apply
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    L = 64
+    docs = load_table(spark, sf_dir, "documents")
+    state = bpe_apply(docs, rounds=2)  # (wid, freq, syms) post-merges
+    vocab = materialize(
+        state.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .select(
+            "sym",
+            F.row_number()
+            .over(Window.orderBy("sym"))  # vocab-sized, bounded
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    wsyms = (
+        state.select("wid", F.posexplode("syms").alias("spos0", "sym"))
+        .join(vocab, "sym")
+        .select("wid", (F.col("spos0") + 1).alias("spos"), "id")
+    )
+    par = spark.sparkContext.defaultParallelism
+    doctoks = (
+        docs.repartition(par, F.col("doc_id"))
+        .select(
+            "source",
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+                "wpos0", "wid"
+            ),
+        )
+        .filter(F.length("wid") >= 2)
+        .select("source", "doc_id", (F.col("wpos0") + 1).alias("wpos"), "wid")
+    )
+    enc = materialize(
+        doctoks.join(wsyms, "wid").select(
+            "source", "doc_id", "wpos", "spos", "id"
+        )
+    )
+    # two-level global position: token rank within its doc (doc-keyed
+    # window) + doc offset from a DOC-level cumulative sum (one row per
+    # doc) — never a corpus-sized single-partition window
+    wdoc = Window.partitionBy("source", "doc_id").orderBy("wpos", "spos")
+    ranked = enc.withColumn("ipos", F.row_number().over(wdoc).cast("long"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        enc.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .withColumn(
+            "off", F.coalesce(F.sum("nd").over(wsrc), F.lit(0)).cast("long")
+        )
+        .select("source", "doc_id", "off")
+    )
+    g = ranked.join(offs, ["source", "doc_id"]).select(
+        "source",
+        "id",
+        (F.col("off") + F.col("ipos") - 1).alias("gpos"),
+    )
+    shard_rows = (
+        g.select(
+            "source",
+            F.floor(F.col("gpos") / L).cast("long").alias("seq_id"),
+            (F.col("gpos") % L).alias("p"),
+            "id",
+        )
+        .groupBy("source", "seq_id")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "id"))).alias("ps"))
+        .select("source", "seq_id", F.col("ps.id").alias("ids_raw"))
+    )
+    padded = shard_rows.select(
+        "source",
+        "seq_id",
+        F.concat(
+            F.col("ids_raw"),
+            F.array_repeat(
+                F.lit(0).cast("long"), L - F.size("ids_raw")
+            ),
+        ).alias("ids"),
+    )
+    root = tempfile.mkdtemp(prefix="token_shards_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(  # per-source shard writers, one file per source
+            padded.repartition(8, "source"),
+            mode="append",
+            partition_by=["source"],
+        )
+        back = table.read(spark)  # every claim below is on the READ-BACK
+        real = F.filter("ids", lambda x: x != 0)
+        hashed = back.select(
+            "source",
+            F.size(real).cast("long").alias("n_real"),
+            md5_long(
+                F.concat_ws(
+                    ":",
+                    F.col("seq_id").cast("string"),
+                    F.array_join(
+                        F.transform("ids", lambda x: x.cast("string")), ","
+                    ),
+                )
+            ).alias("h"),
+        )
+        pre_counts = enc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("nt")
+        )
+        n_vocab = vocab.count()  # 1 scalar
+        out = materialize(
+            hashed.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sequences"),
+                F.sum("n_real").cast("long").alias("n_tokens"),
+                (F.count(F.lit(1)) * L - F.sum("n_real"))
+                .cast("long")
+                .alias("padding_tokens"),
+                (F.sum(F.col("h") % 1000000007) % 1000000007)
+                .cast("long")
+                .alias("shard_checksum"),
+            )
+            .join(pre_counts, "source")
+            .select(
+                "source",
+                "n_sequences",
+                "n_tokens",
+                "padding_tokens",
+                F.lit(n_vocab).cast("long").alias("vocab_size"),
+                "shard_checksum",
+                (F.col("n_tokens") == F.col("nt")).alias("conservation_ok"),
+            )
+            .orderBy("source")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

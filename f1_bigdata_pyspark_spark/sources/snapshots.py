@@ -1160,13 +1160,15 @@ class SnapshotTable:
         """Shallow clone (Delta's CLONE SHALLOW): publish v0 referencing
         the SOURCE table's current files — zero data copied, O(manifest).
         The clone then evolves independently (its commits write under its
-        own root). Safety is ONE-directional: ``vacuum`` only deletes
-        files under a table's OWN data_dir, so vacuuming a CLONE can
-        never destroy the source's files — but vacuuming the SOURCE
-        consults only the source's own manifests and WILL delete files a
-        shallow clone still references, breaking the clone (the standard
-        Delta shallow-clone caveat; see ``vacuum``). Don't vacuum a table
-        that has live shallow clones."""
+        own root). Safety is TWO-directional (round 7): ``vacuum`` only
+        deletes files under a table's OWN data_dir, so vacuuming a CLONE
+        can never destroy the source's files; and cloning records a
+        BACK-REFERENCE under the source's ``_clones/`` dir, so a vacuum
+        of the SOURCE unions every live clone's referenced files into
+        its keep set — the standard Delta shallow-clone footgun
+        (vacuuming the source breaks clones) is closed instead of
+        documented. Deleting a clone's directory releases its
+        references on the source's next vacuum."""
         if self.versions():
             raise ValueError(f"clone target {self.root} is not empty")
         src_v = source.latest_version()
@@ -1176,6 +1178,13 @@ class SnapshotTable:
         # the source's txn stamp certifies the SOURCE writer's batch; a
         # clone committed no such batch (see delete_keys for the hazard)
         m.pop("txn", None)
+        # back-reference for the source's vacuum (see its docstring)
+        clones_dir = os.path.join(source.root, "_clones")
+        os.makedirs(clones_dir, exist_ok=True)
+        with open(
+            os.path.join(clones_dir, f"{uuid.uuid4().hex}.json"), "w"
+        ) as fh:
+            json.dump({"root": os.path.abspath(self.root)}, fh)
         m.update(
             {
                 "version": 0,
@@ -1359,11 +1368,19 @@ class SnapshotTable:
         extra = (
             [F_input_file_name().alias("__file")] if with_file_name else []
         )
+        # casts go through simpleString: a StructType cast to the SAME
+        # element type differing only in containsNull/nullable raises
+        # DATATYPE_MISMATCH (hit by array<long> columns whose committed
+        # schema recorded containsNull=false); the parsed-string form is
+        # nullability-agnostic
         part_values = manifest.get("partitions", {})
         if not part_values and not manifest.get("evolved"):
             df = spark.read.parquet(*files)
             return df.select(
-                *[F_col(f.name).cast(f.dataType) for f in schema.fields],
+                *[
+                    F_col(f.name).cast(f.dataType.simpleString())
+                    for f in schema.fields
+                ],
                 *extra,
             )
         # per-commit grouping: partitioned commits need a basePath each
@@ -1386,7 +1403,10 @@ class SnapshotTable:
                     p = p.withColumn(fld.name, F_lit(None).cast(fld.dataType))
             parts.append(
                 p.select(
-                    *[F_col(f.name).cast(f.dataType) for f in schema.fields],
+                    *[
+                        F_col(f.name).cast(f.dataType.simpleString())
+                        for f in schema.fields
+                    ],
                     *extra,
                 )
             )
@@ -1519,12 +1539,14 @@ def vacuum(
     a manifest pointing at deleted files. Same defense as Delta VACUUM's
     retention threshold. Pass 0 only when no writer can be live.
 
-    SHALLOW CLONES: vacuum consults only THIS table's manifests. A
-    shallow clone of this table references these data files from its own
-    manifest, which vacuum cannot see — vacuuming a cloned-FROM table
-    deletes files the clone still needs (the standard Delta caveat).
-    Vacuuming the clone itself is always safe for the source (the walk
-    covers only the clone's own data_dir)."""
+    SHALLOW CLONES (round 7): ``clone_from`` records a back-reference
+    under this table's ``_clones/`` dir, and vacuum unions every LIVE
+    clone's referenced files into the keep set — so vacuuming a
+    cloned-FROM table can no longer delete files a shallow clone still
+    needs (the standard Delta caveat, closed by construction). A clone
+    whose directory has been deleted releases its references; vacuuming
+    the clone itself is always safe for the source (the walk covers only
+    the clone's own data_dir)."""
     import time
 
     vs = table.versions()
@@ -1534,6 +1556,21 @@ def vacuum(
         m = table._read_manifest(v)
         kept_files.update(m["files"])
         kept_files.update(t["path"] for t in m.get("tombstones", []))
+    clones_dir = os.path.join(table.root, "_clones")
+    if os.path.isdir(clones_dir):
+        for ref in os.listdir(clones_dir):
+            with open(os.path.join(clones_dir, ref)) as fh:
+                clone_root = json.load(fh)["root"]
+            if not os.path.isdir(os.path.join(clone_root, "_manifests")):
+                os.unlink(os.path.join(clones_dir, ref))  # clone deleted
+                continue
+            clone = SnapshotTable(clone_root)
+            for v in clone.versions():
+                cm = clone._read_manifest(v)
+                kept_files.update(cm["files"])
+                kept_files.update(
+                    t["path"] for t in cm.get("tombstones", [])
+                )
     for v in drop:
         os.unlink(table._manifest_path(v))
     removed = 0

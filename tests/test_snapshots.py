@@ -1710,3 +1710,60 @@ def test_join_view_ivm_matches_recompute_all_change_kinds(spark, tmp_path):
     # and the hand-checked truth: k1 -> (g2, 11), k3 -> (g1, 30),
     # k4 -> (g2, 44); k5 has no B match
     assert recomputed == {("g1", 1, 30), ("g2", 2, 55)}
+
+
+def test_token_shard_layout_roundtrip_and_pruning(spark, table):
+    """Packed token shards (round-7 packed_token_shards face) layout
+    contract: array<long> sequences committed partitioned by source give
+    ONE file per source per writer wave, prune per source, and round-trip
+    ids exactly (order and padding included)."""
+    rows = [
+        ("a", 0, [1, 2, 3, 0]),
+        ("a", 1, [4, 5, 0, 0]),
+        ("b", 0, [7, 8, 9, 9]),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, seq_id long, ids array<long>"
+    )
+    table.commit(
+        df.repartition(4, "source"), mode="append", partition_by=["source"]
+    )
+    m = table._read_manifest(0)
+    assert len(m["files"]) == 2  # one shard file per source
+    st = table.scan_stats(where=[("source", "=", "a")])
+    assert (st["n_files_total"], st["n_files_scanned"]) == (2, 1)
+    back = sorted(
+        (r.source, r.seq_id, list(r.ids))
+        for r in table.read(spark).collect()
+    )
+    assert back == sorted((s, q, list(i)) for s, q, i in rows)
+    # shard arithmetic: sequences * L == real tokens + padding
+    L = 4
+    real = sum(len([x for x in i if x != 0]) for _, _, i in rows)
+    pad = sum(len([x for x in i if x == 0]) for _, _, i in rows)
+    assert len(rows) * L == real + pad
+
+
+def test_vacuum_of_source_spares_live_clone_files(spark, tmp_path, table):
+    """Round-7 clone back-references: vacuuming the cloned-FROM table must
+    keep every file a live shallow clone references; deleting the clone
+    releases them on the next vacuum."""
+    import shutil
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    table.commit(_df(spark, [(1, "a")]).coalesce(1), mode="append")
+    clone = SnapshotTable(str(tmp_path / "vclone"))
+    clone.clone_from(table)
+    cloned_files = set(clone._read_manifest(0)["files"])
+    # source moves on: overwrite makes v0's files vacuum-eligible
+    table.commit(_df(spark, [(9, "z")]).coalesce(1), mode="overwrite")
+    vacuum(table, keep_versions=1, grace_seconds=0)
+    for f in cloned_files:
+        assert os.path.exists(f), "vacuum destroyed a live clone's file"
+    assert {r.k for r in clone.read(spark).collect()} == {1}
+    # delete the clone entirely -> its references are released
+    shutil.rmtree(clone.root)
+    vacuum(table, keep_versions=1, grace_seconds=0)
+    assert not any(os.path.exists(f) for f in cloned_files)
+    assert {r.k for r in table.read(spark).collect()} == {9}
