@@ -891,6 +891,21 @@ class SnapshotTable:
                 f"v{expected_base_version}"
             )
         manifest = self._read_manifest(base)
+        # same schema-on-write contract as append: silent column
+        # remapping inside a replaced region is how tables rot
+        want = [
+            (f["name"], f["type"])
+            for f in json.loads(manifest["schema"])["fields"]
+        ]
+        got = [
+            (f["name"], f["type"])
+            for f in json.loads(df.schema.json())["fields"]
+        ]
+        if want != got:
+            raise ValueError(
+                f"replace_where schema mismatch vs v{base}: table has "
+                f"{want}, frame has {got}"
+            )
         part_values = manifest.get("partitions", {})
         cols = {c for c, _, _ in where}
         for f in manifest["files"]:
@@ -1546,7 +1561,12 @@ def vacuum(
     needs (the standard Delta caveat, closed by construction). A clone
     whose directory has been deleted releases its references; vacuuming
     the clone itself is always safe for the source (the walk covers only
-    the clone's own data_dir)."""
+    the clone's own data_dir). Known edge, detectable but not closed: a
+    clone OF A CLONE is protected transitively only while the middle
+    clone's manifests still reference the grandparent's files — if the
+    middle table vacuums away those manifest versions, the grandparent's
+    vacuum can no longer see the grandchild (chain clones sparingly, or
+    re-clone from the root table)."""
     import time
 
     vs = table.versions()

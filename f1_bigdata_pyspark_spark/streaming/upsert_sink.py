@@ -53,12 +53,23 @@ def foreach_batch_snapshot_append(table, app_id: str):
     nothing — Delta's txnAppId/txnVersion protocol on the from-scratch
     snapshot layer. Composes with ``read_changes_since`` downstream: the
     stream lands in a TABLE whose change feed the next pipeline stage
-    tails, closing the stream→table→stream loop."""
+    tails, closing the stream→table→stream loop.
+
+    MULTI-WRITER (round 7): appends publish with ``on_conflict='rebase'``,
+    so several streams (distinct ``app_id``s) can sink into ONE table —
+    a lost version race republishes the same batch files on the new head
+    (appends never conflict logically) and the txn stamp lands on the
+    rebased version, keeping each writer's replay-skip check intact."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         last = table.last_committed_batch(app_id)
         if last is not None and batch_id <= last:
             return  # replayed epoch: already durably committed
-        table.commit(batch_df, mode="append", txn=(app_id, batch_id))
+        table.commit(
+            batch_df,
+            mode="append",
+            txn=(app_id, batch_id),
+            on_conflict="rebase",
+        )
 
     return apply

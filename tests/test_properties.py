@@ -464,3 +464,62 @@ def test_degree_oriented_triangle_count_matches_naive(spark, edges):
         if b in adj[a] and c in adj[a] and c in adj[b]
     )
     assert _spark_triangles(spark, edges) == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "raced_append"]),
+            st.lists(
+                st.integers(min_value=0, max_value=99),
+                min_size=1,
+                max_size=4,
+            ),
+            st.lists(
+                st.integers(min_value=100, max_value=199),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_concurrency_protocol_model(spark, tmp_path_factory, ops):
+    """Model-based check of the round-7 rebase protocol: a random op
+    sequence of plain appends and RACED appends (loser configured with
+    on_conflict='rebase', winner injected at publish time) must preserve
+    the full multiset of rows, keep history all-append, and leave one
+    manifest per logical commit — no lost writers, no forked history."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    tmp = tmp_path_factory.mktemp("ccmodel")
+    table = SnapshotTable(str(tmp / "t"))
+    expected: list[int] = []
+    n_commits = 0
+    for kind, loser_keys, winner_keys in ops:
+        loser = spark.createDataFrame([(k,) for k in loser_keys], "k long")
+        if kind == "append":
+            table.commit(loser.coalesce(1), mode="append")
+            expected += loser_keys
+            n_commits += 1
+        else:
+            winner = spark.createDataFrame(
+                [(k,) for k in winner_keys], "k long"
+            )
+            table.commit(
+                loser.coalesce(1),
+                mode="append",
+                on_conflict="rebase",
+                _before_publish=lambda w=winner: table.commit(
+                    w.coalesce(1), mode="append"
+                ),
+            )
+            expected += winner_keys + loser_keys
+            n_commits += 2
+    got = sorted(r.k for r in table.read(spark).collect())
+    assert got == sorted(expected)
+    hist = table.history()
+    assert len(hist) == n_commits
+    assert all(h["mode"] == "append" for h in hist)

@@ -1767,3 +1767,71 @@ def test_vacuum_of_source_spares_live_clone_files(spark, tmp_path, table):
     vacuum(table, keep_versions=1, grace_seconds=0)
     assert not any(os.path.exists(f) for f in cloned_files)
     assert {r.k for r in table.read(spark).collect()} == {9}
+
+
+def test_rebase_keeps_txn_stamp_for_exactly_once_writers(spark, table):
+    """A streaming foreachBatch writer that loses a version race and
+    rebases must still land its txn stamp — the rebased version DID
+    commit that batch, and last_committed_batch drives replay skipping."""
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    v = table.commit(
+        _df(spark, [(3, "c")]),
+        mode="append",
+        txn=("writer-x", 7),
+        on_conflict="rebase",
+        _before_publish=lambda: table.commit(
+            _df(spark, [(2, "b")]), mode="append", txn=("writer-y", 4)
+        ),
+    )
+    assert table._read_manifest(v)["txn"] == {"app": "writer-x", "batch": 7}
+    assert table.last_committed_batch("writer-x") == 7
+    assert table.last_committed_batch("writer-y") == 4
+    assert {r.k for r in table.read(spark).collect()} == {1, 2, 3}
+
+
+def test_replace_where_schema_contract(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, p string, v long"
+    )
+    table.commit(df.repartition(1), mode="append", partition_by=["p"])
+    # a frame with renamed/missing columns must refuse
+    bad = spark.createDataFrame([(2, "b")], "k long, p string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.replace_where(spark, bad.coalesce(1), [("p", "=", "b")])
+
+
+def test_two_streaming_writers_race_one_table(spark, table):
+    """Round-7 multi-writer streaming: two foreachBatch writers (distinct
+    app_ids) race the same snapshot table. The loser's commit rebases
+    (same batch files, new head), its txn stamp lands on the rebased
+    version, and both writers' replay-skip checks stay correct."""
+    from f1_bigdata_pyspark_spark.streaming.upsert_sink import (
+        foreach_batch_snapshot_append,
+    )
+
+    sink_a = foreach_batch_snapshot_append(table, app_id="stream-a")
+    sink_b = foreach_batch_snapshot_append(table, app_id="stream-b")
+    sink_a(_df(spark, [(1, "a")]), 0)
+    # inject the race: while A publishes batch 1, B lands its batch 0
+    orig_publish = table._publish
+    raced = {"done": False}
+
+    def racing_publish(version, manifest):
+        if not raced["done"] and manifest.get("txn", {}).get("app") == "stream-a":
+            raced["done"] = True
+            sink_b(_df(spark, [(10, "x")]), 0)  # B wins this version
+        return orig_publish(version, manifest)
+
+    table._publish = racing_publish
+    try:
+        sink_a(_df(spark, [(2, "b")]), 1)
+    finally:
+        table._publish = orig_publish
+    assert sorted(r.k for r in table.read(spark).collect()) == [1, 2, 10]
+    assert table.last_committed_batch("stream-a") == 1
+    assert table.last_committed_batch("stream-b") == 0
+    # replays on both apps are no-ops after the race
+    v = table.latest_version()
+    sink_a(_df(spark, [(2, "b")]), 1)
+    sink_b(_df(spark, [(10, "x")]), 0)
+    assert table.latest_version() == v
