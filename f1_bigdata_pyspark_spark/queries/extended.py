@@ -4275,3 +4275,187 @@ def snapshot_concurrent_writers_protocol(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_bloom_point_lookup — round-7 bloom-filter data skipping made
+# driver-checkable, INCLUDING its false-positive behavior: orders land in
+# 8 files keyed by o_orderkey % 8 (hash-interleaved, so every file's
+# [min, max] spans the whole key domain and RANGE pruning keeps all 8),
+# each committed with a 65536-bit / 4-hash bloom over the key. A point
+# lookup of a mid-domain key then scans only the files whose bloom
+# cannot disprove membership — and because the bit positions are the
+# portable md5 form, the ORACLE REPLAYS THE EXACT BLOOM (every member's
+# bit set, the probe's bits, the per-file survive test), so the scanned
+# file count in the hash is the true bloom decision, false positives and
+# all — not an assumed ideal. This is the point-lookup complement to
+# min/max skipping: the serving-path prune for "fetch row by key" on a
+# table laid out for something else.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_bloom_point_lookup",
+    oracle="""
+WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+probe AS (SELECT max(o_orderkey) AS pk FROM orders
+          WHERE o_orderkey <= (SELECT m FROM mk) // 2),
+ks AS (SELECT o_orderkey AS key, o_orderkey % 8 AS fid FROM orders),
+member_bits AS MATERIALIZED (
+  SELECT DISTINCT fid,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+              CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS p
+  FROM ks, (SELECT unnest(range(4)) AS j)
+),
+probe_bits AS (
+  SELECT CAST(('0x' || substr(md5(CAST((SELECT pk FROM probe) AS VARCHAR)
+              || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS p
+  FROM (SELECT unnest(range(4)) AS j)
+),
+surv AS (
+  SELECT fid FROM (SELECT DISTINCT fid FROM ks) f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM probe_bits pb
+    WHERE NOT EXISTS (
+      SELECT 1 FROM member_bits mb WHERE mb.fid = f.fid AND mb.p = pb.p))
+)
+SELECT (SELECT CAST(pk AS BIGINT) FROM probe) AS probe_key,
+       CAST(8 AS BIGINT) AS n_files_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_files_scanned,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey = (SELECT pk FROM probe)) AS n_rows,
+       (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) FROM orders
+        WHERE o_orderkey = (SELECT pk FROM probe)) AS total_cents
+""",
+)
+def snapshot_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    pk = (
+        orders.filter(F.col("o_orderkey") <= mk // 2)
+        .agg(F.max("o_orderkey"))
+        .head()[0]
+    )
+    root = tempfile.mkdtemp(prefix="snap_bloom_")
+    try:
+        table = SnapshotTable(root)
+        for fid in range(8):  # hash-interleaved files: range pruning dead
+            table.commit(
+                orders.filter(F.col("o_orderkey") % 8 == fid).coalesce(1),
+                mode="append",
+                bloom_cols=["o_orderkey"],
+                bloom_bits=65536,
+            )
+        where = [("o_orderkey", "=", pk)]
+        st = table.scan_stats(where=where)
+        hit = table.read(spark, where=where)
+        out = materialize(
+            hit.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            ).select(
+                F.lit(pk).cast("long").alias("probe_key"),
+                F.lit(st["n_files_total"]).cast("long").alias("n_files_total"),
+                F.lit(st["n_files_scanned"])
+                .cast("long")
+                .alias("n_files_scanned"),
+                "n_rows",
+                "total_cents",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_datasource_write_roundtrip — the round-7 DataSource WRITER
+# (sources/snapshot_source.SnapshotWriter) driven end to end through
+# Spark's own write lifecycle: four `df.write.format("snapshot")` jobs
+# append disjoint o_orderkey quartiles (each job = executors write the
+# files AND collect footer stats locally, the driver publishes one
+# atomic manifest via publish_files — the real two-phase commit split),
+# then a predicate read proves the EXECUTOR-collected stats prune: a
+# `> 3·max/4` probe plans exactly one of the four files. Version count,
+# file counts, and the rollup of the surviving quartile all ride the
+# hash. This closes the loop on the DataSource story: the same format
+# string now reads (pushFilters → manifest pruning) and writes
+# (two-phase commit) the snapshot table.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_datasource_write_roundtrip",
+    oracle="""
+WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+hit AS (
+  SELECT * FROM orders
+  WHERE o_orderkey > (SELECT m FROM mk) * 3 // 4
+)
+SELECT CAST(4 AS BIGINT) AS n_versions,
+       CAST(4 AS BIGINT) AS n_files_total,
+       CAST(1 AS BIGINT) AS n_files_scanned,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_rows,
+       (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) FROM hit) AS total_cents
+""",
+)
+def snapshot_datasource_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mk = orders.agg(F.max("o_orderkey")).head()[0]
+    cuts = [0, mk // 4, mk * 2 // 4, mk * 3 // 4, mk]
+    root = tempfile.mkdtemp(prefix="snap_dsw_")
+    try:
+        for i in range(4):  # four write JOBS through the DataSource writer
+            (
+                orders.filter(
+                    (F.col("o_orderkey") > cuts[i])
+                    & (F.col("o_orderkey") <= cuts[i + 1])
+                )
+                .coalesce(1)
+                .write.format("snapshot")
+                .option("root", root)
+                .mode("append")
+                .save()
+            )
+        table = SnapshotTable(root)
+        n_versions = len(table.versions())
+        where = [("o_orderkey", ">", mk * 3 // 4)]
+        st = table.scan_stats(where=where)  # executor-collected stats
+        hit = table.read(spark, where=where)
+        out = materialize(
+            hit.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            ).select(
+                F.lit(n_versions).cast("long").alias("n_versions"),
+                F.lit(st["n_files_total"]).cast("long").alias("n_files_total"),
+                F.lit(st["n_files_scanned"])
+                .cast("long")
+                .alias("n_files_scanned"),
+                "n_rows",
+                "total_cents",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

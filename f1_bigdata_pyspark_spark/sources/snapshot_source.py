@@ -48,6 +48,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -58,6 +59,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -158,9 +160,95 @@ class SnapshotReader(DataSourceReader):
         yield from pa.Table.from_arrays(cols, schema=target).to_batches()
 
 
+class SnapshotWriteMessage(WriterCommitMessage):
+    def __init__(self, path: str | None, stats: dict, n_rows: int):
+        self.path = path
+        self.stats = stats
+        self.n_rows = n_rows
+
+
+class SnapshotWriter(DataSourceArrowWriter):
+    """Two-phase snapshot write through Spark's own writer protocol —
+    the executor/driver split the rest of sources/snapshots.py only
+    simulates: each task streams its Arrow batches into ONE immutable
+    parquet file under a shared commit dir and collects that file's
+    footer stats LOCALLY (the driver never reads a footer); the driver's
+    ``commit()`` then publishes the manifest atomically via
+    ``publish_files`` (rebase-on-conflict, so concurrent jobs writing
+    the same table all land). A failed job reaches ``abort()`` — the
+    written files are unlinked, and even without that they are invisible
+    orphans (no manifest references them) that vacuum reclaims: exactly
+    the Delta commit protocol, driven by Spark's DataSource V2 write
+    lifecycle instead of a bespoke sink."""
+
+    def __init__(self, root: str, schema: StructType, overwrite: bool):
+        self.root = root
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        import uuid as _uuid
+
+        self.commit_id = _uuid.uuid4().hex[:12]  # one dir for all tasks
+
+    def write(self, iterator):
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        from f1_bigdata_pyspark_spark.sources.snapshots import (
+            _file_column_stats,
+        )
+
+        batches = [b for b in iterator if b.num_rows > 0]
+        if not batches:
+            return SnapshotWriteMessage(None, {}, 0)
+        out_dir = os.path.join(self.root, "data", f"commit-{self.commit_id}")
+        os.makedirs(out_dir, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(
+            out_dir, f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+        )
+        tbl = pa.Table.from_batches(batches)
+        pq.write_table(tbl, path)
+        # executor-side stats collection (min/max + null counts) — the
+        # scale-correct half of the manifest, shipped in the commit message
+        return SnapshotWriteMessage(path, _file_column_stats(path), tbl.num_rows)
+
+    def commit(self, messages):
+        from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+        table = SnapshotTable(self.root)
+        files = sorted(m.path for m in messages if m is not None and m.path)
+        stats = {
+            m.path: m.stats for m in messages if m is not None and m.path
+        }
+        table.publish_files(
+            files,
+            stats,
+            mode="overwrite" if self.overwrite else "append",
+            schema_json=self.schema_json,
+        )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.unlink(m.path)
+                except OSError:
+                    pass  # unreferenced orphan either way — vacuum's job
+
+
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot").option("root", path)`` — options:
-    ``root`` (required), ``version`` (optional int, default latest)."""
+    ``root`` (required), ``version`` (optional int, default latest).
+    Also writable: ``df.write.format("snapshot").option("root", path)
+    .mode("append"|"overwrite").save()`` runs the two-phase commit in
+    ``SnapshotWriter``."""
 
     @classmethod
     def name(cls) -> str:
@@ -206,6 +294,12 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SnapshotReader:
         return SnapshotReader(self._manifest(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotWriter:
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("snapshot source requires option 'root'")
+        return SnapshotWriter(root, schema, overwrite)
 
 
 def register(spark) -> None:

@@ -156,6 +156,61 @@ def _file_column_stats(path: str) -> dict:
     return out
 
 
+def _bloom_positions(value_str: str, k: int, m: int) -> list[int]:
+    """The k bloom bit positions of one value: md5("<value>#<j>") taken
+    as the usual portable 60-bit integer (first 15 hex chars), mod m.
+    Deterministic and engine-replayable — a DuckDB oracle computes the
+    identical bit set with ``CAST(('0x' || substr(md5(v || '#' || j),
+    1, 15)) AS BIGINT) % m``, so bloom pruning decisions (including
+    false positives) are exactly checkable, not just sound."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{value_str}#{j}".encode()).hexdigest()[:15], 16
+        )
+        % m
+        for j in range(k)
+    ]
+
+
+def _file_bloom(path: str, col: str, m: int, k: int) -> dict | None:
+    """Per-file bloom filter over one column's values (int/str only —
+    other types have no canonical cross-engine string form). This is the
+    point-lookup complement to min/max stats: hash-distributed keys make
+    every file's [min, max] span the whole domain (range pruning dead),
+    while a ~m-bit bloom prunes an equality probe to the files that
+    really (or false-positively) hold the key. Local-mode stand-in reads
+    just the one column via pyarrow; at cluster scale the executor
+    builds this during the write, like Delta's stats collection."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=[col])
+    bits = 0
+    for v in tbl[col].to_pylist():
+        if v is None:
+            continue
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            return None  # unindexable type: no bloom, never prune
+        s = v if isinstance(v, str) else str(v)
+        for p in _bloom_positions(s, k, m):
+            bits |= 1 << p
+    return {"m": m, "k": k, "hex": format(bits, "x")}
+
+
+def _bloom_may_contain(bloom: dict, lit) -> bool:
+    """Sound membership test: False ONLY when the bloom proves absence.
+    Unindexable literal types always pass."""
+    if isinstance(lit, bool) or not isinstance(lit, (int, str)):
+        return True
+    bits = int(bloom["hex"], 16)
+    s = lit if isinstance(lit, str) else str(lit)
+    return all(
+        (bits >> p) & 1
+        for p in _bloom_positions(s, bloom["k"], bloom["m"])
+    )
+
+
 def _stat_to_py(tagged):
     """Tagged JSON stat back to a comparable Python value."""
     import datetime
@@ -221,7 +276,16 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
         return not (nc is not None and nr is not None and nc == nr and nr > 0)
     if nc is not None and nr is not None and nc == nr and nr > 0:
         return False  # all-null: no row can satisfy a comparison
-    if "min" not in ev:  # null-count-only entry (no usable min/max)
+    # bloom tier (round 7): equality/IN probes against a per-file bloom —
+    # the point-lookup prune min/max can't provide on hash-distributed
+    # keys. Composes with the range tier (each can only REMOVE files).
+    bloom = ev.get("bloom")
+    if bloom is not None:
+        if op in ("=", "==") and not _bloom_may_contain(bloom, lit):
+            return False
+        if op == "in" and not any(_bloom_may_contain(bloom, v) for v in lit):
+            return False
+    if "min" not in ev:  # null-count/bloom-only entry (no usable min/max)
         return True
     tag = ev["min"][0]
     try:
@@ -430,6 +494,9 @@ class SnapshotTable:
         merge_schema: bool = False,
         evolve_partitioning: bool = False,
         on_conflict: str = "error",
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1024,
+        bloom_hashes: int = 4,
         _before_publish=None,
     ) -> int:
         """Write ``df``'s rows as new immutable files and publish the next
@@ -463,7 +530,16 @@ class SnapshotTable:
         conflict logically (their file sets are disjoint by construction),
         so the loser pays one manifest round-trip, zero data I/O. Rebase
         is incompatible with ``expected_base_version`` (which asks for the
-        opposite: fail if the table moved)."""
+        opposite: fail if the table moved).
+
+        ``bloom_cols`` — per-file bloom filters for these columns enter
+        the manifest beside the min/max stats: equality/IN reads prune
+        files the bloom proves cannot hold the probe value, the
+        point-lookup complement to range skipping (decisive when keys
+        are hash-distributed and every file's [min, max] spans the
+        domain). Sound by construction (false positives only keep
+        files), and the md5-derived bit positions are engine-replayable,
+        so even the pruning DECISIONS are oracle-checkable."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         if on_conflict not in ("error", "rebase"):
@@ -543,7 +619,13 @@ class SnapshotTable:
                     if len(want) > len(got):
                         table_schema_json = prior_m["schema"]  # keep wider
             if written is None:  # data files written ONCE; rebases reuse
-                written = self._write_data_files(df, partition_by)
+                written = self._write_data_files(
+                    df,
+                    partition_by,
+                    bloom_cols=bloom_cols,
+                    bloom_bits=bloom_bits,
+                    bloom_hashes=bloom_hashes,
+                )
             new_files, new_stats, new_partitions = written
             prior_manifest = (
                 self._read_manifest(base)
@@ -598,12 +680,112 @@ class SnapshotTable:
             "rebase gave up after 20 attempts (writer livelock?)"
         )
 
+    def publish_files(
+        self,
+        files: list[str],
+        stats: dict,
+        mode: str = "append",
+        schema_json: str | None = None,
+        on_conflict: str = "rebase",
+        _before_publish=None,
+    ) -> int:
+        """Register EXTERNALLY-WRITTEN parquet files as the next version —
+        Iceberg's add_files / the commit half of a two-phase write. This
+        is what the snapshot DataSource WRITER calls: executors write the
+        files and collect their own footer stats (the real 100 TB shape —
+        the driver never reads a footer), the driver only publishes the
+        manifest here. Files must be flat (no directory-partition layout);
+        ``schema_json`` is required for the first/overwrite commit and
+        must MATCH the head schema on append (no merge_schema on this
+        path). Defaults to rebase-on-conflict: externally-written appends
+        are disjoint by construction, so the loser republishes free."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        for _attempt in range(20):
+            base = self.latest_version()
+            if mode == "append" and base is not None:
+                head = self._read_manifest(base)
+                if head.get("partition_by"):
+                    raise ValueError(
+                        "publish_files appends flat files; the table is "
+                        f"partitioned by {head['partition_by']!r}"
+                    )
+                if schema_json is not None:
+                    want = [
+                        (f["name"], f["type"])
+                        for f in json.loads(head["schema"])["fields"]
+                    ]
+                    got = [
+                        (f["name"], f["type"])
+                        for f in json.loads(schema_json)["fields"]
+                    ]
+                    if want != got:
+                        raise ValueError(
+                            f"publish_files schema mismatch vs v{base}: "
+                            f"table has {want}, files have {got}"
+                        )
+                use_schema = head["schema"]
+            else:
+                if schema_json is None:
+                    raise ValueError(
+                        "schema_json required for the first/overwrite commit"
+                    )
+                use_schema = schema_json
+            prior_manifest = (
+                self._read_manifest(base)
+                if (base is not None and mode == "append")
+                else {}
+            )
+            version = 0 if base is None else base + 1
+            all_stats = dict(prior_manifest.get("stats", {}))
+            all_stats.update(stats)
+            file_seq = dict(prior_manifest.get("file_seq", {}))
+            for f in files:
+                file_seq[f] = version
+            manifest = {
+                "version": version,
+                "mode": mode,
+                "files": prior_manifest.get("files", []) + list(files),
+                "stats": all_stats,
+                "schema": use_schema,
+                "file_seq": file_seq,
+            }
+            if prior_manifest.get("evolved"):
+                manifest["evolved"] = True
+            if mode == "append" and prior_manifest.get("tombstones"):
+                manifest["tombstones"] = prior_manifest["tombstones"]
+                manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
+            if prior_manifest.get("partitions"):
+                manifest["partitions"] = prior_manifest["partitions"]
+            if _before_publish is not None:
+                hook, _before_publish = _before_publish, None
+                hook()
+            try:
+                self._publish(version, manifest)
+                return version
+            except SnapshotConflictError:
+                if on_conflict != "rebase" or mode != "append":
+                    raise
+                continue
+        raise SnapshotConflictError(
+            "publish_files gave up after 20 attempts (writer livelock?)"
+        )
+
     def _write_data_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1024,
+        bloom_hashes: int = 4,
     ) -> tuple[list[str], dict, dict]:
         """Write ``df`` as a fresh immutable file set under a new commit
         dir and return (files, footer stats, partition point-stats) —
-        the shared physical-write half of commit() and merge()."""
+        the shared physical-write half of commit() and merge().
+        ``bloom_cols``: additionally build a per-file bloom filter for
+        these columns, stored INSIDE the stats entry (so every carry path
+        — merge, optimize, delete, clone, rollback — transports it for
+        free)."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
         # Spark's legacy-compat default writes timestamps as INT96, which
@@ -636,6 +818,17 @@ class SnapshotTable:
             if isinstance(f["type"], str)
         }
         stats = {f: _file_column_stats(f) for f in new_files}
+        if bloom_cols:
+            import pyarrow.parquet as pq
+
+            for f in new_files:
+                present = set(pq.ParquetFile(f).schema_arrow.names)
+                for col in bloom_cols:
+                    if col not in present:  # e.g. a partition column
+                        continue
+                    b = _file_bloom(f, col, bloom_bits, bloom_hashes)
+                    if b is not None:
+                        stats[f].setdefault(col, {})["bloom"] = b
         partitions = (
             {
                 f: _parse_partition_segments(

@@ -212,3 +212,98 @@ def test_pushdown_null_predicates_prune_ghost(spark, tmp_path):
     assert got == [1]  # ghost skipped via nc==nr, real rows filtered
     with pytest.raises(Exception):
         load().filter("v IS NULL").collect()  # ghost MAY match -> opened
+
+
+def test_datasource_writer_two_phase_commit(spark, tmp_path):
+    """df.write.format('snapshot') runs the real two-phase protocol:
+    executors write immutable files + collect footer stats locally, the
+    driver publishes the manifest. Reads (both paths) see the committed
+    version; executor-collected stats drive pruning end to end."""
+    import os
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    root = str(tmp_path / "wtbl")
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id * 2 AS LONG) AS v")
+    # range-partitioned write -> per-file disjoint key ranges -> skipping
+    df.repartitionByRange(4, "k").write.format("snapshot").option(
+        "root", root
+    ).mode("append").save()
+    t = SnapshotTable(root)
+    assert t.latest_version() == 0
+    m = t._read_manifest(0)
+    assert len(m["files"]) == 4
+    # executor-collected stats present and pruning-grade
+    st = t.scan_stats(where=[("k", "=", 7)])
+    assert (st["n_files_total"], st["n_files_scanned"]) == (4, 1)
+    assert {r.v for r in t.read(spark, where=[("k", "=", 7)]).collect()} == {14}
+    # append a second job, then read through the DataSource reader
+    spark.range(100, 110).selectExpr(
+        "id AS k", "CAST(id * 2 AS LONG) AS v"
+    ).coalesce(1).write.format("snapshot").option("root", root).mode(
+        "append"
+    ).save()
+    assert t.latest_version() == 1
+    got = (
+        spark.read.format("snapshot")
+        .option("root", root)
+        .load()
+        .count()
+    )
+    assert got == 110
+    # overwrite is a logical truncate with history intact
+    spark.range(0, 5).selectExpr("id AS k", "CAST(id AS LONG) AS v").coalesce(
+        1
+    ).write.format("snapshot").option("root", root).mode("overwrite").save()
+    assert t.read(spark).count() == 5
+    assert t.read(spark, version=1).count() == 110
+    # schema contract on append
+    with pytest.raises(Exception):
+        spark.range(5).selectExpr("id AS wrong").write.format(
+            "snapshot"
+        ).option("root", root).mode("append").save()
+    # no stray unreferenced files beyond history (abort hygiene is
+    # orphan-only by construction)
+    assert t.orphan_files() == []
+
+
+def test_publish_files_rebase_race(spark, tmp_path):
+    """publish_files (the writer's driver half) rebases a lost version
+    race like commit(on_conflict='rebase') — two concurrent jobs into
+    one table both land."""
+    import json as _json
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "rtbl")
+    t = SnapshotTable(root)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    schema_json = df.schema.json()
+    t.commit(df.coalesce(1), mode="append")
+
+    def external_file(tag):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+
+        p = os.path.join(t.data_dir, f"commit-ext{tag}", f"{tag}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": pa.array([10 + tag], pa.int64()),
+                      "v": pa.array([f"x{tag}"])}),
+            p,
+        )
+        return p
+
+    f1, f2 = external_file(1), external_file(2)
+    v = t.publish_files(
+        [f1],
+        {f1: {}},
+        schema_json=schema_json,
+        _before_publish=lambda: t.publish_files(
+            [f2], {f2: {}}, schema_json=schema_json
+        ),
+    )
+    assert v == 2
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 11, 12]
