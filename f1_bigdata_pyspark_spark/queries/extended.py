@@ -4459,3 +4459,94 @@ def snapshot_datasource_write_roundtrip(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_stream_tail_rollup — the round-7 STREAMING source composed
+# into the full stream→table→stream loop: table A receives three order
+# commits; `spark.readStream.format("snapshot")` tails A's commit log
+# (version-number offsets, one input partition per appended file) and a
+# foreachBatch consumer lands every micro-batch into table B through the
+# exactly-once snapshot sink (txn-stamped commits). The tail runs TWICE
+# against one checkpoint — the second availableNow pass delivers only
+# the commit that arrived in between — and the hashed result is B's
+# per-priority rollup plus the computed B-equals-A boolean (symmetric
+# anti-join count, not an assumption). This is Delta's
+# readStream-from-table mechanism: the thing a 100 TB pipeline chains
+# stages with instead of re-scanning source tables.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_stream_tail_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS stream_equals_source
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def snapshot_stream_tail_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.streaming.upsert_sink import (
+        foreach_batch_snapshot_append,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    thirds = [F.col("o_orderkey") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="snap_tail_")
+    try:
+        a = SnapshotTable(os.path.join(tmp, "a"))
+        b = SnapshotTable(os.path.join(tmp, "b"))
+        ckpt = os.path.join(tmp, "ckpt")
+        a.commit(orders.filter(thirds[0]).coalesce(1), mode="append")
+        a.commit(orders.filter(thirds[1]).coalesce(1), mode="append")
+        sink = foreach_batch_snapshot_append(b, app_id="tail")
+
+        def drain():
+            q = (
+                spark.readStream.format("snapshot")
+                .option("root", a.root)
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        drain()  # delivers commits 0-1
+        a.commit(orders.filter(thirds[2]).coalesce(1), mode="append")
+        drain()  # same checkpoint: delivers ONLY commit 2
+        bt = b.read(spark)
+        at = a.read(spark)
+        mism = (
+            bt.join(at, ["o_orderkey"], "left_anti").count()
+            + at.join(bt, ["o_orderkey"], "left_anti").count()
+            + abs(bt.count() - at.count())
+        )
+        out = materialize(
+            bt.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .withColumn("stream_equals_source", F.lit(mism == 0))
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -83,6 +84,35 @@ class SnapshotFilePartition(InputPartition):
     def __init__(self, path: str, partition_values: dict):
         self.path = path
         self.partition_values = partition_values  # col -> python value
+
+
+def _read_partition_batches(schema: StructType, partition):
+    """Executor-side read of one snapshot file partition to Arrow
+    batches: project to the committed schema, re-attach Hive partition
+    values as constants, NULL-fill pre-evolution columns. Shared by the
+    batch reader and the stream reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    tbl = pq.read_table(partition.path)
+    n = tbl.num_rows
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl[field.name].cast(field.type))
+        elif field.name in partition.partition_values:
+            v = partition.partition_values[field.name]
+            cols.append(
+                pa.nulls(n, field.type)
+                if v is None
+                else pa.array([v] * n).cast(field.type)
+            )
+        else:  # pre-evolution file: the committed column reads NULL
+            cols.append(pa.nulls(n, field.type))
+    yield from pa.Table.from_arrays(cols, schema=target).to_batches()
 
 
 class SnapshotReader(DataSourceReader):
@@ -136,28 +166,85 @@ class SnapshotReader(DataSourceReader):
         return out
 
     def read(self, partition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _read_partition_batches(self.schema, partition)
 
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self.schema)
-        tbl = pq.read_table(partition.path)
-        n = tbl.num_rows
-        cols = []
-        for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl[field.name].cast(field.type))
-            elif field.name in partition.partition_values:
-                v = partition.partition_values[field.name]
-                cols.append(
-                    pa.nulls(n, field.type)
-                    if v is None
-                    else pa.array([v] * n).cast(field.type)
+class SnapshotStreamReader(DataSourceStreamReader):
+    """The snapshot table as a STREAMING source —
+    ``spark.readStream.format("snapshot").option("root", …)`` tails the
+    commit log exactly like Delta's streaming source: offsets are
+    VERSION NUMBERS (checkpointable primitives), each micro-batch plans
+    one input partition per file ADDED in (start, end] (set difference
+    of consecutive manifests — appends never rewrite, so file-level
+    deltas are row-level appends), and executors read those files
+    straight to Arrow. Non-append versions (overwrite, delete, merge,
+    rollback…) break the append contract and raise — the consumer must
+    re-sync from a snapshot read, the same explicit contract as
+    ``read_changes_since``. Replays are deterministic: a checkpointed
+    (start, end] names immutable manifests, so failure recovery re-reads
+    the identical file set."""
+
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.schema = schema
+
+    def _versions(self) -> list[int]:
+        mdir = os.path.join(self.root, "_manifests")
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _manifest(self, v: int) -> dict:
+        with open(
+            os.path.join(self.root, "_manifests", f"v{v}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        from f1_bigdata_pyspark_spark.sources.snapshots import _stat_to_py
+
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            return []
+        seen: set[str] = set()
+        if lo >= 0:
+            seen = set(self._manifest(lo)["files"])
+        out = []
+        for v in range(lo + 1, hi + 1):
+            m = self._manifest(v)
+            if m["mode"] != "append" and not (
+                m["mode"] == "overwrite" and lo < 0 and v == 0
+            ):
+                raise ValueError(
+                    f"v{v} is {m['mode']!r}, not append — the change feed "
+                    "is broken; re-sync from a snapshot read"
                 )
-            else:  # pre-evolution file: the committed column reads NULL
-                cols.append(pa.nulls(n, field.type))
-        yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+            parts = m.get("partitions", {})
+            for f in m["files"]:
+                if f in seen:
+                    continue
+                seen.add(f)
+                pv = {
+                    col: (None if tv is None else _stat_to_py(tv))
+                    for col, tv in parts.get(f, {}).items()
+                }
+                out.append(SnapshotFilePartition(f, pv))
+        return out
+
+    def read(self, partition):
+        yield from _read_partition_batches(self.schema, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable; nothing to clean up per epoch
 
 
 class SnapshotWriteMessage(WriterCommitMessage):
@@ -300,6 +387,12 @@ class SnapshotDataSource(DataSource):
         if not root:
             raise ValueError("snapshot source requires option 'root'")
         return SnapshotWriter(root, schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("snapshot source requires option 'root'")
+        return SnapshotStreamReader(root, schema)
 
 
 def register(spark) -> None:

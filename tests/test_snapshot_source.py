@@ -307,3 +307,60 @@ def test_publish_files_rebase_race(spark, tmp_path):
     )
     assert v == 2
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 11, 12]
+
+
+def test_stream_reader_tails_commits(spark, tmp_path):
+    """spark.readStream.format('snapshot') tails the commit log: version
+    offsets checkpoint across runs, each availableNow pass delivers
+    exactly the rows appended since the last run, and a non-append
+    version poisons the feed (explicit re-sync contract)."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    root = str(tmp_path / "stbl")
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(root)
+    t.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1),
+        mode="append",
+    )
+
+    def drain():
+        got = []
+
+        def sink(batch_df, batch_id):
+            got.extend(r.k for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("snapshot")
+            .option("root", root)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain() == [1, 2]
+    # two more commits; the SAME checkpoint resumes past version 0
+    t.commit(
+        spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1),
+        mode="append",
+    )
+    t.commit(
+        spark.createDataFrame([(4, "d")], "k long, v string").coalesce(1),
+        mode="append",
+    )
+    assert drain() == [3, 4]  # only the NEW rows
+    # nothing new -> empty pass, no re-delivery
+    assert drain() == []
+    # an overwrite breaks the append contract: the stream must refuse
+    t.commit(
+        spark.createDataFrame([(9, "z")], "k long, v string").coalesce(1),
+        mode="overwrite",
+    )
+    with pytest.raises(Exception):
+        drain()
