@@ -211,6 +211,38 @@ def _bloom_may_contain(bloom: dict, lit) -> bool:
     )
 
 
+def row_group_stats(md, rg: int) -> dict:
+    """Per-column {min, max, nc, nr} for ONE row group of an open parquet
+    file's metadata — the row-group-granular twin of
+    ``_file_column_stats``, used EXECUTOR-side to skip row groups inside
+    a file the manifest could not prune (a file is the manifest's
+    granularity; a row group is the reader's). Same conservative rules:
+    only cleanly-tagged min/max are indexed, null counts independently."""
+    g = md.row_group(rg)
+    out: dict[str, dict] = {}
+    for ci in range(g.num_columns):
+        c = g.column(ci)
+        name = c.path_in_schema
+        if "." in name:
+            continue
+        st = c.statistics
+        if st is None:
+            continue
+        e: dict = {}
+        if st.has_null_count:
+            e["nc"] = st.null_count
+            e["nr"] = g.num_rows
+        if st.has_min_max:
+            mn = _json_stat_value(st.min)
+            mx = _json_stat_value(st.max)
+            if mn is not None and mx is not None and mn[0] == mx[0]:
+                e["min"] = mn
+                e["max"] = mx
+        if e:
+            out[name] = e
+    return out
+
+
 def _stat_to_py(tagged):
     """Tagged JSON stat back to a comparable Python value."""
     import datetime

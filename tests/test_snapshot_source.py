@@ -364,3 +364,69 @@ def test_stream_reader_tails_commits(spark, tmp_path):
     )
     with pytest.raises(Exception):
         drain()
+
+
+def test_row_group_skipping_inside_files(spark, tmp_path):
+    """Executor-side row-group pruning: a file with 4 sorted row groups
+    serves a point probe from ONE group (observable on the raw reader —
+    rows from non-matching groups are never yielded), and filtered
+    query results stay exact."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import StructType
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        SnapshotFilePartition,
+        _read_partition_batches,
+        register,
+    )
+
+    register(spark)
+    t = SnapshotTable(str(tmp_path / "rgtbl"))
+    # one file, 100 sorted keys, 4 row groups of 25
+    path = os.path.join(t.data_dir, "commit-rg0", "part-0.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {"k": pa.array(range(100), pa.int64()),
+         "v": pa.array([f"v{i}" for i in range(100)])}
+    )
+    pq.write_table(tbl, path, row_group_size=25)
+    df = spark.createDataFrame([], "k long, v string")
+    t.publish_files([path], {path: {}}, schema_json=df.schema.json())
+    schema = StructType.fromJson(
+        _json.loads(t._read_manifest(0)["schema"])
+    )
+    # raw reader: point probe yields ONLY the matching group's 25 rows
+    part = SnapshotFilePartition(path, {}, [("k", "=", 42)])
+    n = sum(b.num_rows for b in _read_partition_batches(schema, part))
+    assert n == 25
+    # range probe [20, 60) touches groups 0 (20-24), 1 (25-49), 2 (50-59)
+    part = SnapshotFilePartition(
+        path, {}, [("k", ">=", 20), ("k", "<", 60)]
+    )
+    n = sum(b.num_rows for b in _read_partition_batches(schema, part))
+    assert n == 75
+    # aligned range [25, 75) reads exactly groups 1-2
+    part = SnapshotFilePartition(
+        path, {}, [("k", ">=", 25), ("k", "<", 75)]
+    )
+    n = sum(b.num_rows for b in _read_partition_batches(schema, part))
+    assert n == 50
+    # no predicate: everything
+    part = SnapshotFilePartition(path, {})
+    n = sum(b.num_rows for b in _read_partition_batches(schema, part))
+    assert n == 100
+    # end to end through Catalyst pushdown: exact rows survive
+    got = sorted(
+        r.k
+        for r in spark.read.format("snapshot")
+        .option("root", t.root)
+        .load()
+        .filter("k >= 95")
+        .collect()
+    )
+    assert got == list(range(95, 100))
