@@ -223,11 +223,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def _versions(self) -> list[int]:
         mdir = os.path.join(self.root, "_manifests")
-        return sorted(
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        out = []
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:  # same junk-file tolerance as SnapshotTable.versions
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     def _manifest(self, v: int) -> dict:
         with open(

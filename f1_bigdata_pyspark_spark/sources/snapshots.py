@@ -267,6 +267,53 @@ def _coerce_literal(lit, tag):
     return lit
 
 
+def _nullable_form(dt):
+    """``dt`` with every nullability flag forced True — the comparison
+    form for schema projection. Parquet round-trips legitimately flip
+    containsNull/valueContainsNull/nullable, and Spark REFUSES a cast
+    between array/struct types differing only in those flags; comparing
+    in nullable form lets the scan skip the cast exactly when it would
+    both fail and be unnecessary."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_form(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_form(dt.keyType), _nullable_form(dt.valueType), True
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullable_form(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
+def _project_to_schema(df, schema, extra):
+    """Project a scanned frame to the committed schema: identical types
+    (modulo nullability) pass through uncast; genuinely different types
+    (partition-dir re-inference, evolution) cast to the exact committed
+    dataType — never through simpleString, which cannot quote struct
+    field names containing DDL metacharacters."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        a = actual.get(f.name)
+        if a is not None and _nullable_form(a) == _nullable_form(f.dataType):
+            cols.append(F_col(f.name))
+        else:
+            cols.append(F_col(f.name).cast(f.dataType))
+    return df.select(*cols, *extra)
+
+
 def _commit_root_of(path: str) -> str:
     """The ``commit-<id>`` ancestor directory of a data file, derived
     from the file's OWN path. Grouping scans by relpath against
@@ -591,6 +638,14 @@ class SnapshotTable:
         written: tuple | None = None
         for _attempt in range(20):
             base = self.latest_version()
+            # one parse per attempt — the manifest scales with file count
+            # (and carries bloom bitmaps), so re-reading it per check is
+            # real cost on big tables
+            prior_manifest = (
+                self._read_manifest(base)
+                if (base is not None and mode == "append")
+                else {}
+            )
             if (
                 expected_base_version is not None
                 and base != expected_base_version
@@ -599,10 +654,18 @@ class SnapshotTable:
                     f"table advanced to v{base}, "
                     f"expected v{expected_base_version}"
                 )
+            if txn is not None and base is not None:
+                # txn-idempotence (Delta's txnAppId/txnVersion, enforced
+                # INSIDE the commit loop, not just by the sink's
+                # pre-check): a zombie-writer race — two drivers running
+                # the same (app, batch) — must not land the batch twice.
+                # Without this, on_conflict='rebase' would happily
+                # republish the loser's identical batch on the new head.
+                prior_batch = self.last_committed_batch(txn[0])
+                if prior_batch is not None and prior_batch >= int(txn[1]):
+                    return base  # batch already durably committed: no-op
             if mode == "append" and base is not None:
-                committed_pb = (
-                    self._read_manifest(base).get("partition_by") or []
-                )
+                committed_pb = prior_manifest.get("partition_by") or []
                 if (
                     list(partition_by or []) != committed_pb
                     and not evolve_partitioning
@@ -623,7 +686,7 @@ class SnapshotTable:
                 # Nullability is not compared (parquet writers
                 # legitimately tighten it). Re-checked on every rebase
                 # attempt — the new head may have evolved meanwhile.
-                prior_m = self._read_manifest(base)
+                prior_m = prior_manifest
                 committed = json.loads(prior_m["schema"])
                 want = [(f["name"], f["type"]) for f in committed["fields"]]
                 got = [
@@ -650,20 +713,29 @@ class SnapshotTable:
                     evolved = True
                     if len(want) > len(got):
                         table_schema_json = prior_m["schema"]  # keep wider
+            # bloom spec is a TABLE PROPERTY: explicitly given on this
+            # commit, else inherited from the head on append — otherwise
+            # every rewrite path would silently shed the blooms and the
+            # point-lookup prune would quietly degrade to full scans
+            if bloom_cols:
+                bloom_spec = {
+                    "cols": list(bloom_cols),
+                    "bits": bloom_bits,
+                    "hashes": bloom_hashes,
+                }
+            elif mode == "append":
+                bloom_spec = prior_manifest.get("bloom")
+            else:
+                bloom_spec = None
             if written is None:  # data files written ONCE; rebases reuse
                 written = self._write_data_files(
                     df,
                     partition_by,
-                    bloom_cols=bloom_cols,
-                    bloom_bits=bloom_bits,
-                    bloom_hashes=bloom_hashes,
+                    bloom_cols=(bloom_spec or {}).get("cols"),
+                    bloom_bits=(bloom_spec or {}).get("bits", 1024),
+                    bloom_hashes=(bloom_spec or {}).get("hashes", 4),
                 )
             new_files, new_stats, new_partitions = written
-            prior_manifest = (
-                self._read_manifest(base)
-                if (base is not None and mode == "append")
-                else {}
-            )
             prior = prior_manifest.get("files", [])
             stats = dict(prior_manifest.get("stats", {}))
             partitions = dict(prior_manifest.get("partitions", {}))
@@ -684,6 +756,8 @@ class SnapshotTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if bloom_spec:
+                manifest["bloom"] = bloom_spec
             # appends keep live tombstones (they still apply to prior
             # files); overwrite starts clean — the set they scoped is gone
             if mode == "append" and prior_manifest.get("tombstones"):
@@ -784,6 +858,8 @@ class SnapshotTable:
             }
             if prior_manifest.get("evolved"):
                 manifest["evolved"] = True
+            if prior_manifest.get("bloom"):
+                manifest["bloom"] = prior_manifest["bloom"]
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
@@ -802,6 +878,18 @@ class SnapshotTable:
         raise SnapshotConflictError(
             "publish_files gave up after 20 attempts (writer livelock?)"
         )
+
+    def _bloom_kwargs(self, manifest: dict) -> dict:
+        """The write-path kwargs realizing a manifest's bloom table
+        property — every rewrite (merge / optimize / replace_where)
+        rebuilds blooms for its new files so the point-lookup prune
+        never silently degrades."""
+        spec = manifest.get("bloom") or {}
+        return {
+            "bloom_cols": spec.get("cols"),
+            "bloom_bits": spec.get("bits", 1024),
+            "bloom_hashes": spec.get("hashes", 4),
+        }
 
     def _write_data_files(
         self,
@@ -987,7 +1075,7 @@ class SnapshotTable:
             not_matched_insert=not_matched_insert,
         )
         new_files, new_stats, new_partitions = self._write_data_files(
-            merged, manifest.get("partition_by")
+            merged, manifest.get("partition_by"), **self._bloom_kwargs(manifest)
         )
         cur = manifest  # the manifest this rewrite is valid against
         for _attempt in range(20):
@@ -1024,6 +1112,8 @@ class SnapshotTable:
             }
             if cur.get("evolved"):
                 out["evolved"] = True  # carried files may be old-schema
+            if cur.get("bloom"):
+                out["bloom"] = cur["bloom"]
             if cur.get("tombstones"):
                 # rewritten files were built THROUGH the tombstones and get
                 # a post-delete seq, so carried tombstones keep applying
@@ -1158,7 +1248,7 @@ class SnapshotTable:
         carried = [f for f in manifest["files"] if f not in removed]
         carried_set = set(carried)
         new_files, new_stats, new_partitions = self._write_data_files(
-            df, manifest.get("partition_by")
+            df, manifest.get("partition_by"), **self._bloom_kwargs(manifest)
         )
         stats = {
             f: s
@@ -1189,6 +1279,8 @@ class SnapshotTable:
         }
         if manifest.get("evolved"):
             out["evolved"] = True
+        if manifest.get("bloom"):
+            out["bloom"] = manifest["bloom"]
         if manifest.get("tombstones"):
             # carried old files still need them; the replacement files get
             # a post-delete seq (their content is NEW rows by definition)
@@ -1266,10 +1358,20 @@ class SnapshotTable:
         # (Delta compacts within partitions); file count becomes
         # target_files x touched partition values
         pb = None
+        bk = {}
         latest = self.latest_version()
         if latest is not None:
-            pb = self._read_manifest(latest).get("partition_by")
-        return self.commit(rewritten, mode="overwrite", partition_by=pb)
+            m = self._read_manifest(latest)
+            pb = m.get("partition_by")
+            bk = self._bloom_kwargs(m)  # OPTIMIZE keeps the bloom property
+        return self.commit(
+            rewritten,
+            mode="overwrite",
+            partition_by=pb,
+            bloom_cols=bk.get("bloom_cols"),
+            bloom_bits=bk.get("bloom_bits", 1024),
+            bloom_hashes=bk.get("bloom_hashes", 4),
+        )
 
     def optimize_incremental(
         self,
@@ -1320,7 +1422,7 @@ class SnapshotTable:
         else:
             df = df.repartition(n_out)
         new_files, new_stats, new_partitions = self._write_data_files(
-            df, manifest.get("partition_by")
+            df, manifest.get("partition_by"), **self._bloom_kwargs(manifest)
         )
         stats = {
             f: s for f, s in manifest.get("stats", {}).items() if f in set(large)
@@ -1351,6 +1453,8 @@ class SnapshotTable:
         }
         if manifest.get("evolved"):
             out["evolved"] = True
+        if manifest.get("bloom"):
+            out["bloom"] = manifest["bloom"]
         if manifest.get("tombstones"):
             # compacted files were rewritten through the tombstones; the
             # carried large files still need them
@@ -1388,6 +1492,7 @@ class SnapshotTable:
             "file_seq",
             "tombstones",
             "tombstone_keys",
+            "bloom",
         ):
             if k in target:
                 manifest[k] = target[k]
@@ -1418,13 +1523,16 @@ class SnapshotTable:
         # the source's txn stamp certifies the SOURCE writer's batch; a
         # clone committed no such batch (see delete_keys for the hazard)
         m.pop("txn", None)
-        # back-reference for the source's vacuum (see its docstring)
+        # back-reference for the source's vacuum (see its docstring) —
+        # written ATOMICALLY (tmp + replace) like every manifest: a torn
+        # ref would wedge every future vacuum of the source at json.load
         clones_dir = os.path.join(source.root, "_clones")
         os.makedirs(clones_dir, exist_ok=True)
-        with open(
-            os.path.join(clones_dir, f"{uuid.uuid4().hex}.json"), "w"
-        ) as fh:
+        ref = os.path.join(clones_dir, f"{uuid.uuid4().hex}.json")
+        tmp_ref = ref + ".tmp"
+        with open(tmp_ref, "w") as fh:
             json.dump({"root": os.path.abspath(self.root)}, fh)
+        os.replace(tmp_ref, ref)
         m.update(
             {
                 "version": 0,
@@ -1608,20 +1716,10 @@ class SnapshotTable:
         extra = (
             [F_input_file_name().alias("__file")] if with_file_name else []
         )
-        # casts go through simpleString: a StructType cast to the SAME
-        # element type differing only in containsNull/nullable raises
-        # DATATYPE_MISMATCH (hit by array<long> columns whose committed
-        # schema recorded containsNull=false); the parsed-string form is
-        # nullability-agnostic
         part_values = manifest.get("partitions", {})
         if not part_values and not manifest.get("evolved"):
-            df = spark.read.parquet(*files)
-            return df.select(
-                *[
-                    F_col(f.name).cast(f.dataType.simpleString())
-                    for f in schema.fields
-                ],
-                *extra,
+            return _project_to_schema(
+                spark.read.parquet(*files), schema, extra
             )
         # per-commit grouping: partitioned commits need a basePath each
         # for partition-value recovery, and schema-evolved tables need
@@ -1641,15 +1739,7 @@ class SnapshotTable:
             for fld in schema.fields:  # evolution: absent columns read NULL
                 if fld.name not in p.columns:
                     p = p.withColumn(fld.name, F_lit(None).cast(fld.dataType))
-            parts.append(
-                p.select(
-                    *[
-                        F_col(f.name).cast(f.dataType.simpleString())
-                        for f in schema.fields
-                    ],
-                    *extra,
-                )
-            )
+            parts.append(_project_to_schema(p, schema, extra))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -1804,11 +1894,28 @@ def vacuum(
     clones_dir = os.path.join(table.root, "_clones")
     if os.path.isdir(clones_dir):
         for ref in os.listdir(clones_dir):
-            with open(os.path.join(clones_dir, ref)) as fh:
-                clone_root = json.load(fh)["root"]
+            if ref.endswith(".tmp"):
+                continue  # in-flight (or crashed) ref write — not live yet
+            try:
+                with open(os.path.join(clones_dir, ref)) as fh:
+                    clone_root = json.load(fh)["root"]
+            except (ValueError, KeyError):
+                os.unlink(os.path.join(clones_dir, ref))  # torn ref:
+                continue  # atomic writes make this unreachable; defensive
             if not os.path.isdir(os.path.join(clone_root, "_manifests")):
-                os.unlink(os.path.join(clones_dir, ref))  # clone deleted
-                continue
+                # distinguish DELETED (parent exists, root gone — the
+                # supported way to drop a clone) from INACCESSIBLE
+                # (unmounted path): releasing the ref on a temporarily
+                # unreachable clone would let the next vacuum destroy
+                # files the still-live clone references
+                if os.path.isdir(os.path.dirname(clone_root)):
+                    os.unlink(os.path.join(clones_dir, ref))
+                    continue
+                raise RuntimeError(
+                    f"clone root {clone_root} is unreachable (unmounted?) "
+                    "— refusing to vacuum; restore the mount or remove "
+                    f"the stale ref {ref} manually"
+                )
             clone = SnapshotTable(clone_root)
             for v in clone.versions():
                 cm = clone._read_manifest(v)

@@ -1912,3 +1912,70 @@ def test_bloom_soundness_property():
             assert _bloom_may_contain(bloom, v), v
 
     check()
+
+
+def test_rebase_never_duplicates_a_txn_batch(spark, table):
+    """Zombie-writer race (why txnAppId exists): two drivers running the
+    SAME (app_id, batch) both pass the sink's pre-check and both call
+    commit(txn=...). The loser's rebase must detect the batch already
+    landed on the new head and no-op — not republish the duplicate."""
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+
+    def zombie_twin():
+        # the other driver lands the SAME logical batch first
+        table.commit(_df(spark, [(2, "b")]), mode="append", txn=("app-z", 3))
+
+    v = table.commit(
+        _df(spark, [(2, "b")]),
+        mode="append",
+        txn=("app-z", 3),
+        on_conflict="rebase",
+        _before_publish=zombie_twin,
+    )
+    # loser's commit resolved to the winner's head, publishing nothing
+    assert v == table.latest_version() == 1
+    assert sorted(r.k for r in table.read(spark).collect()) == [1, 2]
+    assert table.last_committed_batch("app-z") == 3
+
+
+def test_bloom_property_survives_rewrites(spark, table):
+    """The bloom spec is a table property: merge and OPTIMIZE rebuild
+    blooms for their rewritten files, so point-lookup pruning never
+    silently degrades after maintenance."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k long, v string"
+    )
+    for fid in range(4):
+        table.commit(
+            df.filter(F.col("k") % 4 == fid).coalesce(1),
+            mode="append",
+            bloom_cols=["k"],
+        )
+    assert table.scan_stats(where=[("k", "=", 13)])["n_files_scanned"] < 4
+    # merge rewrites the touched files — blooms must be rebuilt on them
+    table.merge(
+        spark,
+        spark.createDataFrame([(13, "X")], "k long, new_v string"),
+        ["k"],
+        matched_update={"v": F.col("new_v")},
+    )
+    m = table._read_manifest(table.latest_version())
+    assert m.get("bloom", {}).get("cols") == ["k"]
+    st = table.scan_stats(where=[("k", "=", 13)])
+    assert st["n_files_scanned"] < st["n_files_total"]
+    assert {(r.k, r.v) for r in table.read(spark, where=[("k", "=", 13)]).collect()} == {(13, "X")}
+    # OPTIMIZE keeps the property too (sorted rewrite -> ranges prune,
+    # but the spec must survive for future point probes after appends)
+    table.optimize(spark, sort_cols=["k"], target_files=2)
+    m = table._read_manifest(table.latest_version())
+    assert m.get("bloom", {}).get("cols") == ["k"]
+    # and an inheriting plain append gets blooms without re-passing args
+    table.commit(
+        spark.createDataFrame([(100, "y")], "k long, v string").coalesce(1),
+        mode="append",
+    )
+    mf = table._read_manifest(table.latest_version())
+    new_files = [f for f in mf["files"] if mf["file_seq"][f] == mf["version"]]
+    assert all("bloom" in mf["stats"][f].get("k", {}) for f in new_files)
