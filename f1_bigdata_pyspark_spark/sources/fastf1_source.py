@@ -265,14 +265,28 @@ class FastF1LapsStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"seen": ""}
 
     def latestOffset(self) -> dict:
-        return {"index": len(self._files())}
+        # offsets carry the consumed FILE NAMES, not an index into the
+        # current sorted listing: an index shifts when a new file sorts
+        # BEFORE the committed position (bahrain.jsonl arriving after
+        # monaco.jsonl was consumed), silently skipping the new file and
+        # re-reading an old one. Name sets are stable under arrival
+        # order; the payload is bounded by the per-season race count.
+        return {"seen": ",".join(self._files())}
 
     def partitions(self, start: dict, end: dict) -> Sequence[RacePartition]:
-        files = self._files()[start["index"] : end["index"]]
-        return [RacePartition(os.path.join(self._root, n)) for n in files]
+        if "index" in start:  # legacy index checkpoint: best-effort map
+            seen = set(self._files()[: start["index"]])
+        else:
+            seen = set(n for n in start.get("seen", "").split(",") if n)
+        target = [n for n in end.get("seen", "").split(",") if n]
+        return [
+            RacePartition(os.path.join(self._root, n))
+            for n in target
+            if n not in seen
+        ]
 
     def read(self, partition: RacePartition) -> Iterator[tuple]:
         yield from _read_race_file(partition.path, self._fields)
@@ -293,9 +307,13 @@ class FastF1LapsStreamWriter(DataSourceStreamWriter):
     last uncommitted epoch with the SAME batchId — commit() sees the
     existing epoch manifest and DISCARDS the re-staged files instead of
     double-publishing, which is exactly-once delivery on top of an
-    at-least-once stream. Readers treat only manifest-listed files as
-    live (a crashed epoch leaves unreferenced staging garbage, never a
-    half-published batch) — the same contract as sources/snapshots.py."""
+    at-least-once stream. Crash window, stated honestly: a failure
+    BETWEEN promoting part files and writing the epoch manifest leaves
+    promoted-but-unmanifested files that a reader CAN see until the next
+    successful commit's ``_sweep_unmanifested`` removes them and the
+    replay re-publishes the epoch — a transient partial-epoch view that
+    heals, unlike sources/snapshots.py whose readers plan from the
+    manifest alone and never see one."""
 
     def __init__(self, options: dict):
         root = options.get("path")

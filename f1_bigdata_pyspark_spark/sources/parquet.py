@@ -125,11 +125,18 @@ def compact_table(
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = sum(
-        f.getLen()
-        for f in fs.listStatus(jvm_path)
-        if f.getPath().getName().endswith(".parquet")
-    )
+    # listFiles(recursive=True): a Hive-partitioned source keeps its
+    # parquet files in SUBDIRECTORIES — the non-recursive listing saw
+    # only the dirs, totalled 0 bytes, and compacted any partitioned
+    # table into a single giant file. (Note the rewrite itself is flat:
+    # compact_table intentionally drops the directory layout; use
+    # write_partitioned afterwards to restore one.)
+    it = fs.listFiles(jvm_path, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)

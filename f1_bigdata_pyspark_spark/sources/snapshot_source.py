@@ -239,7 +239,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return json.load(fh)
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": -1}  # fresh stream: nothing consumed yet
 
     def latestOffset(self) -> dict:
         vs = self._versions()
@@ -251,18 +251,35 @@ class SnapshotStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         if hi <= lo:
             return []
+        available = set(self._versions())
         seen: set[str] = set()
         if lo >= 0:
-            seen = set(self._manifest(lo)["files"])
-        out = []
-        for v in range(lo + 1, hi + 1):
-            m = self._manifest(v)
-            if m["mode"] != "append" and not (
-                m["mode"] == "overwrite" and lo < 0 and v == 0
-            ):
+            if lo not in available:
+                # vacuum removed the manifest that proves what this
+                # checkpoint already delivered — continuing would either
+                # duplicate or drop rows
                 raise ValueError(
-                    f"v{v} is {m['mode']!r}, not append — the change feed "
-                    "is broken; re-sync from a snapshot read"
+                    f"checkpointed version v{lo} has been vacuumed away — "
+                    "the stream cannot prove which rows it already "
+                    "delivered; re-sync from a fresh checkpoint"
+                )
+            seen = set(self._manifest(lo)["files"])
+            first = lo + 1
+            baseline = None
+        else:
+            # FRESH stream on a possibly-vacuumed table: the earliest
+            # RETAINED manifest is the baseline snapshot — its CUMULATIVE
+            # file set carries all surviving history, whatever the mode
+            # that produced it (Delta's initial-snapshot semantics)
+            first = min(available)
+            baseline = first
+        out = []
+        for v in range(first, hi + 1):
+            m = self._manifest(v)
+            if v != baseline and m["mode"] != "append":
+                raise ValueError(
+                    f"v{v} is {m['mode']!r}, not append — the change "
+                    "feed is broken; re-sync from a snapshot read"
                 )
             parts = m.get("partitions", {})
             for f in m["files"]:

@@ -491,9 +491,15 @@ def _parse_partition_segments(
 
 class SnapshotTable:
     def __init__(self, root: str):
-        self.root = root
-        self.data_dir = os.path.join(root, "data")
-        self.manifest_dir = os.path.join(root, "_manifests")
+        # absolutize ONCE: manifests record file paths verbatim, and a
+        # relative root would make Spark resolve scans against the JVM's
+        # working directory (not Python's) while input_file_name()
+        # returns absolute URIs — every path comparison downstream
+        # (findTouchedFiles, carry-by-identity, vacuum) assumes one
+        # canonical spelling
+        self.root = os.path.abspath(root)
+        self.data_dir = os.path.join(self.root, "data")
+        self.manifest_dir = os.path.join(self.root, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -551,12 +557,27 @@ class SnapshotTable:
     # -- write path ---------------------------------------------------------
 
     def last_committed_batch(self, app_id: str) -> int | None:
-        """Highest streaming batch id committed under ``app_id`` across all
-        live manifests (Delta's txnAppId/txnVersion mechanism): a
-        foreachBatch writer checks this before committing a replayed
-        epoch, making the stream→snapshot sink exactly-once on top of
-        Structured Streaming's at-least-once replay."""
-        best: int | None = None
+        """Highest streaming batch id committed under ``app_id`` (Delta's
+        txnAppId/txnVersion mechanism): a foreachBatch writer checks this
+        before committing a replayed epoch, making the stream→snapshot
+        sink exactly-once on top of Structured Streaming's at-least-once
+        replay.
+
+        Evidence lives in the HEAD manifest's ``txns`` map ({app: batch},
+        carried forward by every commit mode — like Delta's
+        SetTransaction actions), so the check is one manifest read AND
+        the evidence survives vacuum (which deletes old manifests; the
+        per-version 'txn' stamp alone would vanish with them, silently
+        re-opening the duplicate-batch window). Legacy per-version stamps
+        are still scanned as a fallback for pre-upgrade tables."""
+        head = self.latest_version()
+        if head is None:
+            return None
+        hm = self._read_manifest(head)
+        best = hm.get("txns", {}).get(app_id)
+        if best is not None:
+            return int(best)
+        # legacy tables (no txns map yet): scan per-version stamps
         for v in self.versions():
             txn = self._read_manifest(v).get("txn")
             if txn and txn.get("app") == app_id:
@@ -641,11 +662,10 @@ class SnapshotTable:
             # one parse per attempt — the manifest scales with file count
             # (and carries bloom bitmaps), so re-reading it per check is
             # real cost on big tables
-            prior_manifest = (
-                self._read_manifest(base)
-                if (base is not None and mode == "append")
-                else {}
+            head_manifest = (
+                self._read_manifest(base) if base is not None else {}
             )
+            prior_manifest = head_manifest if mode == "append" else {}
             if (
                 expected_base_version is not None
                 and base != expected_base_version
@@ -770,8 +790,13 @@ class SnapshotTable:
                 # dropped the column (partition evolution): old files keep
                 # pruning through what their directories recorded
                 manifest["partitions"] = partitions
+            txns = dict(head_manifest.get("txns", {}))
             if txn is not None:
                 manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
+                prev = txns.get(txn[0])
+                txns[txn[0]] = max(int(txn[1]), int(prev)) if prev is not None else int(txn[1])
+            if txns:
+                manifest["txns"] = txns
             if _before_publish is not None:  # test seam: deterministic race
                 hook, _before_publish = _before_publish, None
                 hook()
@@ -860,6 +885,8 @@ class SnapshotTable:
                 manifest["evolved"] = True
             if prior_manifest.get("bloom"):
                 manifest["bloom"] = prior_manifest["bloom"]
+            if prior_manifest.get("txns"):
+                manifest["txns"] = prior_manifest["txns"]
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
@@ -1055,9 +1082,16 @@ class SnapshotTable:
                 .select("__file")
                 .distinct()
             )
-            return {
-                unquote(urlparse(r["__file"]).path) for r in probe.collect()
-            }
+            # input_file_name() yields ABSOLUTE, symlink-resolved URIs;
+            # the manifest may hold relative (or symlinked) paths — map
+            # back through realpath or a table opened via a relative root
+            # would find NOTHING touched and silently insert duplicates
+            by_real = {os.path.realpath(f): f for f in m["files"]}
+            out = set()
+            for r in probe.collect():
+                p = unquote(urlparse(r["__file"]).path)
+                out.add(by_real.get(os.path.realpath(p), p))
+            return out
 
         touched = probe_touched(manifest, manifest["files"])
         touched_files = [f for f in manifest["files"] if f in touched]
@@ -1114,6 +1148,8 @@ class SnapshotTable:
                 out["evolved"] = True  # carried files may be old-schema
             if cur.get("bloom"):
                 out["bloom"] = cur["bloom"]
+            if cur.get("txns"):
+                out["txns"] = cur["txns"]  # writer evidence survives DML
             if cur.get("tombstones"):
                 # rewritten files were built THROUGH the tombstones and get
                 # a post-delete seq, so carried tombstones keep applying
@@ -1281,6 +1317,8 @@ class SnapshotTable:
             out["evolved"] = True
         if manifest.get("bloom"):
             out["bloom"] = manifest["bloom"]
+        if manifest.get("txns"):
+            out["txns"] = manifest["txns"]
         if manifest.get("tombstones"):
             # carried old files still need them; the replacement files get
             # a post-delete seq (their content is NEW rows by definition)
@@ -1364,10 +1402,14 @@ class SnapshotTable:
             m = self._read_manifest(latest)
             pb = m.get("partition_by")
             bk = self._bloom_kwargs(m)  # OPTIMIZE keeps the bloom property
+        # pin the base: OPTIMIZE rewrites the snapshot it READ; publishing
+        # over a head that moved meanwhile would silently drop the
+        # concurrent commit's rows (every other rewrite path conflicts)
         return self.commit(
             rewritten,
             mode="overwrite",
             partition_by=pb,
+            expected_base_version=latest,
             bloom_cols=bk.get("bloom_cols"),
             bloom_bits=bk.get("bloom_bits", 1024),
             bloom_hashes=bk.get("bloom_hashes", 4),
@@ -1455,6 +1497,8 @@ class SnapshotTable:
             out["evolved"] = True
         if manifest.get("bloom"):
             out["bloom"] = manifest["bloom"]
+        if manifest.get("txns"):
+            out["txns"] = manifest["txns"]
         if manifest.get("tombstones"):
             # compacted files were rewritten through the tombstones; the
             # carried large files still need them
@@ -1493,6 +1537,7 @@ class SnapshotTable:
             "tombstones",
             "tombstone_keys",
             "bloom",
+            "txns",
         ):
             if k in target:
                 manifest[k] = target[k]
@@ -1520,9 +1565,10 @@ class SnapshotTable:
         if src_v is None:
             raise FileNotFoundError(f"no commits at {source.root}")
         m = dict(source._read_manifest(src_v))
-        # the source's txn stamp certifies the SOURCE writer's batch; a
-        # clone committed no such batch (see delete_keys for the hazard)
+        # the source's txn stamps certify the SOURCE writers' batches; a
+        # clone committed no such batches (see delete_keys for the hazard)
         m.pop("txn", None)
+        m.pop("txns", None)
         # back-reference for the source's vacuum (see its docstring) —
         # written ATOMICALLY (tmp + replace) like every manifest: a torn
         # ref would wedge every future vacuum of the source at json.load
@@ -1731,15 +1777,31 @@ class SnapshotTable:
         for f in files:
             by_commit.setdefault(_commit_root_of(f), []).append(f)
         parts = []
-        for root, fs in sorted(by_commit.items()):
-            r = spark.read
-            if any(part_values.get(f) for f in fs):
-                r = r.option("basePath", root)
-            p = r.parquet(*fs)
-            for fld in schema.fields:  # evolution: absent columns read NULL
-                if fld.name not in p.columns:
-                    p = p.withColumn(fld.name, F_lit(None).cast(fld.dataType))
-            parts.append(_project_to_schema(p, schema, extra))
+        # partition values are recovered as STRINGS and cast to the
+        # COMMITTED type: Spark's per-directory type inference would
+        # rewrite numeric-looking string values ('042' -> int 42 ->
+        # string '42'), silently changing the data
+        conf = spark.conf
+        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev_inf = conf.get(inf_key, None)
+        conf.set(inf_key, "false")
+        try:
+            for root, fs in sorted(by_commit.items()):
+                r = spark.read
+                if any(part_values.get(f) for f in fs):
+                    r = r.option("basePath", root)
+                p = r.parquet(*fs)
+                for fld in schema.fields:  # evolution: absent reads NULL
+                    if fld.name not in p.columns:
+                        p = p.withColumn(
+                            fld.name, F_lit(None).cast(fld.dataType)
+                        )
+                parts.append(_project_to_schema(p, schema, extra))
+        finally:
+            if prev_inf is None:
+                conf.unset(inf_key)
+            else:
+                conf.set(inf_key, prev_inf)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -1812,6 +1874,13 @@ def snapshot_diff(
     new = table.read(spark, to_version)
     import pyspark.sql.functions as F
 
+    # the feed reports in the NEW version's schema (Delta CDF semantics):
+    # a column added by schema evolution between the two versions reads
+    # NULL on the old side — selecting it unfilled would crash the diff
+    # exactly when an evolved table's consumers need it
+    for fld in new.schema.fields:
+        if fld.name not in old.columns:
+            old = old.withColumn(fld.name, F.lit(None).cast(fld.dataType))
     non_key = [c for c in new.columns if c not in key_cols]
     o = old.select(
         *key_cols, F.struct(*non_key).alias("__old")

@@ -58,9 +58,16 @@ def read_jsonl_quarantine(
     corrupt row, so `good` filters on the corrupt column being NULL rather
     than any data field."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    with_corrupt = schema.add("_corrupt_record", StringType())
+    # build a FRESH StructType: StructType.add mutates in place (verified
+    # on this build), so schema.add(...) would permanently append
+    # _corrupt_record to the CALLER's schema object — a second call would
+    # then add a duplicate field and plain read_jsonl calls with the same
+    # object would expect the phantom column
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
     raw = (
         spark.read.options(**_JSON_OPTS)
         .option("mode", "PERMISSIVE")

@@ -430,3 +430,52 @@ def test_row_group_skipping_inside_files(spark, tmp_path):
         .collect()
     )
     assert got == list(range(95, 100))
+
+
+def test_stream_reader_survives_vacuumed_history(spark, tmp_path):
+    """A fresh stream on a vacuumed table starts from the earliest
+    RETAINED manifest as its baseline snapshot (cumulative file set =
+    all data) instead of crashing on the missing v0; a checkpoint
+    pointing at a vacuumed version refuses with a clear re-sync error."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+        register,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    register(spark)
+    root = str(tmp_path / "vtbl")
+    t = SnapshotTable(root)
+    for i in range(3):
+        t.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            .coalesce(1),
+            mode="append",
+        )
+    vacuum(t, keep_versions=2, grace_seconds=0)  # drops v0's manifest
+    assert t.versions() == [1, 2]
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.k for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("root", root)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [0, 1, 2]  # full data via the v1 baseline
+    # a checkpointed offset at a vacuumed version must refuse clearly
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    schema = StructType.fromJson(_json.loads(t._read_manifest(2)["schema"]))
+    r = SnapshotStreamReader(root, schema)
+    with pytest.raises(ValueError, match="vacuumed"):
+        r.partitions({"version": 0}, {"version": 2})

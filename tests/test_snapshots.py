@@ -1979,3 +1979,100 @@ def test_bloom_property_survives_rewrites(spark, table):
     mf = table._read_manifest(table.latest_version())
     new_files = [f for f in mf["files"] if mf["file_seq"][f] == mf["version"]]
     assert all("bloom" in mf["stats"][f].get("k", {}) for f in new_files)
+
+
+# -- round-7 storage-layer review fixes ---------------------------------------
+
+
+def test_optimize_conflicts_instead_of_dropping_concurrent_rows(spark, table):
+    """OPTIMIZE rewrites the snapshot it READ; a commit landing in
+    between must make it raise, never publish an overwrite that silently
+    drops the concurrent rows."""
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    orig = table._publish
+    raced = {"done": False}
+
+    def racing(version, manifest):
+        if not raced["done"] and manifest.get("mode") == "overwrite":
+            raced["done"] = True
+            table.commit(_df(spark, [(99, "zz")]), mode="append")
+        return orig(version, manifest)
+
+    table._publish = racing
+    try:
+        with pytest.raises(SnapshotConflictError):
+            table.optimize(spark, sort_cols=["k"])
+    finally:
+        table._publish = orig
+    # the concurrent append survived
+    assert {r.k for r in table.read(spark).collect()} == {1, 99}
+
+
+def test_merge_works_from_relative_root(spark, tmp_path, monkeypatch):
+    """findTouchedFiles matches input_file_name() URIs against manifest
+    paths via realpath — a table opened with a RELATIVE root must still
+    classify matched keys as matched (not silently insert duplicates)."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.chdir(tmp_path)
+    t = SnapshotTable("rel_tbl")  # relative root on purpose
+    t.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1),
+        mode="append",
+    )
+    res = t.merge(
+        spark,
+        spark.createDataFrame([(2, "B!")], "k long, new_v string"),
+        ["k"],
+        matched_update={"v": F.col("new_v")},
+    )
+    assert res["files_rewritten"] == 1  # the key WAS found
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "B!")]  # updated, not duplicated
+
+
+def test_numeric_looking_string_partition_value_round_trips(spark, table):
+    """A string partition value that parses as a number ('042') must not
+    be rewritten by directory type inference ('42') — the committed type
+    governs."""
+    df = spark.createDataFrame(
+        [(1, "042"), (2, "abc")], "k long, p string"
+    )
+    table.commit(df.repartition(1), mode="append", partition_by=["p"])
+    got = {(r.k, r.p) for r in table.read(spark).collect()}
+    assert got == {(1, "042"), (2, "abc")}
+    assert {r.k for r in table.read(spark, where=[("p", "=", "042")]).collect()} == {1}
+
+
+def test_snapshot_diff_across_schema_evolution(spark, table):
+    """CDC between versions on either side of an additive evolution must
+    report in the NEW schema (old side NULL-filled), not crash."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import snapshot_diff
+
+    table.commit(_df(spark, [(1, "a")]).coalesce(1), mode="append")
+    wide = spark.createDataFrame([(2, "b", 9)], "k long, v string, extra long")
+    table.commit(wide.coalesce(1), mode="append", merge_schema=True)
+    diff = snapshot_diff(spark, table, 0, 1, ["k"]).collect()
+    by_key = {r.k: r for r in diff}
+    assert by_key[2].change_type == "insert"
+    assert by_key[2].new_row.extra == 9
+    assert 1 not in by_key  # row 1 unchanged (old extra NULL == new NULL)
+
+
+def test_last_committed_batch_survives_vacuum(spark, table):
+    """Writer evidence lives in the head manifest's txns map: vacuuming
+    old manifests must not re-open the duplicate-batch window."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    table.commit(_df(spark, [(1, "a")]), mode="append", txn=("app", 41))
+    table.commit(_df(spark, [(2, "b")]), mode="append")
+    table.commit(_df(spark, [(3, "c")]), mode="append")
+    vacuum(table, keep_versions=2, grace_seconds=0)  # drops v0 (the stamp)
+    assert table.last_committed_batch("app") == 41
+    # and the sink-side guard still holds: recommitting batch 41 no-ops
+    v = table.latest_version()
+    got = table.commit(
+        _df(spark, [(1, "a")]), mode="append", txn=("app", 41)
+    )
+    assert got == v and table.latest_version() == v
