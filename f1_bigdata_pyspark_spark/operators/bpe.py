@@ -80,6 +80,12 @@ def bpe_round(words: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("cnt").cast("long").alias("n_occurrences"),
         )
     )
+    if not top.take(1):
+        # CONVERGED: no adjacent pair left to merge (every word is a
+        # single symbol). The crossJoin below would be empty and silently
+        # WIPE the whole vocabulary state — return it unchanged with the
+        # empty top row instead (driver probe on a LocalRelation, free).
+        return words, top
     flagged = pos.crossJoin(
         F.broadcast(top.select("left_sym", "right_sym", "merged"))
     ).withColumn(

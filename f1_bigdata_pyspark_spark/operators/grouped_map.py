@@ -31,7 +31,16 @@ def _cohesion(pdf: pd.DataFrame) -> pd.DataFrame:
     centroid = mat.mean(axis=0)
     cnorm = np.linalg.norm(centroid)
     norms = np.linalg.norm(mat, axis=1)
-    cos = mat @ centroid / (norms * cnorm)
+    # zero-norm guard (matches functions/vectors.cosine, which returns
+    # NULL): a zero vector or zero centroid would divide by zero and
+    # poison every stat with NaN — exclude those rows like SQL excludes
+    # NULLs from aggregates
+    denom = norms * cnorm
+    valid = denom > 0
+    if not valid.any():
+        cos = np.array([np.nan])
+    else:
+        cos = (mat @ centroid)[valid] / denom[valid]
     return pd.DataFrame(
         {
             "label": [pdf["label"].iloc[0]],

@@ -45,9 +45,15 @@ def apply_cdc_to_rollup(
             F.when(is_ins, 1).when(is_del, -1).otherwise(0)
         ).alias("dn"),
         F.sum(
-            F.when(is_ins, newv)
-            .when(is_del, -oldv)
-            .otherwise(newv - oldv)
+            # NULL-safe deltas: sum() skips NULL rows in a recompute, so a
+            # value transitioning to/from NULL must contribute exactly the
+            # non-NULL side — `newv - oldv` would be NULL and silently
+            # skip the WHOLE delta, diverging the maintained view
+            F.when(is_ins, F.coalesce(newv, F.lit(0)))
+            .when(is_del, -F.coalesce(oldv, F.lit(0)))
+            .otherwise(
+                F.coalesce(newv, F.lit(0)) - F.coalesce(oldv, F.lit(0))
+            )
         ).cast("long").alias("ds"),
     )
     merged = rollup.join(delta, key_cols, "full_outer").select(

@@ -260,6 +260,7 @@ def ivf_probe_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search with nprobe > 1: scan the cells of the query's ``nprobe``
     nearest centroids instead of only the nearest — THE recall/cost knob of
@@ -267,8 +268,16 @@ def ivf_probe_topk(
     cell than the query; the second-nearest cell recovers it, the IVF
     counterpart of LSH multi-probe). Cost is the probed cells' sizes; the
     centroid table is broadcast-small by construction, so probing adds no
-    shuffle — only a wider left-semi candidate set."""
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    shuffle — only a wider left-semi candidate set.
+
+    ``assigned`` — the cell assignment is INDEX STATE, built once at
+    ingest, not per query: pass a precomputed/persisted ``ivf_assign``
+    output (or the persisted index table — see ``ivf_indexed_topk``) so a
+    query touches only the probed cells. Left to None, the assignment is
+    recomputed per call — a full corpus×centroids pass that costs MORE
+    than a brute-force scan, acceptable only for one-shot use."""
+    if assigned is None:
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
     q = F.lit(query_vec).cast("array<double>")
     qcells = (
         centroids.select(

@@ -33,8 +33,14 @@ def salted_agg_counts(
 ) -> DataFrame:
     """Two-stage skew-safe count/sum/min/max aggregation per key.
     Stage 1 aggregates per (key, salt); stage 2 merges partials per key.
-    Output columns: *key_cols, n_rows, sum_v, min_v, max_v."""
-    src = salt_source or [value_col]
+    Output columns: *key_cols, n_rows, sum_v, min_v, max_v.
+
+    The default salt hashes EVERY column of the row: salting from
+    ``value_col`` alone collapses to a single bucket whenever the hot
+    key's values are constant/low-cardinality — exactly the skew the
+    helper exists to break. (Results are salt-invariant either way; only
+    the stage-1 partition bound depends on it.)"""
+    src = salt_source or df.columns
     salted = df.withColumn(
         "__salt", salt_column([F.col(c) for c in src], salt_buckets)
     )

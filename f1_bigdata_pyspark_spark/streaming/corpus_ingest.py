@@ -45,13 +45,15 @@ def foreach_batch_dedup_append(target_dir: str, id_col: str = "doc_id"):
     (``with_fingerprint``)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
         batch = exact_dedup_keep_first(batch_df, ["fp"], [F.col(id_col)])
-        try:
+        # EXPLICIT existence probe — a bare except here would treat any
+        # transient read failure as "first batch" and silently disable
+        # cross-batch dedup (read errors must propagate and fail the epoch)
+        if os.path.isdir(target_dir):
             seen = spark.read.parquet(target_dir).select("fp")
-        except Exception:  # first micro-batch: target does not exist yet
-            seen = None
-        if seen is not None:
             batch = batch.join(seen, "fp", "left_anti")
         batch.write.mode("append").parquet(target_dir)
 

@@ -67,8 +67,15 @@ def read_events_stream(
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming unique-key dedup — the reference's unique-index upsert
-    (S4/S5) as a native streaming operator."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    (S4/S5) as a native streaming operator. Uses
+    ``dropDuplicatesWithinWatermark`` so the dedup STATE is actually
+    evicted past the watermark: plain ``dropDuplicates(['event_id'])``
+    keys state by event_id alone and Spark never evicts it (the
+    event-time column isn't in the subset) — unbounded state on an
+    unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -121,7 +128,12 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a silent partial memory table is worse than failing
+        raise TimeoutError(
+            f"streaming query {table_name!r} did not finish within "
+            f"{timeout_s}s"
+        )
     return q
 
 

@@ -164,12 +164,21 @@ def consume_snapshot_changes(
     persists it — a real pipeline tails a TABLE, not a directory, and
     this is that composition.
 
-    Exactly-once contract: delivery is (cursor, immutable-file-list)
-    based, so nothing is re-read once the cursor advances; and a REPLAYED
-    delta (crash after apply, before the cursor persisted) appends
-    nothing, because every re-delivered doc verifies as a near-duplicate
-    of the copy the index already holds (Jaccard 1.0 with itself) — the
-    insert-if-absent property, pinned in tests/test_streaming.py."""
+    Exactly-once contract, stated precisely: delivery is (cursor,
+    immutable-file-list) based, so nothing is re-read once the cursor
+    advances; and a replay after a COMPLETED apply (crash before the
+    cursor persisted) appends nothing, because every re-delivered doc
+    verifies as a near-duplicate of the copy the index already holds
+    (Jaccard 1.0 with itself) — the insert-if-absent property, pinned in
+    tests/test_streaming.py. Known crash WINDOWS inside one apply (three
+    plain-parquet appends are not one transaction): dying after the
+    corpus append but before the sig/bands appends makes the replay
+    re-append those docs (duplicates — the index copy that would have
+    flagged them doesn't exist yet); dying between the sig and bands
+    appends leaves signatures the candidate join (bands-keyed) can never
+    reach. A deployment needing atomicity across the three tables should
+    sink each through a SnapshotTable with a shared txn stamp
+    (``foreach_batch_snapshot_append``) instead of raw parquet appends."""
     from f1_bigdata_pyspark_spark.sources.snapshots import read_changes_since
 
     delta, cursor = read_changes_since(spark, table, last_version)

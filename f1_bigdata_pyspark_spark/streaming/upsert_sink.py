@@ -30,11 +30,18 @@ def foreach_batch_upsert(target_dir: str, key_cols: list[str], recency_col: str)
     invariant after every merge."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_dir)
-        except Exception:
-            existing = None
+        # EXPLICIT existence probe: a bare except would turn any transient
+        # read failure into "table doesn't exist yet", and the overwrite
+        # below would then replace the WHOLE accumulated table with one
+        # micro-batch — real errors must fail the epoch, not truncate data
+        existing = (
+            spark.read.parquet(target_dir)
+            if os.path.isdir(target_dir)
+            else None
+        )
         merged = materialize(
             upsert_keep_latest(existing, batch_df, key_cols, recency_col)
         )

@@ -2076,3 +2076,43 @@ def test_last_committed_batch_survives_vacuum(spark, table):
         _df(spark, [(1, "a")]), mode="append", txn=("app", 41)
     )
     assert got == v and table.latest_version() == v
+
+
+def test_ivm_update_to_and_from_null_matches_recompute(spark, table):
+    """A value transitioning to/from NULL in an update must contribute
+    exactly its non-NULL side to the maintained sum (sum() skips NULL in
+    a recompute; a raw `new - old` delta would be NULL and silently skip
+    the WHOLE change)."""
+    from f1_bigdata_pyspark_spark.operators.ivm import (
+        apply_cdc_to_rollup,
+        rollup_of,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import snapshot_diff
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    v0 = spark.createDataFrame(
+        [(1, "g", 4), (2, "g", 6), (3, "g", None)], "k long, grp string, v long"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 6), (3, "g", 5)], "k long, grp string, v long"
+    )
+    table.commit(v0.coalesce(1), mode="append")
+    table.commit(v1.coalesce(1), mode="overwrite")
+    view = materialize(
+        rollup_of(table.read(spark, version=0), ["grp"], "v")
+    )
+    from pyspark.sql import functions as F
+
+    # surface the (here unchanging) group key from the payload structs
+    diff = snapshot_diff(spark, table, 0, 1, ["k"]).withColumn(
+        "grp", F.coalesce(F.col("new_row.grp"), F.col("old_row.grp"))
+    )
+    maintained = {
+        (r.grp, r.n, r.s)
+        for r in apply_cdc_to_rollup(view, diff, ["grp"], "v").collect()
+    }
+    recomputed = {
+        (r.grp, r.n, r.s)
+        for r in rollup_of(table.read(spark, version=1), ["grp"], "v").collect()
+    }
+    assert maintained == recomputed == {("g", 3, 11)}
