@@ -4381,23 +4381,52 @@ def packed_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "doc_id", "wpos", "spos", "id"
         )
     )
-    # two-level global position: token rank within its doc (doc-keyed
-    # window) + doc offset from a DOC-level cumulative sum (one row per
-    # doc) — never a corpus-sized single-partition window
+    # THREE-level global position (round 8): token rank within its doc
+    # (doc-keyed window) + doc offset within a doc-id RANGE GROUP
+    # ((source, grp)-keyed cumsum — groups are contiguous doc_id ranges,
+    # so the composed order is still exactly doc_id asc and the packing
+    # bytes are identical) + a tiny cross-group offset table (one row
+    # per group, broadcast back). The previous two-level form ran the
+    # doc-offset cumsum in ONE task per source (a per-source window);
+    # this one is fully parallel at any source skew — the only remaining
+    # per-source window is over n_docs/G group rows.
     wdoc = Window.partitionBy("source", "doc_id").orderBy("wpos", "spos")
     ranked = enc.withColumn("ipos", F.row_number().over(wdoc).cast("long"))
-    wsrc = (
-        Window.partitionBy("source")
+    G = 1024  # docs per offset group
+    docn = (
+        enc.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .withColumn("grp", F.floor(F.col("doc_id") / G).cast("long"))
+    )
+    wgrp = (
+        Window.partitionBy("source", "grp")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = (
-        enc.groupBy("source", "doc_id")
-        .agg(F.count(F.lit(1)).alias("nd"))
+    within = docn.withColumn(
+        "off_in_grp",
+        F.coalesce(F.sum("nd").over(wgrp), F.lit(0)).cast("long"),
+    )
+    wg2 = (
+        Window.partitionBy("source")
+        .orderBy("grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp_off = (
+        docn.groupBy("source", "grp")
+        .agg(F.sum("nd").alias("gn"))
         .withColumn(
-            "off", F.coalesce(F.sum("nd").over(wsrc), F.lit(0)).cast("long")
+            "goff", F.coalesce(F.sum("gn").over(wg2), F.lit(0)).cast("long")
         )
-        .select("source", "doc_id", "off")
+        .select("source", "grp", "goff")
+    )
+    offs = (
+        within.join(F.broadcast(grp_off), ["source", "grp"])
+        .select(
+            "source",
+            "doc_id",
+            (F.col("goff") + F.col("off_in_grp")).alias("off"),
+        )
     )
     g = ranked.join(offs, ["source", "doc_id"]).select(
         "source",

@@ -265,7 +265,7 @@ class FastF1LapsStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"seen": ""}
+        return {"seen": []}
 
     def latestOffset(self) -> dict:
         # offsets carry the consumed FILE NAMES, not an index into the
@@ -274,14 +274,29 @@ class FastF1LapsStreamReader(DataSourceStreamReader):
         # monaco.jsonl was consumed), silently skipping the new file and
         # re-reading an old one. Name sets are stable under arrival
         # order; the payload is bounded by the per-season race count.
-        return {"seen": ",".join(self._files())}
+        # Encoded as a JSON LIST (offsets are JSON dicts), never a
+        # delimiter join — a delimiter join corrupts on names containing
+        # the delimiter.
+        return {"seen": self._files()}
+
+    def _offset_names(self, offset: dict) -> list[str]:
+        """Decode any historical offset shape to the file-name list it
+        denotes. Three generations coexist in live checkpoints: legacy
+        ``{"index": N}`` (prefix of the current sorted listing — both
+        START and END must map, else a replayed in-flight batch whose END
+        is still legacy would plan an EMPTY target and permanently skip
+        its files), comma-joined ``{"seen": "a,b"}``, and the current
+        JSON-list ``{"seen": [...]}``."""
+        if "index" in offset:
+            return self._files()[: offset["index"]]
+        seen = offset.get("seen", [])
+        if isinstance(seen, str):  # legacy comma join
+            return [n for n in seen.split(",") if n]
+        return list(seen)
 
     def partitions(self, start: dict, end: dict) -> Sequence[RacePartition]:
-        if "index" in start:  # legacy index checkpoint: best-effort map
-            seen = set(self._files()[: start["index"]])
-        else:
-            seen = set(n for n in start.get("seen", "").split(",") if n)
-        target = [n for n in end.get("seen", "").split(",") if n]
+        seen = set(self._offset_names(start))
+        target = self._offset_names(end)
         return [
             RacePartition(os.path.join(self._root, n))
             for n in target

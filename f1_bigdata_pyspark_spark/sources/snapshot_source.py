@@ -11,20 +11,28 @@ the engine: a plain
 hands the filter to ``pushFilters`` (the Spark 4.1 Python DataSource
 pushdown API), which prunes the FILE LIST through the exact same
 ``prune_files`` planner (footer min/max stats + Hive partition point
-stats + IN-lists), and ``partitions()`` then plans one input partition
-per surviving file — the scan never opens a skipped file. Pruning is
-file-coarse, so every filter is also returned to Spark for row-level
-evaluation (skipping stays an I/O optimization that cannot change the
-answer, the same soundness contract as ``read(where=)``).
+stats + IN-lists), and ``partitions()`` then plans input partitions over
+the surviving files — the scan never opens a skipped file, and a LARGE
+file (many row groups, per the manifest's commit-time file meta) splits
+into several row-group-range partitions so it parallelizes instead of
+serializing through one task. Pruning is file-coarse, so every filter is
+also returned to Spark for row-level evaluation (skipping stays an I/O
+optimization that cannot change the answer, the same soundness contract
+as ``read(where=)``). A ``columns`` option narrows both the served
+schema and the executor byte reads (no pruneColumns hook exists in the
+4.1 Python DataSource API).
 
 Executor-side reads go through pyarrow straight to Arrow record batches
 (the DataSource fast path — no per-row Python), with Hive partition
 values re-attached as constant columns and absent (pre-evolution)
 columns null-filled, mirroring ``_plan_scan``.
 
-Scope: tables with live TOMBSTONES refuse (the anti-join belongs to the
-relational layer — use ``SnapshotTable.read``); run OPTIMIZE to
-materialize deletes before serving through this source.
+MERGE-ON-READ (round 8): tables with live TOMBSTONES serve correctly —
+each input partition carries the tombstone key files that postdate its
+data file (seq-scoped, like ``_scan_with_tombstones``), and the executor
+anti-joins every Arrow batch against their key union before yielding.
+The serving face therefore never goes dark between a ``delete_keys``
+and the next OPTIMIZE — the exact window a GDPR pipeline lives in.
 
 Engine caveat (pinned in tests/test_snapshot_source.py, observed on
 Spark 4.1's experimental ``spark.sql.python.filterPushdown.enabled``
@@ -51,6 +59,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    SimpleDataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -81,12 +90,32 @@ _OP_BY_FILTER = {
 
 
 class SnapshotFilePartition(InputPartition):
-    def __init__(self, path: str, partition_values: dict, where=None):
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict,
+        where=None,
+        row_groups=None,
+        tombstones=None,
+        tombstone_keys=None,
+    ):
         self.path = path
         self.partition_values = partition_values  # col -> python value
         # the pushed conjunction rides INTO the partition so the executor
         # can skip ROW GROUPS the manifest's file granularity cannot
         self.where = where or []
+        # row-group RANGE (round 8): a large file is split into several
+        # input partitions, each reading only these footer row-group
+        # indexes — one 10-group file parallelizes across 10 tasks
+        # instead of serializing through one. None = the whole file.
+        self.row_groups = row_groups
+        # MERGE-ON-READ (round 8): the tombstone key files that POSTDATE
+        # this data file (seq-scoped by the planner — a file rewritten
+        # after a delete is already clean and ships none); the executor
+        # anti-joins each Arrow batch against their key union, matching
+        # SnapshotTable.read's _scan_with_tombstones semantics.
+        self.tombstones = tombstones or []
+        self.tombstone_keys = tombstone_keys or []
 
 
 def _read_partition_batches(schema: StructType, partition):
@@ -102,7 +131,15 @@ def _read_partition_batches(schema: StructType, partition):
     with 8 sorted row groups serves a point probe from ~1/8 of its
     bytes). Sound by the same argument: skipping only removes row
     groups PROVEN empty for the conjunction; Spark re-applies every
-    filter row-level."""
+    filter row-level.
+
+    ROW-GROUP RANGES (round 8): ``partition.row_groups`` restricts this
+    task to its slice of a split file — skipping then applies WITHIN the
+    slice. COLUMN PRUNING (round 8): only the columns ``schema`` actually
+    names are read from the file (``read_row_groups(columns=...)`` —
+    parquet is columnar, so unread columns cost zero I/O); absent and
+    partition columns are synthesized, so a narrowed schema reads a
+    narrow byte range instead of the full width."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -115,10 +152,15 @@ def _read_partition_batches(schema: StructType, partition):
 
     target = to_arrow_schema(schema)
     pf = pq.ParquetFile(partition.path)
+    groups = (
+        list(partition.row_groups)
+        if partition.row_groups is not None
+        else list(range(pf.metadata.num_row_groups))
+    )
     if partition.where and pf.metadata.num_row_groups > 1:
-        keep = [
+        groups = [
             rg
-            for rg in range(pf.metadata.num_row_groups)
+            for rg in groups
             if all(
                 _file_may_match(
                     row_group_stats(pf.metadata, rg), col, op, lit
@@ -126,15 +168,27 @@ def _read_partition_batches(schema: StructType, partition):
                 for col, op, lit in partition.where
             )
         ]
-        if not keep:
-            return
-        tbl = pf.read_row_groups(keep)
+    if not groups:
+        return
+    tomb_keys = list(getattr(partition, "tombstone_keys", []) or [])
+    file_cols = set(pf.schema_arrow.names)
+    need = [f.name for f in target if f.name in file_cols]
+    # tombstone key columns ride along even when the projection drops
+    # them — the anti-join needs them, then they are discarded
+    need += [k for k in tomb_keys if k in file_cols and k not in need]
+    if need:
+        tbl = pf.read_row_groups(groups, columns=need)
+        n = tbl.num_rows
     else:
-        tbl = pf.read()
-    n = tbl.num_rows
+        # every requested column is synthesized (partition values /
+        # pre-evolution NULLs): no data read at all, row count from the
+        # footer — an arrow table with zero columns reports num_rows 0,
+        # so the count must come from metadata
+        tbl = None
+        n = sum(pf.metadata.row_group(g).num_rows for g in groups)
     cols = []
     for field in target:
-        if field.name in tbl.column_names:
+        if tbl is not None and field.name in tbl.column_names:
             cols.append(tbl[field.name].cast(field.type))
         elif field.name in partition.partition_values:
             v = partition.partition_values[field.name]
@@ -145,13 +199,100 @@ def _read_partition_batches(schema: StructType, partition):
             )
         else:  # pre-evolution file: the committed column reads NULL
             cols.append(pa.nulls(n, field.type))
-    yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+    out = pa.Table.from_arrays(cols, schema=target)
+    tombs = getattr(partition, "tombstones", None) or []
+    if tombs:
+        keep = _tombstone_keep_mask(partition, tbl, n)
+        if keep is not None:
+            out = out.filter(keep)
+    yield from out.to_batches()
+
+
+# executor-process cache of loaded tombstone key sets: tasks of one scan
+# (and successive scans of the same version) share the read. Bounded —
+# tombstone sets are tiny (deleted keys), and the map is cleared at 16
+# entries rather than LRU-tracked.
+_DEAD_KEY_CACHE: dict = {}
+
+
+def _load_dead_keys(paths: tuple, keys: tuple):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ck = (paths, keys)
+    if ck not in _DEAD_KEY_CACHE:
+        if len(_DEAD_KEY_CACHE) >= 16:
+            _DEAD_KEY_CACHE.clear()
+        tabs = [pq.read_table(p, columns=list(keys)) for p in paths]
+        dead = pa.concat_tables(tabs)
+        # a NULL in any key column matches nothing under equality
+        # (Spark left_anti semantics): drop such rows from the dead set
+        mask = None
+        for k in keys:
+            v = dead[k].is_valid()
+            mask = v if mask is None else pc.and_(mask, v)
+        if mask is not None:
+            dead = dead.filter(mask)
+        _DEAD_KEY_CACHE[ck] = dead
+    return _DEAD_KEY_CACHE[ck]
+
+
+def _tombstone_keep_mask(partition, tbl, n: int):
+    """Boolean keep-mask for one projected batch table against the
+    partition's applicable tombstone union — the executor-side Arrow
+    form of ``_scan_with_tombstones``'s left-anti join. Returns None when
+    every row survives trivially (a key column reads all-NULL here:
+    NULL = x is never true). Single-key sets match via vectorized
+    ``is_in``; composite keys via a pandas indicator merge (both C-side,
+    no per-row Python)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = list(partition.tombstone_keys)
+    dead = _load_dead_keys(tuple(partition.tombstones), tuple(keys))
+    if dead.num_rows == 0:
+        return None
+    key_arrs = {}
+    for k in keys:
+        if tbl is not None and k in tbl.column_names:
+            key_arrs[k] = tbl[k]
+        elif k in partition.partition_values:
+            v = partition.partition_values[k]
+            if v is None:
+                return None  # NULL partition value: no row matches
+            key_arrs[k] = pa.array([v] * n).cast(dead.schema.field(k).type)
+        else:
+            return None  # pre-evolution: key column all-NULL, all survive
+    if len(keys) == 1:
+        k = keys[0]
+        vals = dead[k].combine_chunks()
+        arr = key_arrs[k]
+        if arr.type != vals.type:
+            arr = arr.cast(vals.type)
+        hit = pc.fill_null(pc.is_in(arr, value_set=vals), False)
+        return pc.invert(hit)
+    # composite key: indicator merge (dead set deduped so the left row
+    # count is preserved; left order is preserved by how='left')
+    left = pa.table({k: key_arrs[k] for k in keys}).to_pandas()
+    dd = dead.to_pandas().drop_duplicates()
+    merged = left.merge(dd, on=keys, how="left", indicator=True)
+    return pa.array((merged["_merge"] == "left_only").to_numpy())
+
+
+# default split target: one input partition per ~128 MiB of parquet
+# (Spark's own maxPartitionBytes default) — files smaller than this stay
+# one task; a 1 GiB 8-group file plans ~8.
+_TARGET_SPLIT_BYTES = 128 * 1024 * 1024
 
 
 class SnapshotReader(DataSourceReader):
-    def __init__(self, manifest: dict, schema: StructType):
+    def __init__(
+        self, manifest: dict, schema: StructType, options: dict | None = None
+    ):
         self.manifest = manifest
         self.schema = schema
+        self.options = options or {}
         self.where: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -186,20 +327,197 @@ class SnapshotReader(DataSourceReader):
             if where
             else self.manifest["files"]
         )
-        from f1_bigdata_pyspark_spark.sources.snapshots import _stat_to_py
+        from f1_bigdata_pyspark_spark.sources.snapshots import (
+            FILE_META_KEY,
+            _stat_to_py,
+        )
 
+        split = self.options.get("split_row_groups", "true") != "false"
+        gpp_opt = self.options.get("groups_per_partition")
         parts = self.manifest.get("partitions", {})
+        stats = self.manifest.get("stats", {})
+        # MERGE-ON-READ: seq-scope the live tombstones per file exactly
+        # like _scan_with_tombstones — a tombstone applies to a file only
+        # if the delete POSTDATES the file (t.seq > file seq; files
+        # rewritten through the delete carry a later seq and ship none)
+        ts = self.manifest.get("tombstones") or []
+        t_keys = self.manifest.get("tombstone_keys") or []
+        seqs = self.manifest.get("file_seq", {})
         out = []
         for f in files:
             pv = {
                 col: (None if tv is None else _stat_to_py(tv))
                 for col, tv in parts.get(f, {}).items()
             }
-            out.append(SnapshotFilePartition(f, pv, where))
+            s = seqs.get(f, -1)  # unknown seq: oldest — deletes apply
+            tombs = [t["path"] for t in ts if t["seq"] > s]
+            # ROW-GROUP-RANGE SPLITTING (round 8): the manifest's file
+            # meta (recorded at commit, no driver footer read here) says
+            # how many row groups the file has; large files plan SEVERAL
+            # input partitions, each a contiguous group range sized to
+            # ~_TARGET_SPLIT_BYTES, so one huge file no longer serializes
+            # through one task. Files committed before the meta existed
+            # (no FILE_META_KEY) fall back to one partition, unchanged.
+            meta = stats.get(f, {}).get(FILE_META_KEY) or {}
+            ng = int(meta.get("ng") or 1)
+            if split and ng > 1:
+                if gpp_opt is not None:
+                    gpp = max(1, int(gpp_opt))
+                else:
+                    per_group = max(1, int(meta.get("bytes") or 0) // ng)
+                    gpp = max(1, _TARGET_SPLIT_BYTES // per_group)
+                for i in range(0, ng, gpp):
+                    out.append(
+                        SnapshotFilePartition(
+                            f,
+                            pv,
+                            where,
+                            list(range(i, min(i + gpp, ng))),
+                            tombs,
+                            t_keys,
+                        )
+                    )
+            else:
+                out.append(
+                    SnapshotFilePartition(f, pv, where, None, tombs, t_keys)
+                )
         return out
 
     def read(self, partition):
         yield from _read_partition_batches(self.schema, partition)
+
+
+def _log_versions(root: str) -> list[int]:
+    """Junk-tolerant manifest version listing (same rule as
+    SnapshotTable.versions)."""
+    mdir = os.path.join(root, "_manifests")
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _log_manifest(root: str, v: int) -> dict:
+    with open(os.path.join(root, "_manifests", f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
+    """One SnapshotFilePartition per file ADDED in (lo, hi] — the shared
+    micro-batch planner of both stream readers. Walks RETAINED versions
+    only (compact_log leaves a sparse log; manifests are cumulative, so
+    files added by dropped intermediates surface in the next retained
+    one and the set difference still delivers exactly once). Raises the
+    re-sync error on non-append versions AND on files that VANISHED
+    between retained manifests (a non-append hidden inside a
+    compacted-away intermediate)."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import _stat_to_py
+
+    if hi <= lo:
+        return []
+    available = set(_log_versions(root))
+    seen: set[str] = set()
+    if lo >= 0:
+        if lo not in available:
+            # vacuum/compaction removed the manifest that proves what
+            # this checkpoint already delivered — continuing would
+            # either duplicate or drop rows
+            raise ValueError(
+                f"checkpointed version v{lo} has been vacuumed away — "
+                "the stream cannot prove which rows it already "
+                "delivered; re-sync from a fresh checkpoint"
+            )
+        seen = set(_log_manifest(root, lo)["files"])
+        first = lo + 1
+        baseline = None
+    else:
+        # FRESH stream on a possibly-vacuumed table: the earliest
+        # RETAINED manifest is the baseline snapshot — its CUMULATIVE
+        # file set carries all surviving history, whatever the mode
+        # that produced it (Delta's initial-snapshot semantics)
+        first = min(available)
+        baseline = first
+    out = []
+    for v in sorted(x for x in available if first <= x <= hi):
+        m = _log_manifest(root, v)
+        if v != baseline and m["mode"] != "append":
+            raise ValueError(
+                f"v{v} is {m['mode']!r}, not append — the change "
+                "feed is broken; re-sync from a snapshot read"
+            )
+        if v != baseline and seen - set(m["files"]):
+            # a file DISAPPEARED between retained manifests: a
+            # non-append (overwrite/delete/rollback) hid inside a
+            # compacted-away intermediate — the mode check alone cannot
+            # see it, but silent row loss must not pass
+            raise ValueError(
+                f"files vanished before v{v} (a non-append version "
+                "was compacted away) — the change feed is broken; "
+                "re-sync from a snapshot read"
+            )
+        parts = m.get("partitions", {})
+        for f in m["files"]:
+            if f in seen:
+                continue
+            seen.add(f)
+            pv = {
+                col: (None if tv is None else _stat_to_py(tv))
+                for col, tv in parts.get(f, {}).items()
+            }
+            out.append(SnapshotFilePartition(f, pv))
+    return out
+
+
+def _admit_until(
+    root: str,
+    base: int,
+    latest: int,
+    max_files: int | None,
+    max_bytes: int | None,
+) -> int:
+    """Largest version in (base, latest] whose cumulative ADDED files
+    and bytes fit the trigger budget — at least one version is always
+    admitted (progress guarantee even when a single commit exceeds the
+    budget). Appends are cumulative manifests, so a version's additions
+    are its files minus everything already seen; byte sizes come from
+    the manifest's commit-time file meta (pre-meta files count 0 bytes —
+    use the files cap for pre-meta tables)."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import FILE_META_KEY
+
+    available = set(_log_versions(root))
+    if base >= 0 and base in available:
+        seen = set(_log_manifest(root, base)["files"])
+        first = base + 1
+    else:
+        # same baseline rule as the partition planner: fresh/vacuumed
+        # history starts at the earliest retained manifest
+        seen = set()
+        first = min(v for v in available if v > base)
+    end = base
+    n_files = 0
+    n_bytes = 0
+    for v in sorted(v for v in available if first <= v <= latest):
+        m = _log_manifest(root, v)
+        added = [f for f in m["files"] if f not in seen]
+        stats = m.get("stats", {})
+        b = sum(
+            int((stats.get(f, {}).get(FILE_META_KEY) or {}).get("bytes") or 0)
+            for f in added
+        )
+        if end > base and (
+            (max_files is not None and n_files + len(added) > max_files)
+            or (max_bytes is not None and n_bytes + b > max_bytes)
+        ):
+            break
+        seen.update(added)
+        n_files += len(added)
+        n_bytes += b
+        end = v
+    return end
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -215,89 +533,104 @@ class SnapshotStreamReader(DataSourceStreamReader):
     re-sync from a snapshot read, the same explicit contract as
     ``read_changes_since``. Replays are deterministic: a checkpointed
     (start, end] names immutable manifests, so failure recovery re-reads
-    the identical file set."""
+    the identical file set.
+
+    This is the UNCAPPED, partition-parallel reader. With
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` set, the source
+    routes to ``SnapshotSimpleStreamReader`` instead — the plain
+    ``DataSourceStreamReader`` protocol calls ``latestOffset()`` with no
+    start argument (no SupportsAdmissionControl hook in the 4.1 Python
+    API, and the engine calls it BEFORE ``initialOffset`` — traced), so
+    correct capping is impossible here without risking offset
+    regression."""
 
     def __init__(self, root: str, schema: StructType):
         self.root = root
         self.schema = schema
 
-    def _versions(self) -> list[int]:
-        mdir = os.path.join(self.root, "_manifests")
-        out = []
-        for f in os.listdir(mdir):
-            if f.startswith("v") and f.endswith(".json"):
-                try:  # same junk-file tolerance as SnapshotTable.versions
-                    out.append(int(f[1:-5]))
-                except ValueError:
-                    continue
-        return sorted(out)
-
-    def _manifest(self, v: int) -> dict:
-        with open(
-            os.path.join(self.root, "_manifests", f"v{v}.json")
-        ) as fh:
-            return json.load(fh)
-
     def initialOffset(self) -> dict:
         return {"version": -1}  # fresh stream: nothing consumed yet
 
     def latestOffset(self) -> dict:
-        vs = self._versions()
+        vs = _log_versions(self.root)
         return {"version": vs[-1] if vs else -1}
 
     def partitions(self, start: dict, end: dict):
-        from f1_bigdata_pyspark_spark.sources.snapshots import _stat_to_py
-
-        lo, hi = start["version"], end["version"]
-        if hi <= lo:
-            return []
-        available = set(self._versions())
-        seen: set[str] = set()
-        if lo >= 0:
-            if lo not in available:
-                # vacuum removed the manifest that proves what this
-                # checkpoint already delivered — continuing would either
-                # duplicate or drop rows
-                raise ValueError(
-                    f"checkpointed version v{lo} has been vacuumed away — "
-                    "the stream cannot prove which rows it already "
-                    "delivered; re-sync from a fresh checkpoint"
-                )
-            seen = set(self._manifest(lo)["files"])
-            first = lo + 1
-            baseline = None
-        else:
-            # FRESH stream on a possibly-vacuumed table: the earliest
-            # RETAINED manifest is the baseline snapshot — its CUMULATIVE
-            # file set carries all surviving history, whatever the mode
-            # that produced it (Delta's initial-snapshot semantics)
-            first = min(available)
-            baseline = first
-        out = []
-        for v in range(first, hi + 1):
-            m = self._manifest(v)
-            if v != baseline and m["mode"] != "append":
-                raise ValueError(
-                    f"v{v} is {m['mode']!r}, not append — the change "
-                    "feed is broken; re-sync from a snapshot read"
-                )
-            parts = m.get("partitions", {})
-            for f in m["files"]:
-                if f in seen:
-                    continue
-                seen.add(f)
-                pv = {
-                    col: (None if tv is None else _stat_to_py(tv))
-                    for col, tv in parts.get(f, {}).items()
-                }
-                out.append(SnapshotFilePartition(f, pv))
-        return out
+        return _plan_added_partitions(
+            self.root, start["version"], end["version"]
+        )
 
     def read(self, partition):
         yield from _read_partition_batches(self.schema, partition)
 
     def commit(self, end: dict) -> None:
         pass  # manifests are immutable; nothing to clean up per epoch
+
+
+class SnapshotSimpleStreamReader(SimpleDataSourceStreamReader):
+    """ADMISSION-CONTROLLED stream reader (round 8):
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` cap how much backlog
+    one micro-batch admits, so recovery-from-outage drains over several
+    bounded epochs instead of planning everything into one giant batch.
+
+    Built on ``SimpleDataSourceStreamReader`` because its ``read(start)``
+    RECEIVES the start offset — the engine's prefetch wrapper hands the
+    checkpointed position on restart (and ``readBetweenOffsets``
+    replays in-flight batches deterministically), which makes capping
+    exact in every lifecycle state; the plain stream-reader protocol
+    never learns the start (``latestOffset()`` takes no argument and is
+    called before ``initialOffset`` — traced), so it cannot cap a
+    restarted query without risking offset regression. The trade-off is
+    documented by Spark itself: Simple readers materialize each batch
+    driver-side — exactly right here, because an admission-controlled
+    batch is SMALL BY CONSTRUCTION (bounded by the budget); leave the
+    budget unset to get the partition-parallel reader for full-table
+    throughput."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        max_files: int | None,
+        max_bytes: int | None,
+    ):
+        if max_files is not None and max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if max_bytes is not None and max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        self.root = root
+        self.schema = schema
+        self.max_files = max_files
+        self.max_bytes = max_bytes
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _rows_between(self, lo: int, hi: int):
+        for p in _plan_added_partitions(self.root, lo, hi):
+            for batch in _read_partition_batches(self.schema, p):
+                cols = [c.to_pylist() for c in batch.columns]
+                yield from zip(*cols)
+
+    def read(self, start: dict):
+        lo = start["version"]
+        vs = _log_versions(self.root)
+        latest = vs[-1] if vs else -1
+        if latest <= lo:
+            return iter(()), start  # nothing new: offset unchanged
+        end = _admit_until(self.root, lo, latest, self.max_files, self.max_bytes)
+        # materialized, not a generator: the engine's prefetch wrapper
+        # copy.copy()s the cached iterator per planning (generators are
+        # not copyable), and the batch is budget-bounded anyway
+        return iter(list(self._rows_between(lo, end))), {"version": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # failure-recovery replay: (start, end] names immutable
+        # manifests, so the re-read is byte-identical
+        return iter(list(self._rows_between(start["version"], end["version"])))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class SnapshotWriteMessage(WriterCommitMessage):
@@ -385,7 +718,11 @@ class SnapshotWriter(DataSourceArrowWriter):
 
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot").option("root", path)`` — options:
-    ``root`` (required), ``version`` (optional int, default latest).
+    ``root`` (required), ``version`` (optional int, default latest),
+    ``columns`` (optional comma list — project/read only these),
+    ``split_row_groups`` ("true"/"false", default true — split large
+    files into row-group-range input partitions), ``groups_per_partition``
+    (optional int — override the ~128 MiB-target split size).
     Also writable: ``df.write.format("snapshot").option("root", path)
     .mode("append"|"overwrite").save()`` runs the two-phase commit in
     ``SnapshotWriter``."""
@@ -412,28 +749,45 @@ class SnapshotDataSource(DataSource):
         mdir = os.path.join(root, "_manifests")
         version = self.options.get("version")
         if version is None:
-            versions = sorted(
-                int(f[1:-5])
-                for f in os.listdir(mdir)
-                if f.startswith("v") and f.endswith(".json")
-            )
+            versions = []
+            for f in os.listdir(mdir):
+                if f.startswith("v") and f.endswith(".json"):
+                    try:  # same junk tolerance as SnapshotTable.versions
+                        versions.append(int(f[1:-5]))
+                    except ValueError:  # vBACKUP.json etc.
+                        continue
             if not versions:
                 raise FileNotFoundError(f"no commits at {root}")
-            version = versions[-1]
+            version = max(versions)
         with open(os.path.join(mdir, f"v{int(version)}.json")) as fh:
-            m = json.load(fh)
-        if m.get("tombstones"):
-            raise ValueError(
-                "table has live tombstones — OPTIMIZE to materialize "
-                "deletes, or read through SnapshotTable.read"
-            )
-        return m
+            return json.load(fh)
 
     def schema(self) -> StructType:
-        return StructType.fromJson(json.loads(self._manifest()["schema"]))
+        committed = StructType.fromJson(
+            json.loads(self._manifest()["schema"])
+        )
+        cols = self.options.get("columns")
+        if not cols:
+            return committed
+        # COLUMN PRUNING (round 8): Spark 4.1's Python DataSource API has
+        # no pruneColumns engine hook, so projection narrowing is an
+        # explicit option — ``.option("columns", "a,b")`` serves only
+        # those fields, and the executor read fetches only those byte
+        # ranges (parquet is columnar). Committed order is kept so the
+        # projection is deterministic regardless of option spelling.
+        want = [c.strip() for c in cols.split(",") if c.strip()]
+        by_name = {f.name: f for f in committed.fields}
+        missing = [c for c in want if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"columns option names unknown column(s) {missing}; "
+                f"table has {list(by_name)}"
+            )
+        keep = set(want)
+        return StructType([f for f in committed.fields if f.name in keep])
 
     def reader(self, schema: StructType) -> SnapshotReader:
-        return SnapshotReader(self._manifest(), schema)
+        return SnapshotReader(self._manifest(), schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> SnapshotWriter:
         root = self.options.get("root")
@@ -441,11 +795,41 @@ class SnapshotDataSource(DataSource):
             raise ValueError("snapshot source requires option 'root'")
         return SnapshotWriter(root, schema, overwrite)
 
+    def _budgets(self) -> tuple[int | None, int | None]:
+        mf = self.options.get("maxFilesPerTrigger")
+        mb = self.options.get("maxBytesPerTrigger")
+        return (
+            int(mf) if mf is not None else None,
+            int(mb) if mb is not None else None,
+        )
+
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         root = self.options.get("root")
         if not root:
             raise ValueError("snapshot source requires option 'root'")
+        if any(b is not None for b in self._budgets()):
+            # ROUTE admission-controlled streams to the Simple reader:
+            # raising PySparkNotImplementedError here makes the engine
+            # fall back to simpleStreamReader() (datasource_internal.
+            # _streamReader), whose read(start) knows the checkpointed
+            # position — the only protocol where capping is exact
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": "streamReader with admission control "
+                    "(routes to simpleStreamReader)"
+                },
+            )
         return SnapshotStreamReader(root, schema)
+
+    def simpleStreamReader(self, schema: StructType) -> SnapshotSimpleStreamReader:
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("snapshot source requires option 'root'")
+        mf, mb = self._budgets()
+        return SnapshotSimpleStreamReader(root, schema, mf, mb)
 
 
 def register(spark) -> None:

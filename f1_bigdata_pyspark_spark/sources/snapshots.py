@@ -93,6 +93,19 @@ def _json_stat_value(v):
     return None
 
 
+# File-LEVEL metadata rides inside the per-file stats entry under this
+# reserved key so every manifest carry path (merge, optimize, delete,
+# clone, rollback, publish_files) transports it for free — the same
+# placement lesson as the per-column blooms. The trailing dot makes a
+# collision with a real column IMPOSSIBLE: stats collection skips every
+# dotted path_in_schema (nested leaves), so no column entry can ever be
+# written under a dotted key. Pruning never looks it up (predicates
+# reference real columns only). Fields: ng (row-group count — drives
+# row-group-range input-partition SPLITTING in the DataSource scan),
+# rows, bytes (drive partition sizing and maxBytesPerTrigger admission).
+FILE_META_KEY = "__file_meta."
+
+
 def _file_column_stats(path: str) -> dict:
     """Per-column {min, max} for one parquet file, straight from the row-
     group FOOTER statistics (no data read — the same numbers the writer
@@ -101,16 +114,24 @@ def _file_column_stats(path: str) -> dict:
     collection runs where the files are written (executor-side, merged
     into the commit like Delta's add-file stats); the driver-side footer
     read here is the local-mode stand-in — it is O(#new files) metadata,
-    never data."""
+    never data. Also records the ``FILE_META_KEY`` file-level entry
+    (row-group count / rows / bytes) that lets the scan planner split
+    large files into row-group-range partitions WITHOUT a driver footer
+    read at plan time."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
+    meta = {
+        "ng": md.num_row_groups,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+    }
     acc: dict[str, list] = {}
     complete: set[str] = set()
     nulls: dict[str, int] = {}
     nulls_complete: set[str] = set()
     if md.num_row_groups == 0:
-        return {}
+        return {FILE_META_KEY: meta}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         seen: set[str] = set()
@@ -153,6 +174,7 @@ def _file_column_stats(path: str) -> dict:
         e = out.setdefault(name, {})
         e["nc"] = nulls[name]  # nulls in this column across the file
         e["nr"] = md.num_rows  # file row count (the all-null test's bound)
+    out[FILE_META_KEY] = meta
     return out
 
 
@@ -461,9 +483,10 @@ def _parse_partition_segments(
 ) -> dict:
     """Decode Hive-style ``col=value`` path segments into tagged stat
     values (the manifest's point-stat form). ``__HIVE_DEFAULT_PARTITION__``
-    (NULL partition) maps to None — a file with a NULL partition value is
-    never pruned on that column (NULL satisfies no range predicate proof,
-    and IS NULL is not a prune op)."""
+    (NULL partition) maps to None — ``_file_evidence`` encodes it as an
+    all-null point (nc == nr), so every comparison and IS NOT NULL prune
+    that file while IS NULL keeps it; value partitions conversely carry
+    nc=0 so IS NULL prunes them."""
     import urllib.parse
 
     out: dict = {}
@@ -862,11 +885,15 @@ class SnapshotTable:
                         "schema_json required for the first/overwrite commit"
                     )
                 use_schema = schema_json
-            prior_manifest = (
-                self._read_manifest(base)
-                if (base is not None and mode == "append")
-                else {}
+            # the head is read in overwrite mode too: its file list/stats
+            # are discarded (overwrite starts clean) but the txns map must
+            # carry forward like commit() does — dropping it would erase
+            # every streaming writer's exactly-once evidence, letting a
+            # replayed foreachBatch epoch commit a second time
+            head_manifest = (
+                self._read_manifest(base) if base is not None else {}
             )
+            prior_manifest = head_manifest if mode == "append" else {}
             version = 0 if base is None else base + 1
             all_stats = dict(prior_manifest.get("stats", {}))
             all_stats.update(stats)
@@ -885,8 +912,8 @@ class SnapshotTable:
                 manifest["evolved"] = True
             if prior_manifest.get("bloom"):
                 manifest["bloom"] = prior_manifest["bloom"]
-            if prior_manifest.get("txns"):
-                manifest["txns"] = prior_manifest["txns"]
+            if head_manifest.get("txns"):
+                manifest["txns"] = head_manifest["txns"]
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
@@ -1708,8 +1735,10 @@ class SnapshotTable:
         files in the version) -> empty frame with the committed schema.
 
         ``where`` — optional conjunction of simple predicates
-        ``(column, op, literal)`` with op in {=, <, <=, >, >=}. Files whose
-        manifest min/max stats PROVE the conjunction empty are dropped
+        ``(column, op, literal)`` with op in {=, <, <=, >, >=, in,
+        is_null, is_not_null} (the null tests are value-less — pass
+        ``None`` as the literal; they prune via per-file null counts).
+        Files whose manifest stats PROVE the conjunction empty are dropped
         from the scan (Delta/Iceberg data skipping: the manifest is the
         coarse index, file granularity); the predicate is then still
         applied row-level, so skipping is purely an I/O optimization and
@@ -1836,6 +1865,39 @@ class SnapshotTable:
             for v in self.versions()
         ]
 
+    def compact_log(self, every: int = 10, keep_recent: int = 2) -> list[int]:
+        """Log checkpointing (round 8) — bound ``_manifests/`` growth.
+        Every manifest here is SELF-CONTAINED (full file list + stats +
+        blooms — by design, so readers plan from one JSON), which means
+        the log grows O(versions × files) at high commit rates. This op
+        applies Delta's ``_last_checkpoint`` economics to that layout:
+        every ``every``-th version IS a checkpoint (being self-contained,
+        no extra file needs writing), so the intermediate manifests
+        between checkpoints are redundant history — drop them, keeping
+        the checkpoints plus the ``keep_recent`` newest versions. After
+        30 commits with K=10 the log holds ≤ ceil(30/K)+keep_recent
+        manifests instead of 30.
+
+        MANIFEST-ONLY: no data file is ever touched (that is vacuum's
+        job — pass ``keep_every`` there so checkpoint-referenced files
+        stay protected). Consequences, all by existing contracts: time
+        travel to a dropped intermediate raises FileNotFoundError (same
+        as after vacuum); a fresh stream baselines at the earliest
+        RETAINED manifest; a stream checkpointed at a dropped version
+        refuses with the re-sync error. Returns the dropped versions."""
+        if every < 1:
+            raise ValueError("every must be >= 1")
+        if keep_recent < 1:
+            raise ValueError("keep_recent must be >= 1 (the head must stay)")
+        vs = self.versions()
+        recent = set(vs[-keep_recent:])
+        dropped = [
+            v for v in vs if v % every != 0 and v not in recent
+        ]
+        for v in dropped:
+            os.unlink(self._manifest_path(v))
+        return dropped
+
     def orphan_files(self) -> list[str]:
         """Data files referenced by NO manifest (crashed commits) — the
         vacuum candidates. Live files are never listed."""
@@ -1917,6 +1979,7 @@ def vacuum(
     table: SnapshotTable,
     keep_versions: int = 2,
     grace_seconds: float = 86400.0,
+    keep_every: int | None = None,
 ) -> dict:
     """Physically delete files no LIVE version references: drop manifests
     older than the newest ``keep_versions``, then remove data files
@@ -1929,6 +1992,11 @@ def vacuum(
     manifests are deleted FIRST (a concurrent reader either resolved its
     file list before the delete — files still present — or fails cleanly
     at the manifest), then unreferenced files.
+
+    ``keep_every`` (round 8): retain every N-th version as a long-range
+    checkpoint — its manifest AND its files survive, so coarse time
+    travel outlives the recent window (the file-side complement of
+    ``SnapshotTable.compact_log``).
 
     ``grace_seconds``: files younger than this (mtime) are NEVER deleted,
     even when unreferenced — a concurrent ``commit()`` has a window
@@ -1955,6 +2023,14 @@ def vacuum(
 
     vs = table.versions()
     drop, keep = vs[:-keep_versions], vs[-keep_versions:]
+    if keep_every is not None:
+        # LOG CHECKPOINTS (round 8, composes with compact_log): every
+        # keep_every-th version is retained as a long-range time-travel
+        # checkpoint — its manifest survives and its files join the keep
+        # set, so coarse history stays readable past the recent window
+        ckpts = [v for v in drop if v % keep_every == 0]
+        drop = [v for v in drop if v % keep_every != 0]
+        keep = sorted(set(keep) | set(ckpts))
     kept_files: set[str] = set()
     for v in keep:
         m = table._read_manifest(v)

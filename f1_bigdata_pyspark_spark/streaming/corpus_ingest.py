@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from f1_bigdata_pyspark_spark.functions.text import fingerprint
 from f1_bigdata_pyspark_spark.operators.dedup import exact_dedup_keep_first
+from f1_bigdata_pyspark_spark.utils import fs_path_exists
 
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,14 +46,13 @@ def foreach_batch_dedup_append(target_dir: str, id_col: str = "doc_id"):
     (``with_fingerprint``)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         batch = exact_dedup_keep_first(batch_df, ["fp"], [F.col(id_col)])
-        # EXPLICIT existence probe — a bare except here would treat any
-        # transient read failure as "first batch" and silently disable
-        # cross-batch dedup (read errors must propagate and fail the epoch)
-        if os.path.isdir(target_dir):
+        # EXPLICIT existence probe through the Hadoop FS API (scheme-aware;
+        # an os.path probe never sees a remote target, silently disabling
+        # cross-batch dedup) — a bare except would be wrong the other way:
+        # transient read errors must propagate and fail the epoch
+        if fs_path_exists(spark, target_dir):
             seen = spark.read.parquet(target_dir).select("fp")
             batch = batch.join(seen, "fp", "left_anti")
         batch.write.mode("append").parquet(target_dir)

@@ -21,7 +21,7 @@ from f1_bigdata_pyspark_spark.sources.parquet import (
     assert_unique_key,
     upsert_keep_latest,
 )
-from f1_bigdata_pyspark_spark.utils import materialize
+from f1_bigdata_pyspark_spark.utils import fs_path_exists, materialize
 
 
 def foreach_batch_upsert(target_dir: str, key_cols: list[str], recency_col: str):
@@ -30,16 +30,16 @@ def foreach_batch_upsert(target_dir: str, key_cols: list[str], recency_col: str)
     invariant after every merge."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
-        # EXPLICIT existence probe: a bare except would turn any transient
-        # read failure into "table doesn't exist yet", and the overwrite
-        # below would then replace the WHOLE accumulated table with one
-        # micro-batch — real errors must fail the epoch, not truncate data
+        # EXPLICIT existence probe through the Hadoop FS API (scheme-aware:
+        # an os.path probe is driver-local only and reads False forever on
+        # hdfs/s3 targets, turning EVERY batch into "first batch" — the
+        # overwrite below would then replace the WHOLE accumulated table
+        # with one micro-batch). A bare except would be wrong the other
+        # way: transient read errors must fail the epoch, not truncate.
         existing = (
             spark.read.parquet(target_dir)
-            if os.path.isdir(target_dir)
+            if fs_path_exists(spark, target_dir)
             else None
         )
         merged = materialize(

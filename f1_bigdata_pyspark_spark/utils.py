@@ -5,6 +5,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def fs_path_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — resolves the
+    path against whatever scheme the session can reach (``hdfs://``,
+    ``s3a://``, ``file:``), unlike ``os.path`` probes which only see the
+    driver's local filesystem. Streaming sinks use this to distinguish
+    "target table does not exist yet" (first micro-batch) from "target
+    exists" — an os.path probe on a remote target is always False, which
+    would make an overwrite-mode sink silently truncate the accumulated
+    table to one batch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Materialize a small intermediate that downstream operators reference
     multiple times (signature tables, band tables), cutting lineage so the

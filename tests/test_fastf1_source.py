@@ -410,3 +410,39 @@ def test_stream_writer_sweeps_unmanifested_part_files(tmp_path):
     for mp in out.glob("_batch-*.json"):
         listed.update(json.loads(mp.read_text())["files"])
     assert listed == {p.name for p in out.glob("part-*.jsonl")}
+
+
+def test_stream_offsets_decode_every_checkpoint_generation(race_dir):
+    """ADVICE r8: live checkpoints can hold THREE offset shapes — legacy
+    {"index": N}, legacy comma-joined {"seen": "a,b"}, and the current
+    JSON-list {"seen": [...]}. A replayed in-flight batch whose END is
+    still legacy index-form must re-plan the same files, not an empty
+    target (which would permanently skip them)."""
+    from pyspark.sql.types import StructType
+
+    from f1_bigdata_pyspark_spark.sources.fastf1_source import (
+        FastF1LapsStreamReader,
+    )
+
+    schema = StructType.fromDDL(FASTF1_LAPS_SCHEMA_DDL)
+    r = FastF1LapsStreamReader({"path": race_dir}, schema)
+    files = r._files()
+    assert len(files) >= 2
+    want = files[1:]
+
+    def names(parts):
+        return sorted(os.path.basename(p.path) for p in parts)
+
+    # legacy index START **and END** both map
+    assert names(r.partitions({"index": 1}, {"index": len(files)})) == want
+    # legacy comma-join START and END
+    assert (
+        names(r.partitions({"seen": files[0]}, {"seen": ",".join(files)}))
+        == want
+    )
+    # current JSON-list form (comma-safe for any file name)
+    assert names(r.partitions({"seen": [files[0]]}, {"seen": files})) == want
+    # mixed generations (upgrade mid-batch)
+    assert names(r.partitions({"index": 1}, {"seen": files})) == want
+    assert r.latestOffset() == {"seen": files}
+    assert r.initialOffset() == {"seen": []}

@@ -768,3 +768,20 @@ def test_file_stream_countmin_partials_merge_exact(spark, tmp_path):
     }
     for k, n in exact.items():
         assert est[k] >= n, (k, est[k], n)
+
+
+def test_fs_path_exists_is_scheme_aware(spark, tmp_path):
+    """ADVICE r8: the streaming sinks' existence probe goes through the
+    Hadoop FileSystem API so it resolves ANY scheme the session reaches
+    (hdfs://, s3a://, file:) — an os.path probe is driver-local only and
+    would read False forever on a remote target, making the upsert sink
+    truncate the whole table to one micro-batch."""
+    from f1_bigdata_pyspark_spark.utils import fs_path_exists
+
+    existing = tmp_path / "t"
+    existing.mkdir()
+    assert fs_path_exists(spark, str(existing)) is True
+    assert fs_path_exists(spark, str(tmp_path / "missing")) is False
+    # explicit scheme-qualified URI resolves through the same API
+    assert fs_path_exists(spark, f"file://{existing}") is True
+    assert fs_path_exists(spark, f"file://{tmp_path}/missing") is False
