@@ -4550,3 +4550,337 @@ def snapshot_stream_tail_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_served_pricing_summary — the HEADLINE query (pricing_summary,
+# the reference's flagship filter→groupBy→agg shape,
+# src/processing/mongo_avg_laptime_by_driver.py:33-41) served entirely
+# through the snapshot DataSource: the full-width lineitem is committed
+# year-per-file, then read back via ``format("snapshot")`` with BOTH scan
+# economies engaged — the pushed ``l_shipdate < 2000`` predicate prunes 2
+# of 7 files at the manifest (scan_stats arithmetic rides the hash), and
+# the ``columns`` option narrows the read to 7 of 11 columns (parquet
+# columnar pruning, so the other 4 cost zero I/O — the width arithmetic
+# rides the hash too). The answer rows are the exact pricing-summary
+# values, so this face pins that the SERVING path, not just the
+# relational path, computes the flagship correctly with a pruned scan.
+# tests/test_snapshot_source.py pins the wall-time ratio vs the
+# raw-parquet twin.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_served_pricing_summary",
+    oracle="""
+WITH files AS (
+  SELECT count(DISTINCT year(l_shipdate)) AS n_total,
+         count(DISTINCT CASE WHEN year(l_shipdate) < 2000
+                             THEN year(l_shipdate) END) AS n_scanned
+  FROM lineitem
+),
+width AS (SELECT CAST(count(*) AS BIGINT) AS n_cols_total
+          FROM (DESCRIBE lineitem))
+SELECT
+  l_returnflag,
+  l_linestatus,
+  count(*) AS n_rows,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  count(DISTINCT l_partkey) AS n_parts,
+  (SELECT CAST(n_total AS BIGINT) FROM files) AS n_files_total,
+  (SELECT CAST(n_scanned AS BIGINT) FROM files) AS n_files_scanned,
+  (SELECT n_cols_total FROM width) AS n_cols_total,
+  CAST(7 AS BIGINT) AS n_cols_read
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2000-01-01'
+  AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def snapshot_served_pricing_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")  # full width: 11 columns
+    need = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    ]
+    years = sorted(
+        r.y
+        for r in li.select(F.year("l_shipdate").alias("y"))
+        .distinct()
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="snap_price_")
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        table = SnapshotTable(root)
+        for y in years:
+            table.commit(
+                li.filter(F.year("l_shipdate") == y).coalesce(1),
+                mode="append",
+            )
+        register(spark)
+        cut = datetime.datetime(2000, 1, 1)
+        rep = table.scan_stats(where=[("l_shipdate", "<", cut)])
+        served = (
+            spark.read.format("snapshot")
+            .option("root", root)
+            .option("columns", ",".join(need))
+            .load()
+            .filter(F.col("l_shipdate") < F.lit(cut))
+            .filter(
+                F.col("l_quantity").isNotNull() & ~F.isnan("l_quantity")
+            )
+        )
+        # the same two-phase distinct-parts aggregation as pricing_summary
+        disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        partial = served.groupBy(
+            "l_returnflag", "l_linestatus", "l_partkey"
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("qty"),
+            F.sum(disc).alias("dp"),
+            F.sum("l_extendedprice").alias("price"),
+        )
+        out = materialize(
+            partial.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("cnt").alias("n_rows"),
+                F.round(F.sum("qty"), 2).alias("sum_qty"),
+                F.round(F.sum("qty") / F.sum("cnt"), 6).alias("avg_qty"),
+                F.round(F.sum("dp"), 2).alias("sum_disc_price"),
+                F.round(F.sum("price") / F.sum("cnt"), 6).alias("avg_price"),
+                F.count(F.lit(1)).alias("n_parts"),
+            )
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned", F.lit(rep["n_files_scanned"]).cast("long")
+            )
+            .withColumn("n_cols_total", F.lit(len(li.columns)).cast("long"))
+            .withColumn("n_cols_read", F.lit(len(need)).cast("long"))
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_hidden_partitioning_scan — Iceberg-style partition
+# TRANSFORMS under the value hash: lineitem commits into a
+# month(l_shipdate) x bucket(8,l_suppkey) hidden layout (the derived
+# directory columns never enter the table schema), then a query
+# filtering only the SOURCE columns (shipdate range + supplier point
+# probe) prunes through BOTH transforms composed with the footer stats.
+# The oracle REPLAYS the exact pruning decision in SQL: one file per
+# (month, bucket) group (the build repartitions by the transform
+# expressions), scanned iff footer max(shipdate) clears the cut AND the
+# portable-md5 bucket of the probed supplier matches AND the file's
+# suppkey range contains the probe — so the skipping arithmetic, not
+# just the answer, is hash-checked. At 100 TB this is the layout
+# contract that keeps a time-range + point-probe scan proportional to
+# one bucket of one month range, with no user-maintained layout column
+# for predicates to miss.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_hidden_partitioning_scan",
+    oracle="""
+WITH k AS (SELECT min(l_suppkey) AS kk FROM lineitem),
+kb AS (
+  SELECT CAST(('0x' || substr(md5(CAST(kk AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 8 AS bb
+  FROM k
+),
+g AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS m,
+         CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS b,
+         max(l_shipdate) AS dmx,
+         min(l_suppkey) AS smn,
+         max(l_suppkey) AS smx
+  FROM lineitem GROUP BY 1, 2
+),
+files AS (
+  SELECT count(*) AS n_total,
+         count(*) FILTER (WHERE dmx >= TIMESTAMP '2000-01-01'
+                            AND b = (SELECT bb FROM kb)
+                            AND smn <= (SELECT kk FROM k)
+                            AND smx >= (SELECT kk FROM k)) AS n_scanned
+  FROM g
+)
+SELECT year(l_shipdate) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       (SELECT CAST(kk AS BIGINT) FROM k) AS probe_suppkey,
+       (SELECT CAST(n_total AS BIGINT) FROM files) AS n_files_total,
+       (SELECT CAST(n_scanned AS BIGINT) FROM files) AS n_files_scanned
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_suppkey = (SELECT kk FROM k)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def snapshot_hidden_partitioning_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice"
+    )
+    probe = li.agg(F.min("l_suppkey")).head()[0]
+    # one task per (month, bucket) group -> exactly one data file per
+    # hidden directory, so the oracle's group count IS the file count
+    bucket8 = (
+        F.conv(
+            F.substring(F.md5(F.col("l_suppkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    root = tempfile.mkdtemp(prefix="snap_hidden_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(
+            li.repartition(
+                F.date_format("l_shipdate", "yyyy-MM"), bucket8
+            ),
+            mode="append",
+            partition_by=["month(l_shipdate)", "bucket(8,l_suppkey)"],
+        )
+        cut = datetime.datetime(2000, 1, 1)
+        where = [("l_shipdate", ">=", cut), ("l_suppkey", "=", int(probe))]
+        rep = table.scan_stats(where=where)
+        out = materialize(
+            table.read(spark, where=where)
+            .groupBy(F.year("l_shipdate").alias("ship_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice") * 100 + 0.5
+                        ).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .withColumn("probe_suppkey", F.lit(int(probe)).cast("long"))
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned",
+                F.lit(rep["n_files_scanned"]).cast("long"),
+            )
+            .orderBy("ship_year")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_metadata_count — count(*) answered from the MANIFEST ALONE
+# (zero data files opened), the way Delta serves a bare count from its
+# transaction log: orders commit into a hidden year(o_orderdate) layout,
+# and three counts (total, a file-aligned year-range predicate, IS NULL)
+# classify every file fully-in / fully-out through the dual
+# _file_all_match / _file_may_match planners; any mixed file would
+# return None and the served_from_manifest flag — carried in-hash —
+# would go false. At 100 TB a sanity count is the most common query a
+# table gets; this face pins that it costs O(manifest), exactly.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_metadata_count",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+            AS BIGINT) AS n_recent,
+       CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+         AS n_null_dates,
+       min(o_orderdate) AS o_min_date,
+       max(o_orderdate) AS o_max_date,
+       true AS served_from_manifest
+FROM orders
+""",
+)
+def snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="snap_metacount_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(
+            orders.repartition(F.year("o_orderdate")),
+            mode="append",
+            partition_by=["year(o_orderdate)"],
+        )
+        cut = datetime.datetime(1999, 1, 1)
+        n_total = table.metadata_count()
+        n_recent = table.metadata_count(
+            where=[("o_orderdate", ">=", cut)]
+        )
+        n_null = table.metadata_count(
+            where=[("o_orderdate", "is_null", None)]
+        )
+        mm = table.metadata_min_max("o_orderdate")
+        served = (
+            all(x is not None for x in (n_total, n_recent, n_null))
+            and mm is not None
+        )
+        out = materialize(
+            spark.createDataFrame(
+                [
+                    (
+                        int(n_total if n_total is not None else -1),
+                        int(n_recent if n_recent is not None else -1),
+                        int(n_null if n_null is not None else -1),
+                        (mm or (None, None))[0],
+                        (mm or (None, None))[1],
+                        bool(served),
+                    )
+                ],
+                "n_total long, n_recent long, n_null_dates long, "
+                "o_min_date timestamp, o_max_date timestamp, "
+                "served_from_manifest boolean",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -714,11 +714,17 @@ class SnapshotWriter(DataSourceArrowWriter):
                     os.unlink(m.path)
                 except OSError:
                     pass  # unreferenced orphan either way — vacuum's job
+        try:
+            os.rmdir(os.path.join(self.root, "data", f"commit-{self.commit_id}"))
+        except OSError:
+            pass  # non-empty (a task file survived) or never created
 
 
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot").option("root", path)`` — options:
     ``root`` (required), ``version`` (optional int, default latest),
+    ``timestampAsOf`` (optional — unix seconds or ISO timestamp; time
+    travel by commit time, exclusive with ``version``),
     ``columns`` (optional comma list — project/read only these),
     ``split_row_groups`` ("true"/"false", default true — split large
     files into row-group-range input partitions), ``groups_per_partition``
@@ -748,6 +754,26 @@ class SnapshotDataSource(DataSource):
             raise ValueError("snapshot source requires option 'root'")
         mdir = os.path.join(root, "_manifests")
         version = self.options.get("version")
+        ts_as_of = self.options.get("timestampasof") or self.options.get(
+            "timestampAsOf"
+        )
+        if version is not None and ts_as_of is not None:
+            raise ValueError("pass option 'version' OR 'timestampAsOf'")
+        if ts_as_of is not None:
+            # Delta's timestampAsOf: unix seconds or an ISO timestamp
+            from f1_bigdata_pyspark_spark.sources.snapshots import (
+                SnapshotTable,
+            )
+
+            try:
+                at = float(ts_as_of)
+            except ValueError:
+                import datetime
+
+                at = datetime.datetime.fromisoformat(
+                    str(ts_as_of)
+                ).timestamp()
+            version = SnapshotTable(root).version_as_of(at)
         if version is None:
             versions = []
             for f in os.listdir(mdir):

@@ -233,6 +233,235 @@ def _bloom_may_contain(bloom: dict, lit) -> bool:
     )
 
 
+# ---------------------------------------------------------------- hidden
+# partitioning (Iceberg-style partition TRANSFORMS). ``partition_by``
+# accepts "year(ts)" / "month(ts)" / "day(ts)" / "hour(ts)" /
+# "bucket(16,k)" / "truncate(4,name)" alongside plain column names. The
+# commit computes a DERIVED directory column whose name is
+# SELF-DESCRIBING ("<col>__<kind>" / "<col>__bucket<N>" /
+# "<col>__trunc<N>"), so translating a directory value back into
+# SOURCE-column pruning evidence needs no extra manifest metadata: the
+# derived name rides inside the ``partitions`` point-stat dict that every
+# carry path (merge, optimize, delete, clone, rollback, publish_files,
+# partition evolution) already transports. The derived column never
+# enters the table schema — queries filter the SOURCE column and prune
+# through the transform (range-mapped for the monotone time/truncate
+# transforms, hash-mapped for bucket), which is the Iceberg contract
+# that kills the wrong-predicate trap of user-maintained layout columns.
+# The bucket hash is the repo-wide portable md5 discipline
+# (60-bit hex prefix, replayable in Python, Spark, and a DuckDB oracle).
+# Reference analog: none (the reference stores one flat Mongo
+# collection); this is Iceberg's partition-spec model re-hosted on the
+# snapshot manifest.
+
+_TIME_TRANSFORM_FORMATS = {
+    "year": "yyyy",
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd-HH",
+}
+_INTISH_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+
+_TRANSFORM_SPEC_RE = __import__("re").compile(
+    r"^\s*(year|month|day|hour|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+_DERIVED_NAME_RE = __import__("re").compile(
+    r"^(.+)__(?:(year|month|day|hour)|bucket(\d+)|trunc(\d+))$"
+)
+
+
+def _parse_transform_spec(spec: str) -> dict | None:
+    """None when ``spec`` is a plain column name; else the parsed
+    transform: {kind, param, col, name (derived dir column), canon
+    (canonical spec string for the append-layout invariant)}."""
+    m = _TRANSFORM_SPEC_RE.match(spec)
+    if m is None:
+        return None
+    kind, param, col = m.group(1), m.group(2), m.group(3)
+    if kind in ("bucket", "truncate"):
+        if param is None:
+            raise ValueError(
+                f"{kind} transform needs a count/width: {spec!r} "
+                f"(write {kind}(N,{col}))"
+            )
+        param = int(param)
+        if param <= 0:
+            raise ValueError(f"{kind} count/width must be positive: {spec!r}")
+        short = "bucket" if kind == "bucket" else "trunc"
+        return {
+            "kind": kind,
+            "param": param,
+            "col": col,
+            "name": f"{col}__{short}{param}",
+            "canon": f"{kind}({param},{col})",
+        }
+    if param is not None:
+        raise ValueError(f"{kind} transform takes one column only: {spec!r}")
+    return {
+        "kind": kind,
+        "param": None,
+        "col": col,
+        "name": f"{col}__{kind}",
+        "canon": f"{kind}({col})",
+    }
+
+
+def _canon_partition_spec(spec: str) -> str:
+    t = _parse_transform_spec(spec)
+    return spec if t is None else t["canon"]
+
+
+def _transform_expr(t: dict, dtype: str):
+    """The Spark Column computing transform ``t`` over its source column
+    of declared type ``dtype`` — restricted to types whose string
+    rendering is identical across Spark CAST, Python str(), and a SQL
+    oracle, so the pruning replay stays exact."""
+    from pyspark.sql import functions as F
+
+    c = F.col(t["col"])
+    kind = t["kind"]
+    if kind in _TIME_TRANSFORM_FORMATS:
+        if dtype not in ("timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"{kind}() needs a timestamp/date column; "
+                f"{t['col']} is {dtype}"
+            )
+        return F.date_format(c, _TIME_TRANSFORM_FORMATS[kind])
+    if kind == "bucket":
+        if dtype not in _INTISH_TYPES + ("string",):
+            raise ValueError(
+                f"bucket() needs an integer or string column; "
+                f"{t['col']} is {dtype}"
+            )
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % t["param"]
+        )
+    # truncate
+    if dtype == "string":
+        return F.substring(c, 1, t["param"])
+    if dtype in _INTISH_TYPES:
+        return (F.floor(c / t["param"]) * t["param"]).cast("long")
+    raise ValueError(
+        f"truncate() needs an integer or string column; "
+        f"{t['col']} is {dtype}"
+    )
+
+
+def _bucket_of(lit, n: int) -> int | None:
+    """Replay the bucket transform for a predicate literal — None when
+    the literal's type has no exact cross-engine string rendering (never
+    prune on doubt)."""
+    import hashlib
+
+    if isinstance(lit, bool) or not isinstance(lit, (int, str)):
+        return None
+    s = lit if isinstance(lit, str) else str(lit)
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % n
+
+
+_SCHEMA_COLS_CACHE: dict[str, frozenset] = {}
+
+
+def _schema_cols(manifest: dict) -> frozenset:
+    """Column-name set of the manifest's committed schema, memoized by
+    the schema JSON string (pruning calls this once per file)."""
+    s = manifest.get("schema")
+    if s is None:
+        return frozenset()
+    got = _SCHEMA_COLS_CACHE.get(s)
+    if got is None:
+        if len(_SCHEMA_COLS_CACHE) >= 64:
+            _SCHEMA_COLS_CACHE.clear()
+        got = frozenset(f["name"] for f in json.loads(s)["fields"])
+        _SCHEMA_COLS_CACHE[s] = got
+    return got
+
+
+def _derived_partition_transform(name: str, cols: frozenset) -> dict | None:
+    """Parse a partition directory column name back into its transform —
+    only when it is NOT a real table column (identity partitions keep
+    their own name) and its prefix IS one (otherwise it is an unrelated
+    directory layout we must not reinterpret)."""
+    if name in cols:
+        return None
+    m = _DERIVED_NAME_RE.match(name)
+    if m is None or m.group(1) not in cols:
+        return None
+    src = m.group(1)
+    if m.group(3) is not None:
+        return {"kind": "bucket", "param": int(m.group(3)), "col": src}
+    if m.group(4) is not None:
+        return {"kind": "trunc", "param": int(m.group(4)), "col": src}
+    return {"kind": m.group(2), "param": None, "col": src}
+
+
+def _apply_transform_evidence(ev: dict, t: dict, tv) -> None:
+    """Fold one file's transform directory value into SOURCE-column
+    pruning evidence. Footer stats for the source column (it lives in
+    the data files, unlike an identity partition column) are tighter for
+    ranges, so implied [min, max] is only added when absent; bucket and
+    string-truncate add their own evidence keys, which compose with
+    every other tier inside ``_file_may_match``."""
+    import datetime
+
+    src = t["col"]
+    if tv is None:
+        # transform(NULL) IS NULL: every row in the null directory has a
+        # NULL source value — all-null point (comparisons and IS NOT
+        # NULL prune it, IS NULL keeps it)
+        if src not in ev:
+            ev[src] = {"nc": 1, "nr": 1}
+        return
+    val = tv[1]
+    entry = ev.setdefault(src, {})
+    if "nc" not in entry:
+        entry["nc"] = 0  # a value directory is null-free on the source
+    kind = t["kind"]
+    if kind == "bucket":
+        entry["bucket"] = [t["param"], int(val)]
+        return
+    if kind == "trunc":
+        if isinstance(val, str):
+            entry["trunc"] = [t["param"], val]
+        elif "min" not in entry:
+            # floor(x/w)*w == v  =>  v <= x < v+w (inclusive max is loose
+            # by one unit — sound: looseness only KEEPS files). Tagged
+            # loose so exact folds (metadata_min_max) refuse it.
+            entry["min"] = ["num", val]
+            entry["max"] = ["num", val + t["param"]]
+            entry["loose"] = True
+        return
+    if "min" in entry:
+        return  # footer range is exact; the implied one adds nothing
+    try:
+        s = str(val)
+        if kind == "year":
+            lo = datetime.datetime(int(s), 1, 1)
+            hi = datetime.datetime(int(s) + 1, 1, 1)
+        elif kind == "month":
+            y, mo = int(s[:4]), int(s[5:7])
+            lo = datetime.datetime(y, mo, 1)
+            hi = (
+                datetime.datetime(y + 1, 1, 1)
+                if mo == 12
+                else datetime.datetime(y, mo + 1, 1)
+            )
+        elif kind == "day":
+            lo = datetime.datetime.fromisoformat(s)
+            hi = lo + datetime.timedelta(days=1)
+        else:  # hour
+            lo = datetime.datetime.strptime(s, "%Y-%m-%d-%H")
+            hi = lo + datetime.timedelta(hours=1)
+    except (ValueError, TypeError):
+        return  # unparseable directory value: no implied range, no skip
+    entry["min"] = ["ts", lo.isoformat()]
+    entry["max"] = ["ts", hi.isoformat()]
+    entry["loose"] = True  # period bounds, not the rows' true extremes
+
+
 def row_group_stats(md, rg: int) -> dict:
     """Per-column {min, max, nc, nr} for ONE row group of an open parquet
     file's metadata — the row-group-granular twin of
@@ -386,6 +615,37 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
             return False
         if op == "in" and not any(_bloom_may_contain(bloom, v) for v in lit):
             return False
+    # hidden-partitioning tiers (round 8): bucket directories prune
+    # point probes structurally (zero false positives within the bucket
+    # count, no bitmap to store); string-truncate directories prune by
+    # prefix comparison — lexicographic order agrees with the full
+    # string on the first w characters, so a differing prefix decides.
+    bucket = ev.get("bucket")
+    if bucket is not None:
+        n_b, b = bucket
+        if op in ("=", "=="):
+            h = _bucket_of(lit, n_b)
+            if h is not None and h != b:
+                return False
+        elif op == "in":
+            hs = [_bucket_of(v, n_b) for v in lit]
+            if hs and all(h is not None and h != b for h in hs):
+                return False
+    trunc = ev.get("trunc")
+    if trunc is not None:
+        w, p = trunc
+
+        def _prefix_miss(v) -> bool:
+            return isinstance(v, str) and v[:w] != p
+
+        if op in ("=", "==") and _prefix_miss(lit):
+            return False
+        if op == "in" and lit and all(_prefix_miss(v) for v in lit):
+            return False
+        if op in ("<", "<=") and isinstance(lit, str) and p > lit[:w]:
+            return False
+        if op in (">", ">=") and isinstance(lit, str) and p < lit[:w]:
+            return False
     if "min" not in ev:  # null-count/bloom-only entry (no usable min/max)
         return True
     tag = ev["min"][0]
@@ -413,6 +673,59 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
     raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
 
 
+def _file_all_match(stats: dict, col: str, op: str, lit) -> bool:
+    """Does EVERY row of a file with this evidence satisfy ``col op lit``?
+    The dual of ``_file_may_match`` — and dual soundness: False on any
+    doubt (a wrong False only downgrades a metadata-only answer to a
+    scan; a wrong True would corrupt it). Provable cases come from
+    [min, max] containment plus null counts (a single NULL breaks every
+    comparison, so nc == 0 is required throughout)."""
+    if col not in stats:
+        return False
+    ev = stats[col]
+    nc, nr = ev.get("nc"), ev.get("nr")
+    if op == "is_null":
+        return nc is not None and nr is not None and nc == nr
+    if op == "is_not_null":
+        return nc == 0
+    if nc != 0 or "min" not in ev:
+        return False
+    tag = ev["min"][0]
+    try:
+        mn, mx = _stat_to_py(ev["min"]), _stat_to_py(ev["max"])
+        if op == "in":
+            return mn == mx and any(
+                mn == _coerce_literal(v, tag) for v in lit
+            )
+        lit = _coerce_literal(lit, tag)
+        if op in ("=", "=="):
+            return mn == mx == lit
+        if op == "<":
+            return mx < lit
+        if op == "<=":
+            return mx <= lit
+        if op == ">":
+            return mn > lit
+        if op == ">=":
+            return mn >= lit
+    except TypeError:
+        return False
+    return False
+
+
+def _file_row_count(stats_entry: dict) -> int | None:
+    """Row count of one file from its manifest stats entry alone: the
+    file-meta record (round-8 commits) or any column's nr (round-7 null
+    accounting). None when neither exists (pre-round-7 commit)."""
+    meta = stats_entry.get(FILE_META_KEY)
+    if meta and meta.get("rows") is not None:
+        return int(meta["rows"])
+    for v in stats_entry.values():
+        if isinstance(v, dict) and v.get("nr") is not None:
+            return int(v["nr"])
+    return None
+
+
 def _file_evidence(manifest: dict, f: str) -> dict:
     """Everything the manifest knows about one file's column ranges:
     parquet-footer min/max stats, plus — for Hive-partitioned commits —
@@ -421,7 +734,15 @@ def _file_evidence(manifest: dict, f: str) -> dict:
     partitioning AND footer skipping) fires on the same ``read(where=)``
     scan with one planner."""
     ev = dict(manifest.get("stats", {}).get(f, {}))
+    cols = _schema_cols(manifest)
     for col, tv in manifest.get("partitions", {}).get(f, {}).items():
+        t = _derived_partition_transform(col, cols)
+        if t is not None:
+            # hidden-partitioning directory (round 8): the value prunes
+            # the SOURCE column through the transform; the derived name
+            # itself is not a table column and no predicate names it
+            _apply_transform_evidence(ev, t, tv)
+            continue
         if tv is not None:
             # a value partition is null-free on that column (nc=0) —
             # IS NULL prunes it; nr is unknown so is_not_null never
@@ -665,6 +986,11 @@ class SnapshotTable:
         so even the pruning DECISIONS are oracle-checkable."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if partition_by:
+            # hidden partitioning: transform specs ("day(ts)",
+            # "bucket(16,k)", "truncate(4,s)") canonicalize here so the
+            # append-layout invariant compares layouts, not spellings
+            partition_by = [_canon_partition_spec(s) for s in partition_by]
         if on_conflict not in ("error", "rebase"):
             raise ValueError(f"on_conflict must be error|rebase, got {on_conflict!r}")
         if on_conflict == "rebase":
@@ -962,6 +1288,37 @@ class SnapshotTable:
         free)."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
+        # hidden partitioning: transform specs become DERIVED directory
+        # columns (self-describing names — see the transform helpers);
+        # identity columns pass through. The derived columns exist only
+        # for the partitioned write — the table schema never sees them.
+        aug = df
+        dir_cols: list[str] = []
+        if partition_by:
+            src_types = {
+                f["name"]: f["type"]
+                for f in json.loads(df.schema.json())["fields"]
+                if isinstance(f["type"], str)
+            }
+            for s in partition_by:
+                t = _parse_transform_spec(s)
+                if t is None:
+                    dir_cols.append(s)
+                    continue
+                if t["col"] not in df.columns:
+                    raise ValueError(
+                        f"transform {s!r} names a missing column "
+                        f"{t['col']!r}"
+                    )
+                if t["name"] in df.columns:
+                    raise ValueError(
+                        f"derived partition column {t['name']!r} collides "
+                        f"with a real column; rename it"
+                    )
+                aug = aug.withColumn(
+                    t["name"], _transform_expr(t, src_types.get(t["col"], ""))
+                )
+                dir_cols.append(t["name"])
         # Spark's legacy-compat default writes timestamps as INT96, which
         # carries NO footer min/max — that would silently disable data
         # skipping on every timestamp column. Pin the modern physical type
@@ -971,9 +1328,9 @@ class SnapshotTable:
         prev = conf.get(key, None)
         conf.set(key, "TIMESTAMP_MICROS")
         try:
-            w = df.write.mode("error")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
+            w = aug.write.mode("error")
+            if dir_cols:
+                w = w.partitionBy(*dir_cols)
             w.parquet(out_dir)
         finally:
             if prev is None:
@@ -988,7 +1345,7 @@ class SnapshotTable:
         )
         type_by_col = {
             f["name"]: f["type"]
-            for f in json.loads(df.schema.json())["fields"]
+            for f in json.loads(aug.schema.json())["fields"]
             if isinstance(f["type"], str)
         }
         stats = {f: _file_column_stats(f) for f in new_files}
@@ -1011,7 +1368,7 @@ class SnapshotTable:
                 )
                 for f in new_files
             }
-            if partition_by
+            if dir_cols
             else {}
         )
         return new_files, stats, partitions
@@ -1853,6 +2210,97 @@ class SnapshotTable:
         total = len(manifest["files"])
         kept = len(prune_files(manifest, where)) if where else total
         return {"n_files_total": total, "n_files_scanned": kept}
+
+    def metadata_count(
+        self, version: int | None = None, where: list | None = None
+    ) -> int | None:
+        """``count(*)`` (optionally under a simple conjunction) answered
+        from the MANIFEST ALONE — zero data files opened. At 100 TB a
+        bare count is the single most common sanity query, and a correct
+        table format answers it in O(manifest), the way Delta serves
+        ``SELECT count(*)`` from the transaction log.
+
+        Returns None whenever metadata cannot answer EXACTLY, and the
+        caller falls back to a scan:
+        - any live tombstones (merge-on-read deletes subtract an unknown
+          per-file number of rows),
+        - any file without a recorded row count (pre-round-7 commit),
+        - any file the predicate can neither fully include
+          (``_file_all_match``) nor fully exclude (``_file_may_match``) —
+          the tri-state classification that makes the answer exact
+          rather than approximate.
+        Soundness: both classifiers err only toward None (their doubt
+        directions compose — may_match never wrongly excludes,
+        all_match never wrongly includes)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(v)
+        if manifest.get("tombstones"):
+            return None
+        for _, op, _lit in where or []:
+            if op not in _PRUNE_OPS:
+                raise ValueError(
+                    f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})"
+                )
+        total = 0
+        stats = manifest.get("stats", {})
+        for f in manifest["files"]:
+            rows = _file_row_count(stats.get(f, {}))
+            if rows is None:
+                return None
+            if not where:
+                total += rows
+                continue
+            ev = _file_evidence(manifest, f)
+            if not all(
+                _file_may_match(ev, col, op, lit) for col, op, lit in where
+            ):
+                continue  # provably zero matching rows
+            if all(
+                _file_all_match(ev, col, op, lit) for col, op, lit in where
+            ):
+                total += rows  # provably every row matches
+            else:
+                return None  # mixed file: metadata cannot be exact
+        return total
+
+    def metadata_min_max(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """Exact (min, max) of ``col`` over non-null rows from the
+        MANIFEST ALONE — parquet footer min/max are exact per-file bounds
+        over non-null values, so their fold across files is the exact
+        global answer (the other O(manifest) aggregate Delta serves from
+        its log). Returns None when metadata cannot be exact: live
+        tombstones, or any not-provably-all-null file without usable
+        min/max for the column (stats never collected, NaN-poisoned
+        float stats, unindexed type). Returns (None, None) for a table
+        whose every row is NULL in ``col`` — that IS the exact answer."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(v)
+        if manifest.get("tombstones"):
+            return None
+        mns: list = []
+        mxs: list = []
+        for f in manifest["files"]:
+            e = _file_evidence(manifest, f).get(col)
+            if e is None:
+                return None
+            nc, nr = e.get("nc"), e.get("nr")
+            if nc is not None and nr is not None and nc == nr:
+                continue  # provably all-null: contributes nothing
+            if "min" not in e or e.get("loose"):
+                # no stats, or only a transform-implied PERIOD bound
+                # (sound for pruning, not an exact extreme) — refuse
+                return None
+            mns.append(_stat_to_py(e["min"]))
+            mxs.append(_stat_to_py(e["max"]))
+        if not mns:
+            return (None, None)
+        return (min(mns), max(mxs))
 
     def history(self) -> list[dict]:
         """One dict per version: version, mode, n_files."""

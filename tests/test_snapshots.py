@@ -2242,3 +2242,368 @@ def test_vacuum_keep_every_protects_checkpoint_files(spark, table):
     assert table.read(spark).count() == 12
     with pytest.raises(FileNotFoundError):
         table.read(spark, version=7)
+
+
+# ------------------------------------------------------- hidden partitioning
+# (round 8): Iceberg-style partition TRANSFORMS — partition_by accepts
+# day()/month()/year()/hour()/bucket(N,)/truncate(W,) specs; the derived
+# directory column is hidden (never in the table schema) and predicates on
+# the SOURCE column prune through the transform.
+
+
+def _ts_df(spark, rows):
+    # one task per commit write -> exactly one file per partition dir,
+    # so the file-count arithmetic below is deterministic
+    return spark.createDataFrame(
+        rows, "k long, ts timestamp, v string"
+    ).repartition(1)
+
+
+def _days(spark):
+    import datetime
+
+    d = datetime.datetime
+    return _ts_df(
+        spark,
+        [
+            (1, d(2024, 3, 1, 8), "a"),
+            (2, d(2024, 3, 1, 20), "b"),
+            (3, d(2024, 3, 2, 5), "c"),
+            (4, d(2024, 3, 3, 5), "d"),
+        ],
+    )
+
+
+def test_hidden_day_transform_schema_and_pruning(spark, table):
+    import datetime
+
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    got = table.read(spark)
+    # the derived directory column never enters the table schema
+    assert got.columns == ["k", "ts", "v"]
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3, 4]
+    # a predicate on the SOURCE column prunes day directories
+    rep = table.scan_stats(
+        where=[("ts", ">=", datetime.datetime(2024, 3, 3))]
+    )
+    assert rep == {"n_files_total": 3, "n_files_scanned": 1}
+    rows = table.read(
+        spark, where=[("ts", ">=", datetime.datetime(2024, 3, 3))]
+    ).collect()
+    assert sorted(r.k for r in rows) == [4]
+
+
+def test_hidden_day_transform_prunes_without_footer_stats(spark, table):
+    """The implied [day, day+1) range must carry pruning alone when the
+    footer stats for the source column are absent (manifest stripped —
+    models a writer that did not collect stats)."""
+    import datetime
+    import json
+
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    v = table.latest_version()
+    m = table._read_manifest(v)
+    for f in m["files"]:
+        m["stats"][f].pop("ts", None)
+    path = table._manifest_path(v)
+    os.unlink(path)
+    with open(path, "w") as fh:
+        json.dump(m, fh)
+    rep = table.scan_stats(
+        where=[("ts", "<", datetime.datetime(2024, 3, 2))]
+    )
+    assert rep == {"n_files_total": 3, "n_files_scanned": 1}
+
+
+def test_hidden_bucket_transform_point_lookup(spark, table):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(50)], "k long, v string"
+    ).repartition(1)
+    table.commit(df, mode="append", partition_by=["bucket(4,k)"])
+    m = table._read_manifest(table.latest_version())
+    assert len(m["files"]) == 4  # one directory per live bucket
+    for probe in (0, 7, 33):
+        rep = table.scan_stats(where=[("k", "=", probe)])
+        assert rep["n_files_scanned"] == 1
+        got = table.read(spark, where=[("k", "=", probe)]).collect()
+        assert [r.k for r in got] == [probe]
+    # the replayed hash agrees with what Spark wrote
+    b = int(hashlib.md5(b"7").hexdigest()[:15], 16) % 4
+    seg = f"k__bucket4={b}"
+    (f7,) = [f for f in m["files"] if seg in f]
+    assert m["partitions"][f7]["k__bucket4"] == ["num", b]
+    # IN-list prunes to the union of probed buckets
+    rep = table.scan_stats(where=[("k", "in", [0, 7])])
+    assert rep["n_files_scanned"] <= 2
+
+
+def test_hidden_truncate_string_transform(spark, table):
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "apricot"), (3, "banana"), (4, "cherry")],
+        "k long, name string",
+    ).repartition(1)
+    table.commit(df, mode="append", partition_by=["truncate(2,name)"])
+    rep = table.scan_stats(where=[("name", "=", "banana")])
+    assert rep == {"n_files_total": 3, "n_files_scanned": 1}
+    got = table.read(spark, where=[("name", "=", "apricot")]).collect()
+    assert [r.k for r in got] == [2]
+    # range ops prune by prefix order: every live prefix ('ap', 'ba',
+    # 'ch') sorts above 'am', so nothing can hold a value < 'am'
+    assert table.scan_stats(where=[("name", "<", "am")]) == {
+        "n_files_total": 3,
+        "n_files_scanned": 0,
+    }
+    assert table.scan_stats(where=[("name", ">=", "b")]) == {
+        "n_files_total": 3,
+        "n_files_scanned": 2,
+    }
+
+
+def test_hidden_truncate_numeric_transform(spark, table):
+    df = spark.createDataFrame(
+        [(k,) for k in range(20)], "k long"
+    ).repartition(1)
+    table.commit(df, mode="append", partition_by=["truncate(10,k)"])
+    assert table.scan_stats(where=[("k", "<", 10)]) == {
+        "n_files_total": 2,
+        "n_files_scanned": 1,
+    }
+    got = table.read(spark, where=[("k", "<", 10)]).collect()
+    assert sorted(r.k for r in got) == list(range(10))
+
+
+def test_hidden_transform_null_directory(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    df = _ts_df(
+        spark, [(1, d(2024, 1, 1), "a"), (2, None, "b"), (3, None, "c")]
+    )
+    table.commit(df, mode="append", partition_by=["day(ts)"])
+    # transform(NULL) -> null directory: IS NULL keeps ONLY that file,
+    # IS NOT NULL and comparisons prune it
+    assert table.scan_stats(where=[("ts", "is_null", None)]) == {
+        "n_files_total": 2,
+        "n_files_scanned": 1,
+    }
+    got = table.read(spark, where=[("ts", "is_null", None)]).collect()
+    assert sorted(r.k for r in got) == [2, 3]
+    assert (
+        table.scan_stats(where=[("ts", ">=", d(2020, 1, 1))])[
+            "n_files_scanned"
+        ]
+        == 1
+    )
+
+
+def test_hidden_transform_append_invariant_and_evolution(spark, table):
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    # same layout, different spelling: canonicalization accepts it
+    table.commit(
+        _days(spark), mode="append", partition_by=[" day( ts ) "]
+    )
+    # a different layout refuses without evolve_partitioning
+    with pytest.raises(ValueError, match="partition_by"):
+        table.commit(
+            _days(spark), mode="append", partition_by=["month(ts)"]
+        )
+    # evolution: new files lay out monthly, old files keep pruning
+    # through their recorded day directories
+    import datetime
+
+    table.commit(
+        _days(spark),
+        mode="append",
+        partition_by=["month(ts)"],
+        evolve_partitioning=True,
+    )
+    rep = table.scan_stats(
+        where=[("ts", ">=", datetime.datetime(2024, 3, 3))]
+    )
+    # 2 day-files per generation x2 pruned; the month file survives
+    assert rep == {"n_files_total": 7, "n_files_scanned": 3}
+    got = table.read(
+        spark, where=[("ts", ">=", datetime.datetime(2024, 3, 3))]
+    )
+    assert sorted(r.k for r in got.collect()) == [4, 4, 4]
+
+
+def test_hidden_transform_survives_optimize_and_delete(spark, table):
+    import datetime
+
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    table.optimize(spark, sort_cols=["ts"])
+    rep = table.scan_stats(
+        where=[("ts", ">=", datetime.datetime(2024, 3, 3))]
+    )
+    assert rep["n_files_scanned"] < rep["n_files_total"]
+    got = table.read(
+        spark, where=[("ts", ">=", datetime.datetime(2024, 3, 3))]
+    )
+    assert sorted(r.k for r in got.collect()) == [4, 4]
+    # the compacted files landed back inside the hidden day layout
+    m = table._read_manifest(table.latest_version())
+    assert all(
+        "ts__day" in m["partitions"].get(f, {}) for f in m["files"]
+    )
+    # merge-on-read delete composes with the hidden layout: the
+    # tombstone anti-join applies on the pruned scan
+    table.delete_keys(
+        spark, _days(spark).select("k").filter("k = 1"), keys=["k"]
+    )
+    assert sorted(
+        r.k for r in table.read(spark).collect()
+    ) == [2, 2, 3, 3, 4, 4]
+    rep2 = table.scan_stats(
+        where=[("ts", "<", datetime.datetime(2024, 3, 2))]
+    )
+    assert rep2["n_files_scanned"] < rep2["n_files_total"]
+
+
+def test_hidden_transform_bad_specs_refuse(spark, table):
+    df = _days(spark)
+    with pytest.raises(ValueError, match="bucket"):
+        table.commit(df, mode="append", partition_by=["bucket(k)"])
+    with pytest.raises(ValueError, match="timestamp"):
+        table.commit(df, mode="append", partition_by=["day(k)"])
+    with pytest.raises(ValueError, match="integer or string"):
+        table.commit(df, mode="append", partition_by=["bucket(4,ts)"])
+    with pytest.raises(ValueError, match="missing column"):
+        table.commit(df, mode="append", partition_by=["day(nope)"])
+    with pytest.raises(ValueError, match="collides"):
+        table.commit(
+            df.withColumn("ts__day", df.v), mode="append",
+            partition_by=["day(ts)"],
+        )
+
+
+def test_hidden_transform_through_datasource(spark, table):
+    """format("snapshot") with a pushed source-column filter plans input
+    partitions only over surviving transform directories."""
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    register(spark)
+    cut = datetime.datetime(2024, 3, 3)
+    df = (
+        spark.read.format("snapshot")
+        .option("root", table.root)
+        .load()
+        .filter(f"ts >= timestamp'{cut.isoformat()}'")
+    )
+    assert sorted(r.k for r in df.collect()) == [4]
+
+
+def test_metadata_count_exact_or_none(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    assert table.metadata_count() == 4
+    # file-aligned predicate: every file fully in or fully out
+    assert table.metadata_count(where=[("ts", ">=", d(2024, 3, 2))]) == 2
+    assert table.metadata_count(where=[("ts", "is_null", None)]) == 0
+    assert table.metadata_count(where=[("ts", "is_not_null", None)]) == 4
+    # mid-file boundary: the 03-01 file holds 08h and 20h rows; a noon
+    # cut splits it -> None (scan fallback), never a wrong number
+    assert (
+        table.metadata_count(where=[("ts", ">=", d(2024, 3, 1, 12))])
+        is None
+    )
+    # the answer comes from the manifest ALONE: with every data file
+    # gone the count still serves (the zero-I/O proof)
+    data = os.path.join(table.root, "data")
+    os.rename(data, data + ".hidden")
+    try:
+        assert table.metadata_count() == 4
+        assert (
+            table.metadata_count(where=[("ts", "<", d(2024, 3, 2))]) == 2
+        )
+    finally:
+        os.rename(data + ".hidden", data)
+    # live merge-on-read tombstones subtract unknown rows -> refuse
+    table.delete_keys(
+        spark, _days(spark).select("k").filter("k = 1"), keys=["k"]
+    )
+    assert table.metadata_count() is None
+    # a version BEFORE the delete still serves from metadata
+    assert table.metadata_count(version=0) == 4
+
+
+def test_metadata_min_max_exact_or_none(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    assert table.metadata_min_max("k") == (1, 4)
+    assert table.metadata_min_max("ts") == (
+        d(2024, 3, 1, 8),
+        d(2024, 3, 3, 5),
+    )
+    # unknown column -> None (no stats anywhere)
+    assert table.metadata_min_max("nope") is None
+    # all-null column across a commit: exact answer is (None, None)
+    t2 = SnapshotTable(table.root + "_nulls")
+    t2.commit(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "k long, v string"
+        ).repartition(1),
+        mode="append",
+    )
+    assert t2.metadata_min_max("v") == (None, None)
+    # a transform-implied PERIOD bound is loose, never served as exact:
+    # strip the footer ts stats so only the day-directory evidence remains
+    import json
+
+    v = table.latest_version()
+    m = table._read_manifest(v)
+    for f in m["files"]:
+        m["stats"][f].pop("ts", None)
+    path = table._manifest_path(v)
+    os.unlink(path)
+    with open(path, "w") as fh:
+        json.dump(m, fh)
+    assert table.metadata_min_max("ts") is None
+    assert table.metadata_min_max("k") == (1, 4)  # untouched column: exact
+    # live tombstones poison every metadata aggregate
+    table.delete_keys(
+        spark, _days(spark).select("k").filter("k = 4"), keys=["k"]
+    )
+    assert table.metadata_min_max("k") is None
+
+
+def test_datasource_timestamp_as_of(spark, table):
+    import time
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    t_between = time.time()
+    time.sleep(0.05)
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    register(spark)
+    old = (
+        spark.read.format("snapshot")
+        .option("root", table.root)
+        .option("timestampAsOf", str(t_between))
+        .load()
+    )
+    assert old.count() == 4  # v0 only
+    latest = (
+        spark.read.format("snapshot").option("root", table.root).load()
+    )
+    assert latest.count() == 8
+    with pytest.raises(Exception, match="version' OR 'timestampAsOf"):
+        (
+            spark.read.format("snapshot")
+            .option("root", table.root)
+            .option("version", 0)
+            .option("timestampAsOf", str(t_between))
+            .load()
+            .collect()
+        )
