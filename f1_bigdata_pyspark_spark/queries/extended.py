@@ -4884,3 +4884,98 @@ def snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_datasource_partitioned_write — the WRITE half of hidden
+# partitioning through Spark's own writer protocol, end to end: lineitem
+# lands via df.write.format("snapshot").option("partitionBy",
+# "month(l_shipdate)") (executors split rows by transform tuple and
+# write one file per month — flat files, point values in the manifest,
+# Iceberg's model), then the same DataSource serves a shipdate-filtered
+# rollup whose manifest pruning arithmetic rides the hash (files =
+# distinct ship months, scanned = months with data past the cut). The
+# whole lifecycle — distributed partitioned write, manifest publish,
+# pushed-filter pruned read — never leaves the engine's own APIs.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_datasource_partitioned_write",
+    oracle="""
+WITH g AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS m, max(l_shipdate) AS dmx
+  FROM lineitem GROUP BY 1
+),
+files AS (
+  SELECT count(*) AS n_total,
+         count(*) FILTER (WHERE dmx >= TIMESTAMP '2001-01-01')
+           AS n_scanned
+  FROM g
+)
+SELECT year(l_shipdate) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       (SELECT CAST(n_total AS BIGINT) FROM files) AS n_files_total,
+       (SELECT CAST(n_scanned AS BIGINT) FROM files) AS n_files_scanned
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def snapshot_datasource_partitioned_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    register(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snap_ds_pwrite_")
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        (
+            # one task per month -> one file per month (the writer emits
+            # one file per partition tuple PER TASK)
+            li.repartition(F.date_format("l_shipdate", "yyyy-MM"))
+            .write.format("snapshot")
+            .option("root", root)
+            .option("partitionBy", "month(l_shipdate)")
+            .mode("append")
+            .save()
+        )
+        cut = datetime.datetime(2001, 1, 1)
+        rep = SnapshotTable(root).scan_stats(
+            where=[("l_shipdate", ">=", cut)]
+        )
+        served = (
+            spark.read.format("snapshot")
+            .option("root", root)
+            .load()
+            .filter(F.col("l_shipdate") >= F.lit(cut))
+        )
+        out = materialize(
+            served.groupBy(F.year("l_shipdate").alias("ship_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+            )
+            .withColumn(
+                "n_files_total", F.lit(rep["n_files_total"]).cast("long")
+            )
+            .withColumn(
+                "n_files_scanned",
+                F.lit(rep["n_files_scanned"]).cast("long"),
+            )
+            .orderBy("ship_year")
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -34,6 +34,15 @@ anti-joins every Arrow batch against their key union before yielding.
 The serving face therefore never goes dark between a ``delete_keys``
 and the next OPTIMIZE — the exact window a GDPR pipeline lives in.
 
+Engine caveat (traced on Spark 4.1): ``CREATE TABLE t USING snapshot
+OPTIONS (root '...')`` parses, but a later ``SELECT`` constructs the
+reader-phase DataSource instance with EMPTY options (probed: the
+schema-phase instance sees the stored options incl. ``root``; the
+reader-phase instance sees ``{}``), so SQL-catalog tables over Python
+DataSources cannot resolve their storage — use the DataFrame API
+(``spark.read.format("snapshot")``) or register the relational read as
+a temp view for SQL access.
+
 Engine caveat (pinned in tests/test_snapshot_source.py, observed on
 Spark 4.1's experimental ``spark.sql.python.filterPushdown.enabled``
 path): after executing a FILTERED action on a ``load()`` DataFrame,
@@ -633,6 +642,143 @@ class SnapshotSimpleStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+_TIME_STRFTIME = {
+    "year": "%Y",
+    "month": "%Y-%m",
+    "day": "%Y-%m-%d",
+    "hour": "%Y-%m-%d-%H",
+}
+
+
+def _executor_transform_values(t: dict, col) -> list:
+    """Python value per row of transform ``t`` over one Arrow column —
+    the executor-side twin of ``_transform_expr`` (which runs in Spark
+    on the engine commit path). The renderings must agree EXACTLY, or
+    the same table would prune differently depending on which writer
+    produced a file: time transforms format in the column's own Arrow
+    timezone (Spark stamps its session zone on the batches it sends, so
+    this matches date_format's session-zone rendering), bucket replays
+    the portable md5, truncate is floor/prefix arithmetic."""
+    kind = t["kind"]
+    if kind in _TIME_STRFTIME:
+        import pandas as pd
+
+        s = col.to_pandas()
+        if s.dtype == object:
+            # date32 columns arrive as objects (datetime.date) — the
+            # .dt accessor needs datetime64
+            s = pd.to_datetime(s)
+        s = s.dt.strftime(_TIME_STRFTIME[kind])
+        return [None if v != v else v for v in s]  # NaT -> NaN -> None
+    vals = col.to_pylist()
+    if kind == "bucket":
+        import hashlib
+
+        n = t["param"]
+        return [
+            None
+            if v is None
+            else int(
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15], 16
+            )
+            % n
+            for v in vals
+        ]
+    w = t["param"]  # truncate
+    return [
+        None
+        if v is None
+        else (v[:w] if isinstance(v, str) else (v // w) * w)
+        for v in vals
+    ]
+
+
+def _resolve_write_layout(schema: StructType, specs: list[str]) -> list[dict]:
+    """Driver-side validation of a write layout against the frame schema:
+    returns one dict per spec — parsed transforms plus identity columns
+    normalized to {"kind": "identity", ...}. Identity partition columns
+    are restricted to integer/string types on this path (their value IS
+    the manifest point stat; exotic renderings would diverge from the
+    engine commit path's directory parse)."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _INTISH_TYPES,
+        _parse_transform_spec,
+    )
+
+    type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+    out = []
+    for s in specs:
+        t = _parse_transform_spec(s)
+        if t is None:
+            dt = type_of.get(s)
+            if dt is None:
+                raise ValueError(f"partition column {s!r} not in schema")
+            if dt not in _INTISH_TYPES + ("string",):
+                raise ValueError(
+                    f"identity partition column {s!r} must be integer or "
+                    f"string on the DataSource write path (is {dt}); use "
+                    "a transform (day()/month()/...) for temporal layout"
+                )
+            out.append(
+                {"kind": "identity", "param": None, "col": s, "name": s}
+            )
+            continue
+        dt = type_of.get(t["col"])
+        if dt is None:
+            raise ValueError(
+                f"transform {s!r} names a missing column {t['col']!r}"
+            )
+        if t["kind"] in ("year", "month", "day", "hour"):
+            if dt not in ("timestamp", "timestamp_ntz", "date"):
+                raise ValueError(
+                    f"{t['kind']}() needs a timestamp/date column; "
+                    f"{t['col']} is {dt}"
+                )
+        elif dt not in _INTISH_TYPES + ("string",):
+            raise ValueError(
+                f"{t['kind']}() needs an integer or string column; "
+                f"{t['col']} is {dt}"
+            )
+        out.append(t)
+    return out
+
+
+def _split_specs(opt: str) -> list[str]:
+    """Split a comma-joined partition-spec option at depth-0 commas only
+    ("day(ts),bucket(4,k)" -> ["day(ts)", "bucket(4,k)"])."""
+    out, buf, depth = [], [], 0
+    for ch in opt:
+        if ch == "," and depth == 0:
+            if "".join(buf).strip():
+                out.append("".join(buf).strip())
+            buf = []
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        buf.append(ch)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
+def _tagged_point(v):
+    """A partition value in the manifest's tagged stat form."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return ["str", v]
+    return ["num", int(v)]
+
+
+class SnapshotPartitionedWriteMessage(WriterCommitMessage):
+    """One task's partitioned output: (path, footer stats, tagged
+    partition point values) per file — one file per partition-value
+    tuple the task held."""
+
+    def __init__(self, entries: list):
+        self.entries = entries
+
+
 class SnapshotWriteMessage(WriterCommitMessage):
     def __init__(self, path: str | None, stats: dict, n_rows: int):
         self.path = path
@@ -652,15 +798,41 @@ class SnapshotWriter(DataSourceArrowWriter):
     written files are unlinked, and even without that they are invisible
     orphans (no manifest references them) that vacuum reclaims: exactly
     the Delta commit protocol, driven by Spark's DataSource V2 write
-    lifecycle instead of a bespoke sink."""
+    lifecycle instead of a bespoke sink.
 
-    def __init__(self, root: str, schema: StructType, overwrite: bool):
+    PARTITIONED WRITES (round 8): with a layout — inherited from the
+    table head on append, or given via ``.option("partitionBy",
+    "day(ts),bucket(8,k)")`` — each task splits its rows by the
+    partition-value tuple (transforms computed executor-side, renderings
+    pinned against the engine commit path) and writes ONE FILE PER
+    GROUP, so every file's manifest point stats are valid. Files stay
+    FLAT on disk with all columns in-file — Iceberg's model: partition
+    values live in the manifest, not in directory names — which is why
+    no Hive directory round-trip (quoting, type re-inference, duplicate
+    column recovery) can corrupt them; hidden-transform pruning reads
+    the same point stats either way."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        overwrite: bool,
+        layout: list[dict] | None = None,
+        partition_specs: list[str] | None = None,
+    ):
         self.root = root
         self.schema_json = schema.json()
         self.overwrite = overwrite
+        self.layout = layout or None
+        self.partition_specs = partition_specs or None
         import uuid as _uuid
 
         self.commit_id = _uuid.uuid4().hex[:12]  # one dir for all tasks
+
+    def _out_dir(self) -> str:
+        import os
+
+        return os.path.join(self.root, "data", f"commit-{self.commit_id}")
 
     def write(self, iterator):
         import os
@@ -678,44 +850,87 @@ class SnapshotWriter(DataSourceArrowWriter):
         batches = [b for b in iterator if b.num_rows > 0]
         if not batches:
             return SnapshotWriteMessage(None, {}, 0)
-        out_dir = os.path.join(self.root, "data", f"commit-{self.commit_id}")
+        out_dir = self._out_dir()
         os.makedirs(out_dir, exist_ok=True)
         pid = TaskContext.get().partitionId()
-        path = os.path.join(
-            out_dir, f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.parquet"
-        )
         tbl = pa.Table.from_batches(batches)
-        pq.write_table(tbl, path)
-        # executor-side stats collection (min/max + null counts) — the
-        # scale-correct half of the manifest, shipped in the commit message
-        return SnapshotWriteMessage(path, _file_column_stats(path), tbl.num_rows)
+        if self.layout is None:
+            path = os.path.join(
+                out_dir, f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+            )
+            pq.write_table(tbl, path)
+            # executor-side stats collection (min/max + null counts) —
+            # the scale-correct half of the manifest, shipped in the
+            # commit message
+            return SnapshotWriteMessage(
+                path, _file_column_stats(path), tbl.num_rows
+            )
+        # partitioned: one output file per partition-value tuple held by
+        # this task, so per-file point stats hold by construction
+        names = [t["name"] for t in self.layout]
+        value_cols = [
+            tbl[t["col"]].to_pylist()
+            if t["kind"] == "identity"
+            else _executor_transform_values(t, tbl[t["col"]])
+            for t in self.layout
+        ]
+        groups: dict[tuple, list[int]] = {}
+        for i, key in enumerate(zip(*value_cols)):
+            groups.setdefault(key, []).append(i)
+        entries = []
+        for j, (key, idxs) in enumerate(sorted(groups.items(), key=str)):
+            path = os.path.join(
+                out_dir,
+                f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}-g{j}.parquet",
+            )
+            pq.write_table(tbl.take(idxs), path)
+            pv = {n: _tagged_point(v) for n, v in zip(names, key)}
+            entries.append((path, _file_column_stats(path), pv))
+        return SnapshotPartitionedWriteMessage(entries)
 
     def commit(self, messages):
         from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
 
         table = SnapshotTable(self.root)
-        files = sorted(m.path for m in messages if m is not None and m.path)
-        stats = {
-            m.path: m.stats for m in messages if m is not None and m.path
-        }
+        files, stats, partitions = [], {}, {}
+        for m in messages:
+            if m is None:
+                continue
+            for path, st, pv in self._entries_of(m):
+                files.append(path)
+                stats[path] = st
+                if pv is not None:
+                    partitions[path] = pv
         table.publish_files(
-            files,
+            sorted(files),
             stats,
             mode="overwrite" if self.overwrite else "append",
             schema_json=self.schema_json,
+            partitions=partitions or None,
+            partition_by=self.partition_specs,
         )
+
+    @staticmethod
+    def _entries_of(m):
+        if isinstance(m, SnapshotPartitionedWriteMessage):
+            return [(p, s, pv) for p, s, pv in m.entries]
+        if getattr(m, "path", None):
+            return [(m.path, m.stats, None)]
+        return []
 
     def abort(self, messages):
         import os
 
         for m in messages:
-            if m is not None and m.path:
+            if m is None:
+                continue
+            for path, _st, _pv in self._entries_of(m):
                 try:
-                    os.unlink(m.path)
+                    os.unlink(path)
                 except OSError:
                     pass  # unreferenced orphan either way — vacuum's job
         try:
-            os.rmdir(os.path.join(self.root, "data", f"commit-{self.commit_id}"))
+            os.rmdir(self._out_dir())
         except OSError:
             pass  # non-empty (a task file survived) or never created
 
@@ -731,7 +946,9 @@ class SnapshotDataSource(DataSource):
     (optional int — override the ~128 MiB-target split size).
     Also writable: ``df.write.format("snapshot").option("root", path)
     .mode("append"|"overwrite").save()`` runs the two-phase commit in
-    ``SnapshotWriter``."""
+    ``SnapshotWriter``; ``.option("partitionBy", "day(ts),bucket(8,k)")``
+    lays the write out under a (hidden-transform) partition scheme —
+    appends inherit the table's layout automatically."""
 
     @classmethod
     def name(cls) -> str:
@@ -819,7 +1036,23 @@ class SnapshotDataSource(DataSource):
         root = self.options.get("root")
         if not root:
             raise ValueError("snapshot source requires option 'root'")
-        return SnapshotWriter(root, schema, overwrite)
+        spec_opt = self.options.get("partitionby") or self.options.get(
+            "partitionBy"
+        )
+        # paren-aware split: "day(ts),bucket(4,k)" has a comma INSIDE
+        # the bucket spec
+        specs = _split_specs(spec_opt) if spec_opt else None
+        if specs is None and not overwrite:
+            # appends INHERIT the table's layout (the Delta/Hive
+            # invariant: partitioning is a table property, not a
+            # per-write choice) — an explicit option still wins and is
+            # then validated against the head by publish_files
+            try:
+                specs = self._load_manifest().get("partition_by") or None
+            except (FileNotFoundError, OSError):
+                specs = None  # first commit: flat unless asked otherwise
+        layout = _resolve_write_layout(schema, specs) if specs else None
+        return SnapshotWriter(root, schema, overwrite, layout, specs)
 
     def _budgets(self) -> tuple[int | None, int | None]:
         mf = self.options.get("maxFilesPerTrigger")

@@ -1167,6 +1167,8 @@ class SnapshotTable:
         mode: str = "append",
         schema_json: str | None = None,
         on_conflict: str = "rebase",
+        partitions: dict | None = None,
+        partition_by: list[str] | None = None,
         _before_publish=None,
     ) -> int:
         """Register EXTERNALLY-WRITTEN parquet files as the next version —
@@ -1174,21 +1176,33 @@ class SnapshotTable:
         is what the snapshot DataSource WRITER calls: executors write the
         files and collect their own footer stats (the real 100 TB shape —
         the driver never reads a footer), the driver only publishes the
-        manifest here. Files must be flat (no directory-partition layout);
-        ``schema_json`` is required for the first/overwrite commit and
-        must MATCH the head schema on append (no merge_schema on this
-        path). Defaults to rebase-on-conflict: externally-written appends
-        are disjoint by construction, so the loser republishes free."""
+        manifest here. ``schema_json`` is required for the first/
+        overwrite commit and must MATCH the head schema on append (no
+        merge_schema on this path). Defaults to rebase-on-conflict:
+        externally-written appends are disjoint by construction, so the
+        loser republishes free.
+
+        ``partitions``/``partition_by`` — for files the writer laid out
+        under a (possibly hidden-transform) partition scheme: per-file
+        point values in the manifest's tagged form, plus the canonical
+        layout spec. An append must repeat the table's layout exactly
+        (the same invariant as ``commit``); flat files into a
+        partitioned table (or vice versa) refuse."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if partition_by:
+            partition_by = [_canon_partition_spec(s) for s in partition_by]
         for _attempt in range(20):
             base = self.latest_version()
             if mode == "append" and base is not None:
                 head = self._read_manifest(base)
-                if head.get("partition_by"):
+                if list(partition_by or []) != (
+                    head.get("partition_by") or []
+                ):
                     raise ValueError(
-                        "publish_files appends flat files; the table is "
-                        f"partitioned by {head['partition_by']!r}"
+                        f"publish_files layout {partition_by!r} does not "
+                        f"match the table's "
+                        f"{head.get('partition_by') or []!r}"
                     )
                 if schema_json is not None:
                     want = [
@@ -1243,8 +1257,12 @@ class SnapshotTable:
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
-            if prior_manifest.get("partitions"):
-                manifest["partitions"] = prior_manifest["partitions"]
+            all_partitions = dict(prior_manifest.get("partitions", {}))
+            all_partitions.update(partitions or {})
+            if all_partitions:
+                manifest["partitions"] = all_partitions
+            if partition_by:
+                manifest["partition_by"] = list(partition_by)
             if _before_publish is not None:
                 hook, _before_publish = _before_publish, None
                 hook()
@@ -2301,6 +2319,20 @@ class SnapshotTable:
         if not mns:
             return (None, None)
         return (min(mns), max(mxs))
+
+    def count(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: list | None = None,
+    ) -> int:
+        """Row count with the metadata fast path: O(manifest) when
+        ``metadata_count`` can answer exactly, a pruned scan otherwise —
+        the dispatch a query layer should do, packaged."""
+        fast = self.metadata_count(version=version, where=where)
+        if fast is not None:
+            return fast
+        return self.read(spark, version=version, where=where).count()
 
     def history(self) -> list[dict]:
         """One dict per version: version, mode, n_files."""

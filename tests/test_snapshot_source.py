@@ -1062,3 +1062,145 @@ def test_hidden_partitioning_composes_with_all_scan_features(spark, tmp_path):
     # the layout actually pruned: only 2 of 3 days survive the cut
     rep = t.scan_stats(where=[("ts", ">=", cut)])
     assert rep["n_files_scanned"] < rep["n_files_total"]
+
+
+def test_datasource_partitioned_write_roundtrip_and_pruning(spark, tmp_path):
+    """df.write.format("snapshot") with a hidden-transform layout:
+    executors split rows by partition tuple and write one file per
+    group; the manifest carries the point values (files stay flat —
+    Iceberg's model), so source-column predicates prune writer-produced
+    files exactly like engine-committed ones."""
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    d = datetime.datetime
+    rows = [(k, d(2024, 3, 1 + (k % 3)), f"v{k}") for k in range(30)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string")
+    root = str(tmp_path / "tbl")
+    (
+        df.write.format("snapshot")
+        .option("root", root)
+        .option("partitionBy", "day(ts),bucket(4,k)")
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(root)
+    m = t._read_manifest(t.latest_version())
+    assert m["partition_by"] == ["day(ts)", "bucket(4,k)"]
+    assert all(f in m["partitions"] for f in m["files"])
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(30))
+    # source-column predicates prune writer-produced files
+    rep = t.scan_stats(where=[("ts", ">=", d(2024, 3, 3))])
+    assert 0 < rep["n_files_scanned"] < rep["n_files_total"]
+    rep2 = t.scan_stats(where=[("k", "=", 7)])
+    assert rep2["n_files_scanned"] < rep2["n_files_total"]
+    got = t.read(spark, where=[("k", "=", 7)]).collect()
+    assert [r.k for r in got] == [7]
+
+    # a second DataSource append WITHOUT the option inherits the layout
+    more = spark.createDataFrame(
+        [(k, d(2024, 3, 4), f"v{k}") for k in range(30, 36)],
+        "k long, ts timestamp, v string",
+    )
+    more.write.format("snapshot").option("root", root).mode(
+        "append"
+    ).save()
+    m2 = t._read_manifest(t.latest_version())
+    assert m2["partition_by"] == ["day(ts)", "bucket(4,k)"]
+    assert all(f in m2["partitions"] for f in m2["files"])
+    rep3 = t.scan_stats(where=[("ts", ">=", d(2024, 3, 4))])
+    assert rep3["n_files_scanned"] < rep3["n_files_total"]
+    assert sorted(
+        r.k for r in t.read(spark, where=[("ts", ">=", d(2024, 3, 4))])
+        .collect()
+    ) == list(range(30, 36))
+
+    # an explicit MISMATCHED layout on append refuses
+    with pytest.raises(Exception, match="layout"):
+        (
+            more.write.format("snapshot")
+            .option("root", root)
+            .option("partitionBy", "month(ts)")
+            .mode("append")
+            .save()
+        )
+
+
+def test_datasource_partitioned_write_composes_with_engine_commits(
+    spark, tmp_path
+):
+    """An engine-side commit() table and a DataSource append share one
+    layout: both file generations prune through the same evidence, and
+    the DataSource read path serves both (engine files carry identity
+    dirs, writer files carry in-file columns + manifest point values)."""
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    d = datetime.datetime
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, d(2024, 3, 1)), (2, d(2024, 3, 2))], "k long, ts timestamp"
+        ).repartition(1),
+        mode="append",
+        partition_by=["day(ts)"],
+    )
+    (
+        spark.createDataFrame(
+            [(3, d(2024, 3, 3))], "k long, ts timestamp"
+        )
+        .write.format("snapshot")
+        .option("root", t.root)
+        .mode("append")
+        .save()
+    )
+    rep = t.scan_stats(where=[("ts", ">=", d(2024, 3, 3))])
+    assert rep == {"n_files_total": 3, "n_files_scanned": 1}
+    served = (
+        spark.read.format("snapshot")
+        .option("root", t.root)
+        .load()
+        .filter(f"ts >= timestamp'{d(2024, 3, 2).isoformat()}'")
+    )
+    assert sorted(r.k for r in served.collect()) == [2, 3]
+    # null transform values land in the manifest as null points
+    (
+        spark.createDataFrame([(4, None)], "k long, ts timestamp")
+        .write.format("snapshot")
+        .option("root", t.root)
+        .mode("append")
+        .save()
+    )
+    assert t.metadata_count(where=[("ts", "is_null", None)]) == 1
+    got = t.read(spark, where=[("ts", "is_null", None)]).collect()
+    assert [r.k for r in got] == [4]
+
+
+def test_datasource_partitioned_write_date_column(spark, tmp_path):
+    """date32 columns reach the executor as object-dtype pandas — the
+    transform path must coerce before .dt (regression)."""
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    rows = [(k, datetime.date(2024, 3, 1 + (k % 2))) for k in range(6)]
+    df = spark.createDataFrame(rows, "k long, dt date")
+    root = str(tmp_path / "tbl")
+    (
+        df.write.format("snapshot")
+        .option("root", root)
+        .option("partitionBy", "day(dt)")
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(root)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(6))
+    rep = t.scan_stats(
+        where=[("dt", ">=", datetime.date(2024, 3, 2))]
+    )
+    assert rep["n_files_scanned"] < rep["n_files_total"]

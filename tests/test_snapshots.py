@@ -2607,3 +2607,21 @@ def test_datasource_timestamp_as_of(spark, table):
             .load()
             .collect()
         )
+
+
+def test_count_dispatches_metadata_then_scan(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    # metadata-served (file-aligned) and scan-served (mid-file cut)
+    # agree with the ground truth
+    assert table.count(spark) == 4
+    assert table.count(spark, where=[("ts", ">=", d(2024, 3, 2))]) == 2
+    assert (
+        table.count(spark, where=[("ts", ">=", d(2024, 3, 1, 12))]) == 3
+    )  # metadata refuses (mixed file); the pruned scan answers
+    table.delete_keys(
+        spark, _days(spark).select("k").filter("k = 2"), keys=["k"]
+    )
+    assert table.count(spark) == 3  # tombstones: scan path, anti-joined
