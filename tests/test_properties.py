@@ -523,3 +523,93 @@ def test_concurrency_protocol_model(spark, tmp_path_factory, ops):
     hist = table.history()
     assert len(hist) == n_commits
     assert all(h["mode"] == "append" for h in hist)
+
+
+# ------------------------------------------------- hidden partitioning
+# soundness + metadata exactness (round 8): random rows under a
+# day(ts) x bucket(B,k) hidden layout, random predicate — pruning must
+# never drop a matching row, and metadata_count must be exact or None.
+
+_hp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # k
+        st.one_of(
+            st.none(), st.integers(min_value=0, max_value=4)
+        ),  # day offset (None -> NULL ts)
+    ),
+    min_size=1,
+    max_size=30,
+)
+_hp_pred = st.tuples(
+    st.sampled_from(["k", "ts"]),
+    st.sampled_from(["=", "<", "<=", ">", ">=", "is_null", "is_not_null"]),
+    st.integers(min_value=-50, max_value=50),  # literal seed
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_hp_rows, _hp_pred, st.integers(min_value=1, max_value=5))
+def test_hidden_partition_prune_sound_and_metadata_exact(
+    spark, tmp_path_factory, rows, pred, buckets
+):
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    d0 = datetime.datetime(2024, 3, 1)
+    data = [
+        (
+            k,
+            None
+            if off is None
+            else d0 + datetime.timedelta(days=off, hours=k % 24),
+        )
+        for k, off in rows
+    ]
+    df = spark.createDataFrame(data, "k long, ts timestamp").repartition(1)
+    t = SnapshotTable(
+        str(tmp_path_factory.mktemp("hp") / "tbl")
+    )
+    t.commit(
+        df,
+        mode="append",
+        partition_by=["day(ts)", f"bucket({buckets},k)"],
+    )
+    col, op, seed = pred
+    if op in ("is_null", "is_not_null"):
+        lit = None
+    elif col == "k":
+        lit = seed
+    else:
+        lit = d0 + datetime.timedelta(hours=seed)
+    where = [(col, op, lit)]
+
+    def sat(k, ts):
+        v = k if col == "k" else ts
+        if op == "is_null":
+            return v is None
+        if op == "is_not_null":
+            return v is not None
+        if v is None:
+            return False
+        return {
+            "=": v == lit,
+            "<": v < lit,
+            "<=": v <= lit,
+            ">": v > lit,
+            ">=": v >= lit,
+        }[op]
+
+    truth = sorted(
+        (k, ts) for k, ts in data if sat(k, ts)
+    )
+    got = sorted(
+        (r.k, r.ts) for r in t.read(spark, where=where).collect()
+    )
+    assert got == truth  # pruning never changed the answer
+    mc = t.metadata_count(where=where)
+    assert mc is None or mc == len(truth)  # exact or refused, never wrong
+    mm = t.metadata_min_max("ts")
+    nn = [ts for _, ts in data if ts is not None]
+    if mm is not None:
+        assert mm == ((min(nn), max(nn)) if nn else (None, None))

@@ -1204,3 +1204,50 @@ def test_datasource_partitioned_write_date_column(spark, tmp_path):
         where=[("dt", ">=", datetime.date(2024, 3, 2))]
     )
     assert rep["n_files_scanned"] < rep["n_files_total"]
+
+
+def test_stream_tails_hidden_partitioned_commits(spark, tmp_path):
+    """The streaming source serves appends made under a hidden-transform
+    layout (engine commits) and by the partitioned DataSource writer —
+    derived partition names in the manifest must not leak into streamed
+    rows."""
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    d = datetime.datetime
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, d(2024, 3, 1)), (2, d(2024, 3, 2))], "k long, ts timestamp"
+        ).repartition(1),
+        mode="append",
+        partition_by=["day(ts)"],
+    )
+    (
+        spark.createDataFrame([(3, d(2024, 3, 3))], "k long, ts timestamp")
+        .write.format("snapshot")
+        .option("root", t.root)
+        .mode("append")
+        .save()
+    )
+    got = []
+
+    def sink(batch_df, batch_id):
+        assert batch_df.columns == ["k", "ts"]
+        got.extend(r.k for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("root", t.root)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sorted(got) == [1, 2, 3]

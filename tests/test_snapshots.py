@@ -2625,3 +2625,100 @@ def test_count_dispatches_metadata_then_scan(spark, table):
         spark, _days(spark).select("k").filter("k = 2"), keys=["k"]
     )
     assert table.count(spark) == 3  # tombstones: scan path, anti-joined
+
+
+def test_partitioned_publish_files_rebase_carries_both_generations(
+    spark, table, tmp_path
+):
+    """Two partitioned external writers race: the loser's rebase must
+    re-merge the WINNER's partition point values into its republished
+    manifest (they are recomputed from the fresh head per attempt)."""
+    import datetime
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _file_column_stats,
+    )
+
+    d = datetime.datetime
+    table.commit(
+        _days(spark), mode="append", partition_by=["day(ts)"]
+    )  # v0: 3 day files
+
+    def external(day, k):
+        p = str(tmp_path / f"ext_{k}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([k], pa.int64()),
+                    "ts": pa.array([day], pa.timestamp("us")),
+                    "v": pa.array([f"v{k}"], pa.string()),
+                }
+            ),
+            p,
+        )
+        return p, _file_column_stats(p)
+
+    pw, sw = external(d(2024, 3, 9), 90)  # the racing winner's file
+    pl, sl = external(d(2024, 3, 8), 80)  # the loser's file
+    schema_json = table._read_manifest(0)["schema"]
+
+    def winner_lands():
+        table.publish_files(
+            [pw],
+            {pw: sw},
+            schema_json=schema_json,
+            partitions={pw: {"ts__day": ["str", "2024-03-09"]}},
+            partition_by=["day(ts)"],
+        )
+
+    v = table.publish_files(
+        [pl],
+        {pl: sl},
+        schema_json=schema_json,
+        partitions={pl: {"ts__day": ["str", "2024-03-08"]}},
+        partition_by=["day(ts)"],
+        _before_publish=winner_lands,
+    )
+    m = table._read_manifest(v)
+    assert v == 2 and len(m["files"]) == 5
+    # both racing generations' point values survived the rebase
+    assert m["partitions"][pw] == {"ts__day": ["str", "2024-03-09"]}
+    assert m["partitions"][pl] == {"ts__day": ["str", "2024-03-08"]}
+    rep = table.scan_stats(where=[("ts", ">=", d(2024, 3, 8))])
+    assert rep == {"n_files_total": 5, "n_files_scanned": 2}
+    got = table.read(spark, where=[("ts", ">=", d(2024, 3, 8))]).collect()
+    assert sorted(r.k for r in got) == [80, 90]
+    # layout mismatch on this path refuses too
+    with pytest.raises(ValueError, match="layout"):
+        table.publish_files(
+            [pl], {pl: sl}, schema_json=schema_json
+        )
+
+
+def test_cdc_over_hidden_partitioned_table(spark, table):
+    """read_changes_since serves appends made under a hidden-transform
+    layout: the derived directory column stays invisible and the delta
+    rows come back typed to the committed schema."""
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        read_changes_since,
+    )
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    delta0, cur = read_changes_since(spark, table, None)
+    assert delta0.columns == ["k", "ts", "v"]
+    assert delta0.count() == 4
+    table.commit(
+        _ts_df(spark, [(9, d(2024, 3, 9), "z")]),
+        mode="append",
+        partition_by=["day(ts)"],
+    )
+    delta1, cur2 = read_changes_since(spark, table, cur)
+    assert [r.k for r in delta1.collect()] == [9]
+    assert cur2 == table.latest_version()
