@@ -52,11 +52,20 @@ def asof_join_backward(
     # whenever the latest row holds a NULL (and could stitch together
     # fields of different rows) — diverging from ASOF-join semantics.
     p = probes.withColumn("__is_probe", F.lit(1))
-    s = states.select(
-        key_col,
-        ts_col,
-        F.struct(F.col(ts_col).alias("__ts"), *state_cols).alias("__state"),
-    ).withColumn("__is_probe", F.lit(0))
+    # a NULL-ts state can never match (s.ts <= p.ts is false under
+    # three-valued logic) — but the window form would order it FIRST and
+    # leak it into every probe; drop such rows up front
+    s = (
+        states.filter(F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            ts_col,
+            F.struct(
+                F.col(ts_col).alias("__ts"), *state_cols
+            ).alias("__state"),
+        )
+        .withColumn("__is_probe", F.lit(0))
+    )
     u = p.unionByName(s, allowMissingColumns=True)
     w = (
         Window.partitionBy(key_col)
@@ -97,11 +106,20 @@ def asof_join_forward(
     if overlap:
         raise ValueError(f"state_cols {sorted(overlap)} collide with probe columns")
     p = probes.withColumn("__is_probe", F.lit(1))
-    s = states.select(
-        key_col,
-        ts_col,
-        F.struct(F.col(ts_col).alias("__ts"), *state_cols).alias("__state"),
-    ).withColumn("__is_probe", F.lit(0))
+    # same NULL-ts guard as the backward form (s.ts >= p.ts is false for
+    # a NULL state ts; asc_nulls_first would otherwise be benign here,
+    # but the guard keeps both directions on one contract)
+    s = (
+        states.filter(F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            ts_col,
+            F.struct(
+                F.col(ts_col).alias("__ts"), *state_cols
+            ).alias("__state"),
+        )
+        .withColumn("__is_probe", F.lit(0))
+    )
     u = p.unionByName(s, allowMissingColumns=True)
     w = (
         Window.partitionBy(key_col)

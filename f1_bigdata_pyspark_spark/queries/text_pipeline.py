@@ -4508,3 +4508,104 @@ def packed_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: epoch_shard_shuffle — deterministic TRAINING-EPOCH shuffling: each
+# epoch e permutes the corpus by the portable hash md5(doc_id || '#e')
+# and deals docs to 8 workers by a second hash slice, so every epoch's
+# read order is (a) reproducible from (doc_id, epoch) alone — no stored
+# permutation, any worker can locate its share independently — and (b)
+# decorrelated across epochs (the hashed row carries the COUNT of doc
+# pairs adjacent in both epoch 0 and epoch 1 — hash independence makes
+# repeats vanishingly rare, and the exact count is pinned). Ordering is
+# two-level (16 hash-prefix groups, rank within group) so no window ever
+# spans the corpus unpartitioned — the same 100 TB discipline as
+# packed_token_shards; worker loads are the per-(epoch, worker) doc and
+# char sums, hash-checked. This is the data-loader contract a 100 TB
+# training run needs: epoch N's global order, computable shard-locally.
+# --------------------------------------------------------------------------
+@query(
+    "epoch_shard_shuffle",
+    oracle="""
+WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+x AS (
+  SELECT epoch, doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR))
+           AS hh
+  FROM documents, e
+),
+y AS (
+  SELECT epoch, doc_id, n_chars, hh,
+         substr(hh, 1, 1) AS grp,
+         CAST(('0x' || substr(hh, 2, 15)) AS BIGINT) % 8 AS worker
+  FROM x
+),
+p0 AS (
+  SELECT doc_id AS a, lead(doc_id) OVER (PARTITION BY grp ORDER BY hh)
+           AS b
+  FROM y WHERE epoch = 0
+),
+p1 AS (
+  SELECT doc_id AS a, lead(doc_id) OVER (PARTITION BY grp ORDER BY hh)
+           AS b
+  FROM y WHERE epoch = 1
+),
+rep AS (SELECT CAST(count(*) AS BIGINT) AS c FROM p0 JOIN p1 USING (a, b))
+SELECT epoch,
+       worker,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT c FROM rep) AS repeated_adjacent_01
+FROM y
+GROUP BY epoch, worker
+ORDER BY epoch, worker
+""",
+)
+def epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+
+    def epoch_view(e: int) -> DataFrame:
+        h = F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f"#{e}"))
+        )
+        return (
+            docs.withColumn("epoch", F.lit(e))
+            .withColumn("hh", h)
+            .withColumn("grp", F.substring("hh", 1, 1))
+            .withColumn(
+                "worker",
+                F.conv(F.substring("hh", 2, 15), 16, 10).cast("long")
+                % 8,
+            )
+        )
+
+    all_epochs = epoch_view(0).unionByName(epoch_view(1)).unionByName(
+        epoch_view(2)
+    )
+    w = Window.partitionBy("grp").orderBy("hh")
+
+    def pairs(e: int) -> DataFrame:
+        return (
+            epoch_view(e)
+            .withColumn("b", F.lead("doc_id").over(w))
+            .select(F.col("doc_id").alias("a"), "b")
+            .filter(F.col("b").isNotNull())
+        )
+
+    repeated = pairs(0).join(pairs(1), ["a", "b"]).count()
+    return (
+        all_epochs.groupBy("epoch", "worker")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn(
+            "repeated_adjacent_01", F.lit(int(repeated)).cast("long")
+        )
+        .orderBy("epoch", "worker")
+    )

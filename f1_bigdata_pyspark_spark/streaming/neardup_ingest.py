@@ -73,10 +73,20 @@ def foreach_batch_neardup_append(
         sig = materialize(signatures_of(batch))
         bands = band_table(sig, N_BANDS, ROWS_PER_BAND)
 
-        try:
+        # EXPLICIT existence probe through the Hadoop FS API (the same
+        # fix corpus_ingest/upsert_sink got): a bare except here would
+        # treat ANY transient read failure as "first batch" and silently
+        # disable near-dup detection for the epoch — and an os.path
+        # probe never sees a remote target. Real read errors propagate
+        # and fail the epoch; only genuine absence means "no index yet".
+        from f1_bigdata_pyspark_spark.utils import fs_path_exists
+
+        if fs_path_exists(spark, f"{index_dir}/sig") and fs_path_exists(
+            spark, f"{index_dir}/bands"
+        ):
             idx_sig = spark.read.parquet(f"{index_dir}/sig")
             idx_bands = spark.read.parquet(f"{index_dir}/bands")
-        except Exception:  # first micro-batch: no index yet
+        else:
             idx_sig, idx_bands = None, None
 
         # candidates vs the persisted index: bucket-colliding (new, old)

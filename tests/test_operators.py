@@ -1131,3 +1131,35 @@ def test_attribution_models_conserve_revenue(spark, sf_smoke):
         .head()["c"]
     )
     assert tot_first == round(attributable / 100.0, 2)
+
+
+def test_asof_join_null_ts_state_never_matches(spark):
+    """A NULL-ts state row must match NO probe (s.ts <= p.ts is false
+    under three-valued logic) — the window form would otherwise order it
+    first and leak it into every probe (regression)."""
+    import datetime
+
+    from f1_bigdata_pyspark_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    d = datetime.datetime
+    probes = spark.createDataFrame(
+        [("u", d(2024, 1, 2))], "k string, ts timestamp"
+    )
+    states = spark.createDataFrame(
+        [("u", None, "ghost"), ("u", d(2024, 1, 1), "real")],
+        "k string, ts timestamp, v string",
+    )
+    (b,) = asof_join_backward(probes, states, "k", "ts", ["v"]).collect()
+    assert b.v == "real"
+    ghost_only = states.filter("v = 'ghost'")
+    (b2,) = asof_join_backward(
+        probes, ghost_only, "k", "ts", ["v"]
+    ).collect()
+    assert b2.v is None
+    (f2,) = asof_join_forward(
+        probes, ghost_only, "k", "ts", ["v"]
+    ).collect()
+    assert f2.v is None

@@ -1251,3 +1251,43 @@ def test_stream_tails_hidden_partitioned_commits(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert sorted(got) == [1, 2, 3]
+
+
+def test_datasource_write_identity_partition_column(spark, tmp_path):
+    """Identity (non-transform) partition columns through the writer:
+    point stats land per file and equality prunes; unsupported identity
+    types refuse driver-side with a clear message."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(k, k % 3, f"v{k}") for k in range(12)],
+        "k long, tier long, v string",
+    )
+    root = str(tmp_path / "tbl")
+    (
+        df.write.format("snapshot")
+        .option("root", root)
+        .option("partitionBy", "tier")
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(root)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(12))
+    rep = t.scan_stats(where=[("tier", "=", 1)])
+    assert rep["n_files_scanned"] < rep["n_files_total"]
+    assert sorted(
+        r.k for r in t.read(spark, where=[("tier", "=", 1)]).collect()
+    ) == [1, 4, 7, 10]
+    # identity metadata count: every tier file is fully in or out
+    assert t.metadata_count(where=[("tier", "=", 1)]) == 4
+    # a double identity partition column refuses on this path
+    bad = spark.createDataFrame([(1, 0.5)], "k long, x double")
+    with pytest.raises(Exception, match="integer or string"):
+        (
+            bad.write.format("snapshot")
+            .option("root", str(tmp_path / "t2"))
+            .option("partitionBy", "x")
+            .mode("append")
+            .save()
+        )

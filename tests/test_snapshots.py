@@ -2722,3 +2722,32 @@ def test_cdc_over_hidden_partitioned_table(spark, table):
     delta1, cur2 = read_changes_since(spark, table, cur)
     assert [r.k for r in delta1.collect()] == [9]
     assert cur2 == table.latest_version()
+
+
+def test_merge_into_hidden_partitioned_table(spark, table):
+    """Copy-on-write MERGE rewrites touched files back into the hidden
+    layout: the rewritten generation carries fresh transform point
+    values and keeps pruning."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    src = spark.createDataFrame(
+        [(1, d(2024, 3, 1, 8), "UPDATED"), (9, d(2024, 3, 9), "new")],
+        "k long, new_ts timestamp, new_v string",
+    ).repartition(1)
+    table.merge(
+        spark,
+        src,
+        keys=["k"],
+        matched_update={"v": F.col("new_v")},
+        not_matched_insert={"ts": F.col("new_ts"), "v": F.col("new_v")},
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got[1] == "UPDATED" and got[9] == "new" and len(got) == 5
+    m = table._read_manifest(table.latest_version())
+    assert all("ts__day" in m["partitions"].get(f, {}) for f in m["files"])
+    rep = table.scan_stats(where=[("ts", ">=", d(2024, 3, 9))])
+    assert rep["n_files_scanned"] == 1
