@@ -4979,3 +4979,93 @@ def snapshot_datasource_partitioned_write(
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_constraint_audit — CHECK constraints under the value hash:
+# orders commit into a snapshot table, two table contracts are added
+# (price positivity; non-null keys — both validated against the existing
+# data at ALTER time), then a VIOLATING append is attempted and must
+# refuse without publishing (version pinned in-hash), while a satisfying
+# append lands. The write-time-enforcement behavior itself — not just
+# the data — is what the hashed row certifies. At 100 TB constraints are
+# the only thing standing between one bad backfill job and a quietly
+# poisoned table; each probe costs O(changeset), never O(table).
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_constraint_audit",
+    oracle="""
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows_after,
+       CAST(2 AS BIGINT) AS n_constraints,
+       true AS violating_append_refused,
+       true AS version_unchanged_by_refusal,
+       (count(*) FILTER (WHERE NOT (o_totalprice > 0)) = 0
+        AND count(*) FILTER (WHERE o_orderkey IS NULL) = 0)
+         AS table_satisfies
+FROM orders
+""",
+)
+def snapshot_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="snap_constraint_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(orders, mode="append")
+        table.add_constraint(spark, "price_positive", "o_totalprice > 0")
+        table.add_constraint(
+            spark, "key_not_null", "o_orderkey IS NOT NULL"
+        )
+        v_before = table.latest_version()
+        bad = spark.createDataFrame(
+            [(999999999, -1.0)], "o_orderkey long, o_totalprice double"
+        )
+        refused = False
+        try:
+            table.commit(bad, mode="append")
+        except ValueError:
+            refused = True
+        unchanged = table.latest_version() == v_before
+        good = spark.createDataFrame(
+            [(999999999, 1.0)], "o_orderkey long, o_totalprice double"
+        )
+        table.commit(good, mode="append")
+        n_after = table.count(spark)
+        m = table._read_manifest(table.latest_version())
+        # the scan-side recheck the oracle mirrors: zero rows violate
+        # either contract in the final table
+        n_bad = (
+            table.read(spark)
+            .filter(
+                ~(F.col("o_totalprice") > 0)
+                | F.col("o_orderkey").isNull()
+            )
+            .count()
+        )
+        out = materialize(
+            spark.createDataFrame(
+                [
+                    (
+                        int(n_after),
+                        len(m.get("constraints", {})),
+                        bool(refused),
+                        bool(unchanged),
+                        bool(n_bad == 0),
+                    )
+                ],
+                "n_rows_after long, n_constraints long, "
+                "violating_append_refused boolean, "
+                "version_unchanged_by_refusal boolean, "
+                "table_satisfies boolean",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

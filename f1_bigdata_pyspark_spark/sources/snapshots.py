@@ -673,6 +673,29 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
     raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
 
 
+def _validate_constraints(df, constraints: dict, context: str) -> None:
+    """Enforce the table's CHECK constraints on a frame about to be
+    written (Delta's write-time enforcement). SQL-standard semantics: a
+    row VIOLATES only when the expression is FALSE — NULL passes (add an
+    explicit IS NOT NULL conjunct for NOT-NULL intent). One limit(1)
+    probe per constraint over the new data only: O(changeset), never
+    O(table)."""
+    from pyspark.sql import functions as F
+
+    for name in sorted(constraints or {}):
+        expr = constraints[name]
+        bad = (
+            df.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{context}; example row: {bad[0].asDict()}"
+            )
+
+
 def _file_all_match(stats: dict, col: str, op: str, lit) -> bool:
     """Does EVERY row of a file with this evidence satisfy ``col op lit``?
     The dual of ``_file_may_match`` — and dual soundness: False on any
@@ -1006,6 +1029,7 @@ class SnapshotTable:
                     "contradictory (pin the base OR follow the head)"
                 )
         written: tuple | None = None
+        validated_constraints: dict | None = None
         for _attempt in range(20):
             base = self.latest_version()
             # one parse per attempt — the manifest scales with file count
@@ -1096,6 +1120,15 @@ class SnapshotTable:
                 bloom_spec = prior_manifest.get("bloom")
             else:
                 bloom_spec = None
+            # CHECK constraints are a TABLE PROPERTY surviving overwrite
+            # (like txns — an overwrite replaces data, not the contract);
+            # enforced on the frame per attempt: a rebase may land on a
+            # head whose constraints changed since the first validation,
+            # so re-validate whenever the effective set differs
+            constraints = head_manifest.get("constraints")
+            if constraints and constraints != validated_constraints:
+                _validate_constraints(df, constraints, "the committed frame")
+                validated_constraints = constraints
             if written is None:  # data files written ONCE; rebases reuse
                 written = self._write_data_files(
                     df,
@@ -1127,6 +1160,8 @@ class SnapshotTable:
                 manifest["evolved"] = True
             if bloom_spec:
                 manifest["bloom"] = bloom_spec
+            if constraints:
+                manifest["constraints"] = constraints
             # appends keep live tombstones (they still apply to prior
             # files); overwrite starts clean — the set they scoped is gone
             if mode == "append" and prior_manifest.get("tombstones"):
@@ -1254,6 +1289,13 @@ class SnapshotTable:
                 manifest["bloom"] = prior_manifest["bloom"]
             if head_manifest.get("txns"):
                 manifest["txns"] = head_manifest["txns"]
+            # constraints carry as a table property; externally-written
+            # files are NOT re-read here (no session) — the writer that
+            # produced them owns validation (the DataSource writer's
+            # frame came through Spark, so its rows were the caller's to
+            # check; a raw add_files caller is trusted like Iceberg's)
+            if head_manifest.get("constraints"):
+                manifest["constraints"] = head_manifest["constraints"]
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
@@ -1510,6 +1552,12 @@ class SnapshotTable:
             update_condition=update_condition,
             not_matched_insert=not_matched_insert,
         )
+        if manifest.get("constraints"):
+            # enforced on the rewrite output: an update expression can
+            # violate a CHECK the raw target satisfied
+            _validate_constraints(
+                merged, manifest["constraints"], "the merged rows"
+            )
         new_files, new_stats, new_partitions = self._write_data_files(
             merged, manifest.get("partition_by"), **self._bloom_kwargs(manifest)
         )
@@ -1552,6 +1600,8 @@ class SnapshotTable:
                 out["bloom"] = cur["bloom"]
             if cur.get("txns"):
                 out["txns"] = cur["txns"]  # writer evidence survives DML
+            if cur.get("constraints"):
+                out["constraints"] = cur["constraints"]
             if cur.get("tombstones"):
                 # rewritten files were built THROUGH the tombstones and get
                 # a post-delete seq, so carried tombstones keep applying
@@ -1685,6 +1735,10 @@ class SnapshotTable:
         removed = set(prune_files(manifest, where))
         carried = [f for f in manifest["files"] if f not in removed]
         carried_set = set(carried)
+        if manifest.get("constraints"):
+            _validate_constraints(
+                df, manifest["constraints"], "the replacement rows"
+            )
         new_files, new_stats, new_partitions = self._write_data_files(
             df, manifest.get("partition_by"), **self._bloom_kwargs(manifest)
         )
@@ -1721,6 +1775,8 @@ class SnapshotTable:
             out["bloom"] = manifest["bloom"]
         if manifest.get("txns"):
             out["txns"] = manifest["txns"]
+        if manifest.get("constraints"):
+            out["constraints"] = manifest["constraints"]
         if manifest.get("tombstones"):
             # carried old files still need them; the replacement files get
             # a post-delete seq (their content is NEW rows by definition)
@@ -1901,6 +1957,8 @@ class SnapshotTable:
             out["bloom"] = manifest["bloom"]
         if manifest.get("txns"):
             out["txns"] = manifest["txns"]
+        if manifest.get("constraints"):
+            out["constraints"] = manifest["constraints"]
         if manifest.get("tombstones"):
             # compacted files were rewritten through the tombstones; the
             # carried large files still need them
@@ -1940,6 +1998,7 @@ class SnapshotTable:
             "tombstone_keys",
             "bloom",
             "txns",
+            "constraints",
         ):
             if k in target:
                 manifest[k] = target[k]
@@ -2319,6 +2378,78 @@ class SnapshotTable:
         if not mns:
             return (None, None)
         return (min(mns), max(mxs))
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT CHECK (Delta's table constraints):
+        register a SQL boolean expression every future write must
+        satisfy. The EXISTING data is validated first (a constraint the
+        table already violates must refuse, not rot) — O(one table scan),
+        paid once at ALTER time like Delta. Published as a metadata-only
+        append version (same file set: streams see an empty delta and
+        continue). SQL-standard NULL semantics: only FALSE violates.
+
+        Enforcement points: ``commit`` (also per rebase attempt against
+        the current head's set), ``merge`` (on the rewrite output — an
+        update expression can break a CHECK the raw target satisfied),
+        ``replace_where``; ``optimize`` routes through commit.
+        ``publish_files`` carries but cannot validate (no session —
+        externally-written files are the caller's to check)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        constraints = dict(manifest.get("constraints", {}))
+        if name in constraints:
+            raise ValueError(
+                f"constraint {name!r} already exists "
+                f"({constraints[name]}); drop it first"
+            )
+        _validate_constraints(
+            self.read(spark), {name: expr}, "the existing table"
+        )
+        constraints[name] = expr
+        out = dict(manifest)
+        out.pop("txn", None)  # metadata version committed no batch
+        version = base + 1
+        out.update(
+            {
+                "version": version,
+                "mode": "append",  # same file set: streams skip it clean
+                "constraints": constraints,
+                "committed_at": __import__("time").time(),
+            }
+        )
+        self._publish(version, out)
+        return version
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only append version)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        constraints = dict(manifest.get("constraints", {}))
+        if name not in constraints:
+            raise ValueError(f"no constraint {name!r} on this table")
+        del constraints[name]
+        out = dict(manifest)
+        out.pop("txn", None)
+        version = base + 1
+        out.update(
+            {
+                "version": version,
+                "mode": "append",
+                "committed_at": __import__("time").time(),
+            }
+        )
+        if constraints:
+            out["constraints"] = constraints
+        else:
+            out.pop("constraints", None)
+        self._publish(version, out)
+        return version
 
     def count(
         self,

@@ -600,10 +600,13 @@ def test_hidden_partition_prune_sound_and_metadata_exact(
             ">=": v >= lit,
         }[op]
 
-    truth = sorted(
-        (k, ts) for k, ts in data if sat(k, ts)
-    )
-    got = sorted(
+    def canon(pairs):
+        # ties on k can compare a None ts against a datetime — sort on a
+        # None-safe key (the VALUES still compare exactly via ==)
+        return sorted(pairs, key=lambda t: (t[0], t[1] is None, str(t[1])))
+
+    truth = canon((k, ts) for k, ts in data if sat(k, ts))
+    got = canon(
         (r.k, r.ts) for r in t.read(spark, where=where).collect()
     )
     assert got == truth  # pruning never changed the answer

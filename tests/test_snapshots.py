@@ -2751,3 +2751,105 @@ def test_merge_into_hidden_partitioned_table(spark, table):
     assert all("ts__day" in m["partitions"].get(f, {}) for f in m["files"])
     rep = table.scan_stats(where=[("ts", ">=", d(2024, 3, 9))])
     assert rep["n_files_scanned"] == 1
+
+
+# ----------------------------------------------------- CHECK constraints
+# (round 8): Delta-style table constraints, enforced on every write path.
+
+
+def test_check_constraint_lifecycle(spark, table):
+    table.commit(_df(spark, [(1, "a"), (2, "b")]), mode="append")
+    v = table.add_constraint(spark, "k_positive", "k > 0")
+    # metadata-only append: same files, streams see an empty delta
+    m = table._read_manifest(v)
+    assert m["mode"] == "append"
+    assert m["files"] == table._read_manifest(v - 1)["files"]
+    # a violating append refuses BEFORE publishing
+    with pytest.raises(ValueError, match="k_positive"):
+        table.commit(_df(spark, [(-5, "x")]), mode="append")
+    assert table.latest_version() == v
+    # a satisfying append lands; NULL passes (SQL-standard CHECK)
+    table.commit(
+        spark.createDataFrame([(3, "c"), (None, "d")], "k long, v string"),
+        mode="append",
+    )
+    assert table.read(spark).count() == 4
+    # adding a constraint the EXISTING data violates refuses
+    with pytest.raises(ValueError, match="existing table"):
+        table.add_constraint(spark, "v_is_a", "v = 'a'")
+    # duplicate name refuses; drop works
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_constraint(spark, "k_positive", "k > 100")
+    table.drop_constraint("k_positive")
+    table.commit(_df(spark, [(-5, "x")]), mode="append")
+    assert table.read(spark).count() == 5
+
+
+def test_check_constraint_survives_every_carry_path(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    table.add_constraint(spark, "k_small", "k < 100")
+
+    def live() -> dict:
+        return table._read_manifest(table.latest_version()).get(
+            "constraints", {}
+        )
+
+    # overwrite keeps the contract (table property, like txns)
+    table.commit(
+        _days(spark), mode="overwrite", partition_by=["day(ts)"]
+    )
+    assert "k_small" in live()
+    # OPTIMIZE (routes through commit) keeps it
+    table.optimize(spark, sort_cols=["ts"])
+    assert "k_small" in live()
+    # merge-on-read delete keeps it
+    table.delete_keys(
+        spark, _days(spark).select("k").filter("k = 1"), keys=["k"]
+    )
+    assert "k_small" in live()
+    # rollback keeps it
+    table.rollback(table.latest_version() - 1)
+    assert "k_small" in live()
+    # the carried contract still ENFORCES: a violating append refuses
+    with pytest.raises(ValueError, match="k_small"):
+        table.commit(
+            _ts_df(spark, [(500, None, "big")]),
+            mode="append",
+            partition_by=["day(ts)"],
+        )
+
+
+def test_check_constraint_enforced_on_merge_and_replace(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k long, val long"
+        ).repartition(1),
+        mode="append",
+        partition_by=["k"],
+    )
+    table.add_constraint(spark, "val_le_100", "val <= 100")
+    src = spark.createDataFrame([(1, 999)], "k long, new_val long")
+    with pytest.raises(ValueError, match="val_le_100"):
+        table.merge(
+            spark, src, keys=["k"], matched_update={"val": F.col("new_val")}
+        )
+    with pytest.raises(ValueError, match="val_le_100"):
+        table.replace_where(
+            spark,
+            spark.createDataFrame([(1, 200)], "k long, val long"),
+            where=[("k", "=", 1)],
+        )
+    # satisfying versions of both land
+    table.merge(
+        spark,
+        spark.createDataFrame([(1, 99)], "k long, new_val long"),
+        keys=["k"],
+        matched_update={"val": F.col("new_val")},
+    )
+    got = {r.k: r.val for r in table.read(spark).collect()}
+    assert got == {1: 99, 2: 20}
