@@ -5069,3 +5069,107 @@ def snapshot_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_predicate_dml — copy-on-write DELETE ... WHERE then
+# UPDATE ... SET ... WHERE under the value hash: orders commit into a
+# hidden year(o_orderdate) layout (one file per year), a predicate
+# delete removes every pre-1997 row — the skipping planner IS the DML
+# planner, so exactly the pre-1997 year files rewrite (arithmetic
+# replayed in the oracle) and the rest carry by identity — then a
+# predicate update doubles post-2000 prices through the same machinery.
+# The final rollup plus the rows-changed/files-rewritten counters are
+# all hash-checked, and time travel keeps the pre-DML snapshot intact.
+# At 100 TB the carry-by-identity set is the table; the rewrite set is
+# the predicate's files.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_predicate_dml",
+    oracle="""
+WITH del AS (
+  SELECT count(*) AS n_deleted,
+         count(DISTINCT CASE WHEN year(o_orderdate) < 1997
+                             THEN year(o_orderdate) END) AS files_rewritten
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+upd AS (
+  SELECT count(*) AS n_updated FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT year(o_orderdate) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(
+         (CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+               THEN o_totalprice * 2 ELSE o_totalprice END) * 100 + 0.5
+       ) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       (SELECT CAST(n_deleted AS BIGINT) FROM del) AS n_rows_deleted,
+       (SELECT CAST(files_rewritten AS BIGINT) FROM del)
+         AS n_files_rewritten,
+       (SELECT CAST(n_updated AS BIGINT) FROM upd) AS n_rows_updated
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def snapshot_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="snap_dml_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(
+            orders.repartition(F.year("o_orderdate")),
+            mode="append",
+            partition_by=["year(o_orderdate)"],
+        )
+        cut_del = datetime.datetime(1997, 1, 1)
+        cut_upd = datetime.datetime(2000, 1, 1)
+        drep = table.delete_where(
+            spark, [("o_orderdate", "<", cut_del)]
+        )
+        urep = table.update_where(
+            spark,
+            {"o_totalprice": F.col("o_totalprice") * 2},
+            [("o_orderdate", ">=", cut_upd)],
+        )
+        out = materialize(
+            table.read(spark)
+            .groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("o_totalprice") * 100 + 0.5
+                        ).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .withColumn(
+                "n_rows_deleted",
+                F.lit(drep["rows_changed"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_rewritten",
+                F.lit(drep["files_rewritten"]).cast("long"),
+            )
+            .withColumn(
+                "n_rows_updated",
+                F.lit(urep["rows_changed"]).cast("long"),
+            )
+            .orderBy("order_year")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -2105,6 +2105,157 @@ class SnapshotTable:
         self._publish(version, out)
         return {"version": version, "n_tombstoned": n}
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        where: list[tuple[str, str, object]],
+        expected_base_version: int | None = None,
+    ) -> dict:
+        """Copy-on-write ``DELETE FROM … WHERE`` over a simple
+        conjunction: files the manifest PROVES unmatched carry by
+        identity (zero I/O — the skipping planner is the DML planner);
+        may-match files rewrite with TRUE-predicate rows removed
+        (NULL-predicate rows survive, SQL DELETE semantics). The
+        predicate-form complement of ``delete_keys`` (merge-on-read, key
+        form) and ``replace_where`` (which needs point-provable
+        membership; this one accepts ANY conjunction because it rewrites
+        rather than drops whole files). O(may-match bytes) at 100 TB."""
+        return self._cow_rewrite_where(
+            spark,
+            where,
+            mode="delete-where",
+            set_exprs=None,
+            expected_base_version=expected_base_version,
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set_exprs: dict,
+        where: list[tuple[str, str, object]],
+        expected_base_version: int | None = None,
+    ) -> dict:
+        """Copy-on-write ``UPDATE … SET … WHERE``: may-match files
+        rewrite with ``set_exprs`` (column -> Column or SQL string)
+        applied to TRUE-predicate rows; everything else carries by
+        identity. CHECK constraints validate the rewrite output — an
+        update can break a contract the raw rows satisfied."""
+        if not set_exprs:
+            raise ValueError("update_where needs at least one SET column")
+        return self._cow_rewrite_where(
+            spark,
+            where,
+            mode="update-where",
+            set_exprs=set_exprs,
+            expected_base_version=expected_base_version,
+        )
+
+    def _cow_rewrite_where(
+        self,
+        spark: SparkSession,
+        where: list[tuple[str, str, object]],
+        mode: str,
+        set_exprs: dict | None,
+        expected_base_version: int | None,
+    ) -> dict:
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        if expected_base_version is not None and base != expected_base_version:
+            raise SnapshotConflictError(
+                f"table advanced to v{base}, expected "
+                f"v{expected_base_version}"
+            )
+        manifest = self._read_manifest(base)
+        touched = prune_files(manifest, where)
+        carried = [f for f in manifest["files"] if f not in set(touched)]
+        if not touched:
+            return {
+                "version": base,
+                "files_rewritten": 0,
+                "files_carried": len(manifest["files"]),
+                "rows_changed": 0,
+            }
+        pred = F.coalesce(_predicate_column(where), F.lit(False))
+        scan = self._scan_with_tombstones(spark, manifest, touched)
+        rows_changed = scan.filter(pred).count()
+        if set_exprs is None:
+            new_df = scan.filter(~pred)
+        else:
+            cols = []
+            for c in scan.columns:
+                if c in set_exprs:
+                    e = set_exprs[c]
+                    e = F.expr(e) if isinstance(e, str) else e
+                    cols.append(F.when(pred, e).otherwise(F.col(c)).alias(c))
+                else:
+                    cols.append(F.col(c))
+            missing = set(set_exprs) - set(scan.columns)
+            if missing:
+                raise ValueError(
+                    f"SET names missing columns {sorted(missing)}"
+                )
+            new_df = scan.select(*cols)
+        if manifest.get("constraints"):
+            _validate_constraints(
+                new_df, manifest["constraints"], "the rewritten rows"
+            )
+        new_files, new_stats, new_partitions = self._write_data_files(
+            new_df,
+            manifest.get("partition_by"),
+            **self._bloom_kwargs(manifest),
+        )
+        carried_set = set(carried)
+        stats = {
+            f: s
+            for f, s in manifest.get("stats", {}).items()
+            if f in carried_set
+        }
+        stats.update(new_stats)
+        partitions = {
+            f: p
+            for f, p in manifest.get("partitions", {}).items()
+            if f in carried_set
+        }
+        partitions.update(new_partitions)
+        version = base + 1
+        file_seq = {
+            f: s_
+            for f, s_ in manifest.get("file_seq", {}).items()
+            if f in carried_set
+        }
+        for f in new_files:
+            file_seq[f] = version
+        out = {
+            "version": version,
+            "mode": mode,
+            "files": carried + new_files,
+            "stats": stats,
+            "schema": manifest["schema"],
+            "file_seq": file_seq,
+            "committed_at": __import__("time").time(),
+        }
+        for k in ("evolved", "bloom", "txns", "constraints", "partition_by"):
+            if manifest.get(k):
+                out[k] = manifest[k]
+        if manifest.get("tombstones"):
+            # carried files still need them; the rewritten files went
+            # THROUGH the tombstones (scan applied the anti-join), so
+            # their post-rewrite seq exempts them
+            out["tombstones"] = manifest["tombstones"]
+            out["tombstone_keys"] = manifest["tombstone_keys"]
+        if partitions:
+            out["partitions"] = partitions
+        self._publish(version, out)
+        return {
+            "version": version,
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+            "rows_changed": rows_changed,
+        }
+
     def _scan_with_tombstones(
         self,
         spark: SparkSession,

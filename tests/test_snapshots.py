@@ -2853,3 +2853,80 @@ def test_check_constraint_enforced_on_merge_and_replace(spark, table):
     )
     got = {r.k: r.val for r in table.read(spark).collect()}
     assert got == {1: 99, 2: 20}
+
+
+# --------------------------------------------- predicate DML (round 8):
+# copy-on-write DELETE FROM ... WHERE and UPDATE ... SET ... WHERE.
+
+
+def test_delete_where_rewrites_only_may_match_files(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    before = set(table._read_manifest(table.latest_version())["files"])
+    rep = table.delete_where(
+        spark, [("ts", ">=", d(2024, 3, 3))]
+    )
+    assert rep["files_rewritten"] == 1 and rep["rows_changed"] == 1
+    assert rep["files_carried"] == 2
+    after = table._read_manifest(table.latest_version())
+    # untouched day files carried BY IDENTITY (same paths)
+    assert len(set(after["files"]) & before) == 2
+    assert sorted(r.k for r in table.read(spark).collect()) == [1, 2, 3]
+    # no-op delete publishes nothing
+    v = table.latest_version()
+    rep2 = table.delete_where(spark, [("k", "=", 999)])
+    assert rep2["files_rewritten"] == 0 and table.latest_version() == v
+
+
+def test_update_where_applies_set_and_respects_constraints(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, val long, v string",
+        ).repartition(1),
+        mode="append",
+        partition_by=["bucket(2,k)"],
+    )
+    table.add_constraint(spark, "val_cap", "val <= 100")
+    rep = table.update_where(
+        spark,
+        {"val": F.col("val") + 5, "v": "upper(v)"},
+        [("k", "=", 2)],
+    )
+    assert rep["rows_changed"] == 1
+    got = {r.k: (r.val, r.v) for r in table.read(spark).collect()}
+    assert got == {1: (10, "a"), 2: (25, "B"), 3: (30, "c")}
+    # bucket pruning kept the other bucket's file untouched when the
+    # buckets differ (arithmetic, not assumption)
+    assert rep["files_rewritten"] + rep["files_carried"] >= 2
+    # a violating update refuses and publishes nothing
+    v = table.latest_version()
+    with pytest.raises(ValueError, match="val_cap"):
+        table.update_where(
+            spark, {"val": F.lit(500)}, [("k", "=", 1)]
+        )
+    assert table.latest_version() == v
+    with pytest.raises(ValueError, match="missing columns"):
+        table.update_where(spark, {"nope": F.lit(1)}, [("k", "=", 1)])
+
+
+def test_delete_where_composes_with_tombstones_and_history(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    # merge-on-read delete first, then a predicate delete over the rest
+    table.delete_keys(
+        spark, _days(spark).select("k").filter("k = 1"), keys=["k"]
+    )
+    rep = table.delete_where(spark, [("ts", "<", d(2024, 3, 2))])
+    # the 03-01 file held k=1 (tombstoned) and k=2: the rewrite went
+    # THROUGH the tombstones, so only k=2 counted as changed
+    assert rep["rows_changed"] == 1
+    assert sorted(r.k for r in table.read(spark).collect()) == [3, 4]
+    # time travel: the pre-DML snapshot still reads complete
+    assert table.read(spark, version=0).count() == 4
