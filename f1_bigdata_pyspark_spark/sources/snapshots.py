@@ -673,6 +673,36 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
     raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
 
 
+# schema-JSON type names (and simpleString aliases) ranked by width —
+# the legal append-time widenings are within-family only
+_INT_WIDTH = {
+    "byte": 0, "tinyint": 0,
+    "short": 1, "smallint": 1,
+    "integer": 2, "int": 2,
+    "long": 3, "bigint": 3,
+}
+_FLOAT_WIDTH = {"float": 0, "double": 1}
+
+
+def _widen_schema_prefix(want: list, got: list) -> list | None:
+    """Merge two (name, type) prefixes under type widening: names must
+    match positionally; types must be equal or in the same numeric
+    family (the merged field takes the wider). None = not mergeable."""
+    out = []
+    for (wn, wt), (gn, gt) in zip(want, got):
+        if wn != gn:
+            return None
+        if wt == gt:
+            out.append((wn, wt))
+        elif wt in _INT_WIDTH and gt in _INT_WIDTH:
+            out.append((wn, wt if _INT_WIDTH[wt] >= _INT_WIDTH[gt] else gt))
+        elif wt in _FLOAT_WIDTH and gt in _FLOAT_WIDTH:
+            out.append((wn, wt if _FLOAT_WIDTH[wt] >= _FLOAT_WIDTH[gt] else gt))
+        else:
+            return None
+    return out
+
+
 def _validate_constraints(df, constraints: dict, context: str) -> None:
     """Enforce the table's CHECK constraints on a frame about to be
     written (Delta's write-time enforcement). SQL-standard semantics: a
@@ -1089,14 +1119,21 @@ class SnapshotTable:
                 evolved = bool(prior_m.get("evolved"))
                 if want != got:
                     # ADDITIVE schema evolution (Delta's mergeSchema): the
-                    # shared prefix must agree; a LONGER frame widens the
-                    # table schema (old files read the new columns as
-                    # NULL), a shorter one appends with its columns (the
-                    # new ones read NULL for these rows). Anything
-                    # non-prefix is a hard refuse — silent column
-                    # remapping is how tables rot.
+                    # shared prefix must agree BY NAME, with TYPE WIDENING
+                    # allowed inside a numeric family (Delta 4.0's type
+                    # widening: int-family chains and float→double — the
+                    # table schema takes the per-field WIDEST type; every
+                    # read path already casts each file up to the
+                    # committed schema, so narrow old files serve wide).
+                    # A LONGER frame widens the table schema (old files
+                    # read the new columns as NULL), a shorter one
+                    # appends with its columns (the new ones read NULL
+                    # for these rows). Anything non-prefix, or a type
+                    # change across families, is a hard refuse — silent
+                    # column remapping is how tables rot.
                     k = min(len(want), len(got))
-                    if not merge_schema or want[:k] != got[:k]:
+                    widened = _widen_schema_prefix(want[:k], got[:k])
+                    if not merge_schema or widened is None:
                         raise ValueError(
                             f"append schema mismatch vs v{base}: "
                             f"table has {want}, frame has {got}; "
@@ -1104,8 +1141,14 @@ class SnapshotTable:
                             "or mode='overwrite' to change the schema"
                         )
                     evolved = True
-                    if len(want) > len(got):
-                        table_schema_json = prior_m["schema"]  # keep wider
+                    base_fields = json.loads(
+                        prior_m["schema"]
+                        if len(want) >= len(got)
+                        else df.schema.json()
+                    )
+                    for i, (_n, ty) in enumerate(widened):
+                        base_fields["fields"][i]["type"] = ty
+                    table_schema_json = json.dumps(base_fields)
             # bloom spec is a TABLE PROPERTY: explicitly given on this
             # commit, else inherited from the head on append — otherwise
             # every rewrite path would silently shed the blooms and the

@@ -616,3 +616,67 @@ def test_hidden_partition_prune_sound_and_metadata_exact(
     nn = [ts for _, ts in data if ts is not None]
     if mm is not None:
         assert mm == ((min(nn), max(nn)) if nn else (None, None))
+
+
+# ------------------------------------------------------- predicate DML
+# (round 8): random table, random delete/update predicate — the
+# copy-on-write rewrite must equal the row-level ground truth, including
+# NULL-predicate semantics and carry-by-identity file accounting.
+
+_dml_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # k
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+_dml_pred = st.tuples(
+    st.sampled_from(["k", "val"]),
+    st.sampled_from(["=", "<", ">="]),
+    st.integers(min_value=-20, max_value=30),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_dml_rows, _dml_pred, st.booleans())
+def test_predicate_dml_matches_ground_truth(
+    spark, tmp_path_factory, rows, pred, do_update
+):
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "rid long, k long, val long"
+    ).repartition(1)
+    t = SnapshotTable(str(tmp_path_factory.mktemp("dml") / "tbl"))
+    t.commit(df, mode="append", partition_by=["bucket(3,k)"])
+    col, op, lit = pred
+
+    def sat(row):
+        v = row[1] if col == "k" else row[2]
+        if v is None:
+            return False  # NULL predicate: never TRUE
+        return {"=": v == lit, "<": v < lit, ">=": v >= lit}[op]
+
+    where = [(col, op, lit)]
+    if do_update:
+        rep = t.update_where(spark, {"val": F.lit(999)}, where)
+        truth = sorted(
+            (rid, k, 999 if sat((rid, k, v)) else v)
+            for rid, k, v in data
+        )
+    else:
+        rep = t.delete_where(spark, where)
+        truth = sorted(r for r in data if not sat(r))
+    got = sorted(
+        (r.rid, r.k, r.val) for r in t.read(spark).collect()
+    )
+    assert got == truth
+    assert rep["rows_changed"] == sum(1 for r in data if sat(r))
+    # file accounting is conservative-exact: rewritten + carried covers
+    # the pre-DML file set
+    m0 = t._read_manifest(0)
+    assert rep["files_rewritten"] + rep["files_carried"] == len(m0["files"])

@@ -2930,3 +2930,75 @@ def test_delete_where_composes_with_tombstones_and_history(spark, table):
     assert sorted(r.k for r in table.read(spark).collect()) == [3, 4]
     # time travel: the pre-DML snapshot still reads complete
     assert table.read(spark, version=0).count() == 4
+
+
+def test_type_widening_append(spark, table):
+    """Delta-4.0-style type widening under merge_schema: an int-family /
+    float-family type change widens the TABLE schema; old narrow files
+    serve cast-up through every read path."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    narrow = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)],
+        StructType(
+            [
+                StructField("k", IntegerType()),
+                StructField("x", DoubleType()),
+            ]
+        ),
+    ).repartition(1)
+    table.commit(narrow, mode="append")
+    wide = spark.createDataFrame(
+        [(3_000_000_000, 3.5)], "k long, x double"
+    ).repartition(1)
+    # without merge_schema: refuse
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit(wide, mode="append")
+    table.commit(wide, mode="append", merge_schema=True)
+    got = table.read(spark)
+    assert [f.dataType for f in got.schema.fields] == [
+        LongType(),
+        DoubleType(),
+    ]
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3_000_000_000]
+    # narrowER later appends still land (frame int fits table long)
+    table.commit(
+        spark.createDataFrame(
+            [(4, 4.5)],
+            StructType(
+                [
+                    StructField("k", IntegerType()),
+                    StructField("x", DoubleType()),
+                ]
+            ),
+        ).repartition(1),
+        mode="append",
+        merge_schema=True,
+    )
+    assert table.read(spark).count() == 4
+    # the widened column still prunes (tagged stats are family-agnostic)
+    rep = table.scan_stats(where=[("k", ">=", 3_000_000_000)])
+    assert rep["n_files_scanned"] == 1
+    # cross-family change refuses even with merge_schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit(
+            spark.createDataFrame([("oops", 1.0)], "k string, x double"),
+            mode="append",
+            merge_schema=True,
+        )
+    # the DataSource serving face reads the mixed generations identically
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    served = (
+        spark.read.format("snapshot").option("root", table.root).load()
+    )
+    assert sorted(r.k for r in served.collect()) == sorted(
+        r.k for r in table.read(spark).collect()
+    )
