@@ -5173,3 +5173,79 @@ def snapshot_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_rename_mapping_scan — column rename via NAME MAPPING under
+# the value hash: half of lineitem commits, the price column is RENAMED
+# (metadata-only — zero files rewritten), the other half appends under
+# the new logical name, and one aggregate reads BOTH generations: the
+# pre-rename files serve their bytes through the mapping (physical ->
+# logical), the post-rename files directly. The sums over the full table
+# equaling the oracle's proves no row was NULL-filled or dropped across
+# the rename boundary — the failure mode a name-keyed format must prove
+# it does not have. Pruning on the renamed column reaches pre-rename
+# footer stats through the same alias (boolean in-hash).
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_rename_mapping_scan",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price,
+       true AS renamed_schema_served,
+       true AS prune_reaches_old_files
+FROM lineitem
+""",
+)
+def snapshot_rename_mapping_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="snap_rename_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(
+            li.filter(F.col("l_orderkey") % 2 == 0).repartition(1),
+            mode="append",
+        )
+        table.rename_column("l_extendedprice", "price")
+        table.commit(
+            li.filter(F.col("l_orderkey") % 2 == 1)
+            .withColumnRenamed("l_extendedprice", "price")
+            .repartition(1),
+            mode="append",
+        )
+        got = table.read(spark)
+        served = got.columns == ["l_orderkey", "l_quantity", "price"]
+        # pruning on the LOGICAL name must reach the pre-rename file's
+        # footer stats (keyed by the physical name) through the alias
+        hi = li.agg(F.max("l_extendedprice")).head()[0]
+        rep = table.scan_stats(where=[("price", ">", float(hi))])
+        prunes = rep["n_files_scanned"] == 0 and rep["n_files_total"] == 2
+        out = materialize(
+            got.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                (
+                    F.sum(
+                        F.floor(F.col("price") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("sum_price"),
+            )
+            .withColumn("renamed_schema_served", F.lit(bool(served)))
+            .withColumn("prune_reaches_old_files", F.lit(bool(prunes)))
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -107,9 +107,14 @@ class SnapshotFilePartition(InputPartition):
         row_groups=None,
         tombstones=None,
         tombstone_keys=None,
+        mapping=None,
     ):
         self.path = path
         self.partition_values = partition_values  # col -> python value
+        # column mapping (rename): logical -> physical name the bytes of
+        # PRE-RENAME files were written under; the executor read resolves
+        # through it (new files carry the logical name directly)
+        self.mapping = mapping or {}
         # the pushed conjunction rides INTO the partition so the executor
         # can skip ROW GROUPS the manifest's file granularity cannot
         self.where = where or []
@@ -161,18 +166,28 @@ def _read_partition_batches(schema: StructType, partition):
 
     target = to_arrow_schema(schema)
     pf = pq.ParquetFile(partition.path)
+    file_cols = set(pf.schema_arrow.names)
+    mapping = getattr(partition, "mapping", None) or {}
     groups = (
         list(partition.row_groups)
         if partition.row_groups is not None
         else list(range(pf.metadata.num_row_groups))
     )
     if partition.where and pf.metadata.num_row_groups > 1:
+
+        def _rg_name(col: str) -> str:
+            # row-group stats key the IN-FILE name; a pre-rename file
+            # stores the physical one
+            if col not in file_cols and mapping.get(col) in file_cols:
+                return mapping[col]
+            return col
+
         groups = [
             rg
             for rg in groups
             if all(
                 _file_may_match(
-                    row_group_stats(pf.metadata, rg), col, op, lit
+                    row_group_stats(pf.metadata, rg), _rg_name(col), op, lit
                 )
                 for col, op, lit in partition.where
             )
@@ -180,11 +195,36 @@ def _read_partition_batches(schema: StructType, partition):
     if not groups:
         return
     tomb_keys = list(getattr(partition, "tombstone_keys", []) or [])
-    file_cols = set(pf.schema_arrow.names)
-    need = [f.name for f in target if f.name in file_cols]
+    # logical -> in-file physical name (rename support: a pre-rename
+    # file carries the bytes under the OLD name)
+    phys_of = {
+        f.name: (
+            f.name
+            if f.name in file_cols
+            else (
+                mapping.get(f.name)
+                if mapping.get(f.name) in file_cols
+                else None
+            )
+        )
+        for f in target
+    }
+    need = [p for p in phys_of.values() if p]
     # tombstone key columns ride along even when the projection drops
-    # them — the anti-join needs them, then they are discarded
-    need += [k for k in tomb_keys if k in file_cols and k not in need]
+    # them — the anti-join needs them, then they are discarded; keys
+    # resolve through the mapping too (a delete AFTER a rename names
+    # the logical key, pre-rename files store the physical)
+    tomb_phys = {
+        k: (
+            k
+            if k in file_cols
+            else (
+                mapping.get(k) if mapping.get(k) in file_cols else None
+            )
+        )
+        for k in tomb_keys
+    }
+    need += [p for p in tomb_phys.values() if p and p not in need]
     if need:
         tbl = pf.read_row_groups(groups, columns=need)
         n = tbl.num_rows
@@ -197,8 +237,9 @@ def _read_partition_batches(schema: StructType, partition):
         n = sum(pf.metadata.row_group(g).num_rows for g in groups)
     cols = []
     for field in target:
-        if tbl is not None and field.name in tbl.column_names:
-            cols.append(tbl[field.name].cast(field.type))
+        phys = phys_of.get(field.name)
+        if tbl is not None and phys and phys in tbl.column_names:
+            cols.append(tbl[phys].cast(field.type))
         elif field.name in partition.partition_values:
             v = partition.partition_values[field.name]
             cols.append(
@@ -262,10 +303,20 @@ def _tombstone_keep_mask(partition, tbl, n: int):
     dead = _load_dead_keys(tuple(partition.tombstones), tuple(keys))
     if dead.num_rows == 0:
         return None
+    mapping = getattr(partition, "mapping", None) or {}
     key_arrs = {}
     for k in keys:
-        if tbl is not None and k in tbl.column_names:
-            key_arrs[k] = tbl[k]
+        phys = (
+            k
+            if tbl is not None and k in tbl.column_names
+            else (
+                mapping.get(k)
+                if tbl is not None and mapping.get(k) in tbl.column_names
+                else None
+            )
+        )
+        if phys is not None:
+            key_arrs[k] = tbl[phys]
         elif k in partition.partition_values:
             v = partition.partition_values[k]
             if v is None:
@@ -384,11 +435,20 @@ class SnapshotReader(DataSourceReader):
                             list(range(i, min(i + gpp, ng))),
                             tombs,
                             t_keys,
+                            self.manifest.get("column_mapping"),
                         )
                     )
             else:
                 out.append(
-                    SnapshotFilePartition(f, pv, where, None, tombs, t_keys)
+                    SnapshotFilePartition(
+                        f,
+                        pv,
+                        where,
+                        None,
+                        tombs,
+                        t_keys,
+                        self.manifest.get("column_mapping"),
+                    )
                 )
         return out
 
@@ -430,6 +490,8 @@ def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
         return []
     available = set(_log_versions(root))
     seen: set[str] = set()
+    ref_names: list | None = None
+    ref_mapping: dict | None = None
     if lo >= 0:
         if lo not in available:
             # vacuum/compaction removed the manifest that proves what
@@ -440,7 +502,10 @@ def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
                 "the stream cannot prove which rows it already "
                 "delivered; re-sync from a fresh checkpoint"
             )
-        seen = set(_log_manifest(root, lo)["files"])
+        m_lo = _log_manifest(root, lo)
+        seen = set(m_lo["files"])
+        ref_names = [f["name"] for f in json.loads(m_lo["schema"])["fields"]]
+        ref_mapping = m_lo.get("column_mapping") or {}
         first = lo + 1
         baseline = None
     else:
@@ -453,6 +518,24 @@ def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
     out = []
     for v in sorted(x for x in available if first <= x <= hi):
         m = _log_manifest(root, v)
+        names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        if ref_names is None:
+            ref_names = names
+            ref_mapping = m.get("column_mapping") or {}
+        elif (
+            names[: len(ref_names)] != ref_names
+            or (m.get("column_mapping") or {}) != ref_mapping
+        ):
+            # a RENAME or DROP landed mid-stream: the checkpointed
+            # schema's names no longer describe the newer files, and
+            # silently NULL-filling a renamed column would be row loss
+            # in disguise (additive evolution — a pure suffix of new
+            # columns — stays fine: old readers just don't see them)
+            raise ValueError(
+                f"schema names changed at v{v} (rename/drop) — the "
+                "stream cannot keep reading under its start-time "
+                "schema; re-sync from a fresh snapshot read"
+            )
         if v != baseline and m["mode"] != "append":
             raise ValueError(
                 f"v{v} is {m['mode']!r}, not append — the change "
@@ -477,7 +560,11 @@ def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
                 col: (None if tv is None else _stat_to_py(tv))
                 for col, tv in parts.get(f, {}).items()
             }
-            out.append(SnapshotFilePartition(f, pv))
+            out.append(
+                SnapshotFilePartition(
+                    f, pv, mapping=m.get("column_mapping")
+                )
+            )
     return out
 
 

@@ -787,6 +787,11 @@ def _file_evidence(manifest: dict, f: str) -> dict:
     partitioning AND footer skipping) fires on the same ``read(where=)``
     scan with one planner."""
     ev = dict(manifest.get("stats", {}).get(f, {}))
+    # column mapping (rename): stats of pre-rename files are keyed by the
+    # PHYSICAL name — predicates name the logical one; alias the evidence
+    for logical, phys in (manifest.get("column_mapping") or {}).items():
+        if logical not in ev and phys in ev:
+            ev[logical] = ev[phys]
     cols = _schema_cols(manifest)
     for col, tv in manifest.get("partitions", {}).get(f, {}).items():
         t = _derived_partition_transform(col, cols)
@@ -1141,6 +1146,28 @@ class SnapshotTable:
                             "or mode='overwrite' to change the schema"
                         )
                     evolved = True
+                    added = (
+                        [n for n, _t in got[k:]]
+                        if len(got) > len(want)
+                        else []
+                    )
+                    retired_hit = set(added) & (
+                        set(prior_m.get("retired_columns", []))
+                        | set(
+                            (prior_m.get("column_mapping") or {}).values()
+                        )
+                    )
+                    if retired_hit:
+                        # a DROPPED or RENAMED-AWAY column's bytes still
+                        # live in old files under this physical name;
+                        # re-adding it would resurrect stale data for
+                        # pre-evolution rows
+                        raise ValueError(
+                            f"column name(s) {sorted(retired_hit)} are "
+                            "retired physical names in this table's old "
+                            "files — pick a fresh name or OPTIMIZE to "
+                            "rewrite the old files first"
+                        )
                     base_fields = json.loads(
                         prior_m["schema"]
                         if len(want) >= len(got)
@@ -1205,6 +1232,12 @@ class SnapshotTable:
                 manifest["bloom"] = bloom_spec
             if constraints:
                 manifest["constraints"] = constraints
+            if mode == "append":
+                # renamed/retired column bookkeeping rides until an
+                # overwrite rewrites every file under the logical schema
+                for k_ in ("column_mapping", "retired_columns"):
+                    if prior_manifest.get(k_):
+                        manifest[k_] = prior_manifest[k_]
             # appends keep live tombstones (they still apply to prior
             # files); overwrite starts clean — the set they scoped is gone
             if mode == "append" and prior_manifest.get("tombstones"):
@@ -1339,6 +1372,10 @@ class SnapshotTable:
             # check; a raw add_files caller is trusted like Iceberg's)
             if head_manifest.get("constraints"):
                 manifest["constraints"] = head_manifest["constraints"]
+            if mode == "append":
+                for k_ in ("column_mapping", "retired_columns"):
+                    if prior_manifest.get(k_):
+                        manifest[k_] = prior_manifest[k_]
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
@@ -1645,6 +1682,9 @@ class SnapshotTable:
                 out["txns"] = cur["txns"]  # writer evidence survives DML
             if cur.get("constraints"):
                 out["constraints"] = cur["constraints"]
+            for k_ in ("column_mapping", "retired_columns"):
+                if cur.get(k_):
+                    out[k_] = cur[k_]
             if cur.get("tombstones"):
                 # rewritten files were built THROUGH the tombstones and get
                 # a post-delete seq, so carried tombstones keep applying
@@ -1820,6 +1860,9 @@ class SnapshotTable:
             out["txns"] = manifest["txns"]
         if manifest.get("constraints"):
             out["constraints"] = manifest["constraints"]
+        for k_ in ("column_mapping", "retired_columns"):
+            if manifest.get(k_):
+                out[k_] = manifest[k_]
         if manifest.get("tombstones"):
             # carried old files still need them; the replacement files get
             # a post-delete seq (their content is NEW rows by definition)
@@ -2002,6 +2045,9 @@ class SnapshotTable:
             out["txns"] = manifest["txns"]
         if manifest.get("constraints"):
             out["constraints"] = manifest["constraints"]
+        for k_ in ("column_mapping", "retired_columns"):
+            if manifest.get(k_):
+                out[k_] = manifest[k_]
         if manifest.get("tombstones"):
             # compacted files were rewritten through the tombstones; the
             # carried large files still need them
@@ -2042,6 +2088,8 @@ class SnapshotTable:
             "bloom",
             "txns",
             "constraints",
+            "column_mapping",
+            "retired_columns",
         ):
             if k in target:
                 manifest[k] = target[k]
@@ -2280,7 +2328,15 @@ class SnapshotTable:
             "file_seq": file_seq,
             "committed_at": __import__("time").time(),
         }
-        for k in ("evolved", "bloom", "txns", "constraints", "partition_by"):
+        for k in (
+            "evolved",
+            "bloom",
+            "txns",
+            "constraints",
+            "partition_by",
+            "column_mapping",
+            "retired_columns",
+        ):
             if manifest.get(k):
                 out[k] = manifest[k]
         if manifest.get("tombstones"):
@@ -2448,11 +2504,18 @@ class SnapshotTable:
                 if any(part_values.get(f) for f in fs):
                     r = r.option("basePath", root)
                 p = r.parquet(*fs)
+                mapping = manifest.get("column_mapping") or {}
                 for fld in schema.fields:  # evolution: absent reads NULL
                     if fld.name not in p.columns:
-                        p = p.withColumn(
-                            fld.name, F_lit(None).cast(fld.dataType)
-                        )
+                        phys = mapping.get(fld.name)
+                        if phys and phys in p.columns:
+                            # pre-rename file: the bytes live under the
+                            # physical name — serve them as the logical
+                            p = p.withColumnRenamed(phys, fld.name)
+                        else:
+                            p = p.withColumn(
+                                fld.name, F_lit(None).cast(fld.dataType)
+                            )
                 parts.append(_project_to_schema(p, schema, extra))
         finally:
             if prev_inf is None:
@@ -2642,6 +2705,152 @@ class SnapshotTable:
             out["constraints"] = constraints
         else:
             out.pop("constraints", None)
+        self._publish(version, out)
+        return version
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN via NAME MAPPING (Delta's column
+        mapping / Iceberg's field-id idea, name-keyed): a metadata-only
+        append version renames the LOGICAL schema field and records
+        ``column_mapping[new] = physical`` — the name the bytes were
+        written under — so files written before the rename keep serving
+        (every read path resolves logical -> physical per file; new
+        files write the new name directly and need no entry; an
+        OPTIMIZE/overwrite rewrites everything to logical names and
+        commit drops the mapping). Refuses while the column is
+        entangled with name-keyed state whose translation would be
+        silent guesswork: live tombstone keys, CHECK constraint
+        expressions mentioning it, or the partition layout (identity or
+        transform source) — resolve those first (OPTIMIZE, drop the
+        constraint, evolve the layout)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        schema = json.loads(manifest["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (table has {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in (manifest.get("tombstone_keys") or []):
+            raise ValueError(
+                f"{old!r} is a live tombstone key — OPTIMIZE first to "
+                "materialize the deletes, then rename"
+            )
+        for cname, cexpr in (manifest.get("constraints") or {}).items():
+            if __import__("re").search(
+                rf"\b{__import__('re').escape(old)}\b", cexpr
+            ):
+                raise ValueError(
+                    f"constraint {cname!r} ({cexpr}) references {old!r} — "
+                    "drop and re-add it under the new name"
+                )
+        for spec in manifest.get("partition_by") or []:
+            t = _parse_transform_spec(spec)
+            src = spec if t is None else t["col"]
+            if src == old:
+                raise ValueError(
+                    f"partition layout {spec!r} references {old!r} — "
+                    "evolve the layout first"
+                )
+        mapping = dict(manifest.get("column_mapping", {}))
+        taken = set(manifest.get("retired_columns", [])) | set(
+            mapping.values()
+        )
+        if new in taken:
+            # old files still hold bytes under this PHYSICAL name (a
+            # renamed-away or dropped column) — reusing it would serve
+            # those stale bytes as the new column's data
+            raise ValueError(
+                f"{new!r} is a live physical name in pre-rename files — "
+                "pick a fresh name or OPTIMIZE to rewrite them first"
+            )
+        physical = mapping.pop(old, old)
+        mapping[new] = physical
+        # prune identity entries (a column renamed back to its physical
+        # name needs no translation)
+        mapping = {k: v for k, v in mapping.items() if k != v}
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        out = dict(manifest)
+        out.pop("txn", None)
+        version = base + 1
+        out.update(
+            {
+                "version": version,
+                "mode": "append",  # same file set: streams skip clean
+                "schema": json.dumps(schema),
+                # mixed logical/physical file generations must route
+                # through the per-commit-group scan path
+                "evolved": True,
+                "committed_at": __import__("time").time(),
+            }
+        )
+        if mapping:
+            out["column_mapping"] = mapping
+        else:
+            out.pop("column_mapping", None)
+        self._publish(version, out)
+        return version
+
+    def drop_column(self, col: str) -> int:
+        """ALTER TABLE DROP COLUMN, metadata-only: the field leaves the
+        logical schema (old files keep the bytes — never read again; an
+        OPTIMIZE materializes the narrow schema). The physical name is
+        recorded as RETIRED so a later merge_schema add of the same name
+        cannot silently resurrect stale bytes from pre-drop files. Same
+        entanglement refusals as rename."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        schema = json.loads(manifest["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if col not in names:
+            raise ValueError(f"no column {col!r} (table has {names})")
+        if col in (manifest.get("tombstone_keys") or []):
+            raise ValueError(
+                f"{col!r} is a live tombstone key — OPTIMIZE first"
+            )
+        for cname, cexpr in (manifest.get("constraints") or {}).items():
+            if __import__("re").search(
+                rf"\b{__import__('re').escape(col)}\b", cexpr
+            ):
+                raise ValueError(
+                    f"constraint {cname!r} ({cexpr}) references {col!r}"
+                )
+        for spec in manifest.get("partition_by") or []:
+            t = _parse_transform_spec(spec)
+            src = spec if t is None else t["col"]
+            if src == col:
+                raise ValueError(
+                    f"partition layout {spec!r} references {col!r}"
+                )
+        mapping = dict(manifest.get("column_mapping", {}))
+        physical = mapping.pop(col, col)
+        schema["fields"] = [
+            f for f in schema["fields"] if f["name"] != col
+        ]
+        retired = sorted(set(manifest.get("retired_columns", [])) | {physical})
+        out = dict(manifest)
+        out.pop("txn", None)
+        version = base + 1
+        out.update(
+            {
+                "version": version,
+                "mode": "append",
+                "schema": json.dumps(schema),
+                "evolved": True,
+                "retired_columns": retired,
+                "committed_at": __import__("time").time(),
+            }
+        )
+        if mapping:
+            out["column_mapping"] = mapping
+        else:
+            out.pop("column_mapping", None)
         self._publish(version, out)
         return version
 

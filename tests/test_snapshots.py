@@ -3002,3 +3002,165 @@ def test_type_widening_append(spark, table):
     assert sorted(r.k for r in served.collect()) == sorted(
         r.k for r in table.read(spark).collect()
     )
+
+
+# ------------------------------------------------ column rename / drop
+# (round 8): name-mapping schema evolution — old files keep serving
+# under the new logical names.
+
+
+def test_rename_column_lifecycle(spark, table):
+    import datetime
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append")  # k, ts, v
+    table.rename_column("v", "label")
+    got = table.read(spark)
+    assert got.columns == ["k", "ts", "label"]
+    assert sorted(r.label for r in got.collect()) == ["a", "b", "c", "d"]
+    # post-rename appends write the logical name; both generations serve
+    table.commit(
+        spark.createDataFrame(
+            [(9, d(2024, 3, 9), "z")], "k long, ts timestamp, label string"
+        ).repartition(1),
+        mode="append",
+    )
+    assert sorted(r.label for r in table.read(spark).collect()) == [
+        "a", "b", "c", "d", "z",
+    ]
+    # pruning on the renamed column reaches pre-rename footer stats
+    rep = table.scan_stats(where=[("label", "=", "z")])
+    assert rep["n_files_scanned"] < rep["n_files_total"]
+    assert [
+        r.k for r in table.read(spark, where=[("label", "=", "z")]).collect()
+    ] == [9]
+    # metadata aggregates resolve through the mapping too
+    assert table.metadata_min_max("label") == ("a", "z")
+    # predicate DML under the new name, old files included
+    table.delete_where(spark, [("label", "=", "a")])
+    assert sorted(r.k for r in table.read(spark).collect()) == [2, 3, 4, 9]
+
+
+def test_rename_column_through_datasource_and_tombstones(spark, table):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    table.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="append")
+    table.rename_column("k", "id")
+    # a MERGE-ON-READ delete AFTER the rename names the logical key;
+    # pre-rename files store the physical — both read paths agree
+    table.delete_keys(
+        spark,
+        spark.createDataFrame([(2,)], "id long"),
+        keys=["id"],
+    )
+    rel = sorted(r.id for r in table.read(spark).collect())
+    assert rel == [1, 3]
+    served = (
+        spark.read.format("snapshot").option("root", table.root).load()
+    )
+    assert served.columns == ["id", "v"]
+    assert sorted(r.id for r in served.collect()) == [1, 3]
+    # pushed filter on the logical name prunes and answers correctly
+    got = (
+        spark.read.format("snapshot")
+        .option("root", table.root)
+        .load()
+        .filter("id >= 3")
+        .collect()
+    )
+    assert [r.id for r in got] == [3]
+    # the columns option speaks logical names too
+    narrow = (
+        spark.read.format("snapshot")
+        .option("root", table.root)
+        .option("columns", "id")
+        .load()
+    )
+    assert narrow.columns == ["id"]
+    assert sorted(r.id for r in narrow.collect()) == [1, 3]
+
+
+def test_drop_column_retires_the_name(spark, table):
+    table.commit(_df(spark, [(1, "a"), (2, "b")]), mode="append")
+    table.drop_column("v")
+    assert table.read(spark).columns == ["k"]
+    # re-adding the dropped name would resurrect stale bytes -> refuse
+    with pytest.raises(ValueError, match="retired"):
+        table.commit(
+            _df(spark, [(3, "NEW")]), mode="append", merge_schema=True
+        )
+    # a fresh name is fine
+    table.commit(
+        spark.createDataFrame([(3, "w3")], "k long, w string"),
+        mode="append",
+        merge_schema=True,
+    )
+    assert table.read(spark).columns == ["k", "w"]
+    # OPTIMIZE rewrites every file under the logical schema; the retired
+    # name is releasable afterwards (commit overwrite drops bookkeeping)
+    table.optimize(spark, sort_cols=["k"])
+    table.commit(
+        spark.createDataFrame(
+            [(4, "w4", "fresh-v")], "k long, w string, v string"
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    assert table.read(spark).columns == ["k", "w", "v"]
+
+
+def test_rename_refusals_and_stream_guard(spark, table):
+    import datetime
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_added_partitions,
+    )
+
+    d = datetime.datetime
+    table.commit(_days(spark), mode="append", partition_by=["day(ts)"])
+    with pytest.raises(ValueError, match="layout"):
+        table.rename_column("ts", "when_")
+    table.add_constraint(spark, "k_pos", "k > 0")
+    with pytest.raises(ValueError, match="k_pos"):
+        table.rename_column("k", "id")
+    table.drop_constraint("k_pos")
+    v_before = table.latest_version()
+    table.rename_column("k", "id")
+    table.commit(
+        _ts_df(spark, [(9, d(2024, 3, 9), "z")]).withColumnRenamed(
+            "k", "id"
+        ),
+        mode="append",
+        partition_by=["day(ts)"],
+    )
+    # a stream checkpointed BEFORE the rename refuses to cross it
+    with pytest.raises(ValueError, match="rename/drop"):
+        _plan_added_partitions(
+            table.root, v_before, table.latest_version()
+        )
+
+
+def test_rename_cannot_reuse_live_physical_names(spark, table):
+    """The stale-bytes hole: a name that is still a PHYSICAL column in
+    old files (renamed-away or dropped) must not be reusable until an
+    OPTIMIZE rewrites those files."""
+    table.commit(_df(spark, [(1, "a")]), mode="append")
+    table.rename_column("v", "label")
+    # "v" bytes still live in the v0 file: rename-to-v refuses
+    with pytest.raises(ValueError, match="physical name"):
+        table.rename_column("label", "v")
+    # merge_schema re-ADD of "v" refuses the same way
+    with pytest.raises(ValueError, match="retired physical"):
+        table.commit(
+            spark.createDataFrame(
+                [(2, "x", "stale?")], "k long, label string, v string"
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+    # OPTIMIZE rewrites everything under logical names -> "v" is free
+    table.optimize(spark, sort_cols=["k"])
+    table.rename_column("label", "v")
+    assert table.read(spark).columns == ["k", "v"]
+    assert [r.v for r in table.read(spark).collect()] == ["a"]
