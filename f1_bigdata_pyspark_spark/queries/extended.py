@@ -4632,7 +4632,7 @@ def snapshot_served_pricing_summary(
         table = SnapshotTable(root)
         for y in years:
             table.commit(
-                li.filter(F.year("l_shipdate") == y).coalesce(1),
+                li.filter(F.year("l_shipdate") == y).repartition(1),
                 mode="append",
             )
         register(spark)

@@ -108,6 +108,7 @@ class SnapshotFilePartition(InputPartition):
         tombstones=None,
         tombstone_keys=None,
         mapping=None,
+        nan_free=None,
     ):
         self.path = path
         self.partition_values = partition_values  # col -> python value
@@ -130,6 +131,11 @@ class SnapshotFilePartition(InputPartition):
         # SnapshotTable.read's _scan_with_tombstones semantics.
         self.tombstones = tombstones or []
         self.tombstone_keys = tombstone_keys or []
+        # columns whose FILE-level write-time NaN count is 0: a NaN-free
+        # file has NaN-free row groups, so the executor's row-group
+        # skipper may trust the NaN-blind footer bounds for ">"-class
+        # predicates on these columns (round 9)
+        self.nan_free = nan_free or []
 
 
 def _read_partition_batches(schema: StructType, partition):
@@ -182,13 +188,24 @@ def _read_partition_batches(schema: StructType, partition):
                 return mapping[col]
             return col
 
+        nan_free = set(getattr(partition, "nan_free", None) or [])
+
+        def _rg_evidence(rg: int) -> dict:
+            ev = row_group_stats(pf.metadata, rg)
+            # thread the file-level NaN-freedom proof down: a NaN-free
+            # FILE has NaN-free row groups, so ">"-class pruning keeps
+            # its precision at row-group granularity too
+            for name in nan_free:
+                e = ev.get(name)
+                if e is not None:
+                    e["nanc"] = 0
+            return ev
+
         groups = [
             rg
             for rg in groups
             if all(
-                _file_may_match(
-                    row_group_stats(pf.metadata, rg), _rg_name(col), op, lit
-                )
+                _file_may_match(_rg_evidence(rg), _rg_name(col), op, lit)
                 for col, op, lit in partition.where
             )
         ]
@@ -419,6 +436,13 @@ class SnapshotReader(DataSourceReader):
             # through one task. Files committed before the meta existed
             # (no FILE_META_KEY) fall back to one partition, unchanged.
             meta = stats.get(f, {}).get(FILE_META_KEY) or {}
+            nan_free = [
+                c
+                for c, e in stats.get(f, {}).items()
+                if c != FILE_META_KEY
+                and isinstance(e, dict)
+                and e.get("nanc") == 0
+            ]
             ng = int(meta.get("ng") or 1)
             if split and ng > 1:
                 if gpp_opt is not None:
@@ -436,6 +460,7 @@ class SnapshotReader(DataSourceReader):
                             tombs,
                             t_keys,
                             self.manifest.get("column_mapping"),
+                            nan_free,
                         )
                     )
             else:
@@ -448,6 +473,7 @@ class SnapshotReader(DataSourceReader):
                         tombs,
                         t_keys,
                         self.manifest.get("column_mapping"),
+                        nan_free,
                     )
                 )
         return out
@@ -471,8 +497,11 @@ def _log_versions(root: str) -> list[int]:
 
 
 def _log_manifest(root: str, v: int) -> dict:
-    with open(os.path.join(root, "_manifests", f"v{v}.json")) as fh:
-        return json.load(fh)
+    # resolves round-9 incremental (delta) manifest records to the
+    # complete checkpoint form every consumer here expects
+    from f1_bigdata_pyspark_spark.sources.snapshots import load_manifest
+
+    return load_manifest(root, v)
 
 
 def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
@@ -931,6 +960,7 @@ class SnapshotWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         from f1_bigdata_pyspark_spark.sources.snapshots import (
+            _exact_stats_overlay,
             _file_column_stats,
         )
 
@@ -948,10 +978,12 @@ class SnapshotWriter(DataSourceArrowWriter):
             pq.write_table(tbl, path)
             # executor-side stats collection (min/max + null counts) —
             # the scale-correct half of the manifest, shipped in the
-            # commit message
-            return SnapshotWriteMessage(
-                path, _file_column_stats(path), tbl.num_rows
-            )
+            # commit message. The exact overlay (NaN counts, long-string
+            # bounds the footer truncates) folds the Arrow batches
+            # ALREADY in this task's memory — zero extra I/O.
+            st = _file_column_stats(path)
+            _exact_stats_overlay(st, tbl)
+            return SnapshotWriteMessage(path, st, tbl.num_rows)
         # partitioned: one output file per partition-value tuple held by
         # this task, so per-file point stats hold by construction
         names = [t["name"] for t in self.layout]
@@ -970,9 +1002,12 @@ class SnapshotWriter(DataSourceArrowWriter):
                 out_dir,
                 f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}-g{j}.parquet",
             )
-            pq.write_table(tbl.take(idxs), path)
+            sub = tbl.take(idxs)
+            pq.write_table(sub, path)
             pv = {n: _tagged_point(v) for n, v in zip(names, key)}
-            entries.append((path, _file_column_stats(path), pv))
+            st = _file_column_stats(path)
+            _exact_stats_overlay(st, sub)
+            entries.append((path, st, pv))
         return SnapshotPartitionedWriteMessage(entries)
 
     def commit(self, messages):
@@ -1089,8 +1124,11 @@ class SnapshotDataSource(DataSource):
             if not versions:
                 raise FileNotFoundError(f"no commits at {root}")
             version = max(versions)
-        with open(os.path.join(mdir, f"v{int(version)}.json")) as fh:
-            return json.load(fh)
+        from f1_bigdata_pyspark_spark.sources.snapshots import (
+            load_manifest,
+        )
+
+        return load_manifest(root, int(version))
 
     def schema(self) -> StructType:
         committed = StructType.fromJson(

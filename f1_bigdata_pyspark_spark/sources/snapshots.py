@@ -15,8 +15,12 @@ Mechanism (exactly the Delta log's, minus compaction of the log itself):
 - Data files are immutable, written once under ``<root>/data/`` with a
   unique per-commit prefix. NOTHING ever rewrites or deletes a live file.
 - A commit = write data files, then atomically publish manifest
-  ``_manifests/v{N}.json`` listing the table's COMPLETE file set at
+  ``_manifests/v{N}.json`` describing the table's COMPLETE file set at
   version N (append = previous set + new files; overwrite = new files).
+  On the wire (round 9) a version is either a self-contained CHECKPOINT
+  or an O(changes) DELTA record against v{N-1} with periodic checkpoints
+  — Delta's log economics; ``load_manifest`` resolves either form to
+  the same complete dict, so consumers never see the difference.
 - Atomicity: the manifest is written to a temp name and ``rename``d into
   place — a POSIX/HDFS atomic op. Readers either see v{N} fully or not
   at all; a crashed writer leaves only unreferenced orphan files (safe,
@@ -32,7 +36,10 @@ Mechanism (exactly the Delta log's, minus compaction of the log itself):
 Scale: the manifest holds file PATHS (plus row counts), not data; at
 100 TB a version is still a few MB of JSON, and a snapshot read plans
 from the explicit file list with no directory listing storm. Appends are
-O(new data) — the 1000-executor write never touches existing files.
+O(new data) — the 1000-executor write never touches existing files —
+and since round 9 an append's COMMIT METADATA is O(changeset) too (the
+delta wire format above), so a million-file table no longer serializes
+its whole stats map through the driver on every commit.
 """
 
 from __future__ import annotations
@@ -93,6 +100,159 @@ def _json_stat_value(v):
     return None
 
 
+def _stat_pair_ok(mn, mx) -> bool:
+    """Reject a footer [min, max] pair that cannot be trusted as bounds.
+
+    Parquet writers TRUNCATE long binary statistics, and pyarrow 16.1
+    reports the truncated bound as an EMPTY STRING while ``has_min_max``
+    stays True (measured: values <= 4096 bytes round-trip exactly; any
+    longer value's bound comes back ``''``; there is no
+    ``is_min/max_value_exact`` API before Arrow 18). Ingesting that
+    ``''`` as a genuine upper bound makes ``_file_may_match(col, '>=',
+    lit)`` "prove" the file empty and unsoundly skip rows — including
+    a ``delete_where`` that silently fails to delete. Guard: any string
+    pair with an empty bound is discarded (a legitimately all-empty
+    column merely forfeits pruning — sound), and any inverted pair
+    (min > max — the shape every shrink-style truncation scheme
+    produces) is discarded as cross-writer armor. Spark's parquet-mr
+    writer drops min/max entirely for long values (``has_min_max``
+    False — measured), so it never reaches this guard.
+    """
+    if mn[0] == "str" and (mn[1] == "" or mx[1] == ""):
+        return False
+    try:
+        if _stat_to_py(mn) > _stat_to_py(mx):
+            return False
+    except TypeError:
+        return False
+    return True
+
+
+def _is_nan_lit(v) -> bool:
+    import math
+
+    return isinstance(v, float) and math.isnan(v)
+
+
+# Exact string bounds recorded from DATA (not the footer) are stored
+# under sound truncation so a 100 KB document min/max never bloats the
+# manifest: min = a 64-char PREFIX of the true min (a prefix orders <=
+# the full string), max = the 64-char prefix of the true max with its
+# last code point INCREMENTED (orders > every string sharing the
+# prefix) — Iceberg's truncate(w) contract. Truncated entries carry
+# ``tr: 1`` so exactness consumers (metadata_min_max) refuse them while
+# pruning still uses the sound bounds.
+_STRING_BOUND_WIDTH = 64
+
+
+def _string_upper_bound(s: str, width: int) -> str | None:
+    """Shortest string of <= ``width`` code points ordering >= every
+    string that starts with ``s[:width]`` (None if impossible — every
+    prefix char already U+10FFFF)."""
+    if len(s) <= width:
+        return s
+    p = s[:width]
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000  # never store a lone surrogate
+            return p[:i] + chr(nxt)
+    return None
+
+
+def _truncate_string_bounds(mn: str, mx: str):
+    """(stored_min, stored_max, truncated?) under the sound-truncation
+    contract above; stored_max None = give up (no evidence)."""
+    if len(mn) <= _STRING_BOUND_WIDTH and len(mx) <= _STRING_BOUND_WIDTH:
+        return mn, mx, False
+    return (
+        mn[:_STRING_BOUND_WIDTH],
+        _string_upper_bound(mx, _STRING_BOUND_WIDTH),
+        True,
+    )
+
+
+def _exact_stats_overlay(stats_entry: dict, tbl) -> None:
+    """Overlay write-time evidence computed from the just-written DATA
+    (an Arrow table) onto a footer-harvested stats entry — the two
+    facts parquet footers cannot supply:
+
+    - **float/double columns**: ``nanc`` (NaN count). pyarrow writes
+      clean [min, max] that silently IGNORE NaN (measured: [1.0, NaN,
+      2.0] -> min 1.0, max 2.0, null_count 0) while Spark orders NaN
+      ABOVE every numeric value (``NaN > lit`` and ``NaN = NaN`` are
+      TRUE) — so float bounds prove nothing about ``>``-class
+      predicates unless NaN-freedom is recorded. ``nanc == 0`` is that
+      proof; pruning and metadata aggregates degrade conservatively
+      whenever it is absent or nonzero.
+    - **string columns with no usable footer bounds** (the writer
+      truncated/dropped them — long text, exactly the LLM-corpus
+      column): exact min/max folded from the data, stored under sound
+      64-char truncation (``tr: 1`` when truncated).
+
+    In the 2PC DataSource writer this folds the Arrow batches ALREADY
+    in executor memory — free and cluster-correct. The ``commit()``
+    path reads the needed columns back per new file as the local-mode
+    stand-in (same placement story as ``_file_bloom``): O(new files),
+    column-pruned, executor-side at cluster scale.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for i, field in enumerate(tbl.schema):
+        name = field.name
+        if "." in name:
+            continue
+        t = field.type
+        if pa.types.is_floating(t):
+            n = pc.sum(pc.is_nan(tbl.column(i))).as_py() or 0
+            e = stats_entry.setdefault(name, {})
+            e["fl"] = 1
+            e["nanc"] = int(n)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            e = stats_entry.get(name)
+            if e is not None and "min" in e:
+                continue  # footer bounds survived the guards: exact
+            mm = pc.min_max(tbl.column(i))
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if mn is None:
+                continue  # all-null: null counts already carry the proof
+            lo, hi, truncated = _truncate_string_bounds(mn, mx)
+            if hi is None:
+                continue
+            e = stats_entry.setdefault(name, {})
+            e["min"] = ["str", lo]
+            e["max"] = ["str", hi]
+            if truncated:
+                e["tr"] = 1
+            elif "tr" in e:
+                del e["tr"]
+
+
+def _overlay_columns_needed(stats_entry: dict, arrow_schema) -> list[str]:
+    """Columns ``_exact_stats_overlay`` would need data for: every
+    top-level float/double column (NaN count), plus string columns the
+    footer harvest yielded no usable bounds for. Empty for the common
+    short-string/no-float commit — the read-back is then skipped
+    entirely."""
+    import pyarrow as pa
+
+    need = []
+    for field in arrow_schema:
+        if "." in field.name:
+            continue
+        if pa.types.is_floating(field.type):
+            need.append(field.name)
+        elif pa.types.is_string(field.type) or pa.types.is_large_string(
+            field.type
+        ):
+            if "min" not in stats_entry.get(field.name, {}):
+                need.append(field.name)
+    return need
+
+
 # File-LEVEL metadata rides inside the per-file stats entry under this
 # reserved key so every manifest carry path (merge, optimize, delete,
 # clone, rollback, publish_files) transports it for free — the same
@@ -130,6 +290,7 @@ def _file_column_stats(path: str) -> dict:
     complete: set[str] = set()
     nulls: dict[str, int] = {}
     nulls_complete: set[str] = set()
+    float_cols: set[str] = set()
     if md.num_row_groups == 0:
         return {FILE_META_KEY: meta}
     for rg in range(md.num_row_groups):
@@ -141,6 +302,8 @@ def _file_column_stats(path: str) -> dict:
             name = c.path_in_schema
             if "." in name:  # nested leaf — not a top-level column
                 continue
+            if c.physical_type in ("FLOAT", "DOUBLE"):
+                float_cols.add(name)  # NaN-blind stats: tag for pruning
             st = c.statistics
             if st is None:
                 continue
@@ -154,7 +317,12 @@ def _file_column_stats(path: str) -> dict:
                 continue
             mn = _json_stat_value(st.min)
             mx = _json_stat_value(st.max)
-            if mn is None or mx is None or mn[0] != mx[0]:
+            if (
+                mn is None
+                or mx is None
+                or mn[0] != mx[0]
+                or not _stat_pair_ok(mn, mx)
+            ):
                 continue
             seen.add(name)
             if name not in acc:
@@ -174,6 +342,9 @@ def _file_column_stats(path: str) -> dict:
         e = out.setdefault(name, {})
         e["nc"] = nulls[name]  # nulls in this column across the file
         e["nr"] = md.num_rows  # file row count (the all-null test's bound)
+    for name in float_cols:
+        if name in out:
+            out[name]["fl"] = 1  # float evidence: NaN-blind until nanc
     out[FILE_META_KEY] = meta
     return out
 
@@ -380,6 +551,30 @@ def _schema_cols(manifest: dict) -> frozenset:
     return got
 
 
+_SCHEMA_FLOAT_CACHE: dict = {}
+
+
+def _schema_float_cols(manifest: dict) -> frozenset:
+    """Float/double column names of the manifest's committed schema,
+    memoized like ``_schema_cols`` — lets pruning tag NaN-blind float
+    evidence in OLD manifests (committed before write-time ``nanc``
+    existed) without re-parsing the schema per file."""
+    s = manifest.get("schema")
+    if s is None:
+        return frozenset()
+    got = _SCHEMA_FLOAT_CACHE.get(s)
+    if got is None:
+        if len(_SCHEMA_FLOAT_CACHE) >= 64:
+            _SCHEMA_FLOAT_CACHE.clear()
+        got = frozenset(
+            f["name"]
+            for f in json.loads(s)["fields"]
+            if f["type"] in ("float", "double")
+        )
+        _SCHEMA_FLOAT_CACHE[s] = got
+    return got
+
+
 def _derived_partition_transform(name: str, cols: frozenset) -> dict | None:
     """Parse a partition directory column name back into its transform —
     only when it is NOT a real table column (identity partitions keep
@@ -486,9 +681,17 @@ def row_group_stats(md, rg: int) -> dict:
         if st.has_min_max:
             mn = _json_stat_value(st.min)
             mx = _json_stat_value(st.max)
-            if mn is not None and mx is not None and mn[0] == mx[0]:
+            if (
+                mn is not None
+                and mx is not None
+                and mn[0] == mx[0]
+                and _stat_pair_ok(mn, mx)
+            ):
                 e["min"] = mn
                 e["max"] = mx
+        if c.physical_type in ("FLOAT", "DOUBLE") and e:
+            e["fl"] = 1  # NaN-blind footer bounds: conservative unless
+            # the planner threads the file-level nanc==0 proof in
         if e:
             out[name] = e
     return out
@@ -606,6 +809,23 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
         return not (nc is not None and nr is not None and nc == nr and nr > 0)
     if nc is not None and nr is not None and nc == nr and nr > 0:
         return False  # all-null: no row can satisfy a comparison
+    # NaN tier (round 9): Spark orders NaN ABOVE every numeric value
+    # (``NaN > lit`` and ``NaN = NaN`` evaluate TRUE), while pyarrow's
+    # footer [min, max] silently IGNORE NaN — so float bounds say
+    # nothing about what a ``>``-class or NaN-equality predicate can
+    # match unless NaN-freedom is proven (write-time ``nanc`` == 0).
+    # ``<``-class ops stay prunable (``NaN < lit`` is always FALSE).
+    nan_possible = ev.get("fl") and ev.get("nanc") != 0
+    if nan_possible and op in (">", ">="):
+        return True
+    if ev.get("fl") and op in ("=", "==") and _is_nan_lit(lit):
+        # a NaN probe matches ONLY NaN rows; with nanc==0 the file
+        # provably holds none — prunable even without min/max. (Non-
+        # float columns fall through to the conservative default: a NaN
+        # literal against them is an implicit-cast oddity, never pruned.)
+        return bool(nan_possible)
+    if op == "in" and nan_possible and any(_is_nan_lit(v) for v in lit):
+        return True
     # bloom tier (round 7): equality/IN probes against a per-file bloom —
     # the point-lookup prune min/max can't provide on hash-distributed
     # keys. Composes with the range tier (each can only REMOVE files).
@@ -694,6 +914,10 @@ def _widen_schema_prefix(want: list, got: list) -> list | None:
             return None
         if wt == gt:
             out.append((wn, wt))
+        elif not (isinstance(wt, str) and isinstance(gt, str)):
+            # complex types (struct/array/map) are DICTS in schema JSON —
+            # unhashable, and never widenable; mismatch, not a crash
+            return None
         elif wt in _INT_WIDTH and gt in _INT_WIDTH:
             out.append((wn, wt if _INT_WIDTH[wt] >= _INT_WIDTH[gt] else gt))
         elif wt in _FLOAT_WIDTH and gt in _FLOAT_WIDTH:
@@ -742,6 +966,12 @@ def _file_all_match(stats: dict, col: str, op: str, lit) -> bool:
     if op == "is_not_null":
         return nc == 0
     if nc != 0 or "min" not in ev:
+        return False
+    if ev.get("fl") and ev.get("nanc") != 0:
+        # NaN-freedom unproven: a NaN row breaks every ``<``-class
+        # proof (NaN < lit is FALSE) while the NaN-blind footer bounds
+        # would still "cover" it — refuse, degrading metadata-only
+        # answers to a scan rather than to a wrong number
         return False
     tag = ev["min"][0]
     try:
@@ -804,13 +1034,25 @@ def _file_evidence(manifest: dict, f: str) -> dict:
         if tv is not None:
             # a value partition is null-free on that column (nc=0) —
             # IS NULL prunes it; nr is unknown so is_not_null never
-            # (wrongly) treats it as all-null
-            ev[col] = {"min": tv, "max": tv, "nc": 0}
+            # (wrongly) treats it as all-null. nanc=0 because every row
+            # EQUALS the directory value, which JSON could not even
+            # store were it NaN — the point stat is its own NaN proof.
+            ev[col] = {"min": tv, "max": tv, "nc": 0, "nanc": 0}
         else:
             # __HIVE_DEFAULT_PARTITION__: every row's value is NULL —
             # encode as an all-null point (nc == nr), so IS NOT NULL and
             # every comparison prune it while IS NULL keeps it
             ev[col] = {"nc": 1, "nr": 1}
+    # NaN tagging for OLD float evidence (round 9): manifests committed
+    # before write-time NaN counts existed carry untagged float bounds;
+    # mark them from the schema so the NaN-blind-footer guards fire.
+    # Entries already carrying ``nanc`` (new commits, partition points)
+    # keep their proof. Copy-on-write: the per-column dicts are shared
+    # with the manifest's stats map.
+    for col in _schema_float_cols(manifest):
+        e = ev.get(col)
+        if e is not None and "fl" not in e and "nanc" not in e:
+            ev[col] = {**e, "fl": 1}
     return ev
 
 
@@ -891,6 +1133,114 @@ def _parse_partition_segments(
     return out
 
 
+# ------------------------------------------------------------ manifest
+# wire format (round 9): INCREMENTAL COMMIT RECORDS. A published
+# ``_manifests/v{N}.json`` is either a self-contained CHECKPOINT (the
+# historical format: complete file list + per-file stats/partitions/
+# file_seq) or a DELTA record against v{N-1} carrying only the commit's
+# CHANGES — Delta Lake's log economics (O(changes) actions + periodic
+# checkpoints) applied to this layout. Every ``_CHECKPOINT_EVERY``-th
+# version is written as a checkpoint so a read resolves at most that
+# many deltas; at 1M files an append's commit metadata is KBs, not the
+# multi-GB full-snapshot JSON the round-8 format wrote per commit.
+# Readers NEVER see the wire format: ``load_manifest`` resolves a
+# version to the same complete dict the checkpoint form stores, and
+# every consumer (SnapshotTable, the DataSource planner, the stream
+# change feed) goes through it. Ops that UNLINK manifests (compact_log,
+# vacuum) first materialize every retained delta as a checkpoint
+# (``_checkpoint_manifest``) so no surviving version's base chain can
+# be severed.
+
+_CHECKPOINT_EVERY = 10
+_PER_FILE_MAPS = ("stats", "partitions", "file_seq")
+
+
+def load_manifest(root: str, version: int) -> dict:
+    """Load ``version``'s manifest and RESOLVE it to the complete
+    (checkpoint-form) dict, following the delta chain backward at most
+    ``_CHECKPOINT_EVERY`` hops. FileNotFoundError propagates — the same
+    time-travel contract as before (a vacuumed/compacted version, or a
+    severed base, fails cleanly at the manifest)."""
+    path = os.path.join(root, "_manifests", f"v{version}.json")
+    with open(path) as f:
+        raw = json.load(f)
+    if "delta_of" not in raw:
+        return raw
+    base = load_manifest(root, raw["delta_of"])
+    remove = set(raw.get("files_remove", []))
+    adds = raw.get("files_add", [])
+    files = [f for f in base["files"] if f not in remove] + adds
+    out = dict(raw.get("small", {}))
+    out["version"] = raw["version"]
+    out["files"] = files
+    for key in raw.get("maps_present", []):
+        bm = base.get(key, {})
+        set_map = raw.get(f"{key}_set", {})
+        unset = set(raw.get(f"{key}_unset", []))
+        merged = {}
+        for f in files:
+            if f in unset:
+                continue
+            if f in set_map:
+                merged[f] = set_map[f]
+            elif f in bm:
+                merged[f] = bm[f]
+        out[key] = merged
+    return out
+
+
+def _encode_manifest_delta(full: dict, base: dict) -> dict | None:
+    """Encode ``full`` (the next version's complete manifest) as a delta
+    record against ``base`` (the resolved previous version). None =
+    not encodable (an exotic file ordering or map key outside the file
+    set) — the caller falls back to the checkpoint form, so encoding is
+    an OPTIMIZATION that can never change what readers resolve.
+
+    O(table) CPU over in-memory pointers (the set diffs), but O(changes)
+    JSON written — the part that was O(table bytes) per commit."""
+    base_files = base.get("files")
+    new_files = full.get("files")
+    if base_files is None or new_files is None:
+        return None
+    base_set = set(base_files)
+    new_set = set(new_files)
+    adds = [f for f in new_files if f not in base_set]
+    # the resolution rebuilds "carried in base order + adds" — any
+    # caller that reordered carried files must publish a checkpoint
+    if [f for f in base_files if f in new_set] + adds != new_files:
+        return None
+    out = {
+        "version": full["version"],
+        "delta_of": base["version"],
+        "files_add": adds,
+        "files_remove": [f for f in base_files if f not in new_set],
+        "maps_present": [],
+        "small": {},
+    }
+    for key in _PER_FILE_MAPS:
+        if key not in full:
+            continue
+        fm, bm = full[key], base.get(key, {})
+        if not set(fm) <= new_set:
+            return None  # entry for a non-file: not delta-expressible
+        set_map, unset = {}, []
+        for f in new_files:
+            if f in fm:
+                if f not in bm or bm[f] != fm[f]:
+                    set_map[f] = fm[f]
+            elif f in bm:
+                unset.append(f)
+        out["maps_present"].append(key)
+        out[f"{key}_set"] = set_map
+        if unset:
+            out[f"{key}_unset"] = unset
+    for k, v in full.items():
+        if k == "version" or k in _PER_FILE_MAPS or k == "files":
+            continue
+        out["small"][k] = v
+    return out
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         # absolutize ONCE: manifests record file paths verbatim, and a
@@ -925,8 +1275,25 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _read_manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        return load_manifest(self.root, version)
+
+    def _checkpoint_manifest(self, version: int) -> bool:
+        """Materialize ``version``'s manifest as a self-contained
+        checkpoint in place (atomic replace; content-equivalent, so a
+        concurrent reader sees either form identically). Called by the
+        ops that UNLINK manifests before they sever a delta's base
+        chain. True = the file was a delta and got rewritten."""
+        path = self._manifest_path(version)
+        with open(path) as f:
+            raw = json.load(f)
+        if "delta_of" not in raw:
+            return False
+        full = self._read_manifest(version)
+        tmp = path + f".ckpt-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(full, f)
+        os.replace(tmp, path)
+        return True
 
     def _publish(self, version: int, manifest: dict) -> None:
         """Atomically publish the manifest for ``version`` (write temp +
@@ -941,9 +1308,23 @@ class SnapshotTable:
         final = self._manifest_path(version)
         if os.path.exists(final):
             raise SnapshotConflictError(f"version {version} already committed")
+        # incremental wire format (round 9): non-checkpoint versions
+        # write O(changes) delta records against the previous version;
+        # every _CHECKPOINT_EVERY-th version (and any commit the delta
+        # encoder declines) stays a self-contained checkpoint
+        encoded = manifest
+        if version % _CHECKPOINT_EVERY != 0 and version > 0:
+            try:
+                base = self._read_manifest(version - 1)
+            except (FileNotFoundError, ValueError):
+                base = None
+            if base is not None:
+                encoded = (
+                    _encode_manifest_delta(manifest, base) or manifest
+                )
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(encoded, f)
         try:
             # exclusive link+unlink ≈ rename that FAILS if dst exists —
             # closes the check-then-rename race two concurrent committers
@@ -1489,6 +1870,22 @@ class SnapshotTable:
             if isinstance(f["type"], str)
         }
         stats = {f: _file_column_stats(f) for f in new_files}
+        # exact write-time evidence the footer cannot supply (NaN
+        # counts; long-string bounds the writer truncated/dropped):
+        # read back ONLY the needed columns per new file — O(changeset)
+        # and column-pruned; skipped entirely for the common no-float
+        # short-string commit. Local-mode stand-in for the executor-side
+        # fold the 2PC DataSource writer does in-memory.
+        import pyarrow.parquet as _pq
+
+        for f in new_files:
+            need = _overlay_columns_needed(
+                stats[f], _pq.ParquetFile(f).schema_arrow
+            )
+            if need:
+                _exact_stats_overlay(
+                    stats[f], _pq.read_table(f, columns=need)
+                )
         if bloom_cols:
             import pyarrow.parquet as pq
 
@@ -2272,6 +2669,18 @@ class SnapshotTable:
         pred = F.coalesce(_predicate_column(where), F.lit(False))
         scan = self._scan_with_tombstones(spark, manifest, touched)
         rows_changed = scan.filter(pred).count()
+        if rows_changed == 0:
+            # pruning kept may-match files but no ROW satisfied the
+            # predicate: publishing a byte-identical copy-on-write
+            # version would force every streaming reader to refuse and
+            # re-sync over a DML that changed nothing — report the
+            # no-op against the CURRENT version instead
+            return {
+                "version": base,
+                "files_rewritten": 0,
+                "files_carried": len(manifest["files"]),
+                "rows_changed": 0,
+            }
         if set_exprs is None:
             new_df = scan.filter(~pred)
         else:
@@ -2630,6 +3039,15 @@ class SnapshotTable:
                 # no stats, or only a transform-implied PERIOD bound
                 # (sound for pruning, not an exact extreme) — refuse
                 return None
+            if e.get("tr"):
+                # truncation-BOUNDED long-string evidence (sound for
+                # pruning, not actual values) — refuse
+                return None
+            if e.get("fl") and e.get("nanc") != 0:
+                # NaN-freedom unproven: Spark's max() would be NaN
+                # (NaN orders greatest) while the footer bound ignores
+                # it — refuse rather than report a non-NaN "max"
+                return None
             mns.append(_stat_to_py(e["min"]))
             mxs.append(_stat_to_py(e["max"]))
         if not mns:
@@ -2908,6 +3326,12 @@ class SnapshotTable:
         dropped = [
             v for v in vs if v % every != 0 and v not in recent
         ]
+        dropped_set = set(dropped)
+        # retained DELTA manifests must survive their base chain being
+        # unlinked: materialize them as checkpoints first (round 9)
+        for v in vs:
+            if v not in dropped_set:
+                self._checkpoint_manifest(v)
         for v in dropped:
             os.unlink(self._manifest_path(v))
         return dropped
@@ -3082,6 +3506,10 @@ def vacuum(
                 kept_files.update(
                     t["path"] for t in cm.get("tombstones", [])
                 )
+    # retained DELTA manifests must survive their base chain being
+    # unlinked: materialize them as checkpoints first (round 9)
+    for v in keep:
+        table._checkpoint_manifest(v)
     for v in drop:
         os.unlink(table._manifest_path(v))
     removed = 0

@@ -680,3 +680,161 @@ def test_predicate_dml_matches_ground_truth(
     # the pre-DML file set
     m0 = t._read_manifest(0)
     assert rep["files_rewritten"] + rep["files_carried"] == len(m0["files"])
+
+
+# ------------------------------------------------ adversarial stats
+# ladder (round 9): random rows whose STRING values cross every writer
+# truncation threshold (>16 KB) and whose FLOATS include NaN/±inf —
+# harvest + exact overlay -> _file_may_match/_file_all_match must stay
+# sound under SPARK comparison semantics (NaN orders above everything),
+# and the metadata aggregates must be exact or refused, never wrong.
+
+_adv_string = st.one_of(
+    st.none(),
+    st.text(alphabet="abz", max_size=8),
+    st.builds(
+        lambda head, n: head + "q" * n,
+        st.text(alphabet="abz", min_size=1, max_size=4),
+        st.integers(min_value=5_000, max_value=20_001),
+    ),
+)
+_adv_float = st.one_of(
+    st.none(),
+    st.floats(-100.0, 100.0, allow_nan=False),
+    st.sampled_from(
+        [float("nan"), float("inf"), float("-inf")]
+    ),
+)
+_adv_rows = st.lists(
+    st.tuples(_adv_string, _adv_float), min_size=1, max_size=12
+)
+_adv_ops = st.sampled_from(["=", "<", "<=", ">", ">=", "is_null", "is_not_null"])
+
+
+def _spark_sat(v, op, lit):
+    """Spark's three-valued comparison truth for one value (strings via
+    binary collation == Python code points; floats via Spark's total
+    order where NaN is greatest and NaN = NaN is TRUE)."""
+    if op == "is_null":
+        return v is None
+    if op == "is_not_null":
+        return v is not None
+    if v is None:
+        return False
+    if isinstance(v, float) and math.isnan(v):
+        if isinstance(lit, float) and math.isnan(lit):
+            return op in ("=", "<=", ">=")
+        return op in (">", ">=")
+    if isinstance(lit, float) and math.isnan(lit):
+        return op in ("<", "<=")  # every non-NaN orders below NaN
+    return {
+        "=": v == lit,
+        "<": v < lit,
+        "<=": v <= lit,
+        ">": v > lit,
+        ">=": v >= lit,
+    }[op]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    _adv_rows,
+    st.sampled_from(["s", "x"]),
+    _adv_ops,
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_stats_ladder_sound_under_adversarial_values(
+    tmp_path_factory, rows, col, op, seed
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _exact_stats_overlay,
+        _file_all_match,
+        _file_column_stats,
+        _file_may_match,
+    )
+
+    p = str(tmp_path_factory.mktemp("adv") / "t.parquet")
+    tbl = pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], type=pa.string()),
+            "x": pa.array([r[1] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, p)
+    stats = _file_column_stats(p)
+    _exact_stats_overlay(stats, tbl)
+    vals = [r[0] if col == "s" else r[1] for r in rows]
+    # literal pool: values present (prefix-perturbed), plus seeded ones
+    if col == "s":
+        lits = ["", "a", "q" * (seed % 30), "z" * 17_000]
+        lits += [v[: seed % 50 + 1] for v in vals if v]
+    else:
+        lits = [
+            float(seed % 100) - 50.0,
+            float("nan"),
+            float("inf"),
+            float("-inf"),
+        ] + [v for v in vals if v is not None]
+    for lit in lits:
+        if op in ("is_null", "is_not_null"):
+            lit = None
+        truth = [_spark_sat(v, op, lit) for v in vals]
+        if not _file_may_match(stats, col, op, lit):
+            assert not any(truth), (
+                f"unsound prune: {col} {op} {lit!r} over {vals!r}"
+            )
+        if _file_all_match(stats, col, op, lit):
+            assert all(truth), (
+                f"unsound all-match: {col} {op} {lit!r} over {vals!r}"
+            )
+        if op in ("is_null", "is_not_null"):
+            break  # literal-independent: one round suffices
+
+
+@settings(max_examples=6, deadline=None)
+@given(_adv_rows)
+def test_metadata_aggregates_exact_or_refused_adversarial(
+    spark, tmp_path_factory, rows
+):
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    data = [(i, s, x) for i, (s, x) in enumerate(rows)]
+    t = SnapshotTable(str(tmp_path_factory.mktemp("advm") / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            data, "rid long, s string, x double"
+        ).repartition(1),
+        mode="append",
+    )
+    # count under a float range: Spark truth vs metadata tri-state
+    for where in (
+        [("x", "<=", 0.0)],
+        [("x", ">", 0.0)],
+        [("s", ">=", "q")],
+        None,
+    ):
+        truth = sum(
+            1
+            for _, s, x in data
+            if all(
+                _spark_sat(s if c == "s" else x, op, lit)
+                for c, op, lit in (where or [])
+            )
+        )
+        mc = t.metadata_count(where=where)
+        assert mc is None or mc == truth, (where, mc, truth)
+    # min/max per column: exact over non-null rows or refused; under
+    # NaN the exact Spark max is NaN itself — must refuse
+    for cname, idx in (("s", 1), ("x", 2)):
+        vals = [r[idx] for r in data if r[idx] is not None]
+        mm = t.metadata_min_max(cname)
+        if mm is not None and mm != (None, None):
+            assert vals and not any(
+                isinstance(v, float) and math.isnan(v) for v in vals
+            )
+            assert mm == (min(vals), max(vals))
+        elif mm == (None, None):
+            assert not vals

