@@ -5249,3 +5249,276 @@ def snapshot_rename_mapping_scan(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_long_document_skipping — data skipping and predicate DELETE
+# over >16 KB STRING values: the exact blast radius of the footer-stat
+# truncation hazard (parquet writers truncate/drop string min/max above
+# ~4 KB; pyarrow 16 reports the truncated bound as an EMPTY string with
+# has_min_max still true — evidence that, ingested naively, "proves"
+# matching files empty and makes a GDPR delete silently skip its rows).
+# Here every document is padded past the threshold, so pruning can ONLY
+# come from the commit path's exact write-time fold (truncation-BOUNDED
+# 64-char min/max, round 9) — the footer offers nothing. Four files
+# commit, one per leading marker; a range predicate over the long column
+# scans exactly the provable files (prune decision replayed in the
+# oracle from the same monotone-prefix argument), and a delete_where
+# over the same column removes exactly the top marker group with one
+# file rewritten. Match counts, character sums, skip accounting and DML
+# accounting all ride the value hash.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_long_document_skipping",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN 'a-' WHEN 1 THEN 'h-'
+              WHEN 2 THEN 'p-' ELSE 'w-' END AS marker,
+         CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN 'a-' WHEN 1 THEN 'h-'
+              WHEN 2 THEN 'p-' ELSE 'w-' END
+           || text || repeat('z', 17000) AS big_text
+  FROM documents
+),
+scan AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_match,
+         CAST(sum(length(big_text)) AS BIGINT) AS match_chars
+  FROM docs WHERE big_text >= 'p'
+),
+prune AS (
+  SELECT CAST(count(DISTINCT CASE WHEN marker >= 'p' THEN marker END)
+              AS BIGINT) AS n_scanned,
+         CAST(count(DISTINCT marker) AS BIGINT) AS n_total
+  FROM docs
+),
+del AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+         CAST(count(DISTINCT marker) AS BIGINT) AS files_rewritten
+  FROM docs WHERE big_text >= 'w'
+)
+SELECT marker,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(big_text)) AS BIGINT) AS total_chars,
+       (SELECT n_match FROM scan) AS n_match_scan,
+       (SELECT match_chars FROM scan) AS match_chars_scan,
+       (SELECT n_scanned FROM prune) AS n_files_scanned,
+       (SELECT n_total FROM prune) AS n_files_total,
+       (SELECT n_deleted FROM del) AS n_rows_deleted,
+       (SELECT files_rewritten FROM del) AS n_files_rewritten
+FROM docs
+WHERE big_text < 'w'
+GROUP BY marker
+ORDER BY marker
+""",
+)
+def snapshot_long_document_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    marker = (
+        F.when(F.col("doc_id") % 4 == 0, "a-")
+        .when(F.col("doc_id") % 4 == 1, "h-")
+        .when(F.col("doc_id") % 4 == 2, "p-")
+        .otherwise("w-")
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            marker.alias("marker"),
+            F.concat(
+                marker, F.col("text"), F.repeat(F.lit("z"), 17000)
+            ).alias("big_text"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="snap_longdoc_")
+    try:
+        table = SnapshotTable(root)
+        for m in ("a-", "h-", "p-", "w-"):
+            table.commit(
+                docs.filter(F.col("marker") == m).repartition(1),
+                mode="append",
+            )
+        # skipping on the long column: only the write-time fold can
+        # prune (the footer recorded nothing above the threshold)
+        rep = table.scan_stats(where=[("big_text", ">=", "p")])
+        scan = table.read(spark, where=[("big_text", ">=", "p")]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_match"),
+            F.sum(F.length("big_text")).cast("long").alias("match_chars"),
+        ).head()
+        # the GDPR case: predicate delete THROUGH the long column
+        drep = table.delete_where(spark, [("big_text", ">=", "w")])
+        out = materialize(
+            table.read(spark)
+            .groupBy("marker")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("big_text"))
+                .cast("long")
+                .alias("total_chars"),
+            )
+            .withColumn(
+                "n_match_scan", F.lit(int(scan.n_match)).cast("long")
+            )
+            .withColumn(
+                "match_chars_scan",
+                F.lit(int(scan.match_chars)).cast("long"),
+            )
+            .withColumn(
+                "n_files_scanned",
+                F.lit(rep["n_files_scanned"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_total",
+                F.lit(rep["n_files_total"]).cast("long"),
+            )
+            .withColumn(
+                "n_rows_deleted",
+                F.lit(drep["rows_changed"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_rewritten",
+                F.lit(drep["files_rewritten"]).cast("long"),
+            )
+            .orderBy("marker")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_served_q3_join — the second SERVED headline (round 9):
+# TPC-H Q3's two-join top-10 runs entirely through format("snapshot")
+# scans of three snapshot tables, with the per-table ``columns`` option
+# DERIVED from the query by ``served_read_tables`` (Spark 4.1's Python
+# DataSource API has no pruneColumns hook, so projection pruning is a
+# wrapper concern) — customer serves 2 of 5 columns, orders 3 of 6,
+# lineitem 4 of 11, and that width arithmetic rides the value hash next
+# to the query result, so a regression to full-width serving
+# hash-mismatches. The wall-time pin lives in
+# tests/test_snapshot_source.py::test_served_q3_join_wall_time.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_served_q3_join",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate,
+       (SELECT CAST(count(*) AS BIGINT) FROM (DESCRIBE customer))
+         AS cust_cols_total,
+       CAST(2 AS BIGINT) AS cust_cols_read,
+       (SELECT CAST(count(*) AS BIGINT) FROM (DESCRIBE orders))
+         AS orders_cols_total,
+       CAST(3 AS BIGINT) AS orders_cols_read,
+       (SELECT CAST(count(*) AS BIGINT) FROM (DESCRIBE lineitem))
+         AS li_cols_total,
+       CAST(4 AS BIGINT) AS li_cols_read
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def snapshot_served_q3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        register,
+        served_read_tables,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    base = tempfile.mkdtemp(prefix="snap_q3_")
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        roots = {}
+        for name in ("customer", "orders", "lineitem"):
+            roots[name] = f"{base}/{name}"
+            SnapshotTable(roots[name]).commit(
+                load_table(spark, sf_dir, name).repartition(2),
+                mode="append",
+            )
+        register(spark)
+
+        def build(t):
+            cust = t["customer"].filter(
+                F.col("c_mktsegment") == "BUILDING"
+            )
+            orders = t["orders"].filter(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+            )
+            li = t["lineitem"].filter(
+                F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+            )
+            return (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(
+                    broadcast_if_small(cust),
+                    F.col("o_custkey") == cust.c_custkey,
+                )
+                .groupBy("l_orderkey", "o_orderdate")
+                .agg(
+                    F.round(
+                        F.sum(
+                            F.col("l_extendedprice")
+                            * (F.lit(1) - F.col("l_discount"))
+                        ),
+                        2,
+                    ).alias("revenue")
+                )
+                .select("l_orderkey", "revenue", "o_orderdate")
+                .orderBy(
+                    F.col("revenue").desc(),
+                    F.col("o_orderdate"),
+                    F.col("l_orderkey"),
+                )
+                .limit(10)
+            )
+
+        report: dict = {}
+        q3 = served_read_tables(spark, roots, build, report=report)
+        out = materialize(
+            q3.withColumn(
+                "cust_cols_total",
+                F.lit(report["customer"][1]).cast("long"),
+            )
+            .withColumn(
+                "cust_cols_read",
+                F.lit(report["customer"][0]).cast("long"),
+            )
+            .withColumn(
+                "orders_cols_total",
+                F.lit(report["orders"][1]).cast("long"),
+            )
+            .withColumn(
+                "orders_cols_read",
+                F.lit(report["orders"][0]).cast("long"),
+            )
+            .withColumn(
+                "li_cols_total",
+                F.lit(report["lineitem"][1]).cast("long"),
+            )
+            .withColumn(
+                "li_cols_read",
+                F.lit(report["lineitem"][0]).cast("long"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+        shutil.rmtree(base, ignore_errors=True)
+    return out

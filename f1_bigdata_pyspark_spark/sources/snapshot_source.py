@@ -603,13 +603,15 @@ def _admit_until(
     latest: int,
     max_files: int | None,
     max_bytes: int | None,
-) -> int:
-    """Largest version in (base, latest] whose cumulative ADDED files
-    and bytes fit the trigger budget — at least one version is always
-    admitted (progress guarantee even when a single commit exceeds the
-    budget). Appends are cumulative manifests, so a version's additions
-    are its files minus everything already seen; byte sizes come from
-    the manifest's commit-time file meta (pre-meta files count 0 bytes —
+) -> tuple[int, int]:
+    """(largest version in (base, latest] whose cumulative ADDED files
+    and bytes fit the trigger budget, admitted bytes) — at least one
+    version is always admitted (progress guarantee even when a single
+    commit exceeds the budget; the caller's driver-memory ceiling then
+    decides whether that oversized batch may actually materialize).
+    Appends are cumulative manifests, so a version's additions are its
+    files minus everything already seen; byte sizes come from the
+    manifest's commit-time file meta (pre-meta files count 0 bytes —
     use the files cap for pre-meta tables)."""
     from f1_bigdata_pyspark_spark.sources.snapshots import FILE_META_KEY
 
@@ -642,7 +644,7 @@ def _admit_until(
         n_files += len(added)
         n_bytes += b
         end = v
-    return end
+    return end, n_bytes
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -708,9 +710,23 @@ class SnapshotSimpleStreamReader(SimpleDataSourceStreamReader):
     restarted query without risking offset regression. The trade-off is
     documented by Spark itself: Simple readers materialize each batch
     driver-side — exactly right here, because an admission-controlled
-    batch is SMALL BY CONSTRUCTION (bounded by the budget); leave the
-    budget unset to get the partition-parallel reader for full-table
+    batch is SMALL BY CONSTRUCTION (bounded by the budget).
+
+    DRIVER-MEMORY CEILING (round 9): "bounded by the budget" is only a
+    safety property if the budget itself is bounded — a
+    ``maxBytesPerTrigger`` of tens of GB would funnel that much through
+    one Python driver process. The reader therefore REFUSES budgets
+    above ``driverBatchBytesCeiling`` (default 256 MB) at construction,
+    and refuses AT ADMISSION TIME any single batch whose admitted bytes
+    exceed the ceiling (a files-only budget over huge files, or one
+    oversized commit that the progress guarantee would otherwise admit
+    whole). The error names the remedies: raise the ceiling explicitly
+    if the driver really has the memory, shrink the budget, or drop
+    admission control entirely to get the partition-parallel reader
+    (executor-side reads, no driver materialization) for full-table
     throughput."""
+
+    DEFAULT_BYTES_CEILING = 256 << 20
 
     def __init__(
         self,
@@ -718,11 +734,27 @@ class SnapshotSimpleStreamReader(SimpleDataSourceStreamReader):
         schema: StructType,
         max_files: int | None,
         max_bytes: int | None,
+        bytes_ceiling: int | None = None,
     ):
         if max_files is not None and max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
         if max_bytes is not None and max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        self.bytes_ceiling = (
+            int(bytes_ceiling)
+            if bytes_ceiling is not None
+            else self.DEFAULT_BYTES_CEILING
+        )
+        if max_bytes is not None and max_bytes > self.bytes_ceiling:
+            raise ValueError(
+                f"maxBytesPerTrigger={max_bytes} exceeds the driver-side "
+                f"batch ceiling ({self.bytes_ceiling} bytes): admission-"
+                "controlled batches materialize in the DRIVER python "
+                "process (SimpleDataSourceStreamReader protocol). Lower "
+                "the budget, raise option 'driverBatchBytesCeiling' if "
+                "the driver really has the memory, or unset the budget "
+                "to stream through the partition-parallel reader."
+            )
         self.root = root
         self.schema = schema
         self.max_files = max_files
@@ -743,7 +775,21 @@ class SnapshotSimpleStreamReader(SimpleDataSourceStreamReader):
         latest = vs[-1] if vs else -1
         if latest <= lo:
             return iter(()), start  # nothing new: offset unchanged
-        end = _admit_until(self.root, lo, latest, self.max_files, self.max_bytes)
+        end, admitted = _admit_until(
+            self.root, lo, latest, self.max_files, self.max_bytes
+        )
+        if admitted > self.bytes_ceiling:
+            # a files-only budget over huge files, or one oversized
+            # commit the progress guarantee admitted whole — refuse
+            # BEFORE materializing it in the driver
+            raise RuntimeError(
+                f"admitted micro-batch ({admitted} bytes across versions "
+                f"({lo}, {end}]) exceeds the driver-side batch ceiling "
+                f"({self.bytes_ceiling} bytes). Raise option "
+                "'driverBatchBytesCeiling' if the driver really has the "
+                "memory, lower maxFilesPerTrigger, or unset the trigger "
+                "budget to stream through the partition-parallel reader."
+            )
         # materialized, not a generator: the engine's prefetch wrapper
         # copy.copy()s the cached iterator per planning (generators are
         # not copyable), and the batch is budget-bounded anyway
@@ -1213,7 +1259,16 @@ class SnapshotDataSource(DataSource):
         if not root:
             raise ValueError("snapshot source requires option 'root'")
         mf, mb = self._budgets()
-        return SnapshotSimpleStreamReader(root, schema, mf, mb)
+        ceiling = self.options.get("driverBatchBytesCeiling") or self.options.get(
+            "driverbatchbytesceiling"
+        )
+        return SnapshotSimpleStreamReader(
+            root,
+            schema,
+            mf,
+            mb,
+            int(ceiling) if ceiling is not None else None,
+        )
 
 
 def register(spark) -> None:
@@ -1222,3 +1277,98 @@ def register(spark) -> None:
     without it Spark refuses a reader that implements pushFilters."""
     spark.dataSource.register(SnapshotDataSource)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def served_read(spark, root: str, build, **options):
+    """Projection-PRUNED served scan (round 9): Spark 4.1's Python
+    DataSource API has no pruneColumns engine hook (traced in round 8),
+    so a served query pays the table's full width unless the caller
+    hand-passes the ``columns`` option. This helper derives it from the
+    query itself, so served reads stop paying full width BY DEFAULT:
+
+    1. plan ``build(scan)`` once against the full-width scan — nothing
+       executes; only the ANALYZED logical plan is inspected,
+    2. walk that plan's nodes collecting every referenced attribute
+       name (filters, join keys, aggregates — not just the output, so a
+       filter-only column is kept),
+    3. re-plan ``build`` against a fresh scan carrying
+       ``columns=<referenced ∩ table columns>`` — the executor read
+       then fetches only those byte ranges (parquet is columnar).
+
+    ``build`` must be a PURE plan constructor (DataFrame -> DataFrame):
+    it runs twice. Columns the plan never references are dropped; a
+    query referencing every column (or none the table knows) serves
+    full width unchanged. Extra ``options`` pass through to both scans
+    (version/timestampAsOf time travel composes). An explicit
+    ``columns`` option wins — the caller's narrowing is already the
+    contract."""
+    reader = spark.read.format("snapshot").option("root", root)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if "columns" in options:
+        return build(reader.load())
+    full = reader.load()
+    table_cols = set(full.columns)
+    planned = build(full)
+    refs: set[str] = set()
+
+    def _walk(jnode) -> None:
+        seq = jnode.references().toSeq()
+        for i in range(seq.size()):
+            refs.add(seq.apply(i).name())
+        ch = jnode.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i))
+
+    _walk(planned._jdf.queryExecution().analyzed())
+    # committed order, so the derived option is deterministic
+    need = [c for c in full.columns if c in refs]
+    if not need or len(need) == len(table_cols):
+        return planned  # full width (or nothing derivable): as planned
+    narrowed = reader.option("columns", ",".join(need)).load()
+    return build(narrowed)
+
+
+def served_read_tables(spark, roots: dict, build, report: dict | None = None):
+    """Multi-table ``served_read``: derive per-table ``columns`` options
+    for a query JOINING several snapshot tables. ``roots`` maps a name
+    to each table's root; ``build`` takes ``{name: DataFrame}`` and
+    returns the query plan. One analyzed-plan walk collects every
+    referenced attribute name; each table then narrows to the
+    referenced subset of ITS columns. A name shared by two tables is
+    kept on both (over-keeping is the sound direction — star-schema
+    column names are naturally disjoint). ``report`` (optional dict) is
+    filled with ``{name: (n_columns_read, n_columns_total)}`` so a
+    caller can pin the width arithmetic."""
+    fulls = {
+        n: spark.read.format("snapshot").option("root", r).load()
+        for n, r in roots.items()
+    }
+    planned = build(fulls)
+    refs: set[str] = set()
+
+    def _walk(jnode) -> None:
+        seq = jnode.references().toSeq()
+        for i in range(seq.size()):
+            refs.add(seq.apply(i).name())
+        ch = jnode.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i))
+
+    _walk(planned._jdf.queryExecution().analyzed())
+    narrowed = {}
+    for n, r in roots.items():
+        cols = fulls[n].columns
+        need = [c for c in cols if c in refs]
+        if report is not None:
+            report[n] = (len(need) if need else len(cols), len(cols))
+        if not need or len(need) == len(cols):
+            narrowed[n] = fulls[n]
+            continue
+        narrowed[n] = (
+            spark.read.format("snapshot")
+            .option("root", r)
+            .option("columns", ",".join(need))
+            .load()
+        )
+    return build(narrowed)

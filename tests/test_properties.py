@@ -838,3 +838,84 @@ def test_metadata_aggregates_exact_or_refused_adversarial(
             assert mm == (min(vals), max(vals))
         elif mm == (None, None):
             assert not vals
+
+
+# -------------------------------------------- manifest delta encoding
+# (round 9): encode(full, base) either DECLINES or resolves back to a
+# manifest indistinguishable from the full form — for arbitrary
+# carried/added/removed file sets, per-file map mutations, and small-key
+# changes. Pure-python roundtrip through the real on-disk loader.
+
+_mf_files = st.lists(
+    st.sampled_from([f"f{i}" for i in range(8)]),
+    unique=True,
+    max_size=8,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _mf_files,
+    _mf_files,
+    st.dictionaries(
+        st.sampled_from([f"f{i}" for i in range(8)]),
+        st.integers(min_value=0, max_value=3),
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_manifest_delta_roundtrips_or_declines(
+    tmp_path_factory, base_files, new_extra, seq_seed, change_schema
+):
+    import json
+    import os
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _encode_manifest_delta,
+        load_manifest,
+    )
+
+    # construct: carried = base order minus removals, adds at the end
+    carried = [f for f in base_files if hash(f) % 3 != 0]
+    adds = [f for f in new_extra if f not in base_files]
+    new_files = carried + adds
+    base = {
+        "version": 4,
+        "files": list(base_files),
+        "stats": {f: {"k": {"min": ["num", i]}} for i, f in enumerate(base_files)},
+        "file_seq": {f: 1 for f in base_files},
+        "schema": "S0",
+        "mode": "append",
+    }
+    full = {
+        "version": 5,
+        "files": new_files,
+        # carried stats mutate for seq_seed-selected files (e.g. a
+        # recomputed entry) — the encoder must carry the NEW value
+        "stats": {
+            f: {"k": {"min": ["num", seq_seed.get(f, 0) + 100]}}
+            if f in seq_seed
+            else base["stats"].get(f, {"k": {"min": ["num", -1]}})
+            for f in new_files
+        },
+        "file_seq": {f: (5 if f in adds else 1) for f in new_files},
+        "schema": "S1" if change_schema else "S0",
+        "mode": "append",
+        "committed_at": 123.0,
+    }
+    d = _encode_manifest_delta(full, base)
+    if d is None:
+        return  # declining is always sound (caller writes a checkpoint)
+    root = str(tmp_path_factory.mktemp("mf"))
+    os.makedirs(os.path.join(root, "_manifests"))
+    with open(os.path.join(root, "_manifests", "v4.json"), "w") as fh:
+        json.dump(base, fh)
+    with open(os.path.join(root, "_manifests", "v5.json"), "w") as fh:
+        json.dump(d, fh)
+    got = load_manifest(root, 5)
+    assert got["files"] == full["files"]
+    assert got["stats"] == full["stats"]
+    assert got["file_seq"] == full["file_seq"]
+    assert got["schema"] == full["schema"]
+    assert got["version"] == 5 and got["mode"] == "append"
+    assert got["committed_at"] == 123.0
