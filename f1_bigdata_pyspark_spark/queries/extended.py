@@ -5522,3 +5522,116 @@ def snapshot_served_q3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_positional_delete_serving — merge-on-read predicate DELETE
+# via POSITIONAL DELETION VECTORS (round 9; Iceberg v2 position deletes /
+# Delta deletion vectors): orders commit one file per hidden year(
+# o_orderdate) partition, a predicate delete of every pre-1997 row writes
+# (file, row-ordinal) addresses — ZERO files rewritten, no key columns —
+# and both read paths (relational scan and the DataSource serving face)
+# anti-join the vector. The oracle replays the post-delete rollup, the
+# deleted-row count, and the files-touched arithmetic (exactly the
+# pre-1997 year files, because the skipping planner scopes the DV scan);
+# rewritten-file count 0 and the untouched-data-files / both-paths-agree
+# booleans ride the hash.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_positional_delete_serving",
+    oracle="""
+WITH del AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+         CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS files_touched
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT year(o_orderdate) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       (SELECT n_deleted FROM del) AS n_rows_deleted,
+       (SELECT files_touched FROM del) AS n_files_touched,
+       CAST(0 AS BIGINT) AS n_files_rewritten,
+       true AS data_files_untouched,
+       true AS both_paths_agree
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def snapshot_positional_delete_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="snap_dv_")
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        table = SnapshotTable(root)
+        table.commit(
+            orders.repartition(F.year("o_orderdate")),
+            mode="append",
+            partition_by=["year(o_orderdate)"],
+        )
+        base = table.latest_version()
+        cut = datetime.datetime(1997, 1, 1)
+        rep = table.delete_where_mor(spark, [("o_orderdate", "<", cut)])
+        rollup = [
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
+        ]
+        rel = (
+            table.read(spark)
+            .groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(*rollup)
+        )
+        register(spark)
+        served = (
+            spark.read.format("snapshot")
+            .option("root", root)
+            .load()
+            .groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(*rollup)
+        )
+        agree = sorted(map(tuple, rel.collect())) == sorted(
+            map(tuple, served.collect())
+        )
+        m0 = table._read_manifest(base)
+        m1 = table._read_manifest(table.latest_version())
+        untouched = m1["files"] == m0["files"]
+        out = materialize(
+            rel.withColumn(
+                "n_rows_deleted",
+                F.lit(rep["rows_deleted"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_touched",
+                F.lit(rep["files_touched"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_rewritten",
+                F.lit(rep["files_rewritten"]).cast("long"),
+            )
+            .withColumn("data_files_untouched", F.lit(bool(untouched)))
+            .withColumn("both_paths_agree", F.lit(bool(agree)))
+            .orderBy("order_year")
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+        shutil.rmtree(root, ignore_errors=True)
+    return out

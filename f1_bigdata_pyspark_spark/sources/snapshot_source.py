@@ -136,6 +136,11 @@ class SnapshotFilePartition(InputPartition):
         # skipper may trust the NaN-blind footer bounds for ">"-class
         # predicates on these columns (round 9)
         self.nan_free = nan_free or []
+        # POSITIONAL DELETION VECTORS (round 9): the __b=<bucket> subdirs
+        # of every dv that names this file — the bucket is the portable
+        # md5 of the file path, so each task reads only its own slice of
+        # each vector (O(DV/buckets), not O(DV))
+        self.dv_dirs = []
 
 
 def _read_partition_batches(schema: StructType, partition):
@@ -267,12 +272,63 @@ def _read_partition_batches(schema: StructType, partition):
         else:  # pre-evolution file: the committed column reads NULL
             cols.append(pa.nulls(n, field.type))
     out = pa.Table.from_arrays(cols, schema=target)
+    keep = None
     tombs = getattr(partition, "tombstones", None) or []
     if tombs:
         keep = _tombstone_keep_mask(partition, tbl, n)
-        if keep is not None:
-            out = out.filter(keep)
+    if getattr(partition, "dv_dirs", None):
+        dvk = _dv_keep_mask(partition, pf, groups, n)
+        if dvk is not None:
+            import pyarrow.compute as pc
+
+            keep = dvk if keep is None else pc.and_(keep, dvk)
+    if keep is not None:
+        out = out.filter(keep)
     yield from out.to_batches()
+
+
+def _dv_keep_mask(partition, pf, groups, n: int):
+    """Boolean keep-mask applying this file's POSITIONAL deletion
+    vectors (round 9) — the executor-side form of the relational
+    (``__dv_file``, ``__dv_pos``) anti-join. Each task reads only its
+    file's md5-bucket slice of each vector; a row survives unless its
+    ABSOLUTE in-file ordinal (row-group start offset + within-group
+    index, which row-group skipping and range splitting both preserve)
+    is named. None = nothing deleted here."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dead: set[int] = set()
+    for d in partition.dv_dirs:
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(d, name), columns=["__file", "__pos"]
+            )
+            sel = pc.equal(t["__file"], partition.path)
+            dead.update(t.filter(sel)["__pos"].to_pylist())
+    if not dead:
+        return None
+    md = pf.metadata
+    counts = [md.row_group(g).num_rows for g in range(md.num_row_groups)]
+    starts = np.cumsum([0] + counts[:-1]) if counts else []
+    pos = (
+        np.concatenate(
+            [starts[g] + np.arange(counts[g]) for g in groups]
+        )
+        if groups
+        else np.array([], dtype=np.int64)
+    )
+    assert len(pos) == n
+    keep = ~np.isin(pos, np.fromiter(dead, dtype=np.int64))
+    return pa.array(keep)
 
 
 # executor-process cache of loaded tombstone key sets: tasks of one scan
@@ -406,6 +462,7 @@ class SnapshotReader(DataSourceReader):
         )
         from f1_bigdata_pyspark_spark.sources.snapshots import (
             FILE_META_KEY,
+            _bucket_of,
             _stat_to_py,
         )
 
@@ -420,6 +477,11 @@ class SnapshotReader(DataSourceReader):
         ts = self.manifest.get("tombstones") or []
         t_keys = self.manifest.get("tombstone_keys") or []
         seqs = self.manifest.get("file_seq", {})
+        # positional deletion vectors: per-file bucket-subdir routing
+        dv_records = [
+            (set(d["files"]), d["dir"], int(d["n_buckets"]))
+            for d in (self.manifest.get("dvs") or [])
+        ]
         out = []
         for f in files:
             pv = {
@@ -443,6 +505,11 @@ class SnapshotReader(DataSourceReader):
                 and isinstance(e, dict)
                 and e.get("nanc") == 0
             ]
+            dv_dirs = [
+                os.path.join(dir_, f"__b={_bucket_of(f, nb)}")
+                for fset, dir_, nb in dv_records
+                if f in fset
+            ]
             ng = int(meta.get("ng") or 1)
             if split and ng > 1:
                 if gpp_opt is not None:
@@ -451,31 +518,31 @@ class SnapshotReader(DataSourceReader):
                     per_group = max(1, int(meta.get("bytes") or 0) // ng)
                     gpp = max(1, _TARGET_SPLIT_BYTES // per_group)
                 for i in range(0, ng, gpp):
-                    out.append(
-                        SnapshotFilePartition(
-                            f,
-                            pv,
-                            where,
-                            list(range(i, min(i + gpp, ng))),
-                            tombs,
-                            t_keys,
-                            self.manifest.get("column_mapping"),
-                            nan_free,
-                        )
-                    )
-            else:
-                out.append(
-                    SnapshotFilePartition(
+                    part = SnapshotFilePartition(
                         f,
                         pv,
                         where,
-                        None,
+                        list(range(i, min(i + gpp, ng))),
                         tombs,
                         t_keys,
                         self.manifest.get("column_mapping"),
                         nan_free,
                     )
+                    part.dv_dirs = dv_dirs
+                    out.append(part)
+            else:
+                part = SnapshotFilePartition(
+                    f,
+                    pv,
+                    where,
+                    None,
+                    tombs,
+                    t_keys,
+                    self.manifest.get("column_mapping"),
+                    nan_free,
                 )
+                part.dv_dirs = dv_dirs
+                out.append(part)
         return out
 
     def read(self, partition):

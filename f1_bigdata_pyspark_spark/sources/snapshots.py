@@ -826,6 +826,13 @@ def _file_may_match(stats: dict, col: str, op: str, lit) -> bool:
         return bool(nan_possible)
     if op == "in" and nan_possible and any(_is_nan_lit(v) for v in lit):
         return True
+    if op in ("<", "<=") and _is_nan_lit(lit):
+        # Spark orders EVERY non-NaN value below NaN (probed: 0.0 < NaN
+        # is TRUE), so ``col < NaN`` matches every non-NaN row — the
+        # min/max range test (Python NaN comparisons are all False)
+        # would unsoundly prune the file. Caught by the adversarial
+        # hypothesis ladder, round 9.
+        return True
     # bloom tier (round 7): equality/IN probes against a per-file bloom —
     # the point-lookup prune min/max can't provide on hash-distributed
     # keys. Composes with the range tier (each can only REMOVE files).
@@ -1073,6 +1080,20 @@ def prune_files(manifest: dict, where: list[tuple[str, str, object]]) -> list[st
             for col, op, lit in where
         )
     ]
+
+
+def _carry_dvs(manifest: dict, carried: set) -> list:
+    """Deletion-vector records still applicable after a rewrite: each
+    record keeps only its CARRIED files (rewritten files have new paths
+    and were built THROUGH the vectors — the rewrite scan applied the
+    anti-join); records with no surviving file drop, and their dirs
+    become vacuumable once the versions referencing them expire."""
+    out = []
+    for d in manifest.get("dvs") or []:
+        files = [f for f in d["files"] if f in carried]
+        if files:
+            out.append({**d, "files": files})
+    return out
 
 
 def _predicate_column(where: list[tuple[str, str, object]]):
@@ -1624,6 +1645,9 @@ class SnapshotTable:
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
+            if mode == "append" and prior_manifest.get("dvs"):
+                # positional vectors keep applying to the carried files
+                manifest["dvs"] = prior_manifest["dvs"]
             if partition_by:
                 manifest["partition_by"] = list(partition_by)
             if partitions:
@@ -1760,6 +1784,9 @@ class SnapshotTable:
             if mode == "append" and prior_manifest.get("tombstones"):
                 manifest["tombstones"] = prior_manifest["tombstones"]
                 manifest["tombstone_keys"] = prior_manifest["tombstone_keys"]
+            if mode == "append" and prior_manifest.get("dvs"):
+                # positional vectors keep applying to the carried files
+                manifest["dvs"] = prior_manifest["dvs"]
             all_partitions = dict(prior_manifest.get("partitions", {}))
             all_partitions.update(partitions or {})
             if all_partitions:
@@ -2089,6 +2116,9 @@ class SnapshotTable:
                 # double-delete
                 out["tombstones"] = cur["tombstones"]
                 out["tombstone_keys"] = cur["tombstone_keys"]
+            dvs_c = _carry_dvs(cur, carried_set)
+            if dvs_c:  # positional vectors: same through-the-scan contract
+                out["dvs"] = dvs_c
             if cur.get("partition_by"):
                 out["partition_by"] = cur["partition_by"]
             if partitions:
@@ -2265,6 +2295,9 @@ class SnapshotTable:
             # a post-delete seq (their content is NEW rows by definition)
             out["tombstones"] = manifest["tombstones"]
             out["tombstone_keys"] = manifest["tombstone_keys"]
+        dvs_c = _carry_dvs(manifest, carried_set)
+        if dvs_c:
+            out["dvs"] = dvs_c
         if manifest.get("partition_by"):
             out["partition_by"] = manifest["partition_by"]
         if partitions:
@@ -2450,6 +2483,9 @@ class SnapshotTable:
             # carried large files still need them
             out["tombstones"] = manifest["tombstones"]
             out["tombstone_keys"] = manifest["tombstone_keys"]
+        dvs_c = _carry_dvs(manifest, set(large))
+        if dvs_c:
+            out["dvs"] = dvs_c
         if manifest.get("partition_by"):
             out["partition_by"] = manifest["partition_by"]
         if partitions:  # carried point stats survive partition evolution
@@ -2482,6 +2518,7 @@ class SnapshotTable:
             "file_seq",
             "tombstones",
             "tombstone_keys",
+            "dvs",
             "bloom",
             "txns",
             "constraints",
@@ -2638,6 +2675,253 @@ class SnapshotTable:
             expected_base_version=expected_base_version,
         )
 
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        where: list[tuple[str, str, object]],
+        expected_base_version: int | None = None,
+        dv_buckets: int = 16,
+    ) -> dict:
+        """Merge-on-read ``DELETE FROM … WHERE`` via POSITIONAL DELETION
+        VECTORS (Iceberg v2 position deletes / Delta deletion vectors):
+        instead of rewriting may-match files (``delete_where``, copy-on-
+        write) or requiring key columns (``delete_keys``), the matching
+        rows' STABLE ADDRESSES — (file path, in-file row ordinal from
+        Spark's ``_metadata.row_index``) — are written as a small
+        parquet deletion vector and referenced by the next manifest;
+        every read path (relational scan, DataSource serving, CoW DML,
+        OPTIMIZE) anti-joins the address. A predicate GDPR delete on a
+        100 TB table becomes O(matching rows) writes with ZERO data
+        files rewritten, against ANY conjunction, with no key columns.
+
+        The DV lays out under ``__b=<bucket>`` subdirectories keyed by
+        the repo-portable md5 bucket of the file path, so the
+        DataSource's executor tasks read only their own file's bucket
+        (O(DV/16) per task) while the relational path anti-joins the
+        whole vector in one distributed join. Addresses survive rename/
+        widening (they are column-agnostic) and die naturally with
+        rewrites (a rewritten file has a new path). Published as mode
+        ``delete-dv`` (non-append): streams refuse and re-sync, the
+        same contract as every other row-removal. OPTIMIZE materializes
+        the deletes and the rewritten version carries no ``dvs``.
+
+        Returns {"version", "rows_deleted", "files_touched",
+        "files_rewritten": 0}; a predicate matching no rows publishes
+        NOTHING (same no-op contract as the CoW form)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        if expected_base_version is not None and base != expected_base_version:
+            raise SnapshotConflictError(
+                f"table advanced to v{base}, expected "
+                f"v{expected_base_version}"
+            )
+        from pyspark.sql import functions as F
+
+        manifest = self._read_manifest(base)
+        touched = prune_files(manifest, where)
+        noop = {
+            "version": base,
+            "rows_deleted": 0,
+            "files_touched": 0,
+            "files_rewritten": 0,
+        }
+        if not touched:
+            return noop
+        pred = F.coalesce(_predicate_column(where), F.lit(False))
+        scan = self._scan_with_tombstones(
+            spark, manifest, touched, with_row_pos=True
+        )
+        dv_dir = os.path.join(self.data_dir, f"dv-{uuid.uuid4().hex[:12]}")
+        (
+            scan.filter(pred)
+            .select(
+                F_col("__dv_file").alias("__file"),
+                F_col("__dv_pos").alias("__pos"),
+            )
+            .withColumn(
+                "__b",
+                F.conv(F.substring(F.md5(F_col("__file")), 1, 15), 16, 10)
+                .cast("long")
+                % dv_buckets,
+            )
+            .write.partitionBy("__b")
+            .parquet(dv_dir)
+        )
+        # accounting + routing from the written vector itself — the DV
+        # is O(deleted rows), so one narrow read-back is O(changeset)
+        dv = spark.read.parquet(dv_dir)
+        touched_files = sorted(
+            r["__file"] for r in dv.select("__file").distinct().collect()
+        )
+        rows_deleted = dv.count()
+        if rows_deleted == 0:
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return noop
+        stray = set(touched_files) - set(manifest["files"])
+        if stray:  # address outside the snapshot: must never publish
+            raise RuntimeError(
+                f"deletion vector names non-snapshot files {sorted(stray)}"
+            )
+        out = dict(manifest)
+        out.pop("txn", None)
+        version = base + 1
+        out.update(
+            {
+                "version": version,
+                "mode": "delete-dv",
+                "dvs": (manifest.get("dvs") or [])
+                + [
+                    {
+                        "dir": dv_dir,
+                        "files": touched_files,
+                        "n_buckets": dv_buckets,
+                    }
+                ],
+                "committed_at": __import__("time").time(),
+            }
+        )
+        self._publish(version, out)
+        return {
+            "version": version,
+            "rows_deleted": rows_deleted,
+            "files_touched": len(touched_files),
+            "files_rewritten": 0,
+        }
+
+    def update_where_mor(
+        self,
+        spark: SparkSession,
+        set_exprs: dict,
+        where: list[tuple[str, str, object]],
+        expected_base_version: int | None = None,
+        dv_buckets: int = 16,
+    ) -> dict:
+        """Merge-on-read ``UPDATE … SET … WHERE``: the positional twin of
+        ``update_where`` (copy-on-write). One version publishes BOTH a
+        deletion vector masking the matching rows' old positions AND new
+        data files holding their updated images — so an UPDATE touches
+        O(matching rows), not O(may-match files), at any table size.
+        Unmatched rows in touched files are NEVER rewritten (the classic
+        write amplification CoW pays). CHECK constraints validate the
+        updated images; hidden/Hive partition layouts and blooms apply
+        to the new files exactly as a commit's would. Published as mode
+        ``update-dv`` (non-append — streams refuse and re-sync). A
+        predicate matching no rows publishes nothing."""
+        if not set_exprs:
+            raise ValueError("update_where_mor needs at least one SET column")
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        if expected_base_version is not None and base != expected_base_version:
+            raise SnapshotConflictError(
+                f"table advanced to v{base}, expected "
+                f"v{expected_base_version}"
+            )
+        from pyspark.sql import functions as F
+
+        manifest = self._read_manifest(base)
+        touched = prune_files(manifest, where)
+        noop = {
+            "version": base,
+            "rows_updated": 0,
+            "files_touched": 0,
+            "files_rewritten": 0,
+        }
+        if not touched:
+            return noop
+        pred = F.coalesce(_predicate_column(where), F.lit(False))
+        scan = self._scan_with_tombstones(
+            spark, manifest, touched, with_row_pos=True
+        )
+        matching = scan.filter(pred)
+        schema_cols = [
+            f["name"] for f in json.loads(manifest["schema"])["fields"]
+        ]
+        missing = set(set_exprs) - set(schema_cols)
+        if missing:
+            raise ValueError(f"SET names missing columns {sorted(missing)}")
+        updated_cols = []
+        for c in schema_cols:
+            if c in set_exprs:
+                e = set_exprs[c]
+                updated_cols.append(
+                    (F.expr(e) if isinstance(e, str) else e).alias(c)
+                )
+            else:
+                updated_cols.append(F_col(c))
+        if matching.limit(1).count() == 0:
+            return noop
+        updated = matching.select(*updated_cols)
+        if manifest.get("constraints"):
+            _validate_constraints(
+                updated, manifest["constraints"], "the updated rows"
+            )
+        dv_dir = os.path.join(self.data_dir, f"dv-{uuid.uuid4().hex[:12]}")
+        (
+            matching.select(
+                F_col("__dv_file").alias("__file"),
+                F_col("__dv_pos").alias("__pos"),
+            )
+            .withColumn(
+                "__b",
+                F.conv(F.substring(F.md5(F_col("__file")), 1, 15), 16, 10)
+                .cast("long")
+                % dv_buckets,
+            )
+            .write.partitionBy("__b")
+            .parquet(dv_dir)
+        )
+        dv = spark.read.parquet(dv_dir)
+        touched_files = sorted(
+            r["__file"] for r in dv.select("__file").distinct().collect()
+        )
+        rows_updated = dv.count()
+        new_files, new_stats, new_partitions = self._write_data_files(
+            updated,
+            manifest.get("partition_by"),
+            **self._bloom_kwargs(manifest),
+        )
+        version = base + 1
+        out = dict(manifest)
+        out.pop("txn", None)
+        stats = dict(manifest.get("stats", {}))
+        stats.update(new_stats)
+        partitions = dict(manifest.get("partitions", {}))
+        partitions.update(new_partitions)
+        file_seq = dict(manifest.get("file_seq", {}))
+        for f in new_files:
+            file_seq[f] = version
+        out.update(
+            {
+                "version": version,
+                "mode": "update-dv",
+                "files": manifest["files"] + new_files,
+                "stats": stats,
+                "file_seq": file_seq,
+                "dvs": (manifest.get("dvs") or [])
+                + [
+                    {
+                        "dir": dv_dir,
+                        "files": touched_files,
+                        "n_buckets": dv_buckets,
+                    }
+                ],
+                "committed_at": __import__("time").time(),
+            }
+        )
+        if partitions:
+            out["partitions"] = partitions
+        self._publish(version, out)
+        return {
+            "version": version,
+            "rows_updated": rows_updated,
+            "files_touched": len(touched_files),
+            "files_rewritten": 0,
+        }
+
     def _cow_rewrite_where(
         self,
         spark: SparkSession,
@@ -2754,6 +3038,9 @@ class SnapshotTable:
             # their post-rewrite seq exempts them
             out["tombstones"] = manifest["tombstones"]
             out["tombstone_keys"] = manifest["tombstone_keys"]
+        dvs_c = _carry_dvs(manifest, carried_set)
+        if dvs_c:
+            out["dvs"] = dvs_c
         if partitions:
             out["partitions"] = partitions
         self._publish(version, out)
@@ -2770,13 +3057,30 @@ class SnapshotTable:
         manifest: dict,
         files: list[str],
         with_file_name: bool = False,
+        with_row_pos: bool = False,
     ) -> DataFrame:
         """Seq-aware merge-on-read scan: data files are grouped by WHICH
         tombstones postdate them (≤ #delete-commits + 1 groups), each
         group anti-joins its applicable tombstone union, groups union
-        back. No tombstones → plain scan, zero cost."""
+        back. No tombstones → plain scan, zero cost.
+
+        POSITIONAL DELETION VECTORS (round 9): manifests may also carry
+        ``dvs`` — per-delete records of (file path, row ordinal) pairs
+        written by ``delete_where_mor``. They apply as ONE anti-join on
+        the (``__dv_file``, ``__dv_pos``) row address above the union
+        (a DV names its exact file path, so it is a no-op for every
+        other file AND for rewritten files, which carry new paths — no
+        seq scoping needed, unlike key tombstones). The address columns
+        are attached at the scan and dropped unless the caller asked
+        for them."""
         ts = manifest.get("tombstones") or []
-        if not ts:
+        dvs = [
+            d
+            for d in (manifest.get("dvs") or [])
+            if set(d["files"]) & set(files)
+        ]
+        need_pos = with_row_pos or bool(dvs)
+        if not ts and not need_pos:
             return self._plan_scan(
                 spark, manifest, files, with_file_name=with_file_name
             )
@@ -2789,7 +3093,11 @@ class SnapshotTable:
         parts = []
         for applicable, fs in sorted(groups.items()):
             df = self._plan_scan(
-                spark, manifest, fs, with_file_name=with_file_name
+                spark,
+                manifest,
+                fs,
+                with_file_name=with_file_name,
+                with_row_pos=need_pos,
             )
             if applicable:
                 dead = spark.read.parquet(*list(applicable)).distinct()
@@ -2798,6 +3106,23 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dvs:
+            # one scan per vector dir (each is its own __b-partitioned
+            # root — Spark refuses mixing partition roots in one scan),
+            # planner-level union, single distributed anti-join
+            dv_parts = [
+                spark.read.parquet(d["dir"]).select(
+                    F_col("__file").alias("__dv_file"),
+                    F_col("__pos").alias("__dv_pos"),
+                )
+                for d in dvs
+            ]
+            dead_pos = dv_parts[0]
+            for dvp in dv_parts[1:]:
+                dead_pos = dead_pos.unionByName(dvp)
+            out = out.join(dead_pos, ["__dv_file", "__dv_pos"], "left_anti")
+        if need_pos and not with_row_pos:
+            out = out.drop("__dv_file", "__dv_pos")
         return out
 
     def version_as_of(self, ts: float) -> int:
@@ -2858,6 +3183,7 @@ class SnapshotTable:
         manifest: dict,
         files: list[str],
         with_file_name: bool = False,
+        with_row_pos: bool = False,
     ) -> DataFrame:
         """Plan an explicit-file-list parquet scan honoring the manifest's
         schema. Partitioned commits need partition-value RECOVERY (the
@@ -2866,24 +3192,45 @@ class SnapshotTable:
         scanned with that commit's basePath, unioned by name, and
         normalized back to the committed column order/types. The union is
         planner-level (no data movement); at 100 TB this is one multi-
-        scan plan, not N jobs."""
+        scan plan, not N jobs.
+
+        ``with_row_pos`` (round 9, the deletion-vector substrate):
+        attach ``__dv_file`` (the file's plain absolute path, normalized
+        from ``_metadata.file_path``'s ``file:`` URI at the scan) and
+        ``__dv_pos`` (``_metadata.row_index`` — the row's ordinal within
+        its file, Spark's parquet row-index metadata column). Together
+        they are a STABLE row address into immutable files — exactly
+        what a positional delete needs to name a row without any key
+        column."""
+        from pyspark.sql.functions import col as F_col_
         from pyspark.sql.functions import lit as F_lit
+        from pyspark.sql.functions import regexp_replace as F_regexp_replace
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not files:
             df = spark.createDataFrame([], schema)
-            return (
-                df.withColumn("__file", F_lit(None).cast("string"))
-                if with_file_name
-                else df
-            )
+            if with_file_name:
+                df = df.withColumn("__file", F_lit(None).cast("string"))
+            if with_row_pos:
+                df = df.withColumn(
+                    "__dv_file", F_lit(None).cast("string")
+                ).withColumn("__dv_pos", F_lit(None).cast("long"))
+            return df
         # ``with_file_name``: the provenance column must be attached ON
         # the scan (input_file_name() refuses plans with >1 file source,
-        # so it can never be added above a union or a join)
+        # so it can never be added above a union or a join); same for
+        # the _metadata struct behind the row-position columns
         extra = (
             [F_input_file_name().alias("__file")] if with_file_name else []
         )
+        if with_row_pos:
+            extra = extra + [
+                F_regexp_replace(
+                    F_col_("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_file"),
+                F_col_("_metadata.row_index").cast("long").alias("__dv_pos"),
+            ]
         part_values = manifest.get("partitions", {})
         if not part_values and not manifest.get("evolved"):
             return _project_to_schema(
@@ -2979,8 +3326,8 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"no commits at {self.root}")
         manifest = self._read_manifest(v)
-        if manifest.get("tombstones"):
-            return None
+        if manifest.get("tombstones") or manifest.get("dvs"):
+            return None  # row-level deletes: per-file counts unknown
         for _, op, _lit in where or []:
             if op not in _PRUNE_OPS:
                 raise ValueError(
@@ -3024,8 +3371,8 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"no commits at {self.root}")
         manifest = self._read_manifest(v)
-        if manifest.get("tombstones"):
-            return None
+        if manifest.get("tombstones") or manifest.get("dvs"):
+            return None  # a deleted row may have been the extreme
         mns: list = []
         mxs: list = []
         for f in manifest["files"]:
@@ -3344,6 +3691,13 @@ class SnapshotTable:
             m = self._read_manifest(v)
             referenced.update(m["files"])
             referenced.update(t["path"] for t in m.get("tombstones", []))
+            for d in m.get("dvs", []):
+                for dp, _, fs_ in os.walk(d["dir"]):
+                    referenced.update(
+                        os.path.join(dp, n)
+                        for n in fs_
+                        if n.endswith(".parquet")
+                    )
         orphans = []
         for dirpath, _, files in os.walk(self.data_dir):
             for f in files:
@@ -3474,6 +3828,13 @@ def vacuum(
         m = table._read_manifest(v)
         kept_files.update(m["files"])
         kept_files.update(t["path"] for t in m.get("tombstones", []))
+        for d in m.get("dvs", []):
+            for dp, _, fs_ in os.walk(d["dir"]):
+                kept_files.update(
+                    os.path.join(dp, n)
+                    for n in fs_
+                    if n.endswith(".parquet")
+                )
     clones_dir = os.path.join(table.root, "_clones")
     if os.path.isdir(clones_dir):
         for ref in os.listdir(clones_dir):
@@ -3506,6 +3867,13 @@ def vacuum(
                 kept_files.update(
                     t["path"] for t in cm.get("tombstones", [])
                 )
+                for d in cm.get("dvs", []):
+                    for dp, _, fs_ in os.walk(d["dir"]):
+                        kept_files.update(
+                            os.path.join(dp, n)
+                            for n in fs_
+                            if n.endswith(".parquet")
+                        )
     # retained DELTA manifests must survive their base chain being
     # unlinked: materialize them as checkpoints first (round 9)
     for v in keep:

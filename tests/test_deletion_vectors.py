@@ -1,0 +1,271 @@
+"""Positional deletion vectors (round 9): merge-on-read predicate DELETE
+via stable row addresses — (file path, ``_metadata.row_index``) pairs
+written as a bucketed parquet vector and anti-joined by every read path.
+The Iceberg-v2 position-delete / Delta deletion-vector shape: a GDPR
+predicate delete with ZERO files rewritten and no key columns required.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable, vacuum
+
+
+def _mk(spark, tmp_path, n=60, parts=3):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(i, i % 5, f"u{i}") for i in range(n)], "k long, g long, name string"
+    )
+    t.commit(df.repartition(parts), mode="append")
+    return t
+
+
+def test_dv_delete_read_and_serve(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path)
+    rep = t.delete_where_mor(spark, [("g", "=", 2)])
+    assert rep["rows_deleted"] == 12 and rep["files_rewritten"] == 0
+    want = sorted(i for i in range(60) if i % 5 != 2)
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    ds = (
+        spark.read.format("snapshot").option("root", t.root).load()
+    )
+    assert sorted(r.k for r in ds.collect()) == want
+    # data files untouched on disk (merge-on-read, not copy-on-write)
+    m0, m1 = t._read_manifest(0), t._read_manifest(1)
+    assert m1["files"] == m0["files"] and m1["mode"] == "delete-dv"
+    # time travel to the pre-delete snapshot is intact
+    assert t.read(spark, version=0).count() == 60
+
+
+def test_dv_stacks_and_appends_carry(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor(spark, [("g", "=", 2)])
+    t.delete_where_mor(spark, [("k", "<", 10)])
+    t.commit(
+        spark.createDataFrame(
+            [(1000, 2, "x")], "k long, g long, name string"
+        ).repartition(1),
+        mode="append",
+    )
+    want = sorted([i for i in range(10, 60) if i % 5 != 2] + [1000])
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    # the fresh append file is NOT named by any vector
+    m = t._read_manifest(t.latest_version())
+    named = {f for d in m["dvs"] for f in d["files"]}
+    assert set(m["files"]) - named  # the new file serves unmasked
+
+
+def test_dv_composes_with_cow_dml_and_optimize(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor(spark, [("g", "=", 2)])
+    # CoW delete rewrites may-match files THROUGH the vectors; its
+    # carried dv entries name only surviving files
+    t.delete_where(spark, [("g", "=", 3)])
+    m = t._read_manifest(t.latest_version())
+    for d in m.get("dvs", []):
+        assert set(d["files"]) <= set(m["files"])
+    want = sorted(i for i in range(60) if i % 5 not in (2, 3))
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    # OPTIMIZE materializes: clean version, no vectors, same rows
+    t.optimize(spark, ["k"], target_files=2)
+    m2 = t._read_manifest(t.latest_version())
+    assert not m2.get("dvs")
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+
+
+def test_dv_incremental_optimize_carries_vectors(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    big = spark.createDataFrame(
+        [(i, i % 5) for i in range(5000)], "k long, g long"
+    )
+    t.commit(big.repartition(1), mode="append")
+    t.commit(
+        spark.createDataFrame([(9001, 1), (9002, 2)], "k long, g long")
+        .repartition(2),
+        mode="append",
+    )
+    t.delete_where_mor(spark, [("g", "=", 2)])
+    sizes = [
+        os.path.getsize(f)
+        for f in t._read_manifest(t.latest_version())["files"]
+    ]
+    cut = sorted(sizes)[-1]  # only the big file counts as adequate
+    rep = t.optimize_incremental(spark, small_file_max_bytes=cut)
+    assert rep["files_carried"] == 1
+    m = t._read_manifest(t.latest_version())
+    # the carried big file keeps its vector; compacted files dropped out
+    assert m.get("dvs") and all(
+        set(d["files"]) <= set(m["files"]) for d in m["dvs"]
+    )
+    want = sorted(
+        [i for i in range(5000) if i % 5 != 2] + [9001]
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+
+
+def test_dv_on_hidden_partitioned_table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 10) for i in range(40)], "k long, b long, v long"
+    )
+    t.commit(df.repartition(1), mode="append", partition_by=["bucket(2,k)"])
+    rep = t.delete_where_mor(spark, [("v", ">=", 300)])
+    assert rep["rows_deleted"] == 10
+    want = sorted(range(30))
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    ds = spark.read.format("snapshot").option("root", t.root).load()
+    assert sorted(r.k for r in ds.collect()) == want
+
+
+def test_dv_survives_rename(spark, tmp_path):
+    # addresses are positional, hence COLUMN-AGNOSTIC: a metadata-only
+    # rename between the delete and the read changes nothing
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor(spark, [("g", "=", 0)])
+    t.rename_column("name", "username")
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == sorted(i for i in range(60) if i % 5 != 0)
+
+
+def test_dv_row_group_split_serving(spark, tmp_path):
+    """The executor's positional mask must hold under row-group-range
+    SPLITTING: absolute ordinals = group start offset + within-group
+    index, regardless of which task reads which slice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _file_column_stats,
+    )
+
+    register(spark)
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root)
+    ext = tmp_path / "ext"
+    ext.mkdir()
+    f = str(ext / "multi.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(1000)), "g": [i % 5 for i in range(1000)]}),
+        f,
+        row_group_size=100,  # 10 groups -> several input partitions
+    )
+    schema = (
+        '{"type":"struct","fields":['
+        '{"name":"k","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"g","type":"long","nullable":true,"metadata":{}}]}'
+    )
+    t.publish_files([f], {f: _file_column_stats(f)}, mode="overwrite",
+                    schema_json=schema)
+    t.delete_where_mor(spark, [("g", "=", 3)])
+    want = sorted(i for i in range(1000) if i % 5 != 3)
+    ds = (
+        spark.read.format("snapshot")
+        .option("root", root)
+        .option("groups_per_partition", "1")
+        .load()
+    )
+    assert sorted(r.k for r in ds.collect()) == want
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+
+
+def test_dv_stream_refuses_and_noop_publishes_nothing(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        read_changes_since,
+    )
+
+    t = _mk(spark, tmp_path)
+    v0 = t.latest_version()
+    rep = t.delete_where_mor(spark, [("k", "=", -1)])  # matches nothing
+    assert rep["rows_deleted"] == 0 and t.latest_version() == v0
+    t.delete_where_mor(spark, [("g", "=", 1)])
+    with pytest.raises(Exception, match="append|re-sync|delete"):
+        read_changes_since(spark, t, v0)
+
+
+def test_dv_metadata_refuses_and_vacuum_protects(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit(
+        spark.createDataFrame([(900, 0, "y")], "k long, g long, name string")
+        .repartition(1),
+        mode="append",
+    )
+    t.delete_where_mor(spark, [("g", "=", 4)])
+    assert t.metadata_count() is None
+    assert t.metadata_min_max("k") is None
+    rep = vacuum(t, keep_versions=1, grace_seconds=0.0)
+    want = sorted(
+        [i for i in range(60) if i % 5 != 4] + [900]
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    assert rep["removed_files"] == 0  # everything still referenced
+
+
+def test_update_where_mor_lifecycle(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path)
+    rep = t.update_where_mor(
+        spark, {"name": F.lit("redacted")}, [("g", "=", 2)]
+    )
+    assert rep["rows_updated"] == 12 and rep["files_rewritten"] == 0
+    rows = {r.k: r.name for r in t.read(spark).collect()}
+    assert len(rows) == 60  # no row lost, no duplicate
+    assert all(
+        (rows[k] == "redacted") == (k % 5 == 2) for k in range(60)
+    )
+    # the DataSource serving face agrees
+    ds = {
+        r.k: r.name
+        for r in spark.read.format("snapshot")
+        .option("root", t.root)
+        .load()
+        .collect()
+    }
+    assert ds == rows
+    # old data files untouched; the update only ADDED files + a vector
+    m0, m1 = t._read_manifest(0), t._read_manifest(1)
+    assert set(m0["files"]) <= set(m1["files"])
+    assert m1["mode"] == "update-dv"
+    # updated rows are NOT masked (new files carry no vector entries)
+    named = {f for d in m1["dvs"] for f in d["files"]}
+    assert named <= set(m0["files"])
+    # time travel shows the pre-update images
+    pre = {r.k: r.name for r in t.read(spark, version=0).collect()}
+    assert pre[2] == "u2"
+
+
+def test_update_where_mor_composes_and_validates(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_constraint(spark, "name_nonempty", "length(name) > 0")
+    with pytest.raises(ValueError, match="name_nonempty"):
+        t.update_where_mor(spark, {"name": F.lit("")}, [("g", "=", 1)])
+    # updates stack with positional deletes; OPTIMIZE materializes both
+    t.update_where_mor(spark, {"name": F.lit("x")}, [("g", "=", 1)])
+    t.delete_where_mor(spark, [("g", "=", 0)])
+    want = {
+        k: ("x" if k % 5 == 1 else f"u{k}")
+        for k in range(60)
+        if k % 5 != 0
+    }
+    got = {r.k: r.name for r in t.read(spark).collect()}
+    assert got == want
+    t.optimize(spark, ["k"], target_files=1)
+    assert not t._read_manifest(t.latest_version()).get("dvs")
+    assert {r.k: r.name for r in t.read(spark).collect()} == want
+    # no-op publishes nothing
+    v = t.latest_version()
+    rep = t.update_where_mor(spark, {"name": F.lit("y")}, [("k", "=", -5)])
+    assert rep["rows_updated"] == 0 and t.latest_version() == v
