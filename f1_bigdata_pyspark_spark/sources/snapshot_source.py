@@ -571,7 +571,13 @@ def _log_manifest(root: str, v: int) -> dict:
     return load_manifest(root, v)
 
 
-def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
+def _plan_added_partitions(
+    root: str,
+    lo: int,
+    hi: int,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
+) -> list:
     """One SnapshotFilePartition per file ADDED in (lo, hi] — the shared
     micro-batch planner of both stream readers. Walks RETAINED versions
     only (compact_log leaves a sparse log; manifests are cumulative, so
@@ -579,7 +585,21 @@ def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
     one and the set difference still delivers exactly once). Raises the
     re-sync error on non-append versions AND on files that VANISHED
     between retained manifests (a non-append hidden inside a
-    compacted-away intermediate)."""
+    compacted-away intermediate).
+
+    DELTA-PARITY RELAXATIONS (round 9, opt-in like Delta's):
+    - ``ignore_deletes`` (option ``ignoreDeletes``): versions whose mode
+      is ``delete`` (key tombstones) or ``delete-dv`` (positional
+      vectors) pass — they remove ZERO data files, so the append-only
+      set difference stays exactly-once on the file level; the consumer
+      accepts that rows it already received may since have been deleted
+      upstream (Delta's documented ignoreDeletes contract).
+    - ``ignore_changes`` (option ``ignoreChanges``, implies the above):
+      ANY mode passes and the vanished-file guard is off; each
+      version's ADDED files are emitted, so a rewrite (CoW DML, merge,
+      optimize, update-dv images) RE-EMITS its surviving rows — the
+      consumer must tolerate duplicates, Delta's documented
+      ignoreChanges contract."""
     from f1_bigdata_pyspark_spark.sources.snapshots import _stat_to_py
 
     if hi <= lo:
@@ -632,12 +652,22 @@ def _plan_added_partitions(root: str, lo: int, hi: int) -> list:
                 "stream cannot keep reading under its start-time "
                 "schema; re-sync from a fresh snapshot read"
             )
-        if v != baseline and m["mode"] != "append":
+        mode_ok = (
+            m["mode"] == "append"
+            or ignore_changes
+            or (
+                ignore_deletes
+                and m["mode"] in ("delete", "delete-dv")
+            )
+        )
+        if v != baseline and not mode_ok:
             raise ValueError(
                 f"v{v} is {m['mode']!r}, not append — the change "
-                "feed is broken; re-sync from a snapshot read"
+                "feed is broken; re-sync from a snapshot read, or pass "
+                "ignoreDeletes/ignoreChanges to accept the relaxed "
+                "delivery contract"
             )
-        if v != baseline and seen - set(m["files"]):
+        if v != baseline and not ignore_changes and seen - set(m["files"]):
             # a file DISAPPEARED between retained manifests: a
             # non-append (overwrite/delete/rollback) hid inside a
             # compacted-away intermediate — the mode check alone cannot
@@ -738,9 +768,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
     correct capping is impossible here without risking offset
     regression."""
 
-    def __init__(self, root: str, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        ignore_deletes: bool = False,
+        ignore_changes: bool = False,
+    ):
         self.root = root
         self.schema = schema
+        self.ignore_deletes = ignore_deletes
+        self.ignore_changes = ignore_changes
 
     def initialOffset(self) -> dict:
         return {"version": -1}  # fresh stream: nothing consumed yet
@@ -751,7 +789,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return _plan_added_partitions(
-            self.root, start["version"], end["version"]
+            self.root,
+            start["version"],
+            end["version"],
+            self.ignore_deletes,
+            self.ignore_changes,
         )
 
     def read(self, partition):
@@ -802,7 +844,11 @@ class SnapshotSimpleStreamReader(SimpleDataSourceStreamReader):
         max_files: int | None,
         max_bytes: int | None,
         bytes_ceiling: int | None = None,
+        ignore_deletes: bool = False,
+        ignore_changes: bool = False,
     ):
+        self.ignore_deletes = ignore_deletes
+        self.ignore_changes = ignore_changes
         if max_files is not None and max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
         if max_bytes is not None and max_bytes < 1:
@@ -831,7 +877,13 @@ class SnapshotSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"version": -1}
 
     def _rows_between(self, lo: int, hi: int):
-        for p in _plan_added_partitions(self.root, lo, hi):
+        for p in _plan_added_partitions(
+            self.root,
+            lo,
+            hi,
+            self.ignore_deletes,
+            self.ignore_changes,
+        ):
             for batch in _read_partition_batches(self.schema, p):
                 cols = [c.to_pylist() for c in batch.columns]
                 yield from zip(*cols)
@@ -1292,6 +1344,19 @@ class SnapshotDataSource(DataSource):
         layout = _resolve_write_layout(schema, specs) if specs else None
         return SnapshotWriter(root, schema, overwrite, layout, specs)
 
+    def _relaxations(self) -> tuple[bool, bool]:
+        def flag(*names) -> bool:
+            for n in names:
+                v = self.options.get(n)
+                if v is not None:
+                    return str(v).lower() == "true"
+            return False
+
+        return (
+            flag("ignoreDeletes", "ignoredeletes"),
+            flag("ignoreChanges", "ignorechanges"),
+        )
+
     def _budgets(self) -> tuple[int | None, int | None]:
         mf = self.options.get("maxFilesPerTrigger")
         mb = self.options.get("maxBytesPerTrigger")
@@ -1319,7 +1384,9 @@ class SnapshotDataSource(DataSource):
                     "(routes to simpleStreamReader)"
                 },
             )
-        return SnapshotStreamReader(root, schema)
+        return SnapshotStreamReader(
+            root, schema, *self._relaxations()
+        )
 
     def simpleStreamReader(self, schema: StructType) -> SnapshotSimpleStreamReader:
         root = self.options.get("root")
@@ -1335,6 +1402,7 @@ class SnapshotDataSource(DataSource):
             mf,
             mb,
             int(ceiling) if ceiling is not None else None,
+            *self._relaxations(),
         )
 
 

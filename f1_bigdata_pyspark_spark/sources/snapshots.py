@@ -2389,6 +2389,129 @@ class SnapshotTable:
             bloom_hashes=bk.get("bloom_hashes", 4),
         )
 
+    def optimize_deletions(
+        self,
+        spark: SparkSession,
+        min_masked_fraction: float = 0.05,
+    ) -> dict:
+        """DV-AWARE compaction (Delta's PURGE / Iceberg's rewrite of
+        position-deleted files): rewrite ONLY the files whose deletion-
+        vector-masked row fraction reaches ``min_masked_fraction`` —
+        they pay the anti-join read tax on mostly-dead bytes — and keep
+        lightly-masked files serving through their vectors. The
+        incremental payback half of the merge-on-read bargain: DELETE
+        stays O(matching rows), and this touches O(heavily-masked
+        bytes), never the table. Masked counts come from ONE narrow
+        aggregation over the vectors themselves (O(deleted rows));
+        rewritten files go THROUGH the scan (vectors + tombstones
+        applied), carried files keep their entries via the usual carry
+        filter, and vector records whose every file got rewritten drop
+        (their dirs become vacuumable once old versions expire).
+        Returns {"version", "files_rewritten", "files_carried",
+        "rows_purged"}; no file over the threshold = no-op, nothing
+        published."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        dvs = manifest.get("dvs") or []
+        noop = {
+            "version": base,
+            "files_rewritten": 0,
+            "files_carried": len(manifest["files"]),
+            "rows_purged": 0,
+        }
+        if not dvs:
+            return noop
+        from pyspark.sql import functions as F
+
+        dv_parts = [spark.read.parquet(d["dir"]) for d in dvs]
+        dead = dv_parts[0]
+        for dvp in dv_parts[1:]:
+            dead = dead.unionByName(dvp)
+        masked = {
+            r["__file"]: r["n"]
+            for r in dead.groupBy("__file")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        stats = manifest.get("stats", {})
+        rewrite = []
+        purged = 0
+        for f, n in masked.items():
+            if f not in set(manifest["files"]):
+                continue  # stale entry (defensive): nothing to rewrite
+            rows = _file_row_count(stats.get(f, {}))
+            frac = (n / rows) if rows else 1.0  # unknown size: assume hot
+            if frac >= min_masked_fraction:
+                rewrite.append(f)
+                purged += n
+        if not rewrite:
+            return noop
+        df = self._scan_with_tombstones(spark, manifest, rewrite)
+        new_files, new_stats, new_partitions = self._write_data_files(
+            df, manifest.get("partition_by"), **self._bloom_kwargs(manifest)
+        )
+        carried = [f for f in manifest["files"] if f not in set(rewrite)]
+        carried_set = set(carried)
+        out_stats = {
+            f: s
+            for f, s in manifest.get("stats", {}).items()
+            if f in carried_set
+        }
+        out_stats.update(new_stats)
+        partitions = {
+            f: p
+            for f, p in manifest.get("partitions", {}).items()
+            if f in carried_set
+        }
+        partitions.update(new_partitions)
+        version = base + 1
+        file_seq = {
+            f: s_
+            for f, s_ in manifest.get("file_seq", {}).items()
+            if f in carried_set
+        }
+        for f in new_files:
+            file_seq[f] = version
+        out = {
+            "version": version,
+            "mode": "optimize-deletions",
+            "files": carried + new_files,
+            "stats": out_stats,
+            "schema": manifest["schema"],
+            "file_seq": file_seq,
+            "committed_at": __import__("time").time(),
+        }
+        for k in (
+            "evolved",
+            "bloom",
+            "txns",
+            "constraints",
+            "partition_by",
+            "column_mapping",
+            "retired_columns",
+        ):
+            if manifest.get(k):
+                out[k] = manifest[k]
+        if manifest.get("tombstones"):
+            # rewritten files went THROUGH the tombstones; carried files
+            # still need them (post-rewrite seq exempts the new ones)
+            out["tombstones"] = manifest["tombstones"]
+            out["tombstone_keys"] = manifest["tombstone_keys"]
+        dvs_c = _carry_dvs(manifest, carried_set)
+        if dvs_c:
+            out["dvs"] = dvs_c
+        if partitions:
+            out["partitions"] = partitions
+        self._publish(version, out)
+        return {
+            "version": version,
+            "files_rewritten": len(rewrite),
+            "files_carried": len(carried),
+            "rows_purged": purged,
+        }
+
     def optimize_incremental(
         self,
         spark: SparkSession,

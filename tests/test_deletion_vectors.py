@@ -269,3 +269,73 @@ def test_update_where_mor_composes_and_validates(spark, tmp_path):
     v = t.latest_version()
     rep = t.update_where_mor(spark, {"name": F.lit("y")}, [("k", "=", -5)])
     assert rep["rows_updated"] == 0 and t.latest_version() == v
+
+
+def test_optimize_deletions_rewrites_only_hot_files(spark, tmp_path):
+    """DV-aware compaction: files over the masked-fraction threshold
+    rewrite THROUGH their vectors; lightly-masked files keep serving
+    through theirs — O(heavily-masked bytes), never the table."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # two files with very different masked fractions: file A (k<100)
+    # loses half its rows, file B (k>=100) loses none
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(100, 1100)], "k long")
+    t.commit(a.repartition(1), mode="append")
+    t.commit(b.repartition(1), mode="append")
+    t.delete_where_mor(spark, [("k", "<", 50)])
+    rep = t.optimize_deletions(spark, min_masked_fraction=0.25)
+    assert rep["files_rewritten"] == 1 and rep["rows_purged"] == 50
+    m = t._read_manifest(t.latest_version())
+    assert not m.get("dvs")  # the only vector's files all rewrote
+    want = sorted(range(50, 1100))
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    # below-threshold table: no-op, nothing published
+    t.delete_where_mor(spark, [("k", "=", 60)])  # 1 of ~1050 rows
+    v = t.latest_version()
+    rep2 = t.optimize_deletions(spark, min_masked_fraction=0.25)
+    assert rep2["files_rewritten"] == 0 and t.latest_version() == v
+    # the light vector still applies on read
+    assert 60 not in {r.k for r in t.read(spark).collect()}
+
+
+def test_stream_ignore_deletes_and_changes(spark, tmp_path):
+    """Delta-parity relaxations: ignoreDeletes lets the change feed
+    cross delete/delete-dv versions (zero data files removed — file-
+    level exactly-once holds); ignoreChanges additionally crosses
+    rewrites, re-emitting their files (documented duplicate contract)."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_added_partitions,
+    )
+
+    t = _mk(spark, tmp_path, n=30, parts=1)  # v0
+    t.delete_where_mor(spark, [("g", "=", 1)])  # v1: delete-dv
+    t.commit(
+        spark.createDataFrame(
+            [(500, 0, "n")], "k long, g long, name string"
+        ).repartition(1),
+        mode="append",
+    )  # v2
+    # strict: refuses at the delete
+    with pytest.raises(ValueError, match="ignoreDeletes"):
+        _plan_added_partitions(t.root, 0, 2)
+    # ignoreDeletes: only v2's append surfaces
+    parts = _plan_added_partitions(t.root, 0, 2, ignore_deletes=True)
+    assert len(parts) == 1
+    # a CoW rewrite still refuses under ignoreDeletes...
+    t.delete_where(spark, [("g", "=", 2)])  # v3: rewrites the base file
+    with pytest.raises(ValueError, match="ignoreDeletes|not append"):
+        _plan_added_partitions(t.root, 2, 3, ignore_deletes=True)
+    # ...and passes under ignoreChanges, re-emitting the rewritten file
+    parts2 = _plan_added_partitions(t.root, 2, 3, ignore_changes=True)
+    assert len(parts2) == 1  # the rewritten survivor file
+    # the Simple reader honors the flags end-to-end (read(start) path)
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        SnapshotSimpleStreamReader,
+    )
+
+    schema = t.read(spark).schema
+    r = SnapshotSimpleStreamReader(
+        t.root, schema, None, None, None, True, True
+    )
+    rows, off = r.read({"version": 0})
+    assert off == {"version": 3} and len(list(rows)) > 0
