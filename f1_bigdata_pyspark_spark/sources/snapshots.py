@@ -2804,6 +2804,7 @@ class SnapshotTable:
         where: list[tuple[str, str, object]],
         expected_base_version: int | None = None,
         dv_buckets: int = 16,
+        _before_publish=None,
     ) -> dict:
         """Merge-on-read ``DELETE FROM … WHERE`` via POSITIONAL DELETION
         VECTORS (Iceberg v2 position deletes / Delta deletion vectors):
@@ -2855,6 +2856,11 @@ class SnapshotTable:
         scan = self._scan_with_tombstones(
             spark, manifest, touched, with_row_pos=True
         )
+        if scan.filter(pred).limit(1).count() == 0:
+            # pruning kept may-match files, but no LIVE row matches
+            # (e.g. a prior vector already masked them): publishing —
+            # or even writing an empty partitioned vector — is a no-op
+            return noop
         dv_dir = os.path.join(self.data_dir, f"dv-{uuid.uuid4().hex[:12]}")
         (
             scan.filter(pred)
@@ -2888,31 +2894,77 @@ class SnapshotTable:
             raise RuntimeError(
                 f"deletion vector names non-snapshot files {sorted(stray)}"
             )
-        out = dict(manifest)
-        out.pop("txn", None)
-        version = base + 1
-        out.update(
-            {
+        if _before_publish is not None:  # test seam: deterministic race
+            hook, _before_publish = _before_publish, None
+            hook()
+        # optimistic publish with DELTA-STYLE LOGICAL REBASE: a position
+        # vector stays valid on any head that (a) still carries every
+        # touched file BY IDENTITY (a rewrite would orphan the
+        # addresses) and (b) added no file that may hold matching rows
+        # (our vector would miss them — an incomplete DELETE). Both
+        # checks are O(manifest); violation aborts with the conflict.
+        for _attempt in range(20):
+            version = manifest["version"] + 1
+            out = dict(manifest)
+            out.pop("txn", None)
+            out.update(
+                {
+                    "version": version,
+                    "mode": "delete-dv",
+                    "dvs": (manifest.get("dvs") or [])
+                    + [
+                        {
+                            "dir": dv_dir,
+                            "files": touched_files,
+                            "n_buckets": dv_buckets,
+                        }
+                    ],
+                    "committed_at": __import__("time").time(),
+                }
+            )
+            try:
+                self._publish(version, out)
+            except SnapshotConflictError:
+                if expected_base_version is not None:
+                    raise  # the caller pinned the base: no rebase
+                head_v = self.latest_version()
+                head = self._read_manifest(head_v)
+                if set(touched_files) - set(head["files"]):
+                    raise SnapshotConflictError(
+                        "concurrent writer rewrote a file this delete's "
+                        "position vector addresses — re-run the delete "
+                        "against the new head"
+                    ) from None
+                added = [
+                    f
+                    for f in head["files"]
+                    if f not in set(manifest["files"])
+                ]
+                if any(
+                    all(
+                        _file_may_match(_file_evidence(head, f), c, op, lv)
+                        for c, op, lv in where
+                    )
+                    for f in added
+                ):
+                    raise SnapshotConflictError(
+                        "concurrent writer added files that may hold "
+                        "rows matching this DELETE's predicate — the "
+                        "vector would miss them; re-run against the "
+                        "new head"
+                    ) from None
+                manifest = head
+                continue
+            return {
                 "version": version,
-                "mode": "delete-dv",
-                "dvs": (manifest.get("dvs") or [])
-                + [
-                    {
-                        "dir": dv_dir,
-                        "files": touched_files,
-                        "n_buckets": dv_buckets,
-                    }
-                ],
-                "committed_at": __import__("time").time(),
+                "rows_deleted": rows_deleted,
+                "files_touched": len(touched_files),
+                "files_rewritten": 0,
             }
+        raise SnapshotConflictError(
+            "delete_where_mor gave up after 20 rebase attempts "
+            "(writer livelock?)"
         )
-        self._publish(version, out)
-        return {
-            "version": version,
-            "rows_deleted": rows_deleted,
-            "files_touched": len(touched_files),
-            "files_rewritten": 0,
-        }
 
     def update_where_mor(
         self,

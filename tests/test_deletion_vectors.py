@@ -339,3 +339,54 @@ def test_stream_ignore_deletes_and_changes(spark, tmp_path):
     )
     rows, off = r.read({"version": 0})
     assert off == {"version": 3} and len(list(rows)) > 0
+
+
+def test_dv_delete_rebases_on_disjoint_concurrent_append(spark, tmp_path):
+    """Optimistic-concurrency rebase: a position vector republishes on a
+    head that kept every addressed file and added only provably-
+    unmatched files; a may-match concurrent append aborts (the vector
+    would silently miss its rows — an incomplete DELETE)."""
+    t = _mk(spark, tmp_path, n=30, parts=1)
+
+    def race_disjoint():
+        # concurrent append of rows the predicate provably cannot match
+        SnapshotTable(t.root).commit(
+            spark.createDataFrame(
+                [(500, 9, "w")], "k long, g long, name string"
+            ).repartition(1),
+            mode="append",
+        )
+
+    rep = t.delete_where_mor(
+        spark, [("g", "=", 2)], _before_publish=race_disjoint
+    )
+    assert rep["rows_deleted"] == 6 and rep["version"] == 2
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == sorted(
+        [i for i in range(30) if i % 5 != 2] + [500]
+    )  # the winner's append AND the delete both landed
+
+    def race_matching():
+        SnapshotTable(t.root).commit(
+            spark.createDataFrame(
+                [(600, 3, "m")], "k long, g long, name string"
+            ).repartition(1),
+            mode="append",
+        )
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotConflictError,
+    )
+
+    with pytest.raises(SnapshotConflictError, match="may hold"):
+        t.delete_where_mor(
+            spark, [("g", "=", 3)], _before_publish=race_matching
+        )
+    # a pinned base never rebases
+    with pytest.raises(SnapshotConflictError):
+        t.delete_where_mor(
+            spark,
+            [("g", "=", 4)],
+            expected_base_version=t.latest_version(),
+            _before_publish=race_disjoint,
+        )

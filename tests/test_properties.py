@@ -919,3 +919,69 @@ def test_manifest_delta_roundtrips_or_declines(
     assert got["schema"] == full["schema"]
     assert got["version"] == 5 and got["mode"] == "append"
     assert got["committed_at"] == 123.0
+
+
+# ------------------------------------------------ positional deletion
+# vectors (round 9): random interleavings of appends, merge-on-read
+# deletes/updates, copy-on-write deletes and DV-aware compaction must
+# equal a plain Python shadow model — the row-address machinery (file
+# path + row ordinal, bucket routing, carry filters, through-the-scan
+# rewrites) can never change an answer.
+
+_dvp_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 4)),
+        st.tuples(st.just("del_mor"), st.integers(0, 5)),
+        st.tuples(st.just("upd_mor"), st.integers(0, 5)),
+        st.tuples(st.just("del_cow"), st.integers(0, 5)),
+        st.tuples(st.just("purge"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_dvp_ops)
+def test_dv_ops_match_shadow_model(spark, tmp_path_factory, ops):
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("dvp") / "tbl"))
+    rows = [(i, i % 4, i * 10) for i in range(12)]
+    t.commit(
+        spark.createDataFrame(rows, "rid long, g long, v long")
+        .repartition(2),
+        mode="append",
+    )
+    shadow = list(rows)
+    next_rid = 100
+    for kind, seed in ops:
+        if kind == "append":
+            block = [(next_rid + j, seed, (next_rid + j) * 10) for j in range(3)]
+            next_rid += 10
+            t.commit(
+                spark.createDataFrame(block, "rid long, g long, v long")
+                .repartition(1),
+                mode="append",
+            )
+            shadow.extend(block)
+        elif kind == "del_mor":
+            t.delete_where_mor(spark, [("g", "=", seed % 4)])
+            shadow = [r for r in shadow if r[1] != seed % 4]
+        elif kind == "upd_mor":
+            t.update_where_mor(
+                spark, {"v": "v + 1000"}, [("rid", "<", seed * 20)]
+            )
+            shadow = [
+                (rid, g, v + 1000 if rid < seed * 20 else v)
+                for rid, g, v in shadow
+            ]
+        elif kind == "del_cow":
+            t.delete_where(spark, [("v", ">=", seed * 300)])
+            shadow = [r for r in shadow if r[2] < seed * 300]
+        else:  # purge
+            t.optimize_deletions(spark, min_masked_fraction=0.3)
+        got = sorted(
+            (r.rid, r.g, r.v) for r in t.read(spark).collect()
+        )
+        assert got == sorted(shadow), (kind, seed, ops)
