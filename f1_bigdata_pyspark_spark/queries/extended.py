@@ -5635,3 +5635,123 @@ def snapshot_positional_delete_serving(
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_mor_update_purge — the full merge-on-read DML lifecycle
+# under the value hash (round 9): orders commit one file per hidden
+# year(o_orderdate) partition; `update_where_mor` doubles post-2000
+# prices (ONE version = a position vector masking the old images + new
+# files holding the updated ones — zero rewrites); `delete_where_mor`
+# removes every pre-1996 row the same way; then `optimize_deletions`
+# pays the read tax back — the three fully-masked year files (their
+# every row updated or deleted) cross the 50 % threshold and rewrite to
+# NOTHING (their live rows are empty), dropping their vectors, while
+# the untouched 1996-1999 files never rewrite. The post-lifecycle
+# rollup, both DML row counts, the purge's file/row arithmetic, and the
+# vectors-all-gone count ride the hash; the oracle replays everything
+# from the base table.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_mor_update_purge",
+    oracle="""
+WITH upd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS nf
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+),
+del AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS nf
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+)
+SELECT year(o_orderdate) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(
+         (CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+               THEN o_totalprice * 2 ELSE o_totalprice END) * 100 + 0.5
+       ) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       (SELECT n FROM upd) AS n_rows_updated,
+       (SELECT n FROM del) AS n_rows_deleted,
+       (SELECT nf FROM upd) + (SELECT nf FROM del) AS n_files_purged,
+       (SELECT n FROM upd) + (SELECT n FROM del) AS n_rows_purged,
+       CAST(0 AS BIGINT) AS vectors_after_purge
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def snapshot_mor_update_purge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="snap_morp_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(
+            orders.repartition(F.year("o_orderdate")),
+            mode="append",
+            partition_by=["year(o_orderdate)"],
+        )
+        cut_upd = datetime.datetime(2000, 1, 1)
+        cut_del = datetime.datetime(1996, 1, 1)
+        urep = table.update_where_mor(
+            spark,
+            {"o_totalprice": F.col("o_totalprice") * 2},
+            [("o_orderdate", ">=", cut_upd)],
+        )
+        drep = table.delete_where_mor(
+            spark, [("o_orderdate", "<", cut_del)]
+        )
+        prep = table.optimize_deletions(spark, min_masked_fraction=0.5)
+        n_vectors = len(
+            table._read_manifest(table.latest_version()).get("dvs") or []
+        )
+        out = materialize(
+            table.read(spark)
+            .groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("o_totalprice") * 100 + 0.5
+                        ).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .withColumn(
+                "n_rows_updated",
+                F.lit(urep["rows_updated"]).cast("long"),
+            )
+            .withColumn(
+                "n_rows_deleted",
+                F.lit(drep["rows_deleted"]).cast("long"),
+            )
+            .withColumn(
+                "n_files_purged",
+                F.lit(prep["files_rewritten"]).cast("long"),
+            )
+            .withColumn(
+                "n_rows_purged",
+                F.lit(prep["rows_purged"]).cast("long"),
+            )
+            .withColumn(
+                "vectors_after_purge", F.lit(n_vectors).cast("long")
+            )
+            .orderBy("order_year")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
