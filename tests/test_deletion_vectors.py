@@ -390,3 +390,35 @@ def test_dv_delete_rebases_on_disjoint_concurrent_append(spark, tmp_path):
             expected_base_version=t.latest_version(),
             _before_publish=race_disjoint,
         )
+
+
+def test_describe_history_audit_trail(spark, tmp_path):
+    """DESCRIBE HISTORY from the manifest log alone: per-version mode,
+    file deltas, metadata-provable row counts (refused while row-level
+    deletes are live), and vector/tombstone accounting."""
+    t = _mk(spark, tmp_path, n=20, parts=2)  # v0: append, 20 rows
+    t.delete_where_mor(spark, [("g", "=", 1)])  # v1: delete-dv
+    t.optimize_deletions(spark, min_masked_fraction=0.0)  # v2: purge
+    t.commit(
+        spark.createDataFrame(
+            [(900, 0, "z")], "k long, g long, name string"
+        ).repartition(1),
+        mode="append",
+    )  # v3
+    h = t.describe_history()
+    assert [r["version"] for r in h] == [0, 1, 2, 3]
+    assert [r["mode"] for r in h] == [
+        "append",
+        "delete-dv",
+        "optimize-deletions",
+        "append",
+    ]
+    assert h[0]["n_rows"] == 20 and h[0]["n_added"] == 2
+    # live vector: row count must refuse, vector counted
+    assert h[1]["n_rows"] is None and h[1]["n_deletion_vectors"] == 1
+    assert h[1]["n_added"] == 0 and h[1]["n_removed"] == 0
+    # purge rewrote both masked files; counts provable again
+    assert h[2]["n_deletion_vectors"] == 0
+    assert h[2]["n_rows"] == 16 and h[2]["n_removed"] == 2
+    assert h[3]["n_rows"] == 17 and h[3]["n_added"] == 1
+    assert all(r["committed_at"] is not None for r in h)
