@@ -5755,3 +5755,107 @@ def snapshot_mor_update_purge(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_history_audit — DESCRIBE HISTORY under the value hash
+# (round 9): three deterministic versions (per-year append -> positional
+# delete of pre-1996 -> purge compaction of the fully-masked year file)
+# and the ENTIRE audit trail — modes, file add/remove deltas,
+# metadata-provable row counts (NULL exactly while the vector is live),
+# vector counts — is replayed by the oracle from the base table's year
+# arithmetic. The history comes from the manifest log alone; no data
+# file is opened to produce it.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_history_audit",
+    oracle="""
+WITH y AS (
+  SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS nf,
+         CAST(count(*) AS BIGINT) AS nr
+  FROM orders
+),
+d AS (
+  SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS nf,
+         CAST(count(*) AS BIGINT) AS nr
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS version, 'append' AS mode,
+         (SELECT nf FROM y) AS n_files,
+         (SELECT nf FROM y) AS n_added,
+         CAST(0 AS BIGINT) AS n_removed,
+         (SELECT nr FROM y) AS n_rows,
+         CAST(0 AS BIGINT) AS n_deletion_vectors
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'delete-dv',
+         (SELECT nf FROM y), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'optimize-deletions',
+         (SELECT nf FROM y) - (SELECT nf FROM d),
+         CAST(0 AS BIGINT), (SELECT nf FROM d),
+         (SELECT nr FROM y) - (SELECT nr FROM d), CAST(0 AS BIGINT)
+) AS t
+ORDER BY version
+""",
+)
+def snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="snap_hist_")
+    try:
+        table = SnapshotTable(root)
+        table.commit(
+            orders.repartition(F.year("o_orderdate")),
+            mode="append",
+            partition_by=["year(o_orderdate)"],
+        )
+        table.delete_where_mor(
+            spark, [("o_orderdate", "<", datetime.datetime(1996, 1, 1))]
+        )
+        table.optimize_deletions(spark, min_masked_fraction=0.5)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("version", LongType()),
+                StructField("mode", StringType()),
+                StructField("n_files", LongType()),
+                StructField("n_added", LongType()),
+                StructField("n_removed", LongType()),
+                StructField("n_rows", LongType()),
+                StructField("n_deletion_vectors", LongType()),
+            ]
+        )
+        rows = [
+            (
+                r["version"],
+                r["mode"],
+                r["n_files"],
+                r["n_added"],
+                r["n_removed"],
+                r["n_rows"],
+                r["n_deletion_vectors"],
+            )
+            for r in table.describe_history()
+        ]
+        out = materialize(
+            spark.createDataFrame(rows, schema).orderBy("version")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
