@@ -66,6 +66,54 @@ def apply_cdc_to_rollup(
     return merged.filter(F.col("n") > 0)
 
 
+# -- round 10: maintenance from the ROW-LEVEL change feed --------------------
+# ``snapshots.read_row_changes_since`` emits (row columns, _change_type,
+# _commit_version) across the FULL DML matrix — deletes and updates
+# included — so these folds are what replace the "full resync at the
+# first GDPR delete" failure mode the key-diff feed (snapshot_diff) had.
+
+
+def signed_delta_from_row_feed(feed: DataFrame) -> DataFrame:
+    """A row-level change feed as a ±1-signed multiset delta relation:
+    insert/update_postimage contribute (+1, row), delete/update_preimage
+    (−1, row). The output shape plugs straight into the round-7 join-
+    maintenance identity (``apply_cdc_to_join_rollup``)."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return feed.withColumn("__sign", sign).drop(
+        "_change_type", "_commit_version"
+    )
+
+
+def apply_row_feed_to_rollup(
+    rollup: DataFrame, feed: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Fold a row-level change feed into a (key..., n, s) rollup — the
+    single-table IVM step, now across deletes/updates: one groupBy over
+    the (small) feed plus the same full-outer merge as the CDC fold.
+    NULL values contribute 0 to the sum on either sign, matching what a
+    recompute's ``sum()`` would skip."""
+    d = signed_delta_from_row_feed(feed)
+    v = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+    delta = d.groupBy(*key_cols).agg(
+        F.sum("__sign").alias("dn"),
+        F.sum(F.col("__sign") * v).cast("long").alias("ds"),
+    )
+    merged = rollup.join(delta, key_cols, "full_outer").select(
+        *key_cols,
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("s"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    return merged.filter(F.col("n") > 0)
+
+
 # -- round 7: JOIN-view maintenance (two-table delta-join identity) ----------
 
 

@@ -287,33 +287,58 @@ def _read_partition_batches(schema: StructType, partition):
     yield from out.to_batches()
 
 
+# executor-process cache of parsed deletion-vector bucket slices: dv
+# dirs are IMMUTABLE once published (a new delete writes a new dir), so
+# the parsed slice is shared by every task of a scan that routes to the
+# same bucket — row-group-range splits of one file stop re-reading the
+# slice per split, and files hashing to the same bucket share one read.
+# Bounded like _DEAD_KEY_CACHE: cleared wholesale at 64 entries.
+_DV_SLICE_CACHE: dict = {}
+
+
+def _load_dv_slice(d: str):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if d not in _DV_SLICE_CACHE:
+        if len(_DV_SLICE_CACHE) >= 64:
+            _DV_SLICE_CACHE.clear()
+        tabs = []
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    tabs.append(
+                        pq.read_table(
+                            os.path.join(d, name),
+                            columns=["__file", "__pos"],
+                        )
+                    )
+        _DV_SLICE_CACHE[d] = pa.concat_tables(tabs) if tabs else None
+    return _DV_SLICE_CACHE[d]
+
+
 def _dv_keep_mask(partition, pf, groups, n: int):
     """Boolean keep-mask applying this file's POSITIONAL deletion
     vectors (round 9) — the executor-side form of the relational
     (``__dv_file``, ``__dv_pos``) anti-join. Each task reads only its
-    file's md5-bucket slice of each vector; a row survives unless its
-    ABSOLUTE in-file ordinal (row-group start offset + within-group
-    index, which row-group skipping and range splitting both preserve)
-    is named. None = nothing deleted here."""
-    import os
-
+    file's md5-bucket slice of each vector (cached per executor — round
+    10); a row survives unless its ABSOLUTE in-file ordinal (row-group
+    start offset + within-group index, which row-group skipping and
+    range splitting both preserve) is named. None = nothing deleted
+    here."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     dead: set[int] = set()
     for d in partition.dv_dirs:
-        if not os.path.isdir(d):
+        t = _load_dv_slice(d)
+        if t is None:
             continue
-        for name in sorted(os.listdir(d)):
-            if not name.endswith(".parquet"):
-                continue
-            t = pq.read_table(
-                os.path.join(d, name), columns=["__file", "__pos"]
-            )
-            sel = pc.equal(t["__file"], partition.path)
-            dead.update(t.filter(sel)["__pos"].to_pylist())
+        sel = pc.equal(t["__file"], partition.path)
+        dead.update(t.filter(sel)["__pos"].to_pylist())
     if not dead:
         return None
     md = pf.metadata
@@ -599,8 +624,22 @@ def _plan_added_partitions(
       version's ADDED files are emitted, so a rewrite (CoW DML, merge,
       optimize, update-dv images) RE-EMITS its surviving rows — the
       consumer must tolerate duplicates, Delta's documented
-      ignoreChanges contract."""
-    from f1_bigdata_pyspark_spark.sources.snapshots import _stat_to_py
+      ignoreChanges contract.
+
+    MASKED EMISSION (round 10): every emitted file carries the
+    seq-scoped tombstones and deletion-vector bucket dirs its OWN
+    manifest holds for it — exactly like ``SnapshotReader.partitions``.
+    Matters for the BASELINE of a fresh stream on a compacted/vacuumed
+    log: the earliest retained manifest may carry live tombstones/dvs
+    over its cumulative file set, and emitting those files unmasked
+    would deliver deleted rows as live. For incremental appends the
+    masks are empty by construction (a new file's seq equals its
+    version, so no tombstone postdates it, and a vector names only
+    pre-existing paths) — zero cost on the hot path."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _bucket_of,
+        _stat_to_py,
+    )
 
     if hi <= lo:
         return []
@@ -654,6 +693,10 @@ def _plan_added_partitions(
             )
         mode_ok = (
             m["mode"] == "append"
+            # dv-consolidate is logically row-preserving AND adds/removes
+            # no data files: the set difference emits nothing, so it is
+            # exactly as safe as an append for every delivery contract
+            or m["mode"] == "dv-consolidate"
             or ignore_changes
             or (
                 ignore_deletes
@@ -678,6 +721,13 @@ def _plan_added_partitions(
                 "re-sync from a snapshot read"
             )
         parts = m.get("partitions", {})
+        ts = m.get("tombstones") or []
+        t_keys = m.get("tombstone_keys") or []
+        seqs = m.get("file_seq", {})
+        dv_records = [
+            (set(d["files"]), d["dir"], int(d["n_buckets"]))
+            for d in (m.get("dvs") or [])
+        ]
         for f in m["files"]:
             if f in seen:
                 continue
@@ -686,11 +736,21 @@ def _plan_added_partitions(
                 col: (None if tv is None else _stat_to_py(tv))
                 for col, tv in parts.get(f, {}).items()
             }
-            out.append(
-                SnapshotFilePartition(
-                    f, pv, mapping=m.get("column_mapping")
-                )
+            s = seqs.get(f, -1)  # unknown seq: oldest — deletes apply
+            tombs = [t["path"] for t in ts if t["seq"] > s]
+            part = SnapshotFilePartition(
+                f,
+                pv,
+                tombstones=tombs,
+                tombstone_keys=t_keys,
+                mapping=m.get("column_mapping"),
             )
+            part.dv_dirs = [
+                os.path.join(dir_, f"__b={_bucket_of(f, nb)}")
+                for fset, dir_, nb in dv_records
+                if f in fset
+            ]
+            out.append(part)
     return out
 
 
@@ -1414,6 +1474,26 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
+def _collect_plan_refs(jplan, refs: set) -> None:
+    """Every attribute name the analyzed plan references, INCLUDING
+    inside subquery expressions (round 10: ``QueryPlan.subqueries``
+    exposes scalar/EXISTS/IN-subquery plans that ``children()`` does not
+    descend into — a column referenced only there must not be pruned)."""
+
+    def _walk(jnode) -> None:
+        seq = jnode.references().toSeq()
+        for i in range(seq.size()):
+            refs.add(seq.apply(i).name())
+        sub = jnode.subqueries()
+        for i in range(sub.size()):
+            _walk(sub.apply(i))
+        ch = jnode.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i))
+
+    _walk(jplan)
+
+
 def served_read(spark, root: str, build, **options):
     """Projection-PRUNED served scan (round 9): Spark 4.1's Python
     DataSource API has no pruneColumns engine hook (traced in round 8),
@@ -1446,22 +1526,19 @@ def served_read(spark, root: str, build, **options):
     table_cols = set(full.columns)
     planned = build(full)
     refs: set[str] = set()
-
-    def _walk(jnode) -> None:
-        seq = jnode.references().toSeq()
-        for i in range(seq.size()):
-            refs.add(seq.apply(i).name())
-        ch = jnode.children()
-        for i in range(ch.size()):
-            _walk(ch.apply(i))
-
-    _walk(planned._jdf.queryExecution().analyzed())
+    _collect_plan_refs(planned._jdf.queryExecution().analyzed(), refs)
     # committed order, so the derived option is deterministic
     need = [c for c in full.columns if c in refs]
     if not need or len(need) == len(table_cols):
         return planned  # full width (or nothing derivable): as planned
-    narrowed = reader.option("columns", ",".join(need)).load()
-    return build(narrowed)
+    try:
+        narrowed = reader.option("columns", ",".join(need)).load()
+        return build(narrowed)
+    except Exception:
+        # a reference the walk could not see (exotic expression shape):
+        # losing the pruning is an efficiency miss, breaking a pure
+        # caller at analysis would be a contract miss — serve full width
+        return planned
 
 
 def served_read_tables(spark, roots: dict, build, report: dict | None = None):
@@ -1481,16 +1558,7 @@ def served_read_tables(spark, roots: dict, build, report: dict | None = None):
     }
     planned = build(fulls)
     refs: set[str] = set()
-
-    def _walk(jnode) -> None:
-        seq = jnode.references().toSeq()
-        for i in range(seq.size()):
-            refs.add(seq.apply(i).name())
-        ch = jnode.children()
-        for i in range(ch.size()):
-            _walk(ch.apply(i))
-
-    _walk(planned._jdf.queryExecution().analyzed())
+    _collect_plan_refs(planned._jdf.queryExecution().analyzed(), refs)
     narrowed = {}
     for n, r in roots.items():
         cols = fulls[n].columns
@@ -1506,4 +1574,12 @@ def served_read_tables(spark, roots: dict, build, report: dict | None = None):
             .option("columns", ",".join(need))
             .load()
         )
-    return build(narrowed)
+    try:
+        return build(narrowed)
+    except Exception:
+        # same fallback as served_read: never break a pure caller over
+        # a reference the plan walk could not see
+        if report is not None:
+            for n, r in roots.items():
+                report[n] = (len(fulls[n].columns), len(fulls[n].columns))
+        return planned

@@ -56,6 +56,15 @@ from pyspark.sql.functions import min as F_min
 from pyspark.sql.functions import shiftleft as F_shiftleft
 from pyspark.sql.functions import shiftright as F_shiftright
 
+from f1_bigdata_pyspark_spark.sources.metadata_fs import LocalMetadataFS
+
+# module default for the METADATA plane (manifests, clone refs, vacuum
+# walks) — see sources/metadata_fs.py; pass fs=HadoopMetadataFS(spark)
+# to SnapshotTable/load_manifest/vacuum for scheme'd (hdfs://, s3a://)
+# metadata roots. The DATA plane (parquet) rides Spark/pyarrow, which
+# resolve Hadoop schemes natively.
+_LOCAL_FS = LocalMetadataFS()
+
 
 class SnapshotConflictError(RuntimeError):
     """Another writer published this version first (optimistic-concurrency
@@ -1176,18 +1185,45 @@ _CHECKPOINT_EVERY = 10
 _PER_FILE_MAPS = ("stats", "partitions", "file_seq")
 
 
-def load_manifest(root: str, version: int) -> dict:
+def load_manifest(root: str, version: int, fs=None) -> dict:
     """Load ``version``'s manifest and RESOLVE it to the complete
     (checkpoint-form) dict, following the delta chain backward at most
-    ``_CHECKPOINT_EVERY`` hops. FileNotFoundError propagates — the same
-    time-travel contract as before (a vacuumed/compacted version, or a
-    severed base, fails cleanly at the manifest)."""
+    ``_CHECKPOINT_EVERY`` hops. FileNotFoundError on the TOP manifest
+    propagates — the same time-travel contract as before (a vacuumed/
+    compacted version fails cleanly at the manifest).
+
+    A FileNotFoundError BELOW the top gets one retry of the top read:
+    a concurrent compact_log/vacuum checkpoints every RETAINED version
+    before unlinking any base (so a retained version is never truly
+    severed), but a reader that opened the delta record just before the
+    compactor's os.replace can chase ``delta_of`` into a base already
+    unlinked — by then the top has been rewritten self-contained, and
+    re-reading it returns content-identical state. A top that is STILL
+    a delta with a missing base is real corruption and propagates.
+
+    ``fs`` (round 10): the metadata filesystem seam — POSIX by default,
+    ``HadoopMetadataFS`` for scheme'd roots (see sources/metadata_fs.py
+    for the per-store commit contract)."""
+    if fs is None:
+        fs = _LOCAL_FS
+    try:
+        return _load_manifest_resolved(root, version, fs)
+    except FileNotFoundError:
+        path = os.path.join(root, "_manifests", f"v{version}.json")
+        # may itself raise FileNotFoundError: the TOP was vacuumed —
+        # that is the contract's clean failure, not the race
+        raw = json.loads(fs.read_text(path))
+        if "delta_of" not in raw:
+            return raw
+        raise
+
+
+def _load_manifest_resolved(root: str, version: int, fs) -> dict:
     path = os.path.join(root, "_manifests", f"v{version}.json")
-    with open(path) as f:
-        raw = json.load(f)
+    raw = json.loads(fs.read_text(path))
     if "delta_of" not in raw:
         return raw
-    base = load_manifest(root, raw["delta_of"])
+    base = load_manifest(root, raw["delta_of"], fs)
     remove = set(raw.get("files_remove", []))
     adds = raw.get("files_add", [])
     files = [f for f in base["files"] if f not in remove] + adds
@@ -1263,18 +1299,23 @@ def _encode_manifest_delta(full: dict, base: dict) -> dict | None:
 
 
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
         # absolutize ONCE: manifests record file paths verbatim, and a
         # relative root would make Spark resolve scans against the JVM's
         # working directory (not Python's) while input_file_name()
         # returns absolute URIs — every path comparison downstream
         # (findTouchedFiles, carry-by-identity, vacuum) assumes one
-        # canonical spelling
-        self.root = os.path.abspath(root)
+        # canonical spelling. A scheme'd root (hdfs://, s3a://, file:)
+        # is already absolute and must NOT be mangled by os.path.
+        self._fs = fs if fs is not None else _LOCAL_FS
+        if "://" in root or root.startswith("file:"):
+            self.root = root.rstrip("/")
+        else:
+            self.root = os.path.abspath(root)
         self.data_dir = os.path.join(self.root, "data")
         self.manifest_dir = os.path.join(self.root, "_manifests")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self._fs.makedirs(self.data_dir)
+        self._fs.makedirs(self.manifest_dir)
 
     # -- manifest plumbing --------------------------------------------------
 
@@ -1283,7 +1324,7 @@ class SnapshotTable:
 
     def versions(self) -> list[int]:
         vs = []
-        for f in os.listdir(self.manifest_dir):
+        for f in self._fs.listdir(self.manifest_dir):
             if f.startswith("v") and f.endswith(".json"):
                 try:
                     vs.append(int(f[1:-5]))
@@ -1296,7 +1337,7 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _read_manifest(self, version: int) -> dict:
-        return load_manifest(self.root, version)
+        return load_manifest(self.root, version, self._fs)
 
     def _checkpoint_manifest(self, version: int) -> bool:
         """Materialize ``version``'s manifest as a self-contained
@@ -1305,15 +1346,11 @@ class SnapshotTable:
         ops that UNLINK manifests before they sever a delta's base
         chain. True = the file was a delta and got rewritten."""
         path = self._manifest_path(version)
-        with open(path) as f:
-            raw = json.load(f)
+        raw = json.loads(self._fs.read_text(path))
         if "delta_of" not in raw:
             return False
         full = self._read_manifest(version)
-        tmp = path + f".ckpt-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(full, f)
-        os.replace(tmp, path)
+        self._fs.replace_atomic(path, json.dumps(full))
         return True
 
     def _publish(self, version: int, manifest: dict) -> None:
@@ -1327,7 +1364,7 @@ class SnapshotTable:
         sort before any ts)."""
         manifest.setdefault("committed_at", __import__("time").time())
         final = self._manifest_path(version)
-        if os.path.exists(final):
+        if self._fs.exists(final):
             raise SnapshotConflictError(f"version {version} already committed")
         # incremental wire format (round 9): non-checkpoint versions
         # write O(changes) delta records against the previous version;
@@ -1343,20 +1380,17 @@ class SnapshotTable:
                 encoded = (
                     _encode_manifest_delta(manifest, base) or manifest
                 )
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(encoded, f)
         try:
-            # exclusive link+unlink ≈ rename that FAILS if dst exists —
+            # exclusive publish — the metadata-FS seam's put_if_absent
+            # (POSIX: hard-link fail-if-exists; HDFS: atomic exclusive
+            # create; S3A: see metadata_fs.py's documented contract) —
             # closes the check-then-rename race two concurrent committers
             # would otherwise slip through (rename overwrites on POSIX)
-            os.link(tmp, final)
+            self._fs.put_if_absent(final, json.dumps(encoded))
         except FileExistsError:
             raise SnapshotConflictError(
                 f"version {version} already committed"
             ) from None
-        finally:
-            os.unlink(tmp)
 
     # -- write path ---------------------------------------------------------
 
@@ -2436,10 +2470,11 @@ class SnapshotTable:
             .collect()
         }
         stats = manifest.get("stats", {})
-        rewrite = []
+        live = set(manifest["files"])  # hoisted: the loop must not
+        rewrite = []  # rebuild this per masked file (quadratic at 1M files)
         purged = 0
         for f, n in masked.items():
-            if f not in set(manifest["files"]):
+            if f not in live:
                 continue  # stale entry (defensive): nothing to rewrite
             rows = _file_row_count(stats.get(f, {}))
             frac = (n / rows) if rows else 1.0  # unknown size: assume hot
@@ -2512,6 +2547,83 @@ class SnapshotTable:
             "rows_purged": purged,
         }
 
+    def consolidate_deletion_vectors(
+        self,
+        spark: SparkSession,
+        max_records: int = 8,
+        dv_buckets: int = 16,
+    ) -> dict:
+        """Fold ALL live deletion-vector records into ONE consolidated
+        per-bucket vector when the record list exceeds ``max_records`` —
+        the read-amplification bound merge-on-read needs at scale: N
+        small DELETEs otherwise make every task of every scan open N
+        bucket slices (and row-group-range splits of one file re-read
+        them per split). Metadata + O(deleted rows) work: the new vector
+        is the semi-joined union of the old ones (record ``files`` lists
+        are authoritative — addresses for since-rewritten files are
+        dropped), written under the same md5-bucket layout; the commit
+        publishes a single ``dvs`` record and touches ZERO data files.
+        Logically row-preserving, so the stream planner passes it like
+        an append (it adds/removes no files) and the row-level change
+        feed emits nothing for it. Old vector dirs stay referenced by
+        old manifests until vacuum. Returns {"version",
+        "dv_records_before", "dv_records_after", "rows_carried"}."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        dvs = manifest.get("dvs") or []
+        if len(dvs) <= max_records:
+            return {
+                "version": base,
+                "dv_records_before": len(dvs),
+                "dv_records_after": len(dvs),
+                "rows_carried": 0,
+            }
+        from pyspark.sql import functions as F
+
+        named = sorted({f for d in dvs for f in d["files"]})
+        union = None
+        for d in dvs:
+            part = spark.read.parquet(d["dir"]).select("__file", "__pos")
+            union = part if union is None else union.unionByName(part)
+        names_df = spark.createDataFrame([(f,) for f in named], "__file string")
+        vec = union.join(
+            F.broadcast(names_df), "__file", "left_semi"
+        ).distinct()
+        dv_dir = os.path.join(self.data_dir, f"dv-{uuid.uuid4().hex[:12]}")
+        (
+            vec.withColumn(
+                "__b",
+                F.conv(F.substring(F.md5(F_col("__file")), 1, 15), 16, 10)
+                .cast("long")
+                % dv_buckets,
+            )
+            .write.partitionBy("__b")
+            .parquet(dv_dir)
+        )
+        rows = spark.read.parquet(dv_dir).count()
+        version = base + 1
+        out = dict(manifest)
+        out.pop("txn", None)
+        out.update(
+            {
+                "version": version,
+                "mode": "dv-consolidate",
+                "dvs": [
+                    {"dir": dv_dir, "files": named, "n_buckets": dv_buckets}
+                ],
+                "committed_at": __import__("time").time(),
+            }
+        )
+        self._publish(version, out)
+        return {
+            "version": version,
+            "dv_records_before": len(dvs),
+            "dv_records_after": 1,
+            "rows_carried": rows,
+        }
+
     def optimize_incremental(
         self,
         spark: SparkSession,
@@ -2540,7 +2652,14 @@ class SnapshotTable:
         if base is None:
             raise FileNotFoundError(f"no commits at {self.root}")
         manifest = self._read_manifest(base)
-        sizes = {f: os.path.getsize(f) for f in manifest["files"]}
+        # file sizes from the manifest's commit-time meta when recorded
+        # (zero filesystem round-trips at 1M files; also works on
+        # scheme'd roots); stat() only for pre-meta files
+        _stats_m = manifest.get("stats", {})
+        sizes = {}
+        for f in manifest["files"]:
+            b = (_stats_m.get(f, {}).get(FILE_META_KEY) or {}).get("bytes")
+            sizes[f] = int(b) if b else os.path.getsize(f)
         small = [f for f in manifest["files"] if sizes[f] < small_file_max_bytes]
         large = [f for f in manifest["files"] if sizes[f] >= small_file_max_bytes]
         if len(small) < 2:
@@ -2621,6 +2740,91 @@ class SnapshotTable:
             "files_written": len(new_files),
         }
 
+    def refresh_stats(
+        self, spark: SparkSession, files: list[str] | None = None
+    ) -> dict:
+        """Backfill write-time evidence for CARRIED files (round 10):
+        tables committed before the exact-stats overlay existed carry
+        footer-only evidence — float columns without a NaN count
+        (``nanc``), long-string columns without usable bounds — and the
+        sound-by-refusal design then PERMANENTLY forfeits ``>``-class
+        float pruning, long-text skipping, and metadata min/max on them
+        until the files are rewritten. This op recomputes each stale
+        file's stats FROM ITS OWN DATA (footer harvest + the same
+        ``_exact_stats_overlay`` the write paths run, column-pruned to
+        the few columns the overlay needs) and publishes a
+        METADATA-ONLY append version: same file set, zero data bytes
+        rewritten, streams see an empty delta and continue. Per-column
+        blooms and everything else in the old entries carry. The
+        per-file recompute distributes over the cluster
+        (``sc.parallelize`` — per-file imperative pyarrow work, the same
+        placement as the 2PC writer's executor-side stats collection).
+        Returns {"version", "files_refreshed"}; nothing stale = no-op,
+        nothing published."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(base)
+        fields = json.loads(manifest["schema"])["fields"]
+        float_cols = [
+            f["name"] for f in fields if f["type"] in ("float", "double")
+        ]
+        string_cols = [f["name"] for f in fields if f["type"] == "string"]
+        stats = manifest.get("stats", {})
+
+        def _stale(f: str) -> bool:
+            st = stats.get(f, {})
+            if _file_row_count(st) is None:
+                return True  # no file meta: pre-round-8 commit
+            ev = _file_evidence(manifest, f)
+            for c in float_cols:
+                e = ev.get(c)
+                if e is not None and "nanc" not in e:
+                    return True  # NaN-freedom unproven: no ">"-pruning
+            for c in string_cols:
+                e = ev.get(c) or {}
+                if "min" in e:
+                    continue  # usable (possibly tr-marked) bounds
+                nc, nr = e.get("nc"), e.get("nr")
+                if nc is not None and nr is not None and nc == nr:
+                    continue  # provably all-null: exact already
+                return True  # no bounds, rows present: refreshable
+            return False
+
+        todo = [f for f in (files or manifest["files"]) if _stale(f)]
+        if not todo:
+            return {"version": base, "files_refreshed": 0}
+        fresh = dict(
+            spark.sparkContext.parallelize(todo, min(len(todo), 64)).map(
+                _recompute_file_stats
+            ).collect()
+        )
+        out_stats = dict(stats)
+        for f, new_st in fresh.items():
+            old = out_stats.get(f) or {}
+            merged = dict(new_st)
+            for col, e in old.items():
+                if col == FILE_META_KEY:
+                    continue
+                b = (e or {}).get("bloom")
+                if b is not None:  # blooms only exist in the old harvest
+                    merged[col] = {**merged.get(col, {}), "bloom": b}
+            out_stats[f] = merged
+        version = base + 1
+        out = dict(manifest)
+        out.pop("txn", None)
+        out.update(
+            {
+                "version": version,
+                "mode": "append",  # same file set: streams skip clean
+                "op": "refresh-stats",
+                "stats": out_stats,
+                "committed_at": __import__("time").time(),
+            }
+        )
+        self._publish(version, out)
+        return {"version": version, "files_refreshed": len(todo)}
+
     def rollback(self, to_version: int) -> int:
         """Publish a NEW version whose file set equals ``to_version``'s —
         restore without rewriting history."""
@@ -2682,12 +2886,9 @@ class SnapshotTable:
         # written ATOMICALLY (tmp + replace) like every manifest: a torn
         # ref would wedge every future vacuum of the source at json.load
         clones_dir = os.path.join(source.root, "_clones")
-        os.makedirs(clones_dir, exist_ok=True)
+        source._fs.makedirs(clones_dir)
         ref = os.path.join(clones_dir, f"{uuid.uuid4().hex}.json")
-        tmp_ref = ref + ".tmp"
-        with open(tmp_ref, "w") as fh:
-            json.dump({"root": os.path.abspath(self.root)}, fh)
-        os.replace(tmp_ref, ref)
+        source._fs.replace_atomic(ref, json.dumps({"root": self.root}))
         m.update(
             {
                 "version": 0,
@@ -3054,6 +3255,16 @@ class SnapshotTable:
             r["__file"] for r in dv.select("__file").distinct().collect()
         )
         rows_updated = dv.count()
+        stray = set(touched_files) - set(manifest["files"])
+        if stray:
+            # same guard as delete_where_mor: a vector naming addresses
+            # outside the snapshot (e.g. a path normalization mismatch)
+            # would mask NOTHING while the updated images still commit —
+            # reads would then return BOTH old and new rows. Refuse
+            # before any new file or manifest is published.
+            raise RuntimeError(
+                f"update vector names non-snapshot files {sorted(stray)}"
+            )
         new_files, new_stats, new_partitions = self._write_data_files(
             updated,
             manifest.get("partition_by"),
@@ -3345,6 +3556,8 @@ class SnapshotTable:
             }
             if m.get("txn"):
                 rec["txn"] = dict(m["txn"])
+            if m.get("op"):  # metadata-only sub-operation (refresh-stats)
+                rec["op"] = m["op"]
             out.append(rec)
             prev_files = files
         return out
@@ -3429,6 +3642,7 @@ class SnapshotTable:
         from pyspark.sql.functions import col as F_col_
         from pyspark.sql.functions import lit as F_lit
         from pyspark.sql.functions import regexp_replace as F_regexp_replace
+        from pyspark.sql.functions import url_decode as F_url_decode
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -3449,9 +3663,26 @@ class SnapshotTable:
             [F_input_file_name().alias("__file")] if with_file_name else []
         )
         if with_row_pos:
+            # ``_metadata.file_path`` is a URI: a disk path with a space
+            # (Hive partition value) reads back percent-ENCODED
+            # ("g=a b" -> "g=a%20b"), and a disk '%' double-encodes
+            # ("g=c%25d" -> "g=c%2525d") — the raw URI would never
+            # string-match the manifest's disk spelling, so every DV
+            # address into such a file would mask NOTHING (probed on
+            # Spark 4.1; the stray-file guards in *_where_mor catch the
+            # mismatch loudly). Exact recovery: strip the scheme, shield
+            # literal '+' (the URI path encoding leaves it raw but
+            # java.net.URLDecoder would turn it into a space), then
+            # url_decode — probed to round-trip space/unicode/%/#/+.
             extra = extra + [
-                F_regexp_replace(
-                    F_col_("_metadata.file_path"), "^file:/+", "/"
+                F_url_decode(
+                    F_regexp_replace(
+                        F_regexp_replace(
+                            F_col_("_metadata.file_path"), "^file:/+", "/"
+                        ),
+                        r"\+",
+                        "%2B",
+                    )
                 ).alias("__dv_file"),
                 F_col_("_metadata.row_index").cast("long").alias("__dv_pos"),
             ]
@@ -3904,7 +4135,7 @@ class SnapshotTable:
             if v not in dropped_set:
                 self._checkpoint_manifest(v)
         for v in dropped:
-            os.unlink(self._manifest_path(v))
+            self._fs.unlink(self._manifest_path(v))
         return dropped
 
     def orphan_files(self) -> list[str]:
@@ -3916,19 +4147,32 @@ class SnapshotTable:
             referenced.update(m["files"])
             referenced.update(t["path"] for t in m.get("tombstones", []))
             for d in m.get("dvs", []):
-                for dp, _, fs_ in os.walk(d["dir"]):
+                for dp, fs_ in self._fs.walk_files(d["dir"]):
                     referenced.update(
                         os.path.join(dp, n)
                         for n in fs_
                         if n.endswith(".parquet")
                     )
         orphans = []
-        for dirpath, _, files in os.walk(self.data_dir):
+        for dirpath, files in self._fs.walk_files(self.data_dir):
             for f in files:
                 p = os.path.join(dirpath, f)
                 if f.endswith(".parquet") and p not in referenced:
                     orphans.append(p)
         return sorted(orphans)
+
+
+def _recompute_file_stats(path: str) -> tuple[str, dict]:
+    """Executor-side worker of ``SnapshotTable.refresh_stats``: one
+    file's footer harvest plus the exact write-time overlay (NaN counts,
+    long-string bounds), reading ONLY the columns the overlay needs."""
+    import pyarrow.parquet as pq
+
+    st = _file_column_stats(path)
+    need = _overlay_columns_needed(st, pq.read_schema(path))
+    if need:
+        _exact_stats_overlay(st, pq.read_table(path, columns=need))
+    return path, st
 
 
 def snapshot_diff(
@@ -4047,44 +4291,46 @@ def vacuum(
         ckpts = [v for v in drop if v % keep_every == 0]
         drop = [v for v in drop if v % keep_every != 0]
         keep = sorted(set(keep) | set(ckpts))
+    mfs = table._fs  # metadata-FS seam (round 10): POSIX or Hadoop
     kept_files: set[str] = set()
     for v in keep:
         m = table._read_manifest(v)
         kept_files.update(m["files"])
         kept_files.update(t["path"] for t in m.get("tombstones", []))
         for d in m.get("dvs", []):
-            for dp, _, fs_ in os.walk(d["dir"]):
+            for dp, fs_ in mfs.walk_files(d["dir"]):
                 kept_files.update(
                     os.path.join(dp, n)
                     for n in fs_
                     if n.endswith(".parquet")
                 )
     clones_dir = os.path.join(table.root, "_clones")
-    if os.path.isdir(clones_dir):
-        for ref in os.listdir(clones_dir):
+    if mfs.isdir(clones_dir):
+        for ref in mfs.listdir(clones_dir):
             if ref.endswith(".tmp"):
                 continue  # in-flight (or crashed) ref write — not live yet
             try:
-                with open(os.path.join(clones_dir, ref)) as fh:
-                    clone_root = json.load(fh)["root"]
+                clone_root = json.loads(
+                    mfs.read_text(os.path.join(clones_dir, ref))
+                )["root"]
             except (ValueError, KeyError):
-                os.unlink(os.path.join(clones_dir, ref))  # torn ref:
+                mfs.unlink(os.path.join(clones_dir, ref))  # torn ref:
                 continue  # atomic writes make this unreachable; defensive
-            if not os.path.isdir(os.path.join(clone_root, "_manifests")):
+            if not mfs.isdir(os.path.join(clone_root, "_manifests")):
                 # distinguish DELETED (parent exists, root gone — the
                 # supported way to drop a clone) from INACCESSIBLE
                 # (unmounted path): releasing the ref on a temporarily
                 # unreachable clone would let the next vacuum destroy
                 # files the still-live clone references
-                if os.path.isdir(os.path.dirname(clone_root)):
-                    os.unlink(os.path.join(clones_dir, ref))
+                if mfs.isdir(os.path.dirname(clone_root)):
+                    mfs.unlink(os.path.join(clones_dir, ref))
                     continue
                 raise RuntimeError(
                     f"clone root {clone_root} is unreachable (unmounted?) "
                     "— refusing to vacuum; restore the mount or remove "
                     f"the stale ref {ref} manually"
                 )
-            clone = SnapshotTable(clone_root)
+            clone = SnapshotTable(clone_root, fs=mfs)
             for v in clone.versions():
                 cm = clone._read_manifest(v)
                 kept_files.update(cm["files"])
@@ -4092,7 +4338,7 @@ def vacuum(
                     t["path"] for t in cm.get("tombstones", [])
                 )
                 for d in cm.get("dvs", []):
-                    for dp, _, fs_ in os.walk(d["dir"]):
+                    for dp, fs_ in mfs.walk_files(d["dir"]):
                         kept_files.update(
                             os.path.join(dp, n)
                             for n in fs_
@@ -4103,22 +4349,251 @@ def vacuum(
     for v in keep:
         table._checkpoint_manifest(v)
     for v in drop:
-        os.unlink(table._manifest_path(v))
+        mfs.unlink(table._manifest_path(v))
     removed = 0
     cutoff = time.time() - grace_seconds
-    for dirpath, _, files in os.walk(table.data_dir, topdown=False):
+    for dirpath, files in mfs.walk_files(table.data_dir, topdown=False):
         for f in files:
             p = os.path.join(dirpath, f)
             if (
                 f.endswith(".parquet")
                 and p not in kept_files
-                and os.path.getmtime(p) <= cutoff
+                and mfs.getmtime(p) <= cutoff
             ):
-                os.unlink(p)
+                mfs.unlink(p)
                 removed += 1
-        if dirpath != table.data_dir and not os.listdir(dirpath):
-            os.rmdir(dirpath)
+        if dirpath != table.data_dir:
+            mfs.rmdir_if_empty(dirpath)
     return {"removed_manifests": len(drop), "removed_files": removed}
+
+
+# Versions whose manifests rewrite PHYSICAL layout while preserving the
+# LOGICAL row multiset exactly — the row-level change feed emits nothing
+# for them (Delta CDF's dataChange=false contract for compactions).
+# Plain ``optimize`` publishes mode "overwrite" (it re-commits the read
+# snapshot), so it takes the generic multiset-diff path instead, which
+# proves the same emptiness by comparison rather than by trust.
+_ROW_PRESERVING_MODES = frozenset(
+    {"optimize-incremental", "optimize-deletions", "dv-consolidate"}
+)
+
+
+def _dv_dirs_by_file(m: dict) -> dict:
+    out: dict[str, list] = {}
+    for d in m.get("dvs") or []:
+        for f in d["files"]:
+            out.setdefault(f, []).append(d["dir"])
+    return {f: tuple(sorted(ds)) for f, ds in out.items()}
+
+
+def _mask_signatures(m: dict) -> dict:
+    """Per-file (applicable tombstone paths, dv dirs) — the complete
+    row-visibility state of a file within its manifest. Two manifests
+    carrying a file with EQUAL signatures serve byte-identical live rows
+    from it (immutable data + identical masks), which is what lets the
+    row-level feed restrict its scans to files whose signature CHANGED."""
+    seqs = m.get("file_seq", {})
+    ts = m.get("tombstones") or []
+    dvs = _dv_dirs_by_file(m)
+    out = {}
+    for f in m["files"]:
+        s = seqs.get(f, -1)
+        tombs = tuple(sorted(t["path"] for t in ts if t["seq"] > s))
+        out[f] = (tombs, dvs.get(f, ()))
+    return out
+
+
+def _align_to(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Project ``df`` to ``target``'s schema: null-fill columns only the
+    target has (additive evolution), cast columns whose type widened
+    between versions (cast via simpleString — a dataType cast differing
+    only in containsNull raises), drop columns only ``df`` has."""
+    from pyspark.sql import functions as F
+
+    have = {f.name: f for f in df.schema.fields}
+    exprs = []
+    for fld in target.schema.fields:
+        ts = fld.dataType.simpleString()
+        if fld.name not in have:
+            exprs.append(F.lit(None).cast(ts).alias(fld.name))
+        elif have[fld.name].dataType.simpleString() != ts:
+            exprs.append(F.col(fld.name).cast(ts).alias(fld.name))
+        else:
+            exprs.append(F.col(fld.name))
+    return df.select(*exprs)
+
+
+def _row_changes_between(
+    spark: SparkSession,
+    table: SnapshotTable,
+    pm: dict,
+    cm: dict,
+    gap: bool,
+) -> DataFrame | None:
+    """Row-level changes from manifest ``pm`` to ``cm`` (one commit, or
+    a compacted-away RANGE when ``gap``), as a frame of the CURRENT
+    schema's columns plus ``_change_type``. None = provably no change.
+
+    The engine is a MULTISET DIFF restricted to the files whose
+    visibility changed: a file absent from one side, or present in both
+    with a different mask signature, is scanned live on each side and
+    ``exceptAll`` yields exactly the removed/added row multisets —
+    O(changed files), never O(table), and correct for EVERY commit mode
+    (including modes collapsed inside a compacted gap) because it
+    compares states instead of trusting intents. Mode-specific fast
+    paths skip the double scan where the commit's own O(changes) facts
+    already name the rows: a ``delete-dv``/``update-dv`` version's new
+    vector IS the deleted addresses (semi-join, one scan), a ``delete``
+    version's new tombstone IS the deleted keys. Classification:
+    update modes emit Delta CDF's ``update_preimage``/``update_postimage``;
+    everything else emits ``insert``/``delete``. A no-op update (SET to
+    the identical value) cancels in the diff and emits nothing — the
+    feed reports CHANGES, not intents."""
+    from pyspark.sql import functions as F
+
+    mode = cm.get("mode")
+    if not gap and mode in _ROW_PRESERVING_MODES:
+        return None
+    pf, cf = set(pm["files"]), set(cm["files"])
+    psig, csig = _mask_signatures(pm), _mask_signatures(cm)
+    affected_prev = [
+        f for f in pm["files"] if f not in cf or psig[f] != csig[f]
+    ]
+    affected_cur = [
+        f for f in cm["files"] if f not in pf or csig[f] != psig[f]
+    ]
+    if not affected_prev and not affected_cur:
+        return None  # metadata-only version (constraint, stats, txn)
+    if not gap and mode in ("update-where", "update-dv"):
+        del_t, ins_t = "update_preimage", "update_postimage"
+    else:
+        del_t, ins_t = "delete", "insert"
+    # fast path: pure append — nothing on the prev side to diff against
+    if not affected_prev:
+        post = table._scan_with_tombstones(spark, cm, affected_cur)
+        return post.withColumn("_change_type", F.lit(ins_t))
+    # fast path: positional-vector DML — the new vector names the dead
+    # rows' addresses; one prev-side scan + a semi-join replaces the
+    # two-sided diff (the vector is O(changed rows) and broadcastable)
+    if not gap and mode in ("delete-dv", "update-dv"):
+        prev_dirs = {d["dir"] for d in pm.get("dvs") or []}
+        new_recs = [
+            d for d in (cm.get("dvs") or []) if d["dir"] not in prev_dirs
+        ]
+        if len(new_recs) == 1:
+            rec = new_recs[0]
+            touched = [f for f in rec["files"] if f in pf]
+            pre = table._scan_with_tombstones(
+                spark, pm, touched, with_row_pos=True
+            )
+            dv = spark.read.parquet(rec["dir"]).select(
+                F.col("__file").alias("__dv_file"),
+                F.col("__pos").alias("__dv_pos"),
+            )
+            dead = (
+                pre.join(dv, ["__dv_file", "__dv_pos"], "left_semi")
+                .drop("__dv_file", "__dv_pos")
+                .withColumn("_change_type", F.lit(del_t))
+            )
+            if mode == "delete-dv":
+                return dead
+            # update-dv: the post-images are exactly the files ADDED by
+            # this version (the masked old files also sit in
+            # affected_cur — their signature changed — but their live
+            # rows are unchanged survivors, not post-images)
+            added = [f for f in cm["files"] if f not in pf]
+            post = table._scan_with_tombstones(spark, cm, added)
+            return dead.unionByName(
+                post.withColumn("_change_type", F.lit(ins_t))
+            )
+    # fast path: key-tombstone DELETE — the new tombstone names the keys
+    if not gap and mode == "delete":
+        prev_paths = {t["path"] for t in pm.get("tombstones") or []}
+        new_paths = [
+            t["path"]
+            for t in (cm.get("tombstones") or [])
+            if t["path"] not in prev_paths
+        ]
+        if new_paths and not [f for f in cm["files"] if f not in pf]:
+            keys = cm["tombstone_keys"]
+            dead_keys = spark.read.parquet(*new_paths).select(*keys).distinct()
+            pre = table._scan_with_tombstones(spark, pm, affected_prev)
+            return pre.join(dead_keys, keys, "left_semi").withColumn(
+                "_change_type", F.lit("delete")
+            )
+    # generic: two-sided live scans of the affected files, multiset diff
+    pre = table._scan_with_tombstones(spark, pm, affected_prev)
+    post = table._scan_with_tombstones(spark, cm, affected_cur)
+    pre = _align_to(pre, post)
+    dels = pre.exceptAll(post).withColumn("_change_type", F.lit(del_t))
+    ins = post.exceptAll(pre).withColumn("_change_type", F.lit(ins_t))
+    return dels.unionByName(ins)
+
+
+def read_row_changes_since(
+    spark: SparkSession, table: SnapshotTable, last_version: int | None
+) -> tuple[DataFrame | None, int]:
+    """ROW-LEVEL change data feed across the FULL DML matrix (Delta's
+    CDF / ``table_changes``): the rows changed strictly after
+    ``last_version``, each tagged ``_change_type`` ∈ {insert, delete,
+    update_preimage, update_postimage} and ``_commit_version``, plus the
+    new cursor. Unlike ``read_changes_since`` (append-only file feed,
+    raises at the first non-append), this feed crosses deletes, updates
+    (CoW and merge-on-read), merges, overwrites and rollbacks — the
+    missing piece that let every downstream incremental consumer (ANN
+    index maintenance, join-view IVM) survive a GDPR delete without a
+    full resync.
+
+    ``last_version=None`` emits the earliest RETAINED version's live
+    rows as ``insert`` (Delta's initial-snapshot semantics) and then the
+    per-version changes. A cursor naming a vacuumed version raises (the
+    proof of what was delivered is gone — same contract as the stream).
+    Work is O(changed files + changed rows) per version: see
+    ``_row_changes_between``. Replaying the feed onto a row multiset
+    reproduces ``table.read`` exactly (pinned in
+    tests/test_row_change_feed.py, including across schema evolution —
+    versions union by name with NULL-fill for added columns)."""
+    from pyspark.sql import functions as F
+
+    latest = table.latest_version()
+    if latest is None or (
+        last_version is not None and latest <= last_version
+    ):
+        return None, latest if latest is not None else -1
+    vs = table.versions()
+    if last_version is not None and last_version not in vs:
+        raise ValueError(
+            f"cursor version v{last_version} has been vacuumed away — "
+            "the feed cannot prove which rows were already delivered; "
+            "re-sync from a snapshot read"
+        )
+    parts: list[DataFrame] = []
+    if last_version is None:
+        base_v = vs[0]
+        baseline = table.read(spark, base_v)
+        parts.append(
+            baseline.withColumn("_change_type", F.lit("insert")).withColumn(
+                "_commit_version", F.lit(base_v).cast("long")
+            )
+        )
+        prev_v = base_v
+    else:
+        prev_v = last_version
+    pm = table._read_manifest(prev_v)
+    for v in (x for x in vs if prev_v < x <= latest):
+        cm = table._read_manifest(v)
+        ch = _row_changes_between(spark, table, pm, cm, gap=(v != prev_v + 1))
+        if ch is not None:
+            parts.append(
+                ch.withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        prev_v, pm = v, cm
+    if not parts:
+        return None, latest
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out, latest
 
 
 def read_changes_since(
@@ -4147,7 +4622,9 @@ def read_changes_since(
         if last_version is not None and v <= last_version:
             continue
         m = table._read_manifest(v)
-        if m["mode"] != "append" and not (
+        # dv-consolidate adds/removes no files and preserves the logical
+        # row multiset: the set difference below emits nothing for it
+        if m["mode"] not in ("append", "dv-consolidate") and not (
             m["mode"] == "overwrite" and last_version is None and v == 0
         ):
             raise ValueError(

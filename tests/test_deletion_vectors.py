@@ -422,3 +422,79 @@ def test_describe_history_audit_trail(spark, tmp_path):
     assert h[2]["n_rows"] == 16 and h[2]["n_removed"] == 2
     assert h[3]["n_rows"] == 17 and h[3]["n_added"] == 1
     assert all(r["committed_at"] is not None for r in h)
+
+
+# -- round 10: vector consolidation ------------------------------------------
+
+
+def test_dv_consolidation_bounds_records_and_preserves_reads(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        SnapshotReader,
+        register,
+    )
+    from pyspark.sql.types import StructType
+    import json
+
+    t = _mk(spark, tmp_path, n=120, parts=4)
+    # many small sequential deletes: the DV record list grows per delete
+    for i in range(12):
+        t.delete_where_mor(spark, [("k", "=", i * 7)])
+    m = t._read_manifest(t.latest_version())
+    assert len(m["dvs"]) == 12
+    want = sorted(r.k for r in t.read(spark).collect())
+    rep = t.consolidate_deletion_vectors(spark, max_records=8)
+    assert rep["dv_records_after"] == 1 and rep["rows_carried"] == 12
+    m2 = t._read_manifest(rep["version"])
+    assert len(m2["dvs"]) == 1 and m2["mode"] == "dv-consolidate"
+    assert m2["files"] == m["files"]  # zero data files touched
+    # reads identical through BOTH paths
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    register(spark)
+    ds = spark.read.format("snapshot").option("root", t.root).load()
+    assert sorted(r.k for r in ds.collect()) == want
+    # planner-level open-count bound: every scan task now carries at
+    # most ONE dv bucket slice, regardless of delete history
+    reader = SnapshotReader(
+        m2, StructType.fromJson(json.loads(m2["schema"]))
+    )
+    for p in reader.partitions():
+        assert len(p.dv_dirs) <= 1
+    # below the threshold: no-op, nothing published
+    v = t.latest_version()
+    rep2 = t.consolidate_deletion_vectors(spark, max_records=8)
+    assert rep2["version"] == v and rep2["dv_records_after"] == 1
+    # audit trail shows the consolidation
+    hist = t.describe_history()
+    assert hist[-1]["mode"] == "dv-consolidate"
+    assert hist[-1]["n_deletion_vectors"] == 1
+
+
+def test_dv_consolidation_is_stream_and_feed_transparent(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_added_partitions,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        read_changes_since,
+        read_row_changes_since,
+    )
+
+    t = _mk(spark, tmp_path, n=60, parts=2)
+    for i in range(10):
+        t.delete_where_mor(spark, [("k", "=", i)])
+    v_before = t.latest_version()
+    t.consolidate_deletion_vectors(spark, max_records=4)
+    # plain stream planner crosses the consolidation without raising
+    # and plans zero partitions for it (no files added)
+    assert _plan_added_partitions(t.root, v_before, t.latest_version()) == []
+    # append-only file feed: same transparency
+    df, cur = read_changes_since(spark, t, v_before)
+    assert df is None and cur == t.latest_version()
+    # row-level feed: logically row-preserving, emits nothing
+    feed, cur2 = read_row_changes_since(spark, t, v_before)
+    assert feed is None and cur2 == t.latest_version()
+    # drop old versions: vacuum keeps only the consolidated vector dirs
+    from f1_bigdata_pyspark_spark.sources.snapshots import vacuum
+
+    vacuum(t, keep_versions=1, grace_seconds=0)
+    want = sorted(range(10, 60))
+    assert sorted(r.k for r in t.read(spark).collect()) == want

@@ -328,3 +328,109 @@ def test_merge_schema_complex_type_mismatch_is_value_error(spark, tmp_path):
     ).repartition(1)
     with pytest.raises(ValueError, match="schema"):
         t.commit(bad, mode="append", merge_schema=True)
+
+
+# -- round 10: refresh_stats backfill -----------------------------------------
+
+
+def test_refresh_stats_restores_pruning_on_old_format_tables(spark, tmp_path):
+    """A table whose files carry only FOOTER evidence (pre-round-9
+    commit: no NaN counts, long-string bounds truncated away) refuses
+    float ``>``-pruning and long-string skipping — sound but permanent.
+    ``refresh_stats`` recomputes the evidence from data, restores both
+    prunings, keeps the NaN-bearing file conservatively un-pruned, and
+    rewrites ZERO data bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import StructType
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        _file_column_stats,
+    )
+
+    t = SnapshotTable(str(tmp_path / "old"))
+    schema_json = (
+        spark.createDataFrame([], "x double, doc string").schema.json()
+    )
+    specs = [
+        ("f_low", [1.0, 2.0, 3.0], ["a" * 9000, "b" * 9000]),
+        ("f_high", [100.0, 200.0], ["y" * 9000, "z" * 9000]),
+        ("f_nan", [5.0, float("nan")], ["m" * 9000, "n" * 9000]),
+    ]
+    paths = {}
+    for name, xs, docs in specs:
+        p = str(tmp_path / f"{name}.parquet")
+        n = max(len(xs), len(docs))
+        pa_tbl = pa.table(
+            {
+                "x": pa.array((xs * n)[:n], pa.float64()),
+                "doc": pa.array((docs * n)[:n], pa.string()),
+            }
+        )
+        pq.write_table(pa_tbl, p)
+        paths[name] = p
+    # footer-only harvest — exactly what a pre-overlay commit recorded
+    t.publish_files(
+        sorted(paths.values()),
+        {p: _file_column_stats(p) for p in paths.values()},
+        schema_json=schema_json,
+    )
+    # BEFORE: float ">" pruning refuses everywhere; long-string bounds
+    # were truncated to nothing; metadata min/max refuses
+    before = t.scan_stats(where=[("x", ">", 50.0)])
+    assert before["n_files_scanned"] == 3
+    before_s = t.scan_stats(where=[("doc", ">=", "x")])
+    assert before_s["n_files_scanned"] == 3
+    assert t.metadata_min_max("x") is None
+    files_before = t._read_manifest(t.latest_version())["files"]
+    mtimes = {p: os.path.getmtime(p) for p in paths.values()}
+
+    rep = t.refresh_stats(spark)
+    assert rep["files_refreshed"] == 3
+
+    # AFTER: the clean files prune on ">", the NaN file stays (sound);
+    # the long-string bounds skip exactly; zero data bytes rewritten
+    after = t.scan_stats(where=[("x", ">", 50.0)])
+    assert after["n_files_scanned"] == 2  # f_high (range) + f_nan (NaN)
+    after_s = t.scan_stats(where=[("doc", ">=", "x")])
+    assert after_s["n_files_scanned"] == 1  # only f_high holds y/z docs
+    m = t._read_manifest(t.latest_version())
+    assert m["files"] == files_before
+    assert {p: os.path.getmtime(p) for p in paths.values()} == mtimes
+    # metadata min/max: still refuses (NaN present in f_nan is PROVEN
+    # now, not assumed) — drop the NaN file's rows via a CoW delete and
+    # it becomes answerable... keep the refusal pin here:
+    assert t.metadata_min_max("x") is None
+    # rows identical through the read path
+    assert t.read(spark).count() == 7
+    # idempotent: a second refresh finds nothing stale
+    rep2 = t.refresh_stats(spark)
+    assert rep2["files_refreshed"] == 0 and rep2["version"] == rep["version"]
+    # history shows the metadata-only op
+    hist = t.describe_history()
+    assert hist[-1]["mode"] == "append" and hist[-1].get("op") == "refresh-stats"
+
+
+def test_refresh_stats_preserves_blooms(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "bl"))
+    df = spark.createDataFrame(
+        [(i, float(i), f"u{i}") for i in range(50)],
+        "k long, x double, name string",
+    )
+    t.commit(df.repartition(2), mode="append", bloom_cols=["name"])
+    m0 = t._read_manifest(t.latest_version())
+    # strip the overlay to simulate an old table (footer-only evidence)
+    for f, st in m0["stats"].items():
+        for col, e in list(st.items()):
+            if isinstance(e, dict):
+                e.pop("nanc", None)
+    t._publish(t.latest_version() + 1, {**m0, "version": m0["version"] + 1})
+    rep = t.refresh_stats(spark)
+    assert rep["files_refreshed"] == 2
+    m = t._read_manifest(t.latest_version())
+    for f, st in m["stats"].items():
+        assert st["name"].get("bloom"), "bloom lost in refresh"
+        assert st["x"]["nanc"] == 0
