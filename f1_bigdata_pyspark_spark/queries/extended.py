@@ -6110,3 +6110,277 @@ def snapshot_served_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_streaming_cdf_rollup — the STREAMING change data feed
+# (readChangeFeed, round 10 — Delta CDF parity) under the oracle gate:
+# the same MoR lifecycle as snapshot_row_change_feed (two appends, a
+# positional-vector DELETE, a merge-on-read UPDATE, a third append) is
+# consumed LIVE by Structured Streaming — version-offset micro-batches
+# of (row, _change_type, _commit_version) — and folded into a
+# maintained rollup inside foreachBatch. The maintained view, the
+# per-type change counts, and the equality-with-recompute proof ride
+# the hash. Executor-parallel delete delivery: the delete's rows come
+# from the deletion vector's bucket slices (positive position
+# selection, O(changed rows)), never a table rescan — the mechanism
+# that lets an index/view tail a 100 TB table through GDPR deletes.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_streaming_cdf_rollup",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderkey <= (SELECT m * 1 // 3 FROM mk) THEN 0
+              WHEN o_orderkey <= (SELECT m * 2 // 3 FROM mk) THEN 1
+              ELSE 2 END AS b
+  FROM orders
+),
+ctr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ins,
+         CAST(sum(CASE WHEN b <= 1 AND cents < 5000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+         CAST(sum(CASE WHEN b <= 1 AND cents >= 5000000
+                            AND pr = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+  FROM base
+),
+final AS (
+  SELECT pr,
+         CASE WHEN b <= 1 AND pr = '1-URGENT' THEN cents + 7
+              ELSE cents END AS cents
+  FROM base
+  WHERE NOT (b <= 1 AND cents < 5000000)
+)
+SELECT pr AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       (SELECT n_ins FROM ctr) AS n_insert_rows,
+       (SELECT n_del FROM ctr) AS n_delete_rows,
+       (SELECT n_upd FROM ctr) AS n_update_pre_rows,
+       (SELECT n_upd FROM ctr) AS n_update_post_rows,
+       true AS ivm_matches_recompute
+FROM final
+GROUP BY pr
+ORDER BY pr
+""",
+)
+def snapshot_streaming_cdf_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.operators.ivm import (
+        apply_row_feed_to_rollup,
+        rollup_of,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mk = orders.agg(F.max("k")).head()[0]
+    c1, c2 = mk * 1 // 3, mk * 2 // 3
+    root = tempfile.mkdtemp(prefix="snap_scdf_")
+    ckpt = tempfile.mkdtemp(prefix="snap_scdf_ckpt_")
+    try:
+        t = SnapshotTable(root)
+        t.commit(orders.filter(F.col("k") <= c1).repartition(2), mode="append")
+        t.commit(
+            orders.filter((F.col("k") > c1) & (F.col("k") <= c2)).repartition(2),
+            mode="append",
+        )
+        t.delete_where_mor(spark, [("cents", "<", 5_000_000)])
+        t.update_where_mor(spark, {"cents": "cents + 7"}, [("pr", "=", "1-URGENT")])
+        t.commit(orders.filter(F.col("k") > c2).repartition(2), mode="append")
+
+        state = {
+            "rollup": spark.createDataFrame([], "pr string, n long, s long"),
+            "counts": {},
+        }
+
+        def fold(batch_df, _bid):
+            for r in (
+                batch_df.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                state["counts"][r["_change_type"]] = (
+                    state["counts"].get(r["_change_type"], 0) + r["n"]
+                )
+            state["rollup"] = materialize(
+                apply_row_feed_to_rollup(
+                    state["rollup"], batch_df, ["pr"], "cents"
+                )
+            )
+
+        q = (
+            spark.readStream.format("snapshot")
+            .option("root", root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        maintained = state["rollup"]
+        counts = state["counts"]
+        recomputed = {
+            r.pr: (r.n, r.s)
+            for r in rollup_of(t.read(spark), ["pr"], "cents").collect()
+        }
+        matches = {
+            r.pr: (r.n, r.s) for r in maintained.collect()
+        } == recomputed
+        out = materialize(
+            maintained.select(
+                F.col("pr").alias("o_orderpriority"),
+                F.col("n").cast("long").alias("n_orders"),
+                F.col("s").cast("long").alias("sum_cents"),
+            )
+            .withColumn(
+                "n_insert_rows", F.lit(counts.get("insert", 0)).cast("long")
+            )
+            .withColumn(
+                "n_delete_rows", F.lit(counts.get("delete", 0)).cast("long")
+            )
+            .withColumn(
+                "n_update_pre_rows",
+                F.lit(counts.get("update_preimage", 0)).cast("long"),
+            )
+            .withColumn(
+                "n_update_post_rows",
+                F.lit(counts.get("update_postimage", 0)).cast("long"),
+            )
+            .withColumn("ivm_matches_recompute", F.lit(matches))
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_dv_consolidation_report — deletion-vector CONSOLIDATION
+# (round 10) under the oracle gate: six sequential merge-on-read
+# DELETEs (disjoint key ranges — each writes its own positional vector,
+# zero files rewritten) grow the vector record list to 6; the scan
+# planner would then open up to 6 bucket slices per task.
+# consolidate_deletion_vectors folds them into ONE per-bucket vector in
+# a metadata + O(deleted rows) version, after which EVERY task carries
+# at most one slice (the planner bound is asserted and rides the hash,
+# as do the record counts, the consolidated address count, and the
+# relational≡served agreement). At 100 TB this is what keeps N small
+# GDPR deletes from multiplying every scan's read amplification by N.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_dv_consolidation_report",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT pr AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(6 AS BIGINT) AS dv_records_before,
+       CAST(1 AS BIGINT) AS dv_records_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM base
+        WHERE k < (SELECT m * 6 // 12 FROM mk)) AS rows_consolidated,
+       CAST(1 AS BIGINT) AS max_dv_slices_per_task,
+       true AS served_equals_relational
+FROM base
+WHERE k >= (SELECT m * 6 // 12 FROM mk)
+GROUP BY pr
+ORDER BY pr
+""",
+)
+def snapshot_dv_consolidation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        SnapshotReader,
+        register,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mk = orders.agg(F.max("k")).head()[0]
+    cuts = [mk * i // 12 for i in range(7)]  # six disjoint key slices
+    root = tempfile.mkdtemp(prefix="snap_dvc_")
+    try:
+        t = SnapshotTable(root)
+        t.commit(orders.repartition(3), mode="append")
+        for i in range(6):
+            t.delete_where_mor(
+                spark, [("k", ">=", cuts[i]), ("k", "<", cuts[i + 1])]
+            )
+        before = len(t._read_manifest(t.latest_version())["dvs"])
+        rep = t.consolidate_deletion_vectors(spark, max_records=4)
+        m = t._read_manifest(rep["version"])
+        after = len(m["dvs"])
+        reader = SnapshotReader(
+            m, StructType.fromJson(_json.loads(m["schema"]))
+        )
+        max_slices = max(len(p.dv_dirs) for p in reader.partitions())
+        rel = t.read(spark).groupBy("pr").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        srv = (
+            spark.read.format("snapshot")
+            .option("root", root)
+            .load()
+            .groupBy("pr")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("s"),
+            )
+        )
+        as_map = lambda df: {r.pr: (r.n, r.s) for r in df.collect()}  # noqa: E731
+        equal = as_map(rel) == as_map(srv)
+        out = materialize(
+            rel.select(
+                F.col("pr").alias("o_orderpriority"),
+                F.col("n").alias("n_orders"),
+                F.col("s").alias("sum_cents"),
+            )
+            .withColumn("dv_records_before", F.lit(before).cast("long"))
+            .withColumn("dv_records_after", F.lit(after).cast("long"))
+            .withColumn(
+                "rows_consolidated", F.lit(rep["rows_carried"]).cast("long")
+            )
+            .withColumn(
+                "max_dv_slices_per_task", F.lit(max_slices).cast("long")
+            )
+            .withColumn("served_equals_relational", F.lit(equal))
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

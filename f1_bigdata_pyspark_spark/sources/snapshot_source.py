@@ -282,6 +282,34 @@ def _read_partition_batches(schema: StructType, partition):
             import pyarrow.compute as pc
 
             keep = dvk if keep is None else pc.and_(keep, dvk)
+    # POSITIVE selections (round 10, streaming CDF): keep ONLY the rows
+    # a new deletion vector / tombstone names — the inverse of the
+    # liveness masks above, composed AFTER them so a key-delete emits
+    # only rows that were LIVE when it landed
+    if getattr(partition, "dv_select", None) is not None:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        m_ = _dv_keep_mask(partition, pf, groups, n, dirs=partition.dv_select)
+        sel = (
+            pc.invert(m_)
+            if m_ is not None
+            else pa.array(np.zeros(n, dtype=bool))
+        )
+        keep = sel if keep is None else pc.and_(keep, sel)
+    if getattr(partition, "tombstone_select", None) is not None:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        m_ = _tombstone_keep_mask(
+            partition, tbl, n, paths=partition.tombstone_select
+        )
+        sel = (
+            pc.invert(m_)
+            if m_ is not None
+            else pa.array(np.zeros(n, dtype=bool))
+        )
+        keep = sel if keep is None else pc.and_(keep, sel)
     if keep is not None:
         out = out.filter(keep)
     yield from out.to_batches()
@@ -319,7 +347,7 @@ def _load_dv_slice(d: str):
     return _DV_SLICE_CACHE[d]
 
 
-def _dv_keep_mask(partition, pf, groups, n: int):
+def _dv_keep_mask(partition, pf, groups, n: int, dirs=None):
     """Boolean keep-mask applying this file's POSITIONAL deletion
     vectors (round 9) — the executor-side form of the relational
     (``__dv_file``, ``__dv_pos``) anti-join. Each task reads only its
@@ -327,13 +355,14 @@ def _dv_keep_mask(partition, pf, groups, n: int):
     10); a row survives unless its ABSOLUTE in-file ordinal (row-group
     start offset + within-group index, which row-group skipping and
     range splitting both preserve) is named. None = nothing deleted
-    here."""
+    here. ``dirs`` overrides the partition's own dv dirs (the streaming
+    CDF planner inverts this mask to SELECT a delete's rows)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     dead: set[int] = set()
-    for d in partition.dv_dirs:
+    for d in (dirs if dirs is not None else partition.dv_dirs):
         t = _load_dv_slice(d)
         if t is None:
             continue
@@ -386,19 +415,24 @@ def _load_dead_keys(paths: tuple, keys: tuple):
     return _DEAD_KEY_CACHE[ck]
 
 
-def _tombstone_keep_mask(partition, tbl, n: int):
+def _tombstone_keep_mask(partition, tbl, n: int, paths=None):
     """Boolean keep-mask for one projected batch table against the
     partition's applicable tombstone union — the executor-side Arrow
     form of ``_scan_with_tombstones``'s left-anti join. Returns None when
     every row survives trivially (a key column reads all-NULL here:
     NULL = x is never true). Single-key sets match via vectorized
     ``is_in``; composite keys via a pandas indicator merge (both C-side,
-    no per-row Python)."""
+    no per-row Python). ``paths`` overrides the partition's tombstone
+    files (the streaming CDF planner inverts this mask to SELECT a key
+    delete's rows)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     keys = list(partition.tombstone_keys)
-    dead = _load_dead_keys(tuple(partition.tombstones), tuple(keys))
+    dead = _load_dead_keys(
+        tuple(paths if paths is not None else partition.tombstones),
+        tuple(keys),
+    )
     if dead.num_rows == 0:
         return None
     mapping = getattr(partition, "mapping", None) or {}
@@ -752,6 +786,272 @@ def _plan_added_partitions(
             ]
             out.append(part)
     return out
+
+
+_CDF_TYPE_COL = "_change_type"
+_CDF_VERSION_COL = "_commit_version"
+
+
+def _plan_cdf_partitions(root: str, lo: int, hi: int) -> list:
+    """Partition plan of the STREAMING change data feed for versions in
+    (lo, hi] — the executor-parallel twin of ``read_row_changes_since``
+    for the merge-on-read DML family. Each partition emits rows of one
+    file tagged with a constant ``_change_type``/``_commit_version``
+    (ridden in through ``partition_values``, so the ordinary projection
+    machinery attaches them):
+
+    - ``append`` (and metadata-only versions): the added files, as
+      ``insert``.
+    - ``delete-dv``: one partition per touched file with the new
+      vector's bucket dir as a POSITIVE selection (``dv_select``) —
+      the vector names only live-at-prev rows by construction, so the
+      selected rows ARE the delete's images, no prev masks needed.
+    - ``update-dv``: the same selection as ``update_preimage`` plus the
+      version's added files as ``update_postimage``.
+    - ``delete`` (key tombstones): one partition per PREDATING file
+      carrying the prev version's liveness masks AND the new tombstone
+      paths as a positive key selection — emits rows that were live and
+      are now dead, as ``delete``.
+    - row-preserving maintenance (``dv-consolidate``,
+      ``optimize-incremental``, ``optimize-deletions``): nothing.
+    - anything else (overwrite, CoW DML, merge, rollback, plain
+      optimize): RAISES — a rewrite's row changes need the two-sided
+      multiset diff, which is the batch feed's job
+      (``read_row_changes_since``); the streaming feed covers the
+      O(changes) MoR family a 100 TB pipeline runs on.
+
+    A fresh stream (lo = -1) emits the earliest RETAINED version's
+    files as ``insert`` THROUGH that manifest's own masks (initial
+    snapshot semantics)."""
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _ROW_PRESERVING_MODES,
+        _bucket_of,
+        _stat_to_py,
+    )
+
+    if hi <= lo:
+        return []
+    available = set(_log_versions(root))
+    if lo >= 0 and lo not in available:
+        raise ValueError(
+            f"checkpointed version v{lo} has been vacuumed away — the "
+            "change feed cannot prove which rows it already delivered; "
+            "re-sync from a fresh checkpoint"
+        )
+    out: list = []
+    ref_names: list | None = None
+
+    def _mk_part(m, f, ctype, version, **extra):
+        parts_map = m.get("partitions", {})
+        pv = {
+            col: (None if tv is None else _stat_to_py(tv))
+            for col, tv in parts_map.get(f, {}).items()
+        }
+        pv[_CDF_TYPE_COL] = ctype
+        pv[_CDF_VERSION_COL] = version
+        p = SnapshotFilePartition(
+            f,
+            pv,
+            tombstones=extra.get("tombstones"),
+            tombstone_keys=extra.get("tombstone_keys"),
+            mapping=m.get("column_mapping"),
+        )
+        p.dv_dirs = extra.get("dv_dirs", [])
+        if "dv_select" in extra:
+            p.dv_select = extra["dv_select"]
+        if "tombstone_select" in extra:
+            p.tombstone_select = extra["tombstone_select"]
+        return p
+
+    if lo >= 0:
+        pm = _log_manifest(root, lo)
+        first = lo + 1
+        ref_names = [f["name"] for f in json.loads(pm["schema"])["fields"]]
+    else:
+        baseline = min(available)
+        pm = _log_manifest(root, baseline)
+        ref_names = [f["name"] for f in json.loads(pm["schema"])["fields"]]
+        first = baseline + 1
+        # initial snapshot: live rows of the baseline, as inserts —
+        # THROUGH the baseline's own masks (same fix as the plain
+        # stream's baseline, round 10)
+        ts = pm.get("tombstones") or []
+        seqs = pm.get("file_seq", {})
+        dv_records = [
+            (set(d["files"]), d["dir"], int(d["n_buckets"]))
+            for d in (pm.get("dvs") or [])
+        ]
+        for f in pm["files"]:
+            s = seqs.get(f, -1)
+            out.append(
+                _mk_part(
+                    pm,
+                    f,
+                    "insert",
+                    baseline,
+                    tombstones=[t["path"] for t in ts if t["seq"] > s],
+                    tombstone_keys=pm.get("tombstone_keys") or [],
+                    dv_dirs=[
+                        os.path.join(dir_, f"__b={_bucket_of(f, nb)}")
+                        for fset, dir_, nb in dv_records
+                        if f in fset
+                    ],
+                )
+            )
+    for v in sorted(x for x in available if first <= x <= hi):
+        m = _log_manifest(root, v)
+        names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        if names[: len(ref_names)] != ref_names:
+            raise ValueError(
+                f"schema names changed at v{v} (rename/drop) — the "
+                "change feed cannot keep reporting under its start-time "
+                "schema; re-sync from a fresh snapshot read"
+            )
+        mode = m.get("mode")
+        pf = set(pm["files"])
+        added = [f for f in m["files"] if f not in pf]
+        vanished = pf - set(m["files"])
+        if mode in _ROW_PRESERVING_MODES:
+            pm = m
+            continue
+        if mode == "append" and not vanished:
+            for f in added:
+                out.append(_mk_part(m, f, "insert", v))
+        elif mode in ("delete-dv", "update-dv") and not vanished:
+            prev_dirs = {d["dir"] for d in pm.get("dvs") or []}
+            new_recs = [
+                d
+                for d in (m.get("dvs") or [])
+                if d["dir"] not in prev_dirs
+            ]
+            if len(new_recs) != 1:
+                raise ValueError(
+                    f"v{v} ({mode}) carries {len(new_recs)} new deletion "
+                    "vectors — not a single-commit shape; re-sync"
+                )
+            rec = new_recs[0]
+            del_t = "delete" if mode == "delete-dv" else "update_preimage"
+            for f in rec["files"]:
+                out.append(
+                    _mk_part(
+                        m,
+                        f,
+                        del_t,
+                        v,
+                        dv_select=[
+                            os.path.join(
+                                rec["dir"],
+                                f"__b={_bucket_of(f, int(rec['n_buckets']))}",
+                            )
+                        ],
+                    )
+                )
+            if mode == "update-dv":
+                for f in added:
+                    out.append(_mk_part(m, f, "update_postimage", v))
+        elif mode == "delete" and not added and not vanished:
+            prev_paths = {t["path"] for t in pm.get("tombstones") or []}
+            new_paths = [
+                t["path"]
+                for t in (m.get("tombstones") or [])
+                if t["path"] not in prev_paths
+            ]
+            ts = pm.get("tombstones") or []
+            seqs = pm.get("file_seq", {})
+            dv_records = [
+                (set(d["files"]), d["dir"], int(d["n_buckets"]))
+                for d in (pm.get("dvs") or [])
+            ]
+            for f in m["files"]:
+                s = seqs.get(f, -1)
+                out.append(
+                    _mk_part(
+                        m,
+                        f,
+                        "delete",
+                        v,
+                        # liveness at PREV (earlier deletes must not
+                        # re-emit) composed with the new-key selection
+                        tombstones=[
+                            t["path"] for t in ts if t["seq"] > s
+                        ],
+                        tombstone_keys=m.get("tombstone_keys") or [],
+                        dv_dirs=[
+                            os.path.join(dir_, f"__b={_bucket_of(f, nb)}")
+                            for fset, dir_, nb in dv_records
+                            if f in fset
+                        ],
+                        tombstone_select=new_paths,
+                    )
+                )
+        else:
+            raise ValueError(
+                f"v{v} is {mode!r} — the STREAMING change feed covers "
+                "the merge-on-read DML family (append, delete-dv, "
+                "update-dv, key tombstones, maintenance); a rewrite's "
+                "row changes need the batch feed "
+                "(read_row_changes_since) after a re-sync"
+            )
+        pm = m
+    return out
+
+
+class SnapshotCDFStreamReader(DataSourceStreamReader):
+    """STREAMING CHANGE DATA FEED (round 10 — Delta's
+    ``readChangeFeed`` parity): ``spark.readStream.format("snapshot")
+    .option("root", …).option("readChangeFeed", "true")`` delivers the
+    table's ROW-LEVEL changes — schema = table columns +
+    ``_change_type`` + ``_commit_version`` — with version-number
+    offsets (checkpointable, deterministic replay: a (start, end]
+    names immutable manifests and vectors). Executor-parallel: each
+    micro-batch plans one partition per changed FILE; a delete's rows
+    come from the deletion vector's bucket slice (a positive position
+    selection — O(changed rows) read), never from rescanning the
+    table. This is what lets a downstream maintained view or ANN index
+    tail a 100 TB table THROUGH GDPR deletes with O(changes) work."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        starting_version: int | None = None,
+    ):
+        self.root = root
+        self.schema = schema
+        # Delta's startingVersion: begin the feed AT this version's
+        # changes instead of the initial full snapshot — the consumer
+        # that already holds a materialization of version N-1 tails
+        # from N without re-receiving the table
+        self.starting_version = starting_version
+
+    def initialOffset(self) -> dict:
+        if self.starting_version is None:
+            return {"version": -1}
+        sv = int(self.starting_version)
+        vs = _log_versions(self.root)
+        if sv - 1 >= 0 and sv - 1 not in vs:
+            raise ValueError(
+                f"startingVersion={sv} needs retained version v{sv - 1} "
+                "as its delivery baseline, which has been vacuumed away "
+                "— start from an available version or drop the option "
+                "for the initial-snapshot feed"
+            )
+        return {"version": sv - 1}
+
+    def latestOffset(self) -> dict:
+        vs = _log_versions(self.root)
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        return _plan_cdf_partitions(
+            self.root, start["version"], end["version"]
+        )
+
+    def read(self, partition):
+        yield from _read_partition_batches(self.schema, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def _admit_until(
@@ -1355,11 +1655,32 @@ class SnapshotDataSource(DataSource):
 
         return load_manifest(root, int(version))
 
+    def _cdf(self) -> bool:
+        v = self.options.get("readChangeFeed") or self.options.get(
+            "readchangefeed"
+        )
+        return v is not None and str(v).lower() == "true"
+
     def schema(self) -> StructType:
         committed = StructType.fromJson(
             json.loads(self._manifest()["schema"])
         )
         cols = self.options.get("columns")
+        if self._cdf():
+            if cols:
+                raise ValueError(
+                    "readChangeFeed does not combine with the 'columns' "
+                    "option — the feed reports full rows"
+                )
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                list(committed.fields)
+                + [
+                    StructField(_CDF_TYPE_COL, StringType()),
+                    StructField(_CDF_VERSION_COL, LongType()),
+                ]
+            )
         if not cols:
             return committed
         # COLUMN PRUNING (round 8): Spark 4.1's Python DataSource API has
@@ -1380,6 +1701,13 @@ class SnapshotDataSource(DataSource):
         return StructType([f for f in committed.fields if f.name in keep])
 
     def reader(self, schema: StructType) -> SnapshotReader:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option "
+                "(spark.readStream…); for batch change consumption use "
+                "sources.snapshots.read_row_changes_since, which also "
+                "covers copy-on-write rewrites"
+            )
         return SnapshotReader(self._manifest(), schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> SnapshotWriter:
@@ -1429,6 +1757,19 @@ class SnapshotDataSource(DataSource):
         root = self.options.get("root")
         if not root:
             raise ValueError("snapshot source requires option 'root'")
+        if self._cdf():
+            if any(b is not None for b in self._budgets()):
+                raise ValueError(
+                    "readChangeFeed does not combine with "
+                    "maxFilesPerTrigger/maxBytesPerTrigger yet — drop "
+                    "the trigger budget"
+                )
+            sv = self.options.get("startingVersion") or self.options.get(
+                "startingversion"
+            )
+            return SnapshotCDFStreamReader(
+                root, schema, int(sv) if sv is not None else None
+            )
         if any(b is not None for b in self._budgets()):
             # ROUTE admission-controlled streams to the Simple reader:
             # raising PySparkNotImplementedError here makes the engine

@@ -1,0 +1,192 @@
+"""Streaming change data feed (round 10) — ``readChangeFeed`` on the
+snapshot DataSource: version-offset micro-batches of row-level changes
+across the merge-on-read DML family, consumed live by Structured
+Streaming. The batch feed (``read_row_changes_since``) is the semantic
+reference: a full streaming drain must deliver the identical multiset.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from f1_bigdata_pyspark_spark.sources.snapshots import (
+    SnapshotTable,
+    read_row_changes_since,
+)
+
+SCHEMA = "k long, g long, v long"
+
+
+def _mk(spark, tmp_path, n=40, parts=2, name="tbl"):
+    t = SnapshotTable(str(tmp_path / name))
+    t.commit(
+        spark.createDataFrame(
+            [(i, i % 5, i * 10) for i in range(n)], SCHEMA
+        ).repartition(parts),
+        mode="append",
+    )
+    return t
+
+
+def _drain(spark, root, ckpt, collector):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+
+    def sink(batch_df, _bid):
+        collector.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_cdf_matches_batch_feed(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit(
+        spark.createDataFrame([(100, 0, 7)], SCHEMA).repartition(1),
+        mode="append",
+    )
+    t.delete_where_mor(spark, [("g", "=", 2)])
+    t.update_where_mor(spark, {"v": "v + 1"}, [("g", "=", 3)])
+    t.delete_keys(
+        spark,
+        spark.createDataFrame([(k,) for k in (0, 5, 100)], "k long"),
+        ["k"],
+    )
+    got: list = []
+    _drain(spark, t.root, str(tmp_path / "ckpt"), got)
+    batch, _ = read_row_changes_since(spark, t, None)
+    want = Counter(tuple(r) for r in batch.collect())
+    assert Counter(got) == want
+    # spot-check the semantics: key 0 was live (g=0, not yet deleted) —
+    # the tombstone delete emits it exactly once; key 10 (g=0) survives
+    dels = [r for r in got if r[3] == "delete"]
+    assert sum(1 for r in dels if r[0] == 0) == 1
+    assert all(r[0] != 10 for r in dels)
+
+
+def test_streaming_cdf_resumes_from_checkpoint(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20)
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, t.root, ckpt, got)
+    n_first = len(got)
+    assert n_first == 20 and all(r[3] == "insert" for r in got)
+    # more DML, same checkpoint: only the NEW changes arrive
+    t.delete_where_mor(spark, [("k", "<", 3)])
+    t.commit(
+        spark.createDataFrame([(200, 1, 1)], SCHEMA).repartition(1),
+        mode="append",
+    )
+    _drain(spark, t.root, ckpt, got)
+    new = got[n_first:]
+    assert Counter((r[0], r[3]) for r in new) == Counter(
+        [(0, "delete"), (1, "delete"), (2, "delete"), (200, "insert")]
+    )
+    assert {r[4] for r in new} == {1, 2}  # commit versions ride along
+
+
+def test_streaming_cdf_update_images_pair_up(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=30)
+    t.update_where_mor(spark, {"v": "v * 2"}, [("g", "=", 4)])
+    got: list = []
+    _drain(spark, t.root, str(tmp_path / "ckpt"), got)
+    pre = {r[0]: r[2] for r in got if r[3] == "update_preimage"}
+    post = {r[0]: r[2] for r in got if r[3] == "update_postimage"}
+    assert set(pre) == set(post) == {i for i in range(30) if i % 5 == 4}
+    for k in pre:
+        assert post[k] == pre[k] * 2
+
+
+def test_streaming_cdf_skips_maintenance_and_refuses_rewrites(
+    spark, tmp_path
+):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_cdf_partitions,
+    )
+
+    t = _mk(spark, tmp_path, n=60, parts=3)
+    for i in range(10):
+        t.delete_where_mor(spark, [("k", "=", i)])
+    t.consolidate_deletion_vectors(spark, max_records=4)
+    t.refresh_stats(spark)
+    # maintenance versions plan ZERO partitions beyond the deletes
+    parts = _plan_cdf_partitions(t.root, 10, t.latest_version())
+    assert parts == []
+    got: list = []
+    _drain(spark, t.root, str(tmp_path / "ckpt"), got)
+    state = Counter()
+    for r in got:
+        key = r[:3]
+        if r[3] in ("insert", "update_postimage"):
+            state[key] += 1
+        else:
+            state[key] -= 1
+    live = Counter(
+        tuple(x) for x in t.read(spark).select("k", "g", "v").collect()
+    )
+    assert Counter({k: n for k, n in state.items() if n}) == live
+    # a copy-on-write rewrite poisons the STREAMING feed (batch feed
+    # covers it) — explicit error, not silence
+    t.delete_where(spark, [("k", ">=", 50)])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        _plan_cdf_partitions(t.root, t.latest_version() - 1, t.latest_version())
+
+
+def test_streaming_cdf_batch_read_refuses(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path, n=5, parts=1)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="readChangeFeed is a STREAMING"):
+        spark.read.format("snapshot").option("root", t.root).option(
+            "readChangeFeed", "true"
+        ).load().collect()
+
+
+def test_streaming_cdf_starting_version(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path, n=20)  # v0
+    t.delete_where_mor(spark, [("k", "<", 3)])  # v1
+    t.commit(
+        spark.createDataFrame([(300, 1, 1)], SCHEMA).repartition(1),
+        mode="append",
+    )  # v2
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # NO initial snapshot: only v1's deletes and v2's insert
+    assert Counter((r[0], r[3]) for r in got) == Counter(
+        [(0, "delete"), (1, "delete"), (2, "delete"), (300, "insert")]
+    )
