@@ -262,3 +262,35 @@ def test_ivm_rollup_survives_dml_via_row_feed(spark, tmp_path):
         }
         got = {(r.g): (r.n, r.s) for r in maintained.collect()}
         assert got == want, f"IVM diverged after step {i}"
+
+
+def test_feed_replay_on_hive_partitioned_table(spark, tmp_path):
+    """The feed engine under a Hive directory layout — partition values
+    recovered from directory names (including a URI-hostile value with
+    a space) must survive the multiset diff and the DV fast paths."""
+    t = SnapshotTable(str(tmp_path / "ptbl"))
+    df = spark.createDataFrame(
+        [(i, "a b" if i % 2 == 0 else "plain", i * 10) for i in range(30)],
+        "k long, g string, v long",
+    )
+    t.commit(df.repartition(1), mode="append", partition_by=["g"])
+    cols = ["k", "g", "v"]
+    state: Counter = Counter()
+    cursor = _replay(spark, t, None, state)
+    assert state == _table_multiset(spark, t, cols)
+    steps = [
+        lambda: t.delete_where_mor(spark, [("k", "<", 6)]),
+        lambda: t.update_where_mor(spark, {"v": "v + 5"}, [("g", "=", "a b")]),
+        lambda: t.commit(
+            spark.createDataFrame(
+                [(100, "a b", 3)], "k long, g string, v long"
+            ).repartition(1),
+            mode="append",
+            partition_by=["g"],
+        ),
+        lambda: t.delete_where(spark, [("g", "=", "plain"), ("k", ">", 25)]),
+    ]
+    for i, step in enumerate(steps):
+        step()
+        cursor = _replay(spark, t, cursor, state)
+        assert state == _table_multiset(spark, t, cols), f"step {i}"

@@ -190,3 +190,22 @@ def test_streaming_cdf_starting_version(spark, tmp_path):
     assert Counter((r[0], r[3]) for r in got) == Counter(
         [(0, "delete"), (1, "delete"), (2, "delete"), (300, "insert")]
     )
+
+
+def test_streaming_cdf_on_hive_partitioned_table(spark, tmp_path):
+    """Streaming CDF over a Hive-partitioned table with a URI-hostile
+    partition value: directory-recovered values ride the feed rows, and
+    the DV position selection matches the manifest's disk spelling."""
+    t = SnapshotTable(str(tmp_path / "ptbl"))
+    df = spark.createDataFrame(
+        [(i, "a b" if i % 2 == 0 else "plain", i * 10) for i in range(20)],
+        "k long, g string, v long",
+    )
+    t.commit(df.repartition(1), mode="append", partition_by=["g"])
+    t.delete_where_mor(spark, [("k", "<", 4)])
+    got: list = []
+    _drain(spark, t.root, str(tmp_path / "ckpt"), got)
+    batch, _ = read_row_changes_since(spark, t, None)
+    assert Counter(got) == Counter(tuple(r) for r in batch.collect())
+    dels = {(r[0], r[1]) for r in got if r[3] == "delete"}
+    assert dels == {(0, "a b"), (1, "plain"), (2, "a b"), (3, "plain")}
