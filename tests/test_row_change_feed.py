@@ -294,3 +294,60 @@ def test_feed_replay_on_hive_partitioned_table(spark, tmp_path):
         step()
         cursor = _replay(spark, t, cursor, state)
         assert state == _table_multiset(spark, t, cols), f"step {i}"
+
+
+def test_join_ivm_survives_deletes_via_row_feed(spark, tmp_path):
+    """Two-table JOIN-view maintenance from ROW-LEVEL feeds of both
+    inputs — the delta-join identity (Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB)
+    fed by read_row_changes_since across a MoR DELETE on the fact and a
+    MoR UPDATE on the dim: maintained ≡ recomputed, no resync."""
+    from f1_bigdata_pyspark_spark.operators.ivm import (
+        apply_cdc_to_join_rollup,
+        join_rollup_of,
+        signed_delta_from_row_feed,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    a = SnapshotTable(str(tmp_path / "fact"))
+    b = SnapshotTable(str(tmp_path / "dim"))
+    a.commit(
+        spark.createDataFrame(
+            [(i, i % 4, i * 10) for i in range(40)], "k long, j long, v long"
+        ).repartition(2),
+        mode="append",
+    )
+    b.commit(
+        spark.createDataFrame(
+            [(j, f"g{j % 2}") for j in range(4)], "j long, grp string"
+        ).repartition(1),
+        mode="append",
+    )
+    ca, cb = a.latest_version(), b.latest_version()
+    a_old, b_old = a.read(spark, ca), b.read(spark, cb)
+    rollup = materialize(join_rollup_of(a_old, b_old, ["j"], ["grp"], "v"))
+
+    a.delete_where_mor(spark, [("k", "<", 10)])
+    b.update_where_mor(spark, {"grp": "'gX'"}, [("j", "=", 1)])
+
+    fa, _ = read_row_changes_since(spark, a, ca)
+    fb, _ = read_row_changes_since(spark, b, cb)
+    maintained = materialize(
+        apply_cdc_to_join_rollup(
+            rollup,
+            a_old,
+            b_old,
+            signed_delta_from_row_feed(fa),
+            signed_delta_from_row_feed(fb),
+            ["j"],
+            ["grp"],
+            "v",
+        )
+    )
+    want = {
+        r.grp: (r.n, r.s)
+        for r in join_rollup_of(
+            a.read(spark), b.read(spark), ["j"], ["grp"], "v"
+        ).collect()
+    }
+    got = {r.grp: (r.n, r.s) for r in maintained.collect()}
+    assert got == want
