@@ -4486,9 +4486,15 @@ def _row_changes_between(
             pre = table._scan_with_tombstones(
                 spark, pm, touched, with_row_pos=True
             )
-            dv = spark.read.parquet(rec["dir"]).select(
-                F.col("__file").alias("__dv_file"),
-                F.col("__pos").alias("__dv_pos"),
+            from f1_bigdata_pyspark_spark.operators.join_policy import (
+                broadcast_if_small,
+            )
+
+            dv = broadcast_if_small(
+                spark.read.parquet(rec["dir"]).select(
+                    F.col("__file").alias("__dv_file"),
+                    F.col("__pos").alias("__dv_pos"),
+                )
             )
             dead = (
                 pre.join(dv, ["__dv_file", "__dv_pos"], "left_semi")
@@ -4515,8 +4521,14 @@ def _row_changes_between(
             if t["path"] not in prev_paths
         ]
         if new_paths and not [f for f in cm["files"] if f not in pf]:
+            from f1_bigdata_pyspark_spark.operators.join_policy import (
+                broadcast_if_small,
+            )
+
             keys = cm["tombstone_keys"]
-            dead_keys = spark.read.parquet(*new_paths).select(*keys).distinct()
+            dead_keys = broadcast_if_small(
+                spark.read.parquet(*new_paths).select(*keys).distinct()
+            )
             pre = table._scan_with_tombstones(spark, pm, affected_prev)
             return pre.join(dead_keys, keys, "left_semi").withColumn(
                 "_change_type", F.lit("delete")

@@ -164,8 +164,6 @@ def test_mor_update_under_encoded_partition_values(spark, tmp_path):
 def test_update_where_mor_stray_guard(spark, tmp_path, monkeypatch):
     # force the address mismatch the guard exists for: corrupt the
     # normalization so every __dv_file misses the manifest spelling
-    import f1_bigdata_pyspark_spark.sources.snapshots as snaps
-
     t = _mk(spark, tmp_path)
     base = t.latest_version()
     orig = SnapshotTable._plan_scan

@@ -86,6 +86,12 @@ def test_feed_replay_reproduces_table_across_dml_matrix(spark, tmp_path):
             spark.createDataFrame([(k,) for k in range(0, 60, 7)], "k long"),
             ["k"],
         ),
+        lambda: t.commit(  # RE-INSERT a tombstoned key (seq scoping:
+            spark.createDataFrame(  # the old tombstone must not eat it)
+                [(0, 0, 777)], SCHEMA
+            ).repartition(1),
+            mode="append",
+        ),
         lambda: t.delete_where(spark, [("k", ">=", 55)]),  # CoW delete
         lambda: t.update_where(  # CoW update
             spark, {"v": "v * 2"}, [("g", "=", 0)]

@@ -151,8 +151,6 @@ def test_streaming_cdf_batch_read_refuses(spark, tmp_path):
 
     register(spark)
     t = _mk(spark, tmp_path, n=5, parts=1)
-    from py4j.protocol import Py4JJavaError
-
     with pytest.raises(Exception, match="readChangeFeed is a STREAMING"):
         spark.read.format("snapshot").option("root", t.root).option(
             "readChangeFeed", "true"
@@ -209,3 +207,45 @@ def test_streaming_cdf_on_hive_partitioned_table(spark, tmp_path):
     assert Counter(got) == Counter(tuple(r) for r in batch.collect())
     dels = {(r[0], r[1]) for r in got if r[3] == "delete"}
     assert dels == {(0, "a b"), (1, "plain"), (2, "a b"), (3, "plain")}
+
+
+def test_streaming_cdf_additive_evolution_across_restarts(spark, tmp_path):
+    """Additive schema evolution between RUNS of a checkpointed feed:
+    each run's fresh load() re-resolves the table schema, so the second
+    run reports the widened row (extra column included) while the
+    planner's prefix guard still rejects renames/drops. Within one run
+    the schema is fixed (availableNow plans once)."""
+    t = _mk(spark, tmp_path, n=10)
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, t.root, ckpt, got)
+    assert all(len(r) == 5 for r in got)  # k,g,v + the 2 CDF cols
+    t.commit(
+        spark.createDataFrame(
+            [(500, 1, 2, "x")], SCHEMA + ", extra string"
+        ).repartition(1),
+        mode="append",
+        merge_schema=True,
+    )
+    _drain(spark, t.root, ckpt, got)
+    new = [r for r in got if r[0] == 500]
+    assert len(new) == 1 and len(new[0]) == 6  # + extra
+    assert new[0][3] == "x" and new[0][4] == "insert"
+
+
+def test_streaming_cdf_reinserted_tombstoned_key(spark, tmp_path):
+    """delete_keys then re-insert of the same key: the re-insert's file
+    POSTDATES the tombstone (seq scoping), so the feed emits delete(k)
+    then insert(k) and a folded state keeps the new row live."""
+    t = _mk(spark, tmp_path, n=10)
+    t.delete_keys(
+        spark, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    t.commit(
+        spark.createDataFrame([(0, 0, 999)], SCHEMA).repartition(1),
+        mode="append",
+    )
+    got: list = []
+    _drain(spark, t.root, str(tmp_path / "ckpt"), got)
+    k0 = {(r[2], r[3], r[4]) for r in got if r[0] == 0}
+    assert k0 == {(0, "insert", 0), (0, "delete", 1), (999, "insert", 2)}
