@@ -697,6 +697,7 @@ def _plan_added_partitions(
         ref_mapping = m_lo.get("column_mapping") or {}
         first = lo + 1
         baseline = None
+        prev_m = m_lo
     else:
         # FRESH stream on a possibly-vacuumed table: the earliest
         # RETAINED manifest is the baseline snapshot — its CUMULATIVE
@@ -704,6 +705,7 @@ def _plan_added_partitions(
         # that produced it (Delta's initial-snapshot semantics)
         first = min(available)
         baseline = first
+        prev_m = None
     out = []
     for v in sorted(x for x in available if first <= x <= hi):
         m = _log_manifest(root, v)
@@ -737,6 +739,37 @@ def _plan_added_partitions(
                 and m["mode"] in ("delete", "delete-dv")
             )
         )
+        if (
+            v != baseline
+            and prev_m is not None
+            and not ignore_changes
+            and not ignore_deletes
+        ):
+            # HIDDEN row-level DML inside a compacted gap (round 10): a
+            # delete-dv/delete dropped by compact_log leaves a retained
+            # "append"/"dv-consolidate" manifest whose MASKS changed —
+            # the mode check alone cannot see it, but delivering under
+            # the strict contract would silently serve stale rows. A
+            # NON-gap dv-consolidate changes masks truthfully (row-
+            # preserving vs its direct predecessor) and stays allowed.
+            mask_delta = {
+                t["path"] for t in prev_m.get("tombstones") or []
+            } != {t["path"] for t in m.get("tombstones") or []} or {
+                d["dir"] for d in prev_m.get("dvs") or []
+            } != {d["dir"] for d in (m.get("dvs") or [])}
+            explained = m["mode"] in ("delete", "delete-dv") or (
+                m["mode"] == "dv-consolidate"
+                and v == prev_m["version"] + 1
+            )
+            if mask_delta and not explained:
+                raise ValueError(
+                    f"row-level deletes changed between v{prev_m['version']} "
+                    f"and v{v} (a delete was compacted away) — the strict "
+                    "append-only contract cannot deliver this history; "
+                    "re-sync from a snapshot read, or pass "
+                    "ignoreDeletes/ignoreChanges to accept the relaxed "
+                    "delivery contract"
+                )
         if v != baseline and not mode_ok:
             raise ValueError(
                 f"v{v} is {m['mode']!r}, not append — the change "
@@ -785,6 +818,7 @@ def _plan_added_partitions(
                 if f in fset
             ]
             out.append(part)
+        prev_m = m
     return out
 
 
@@ -911,6 +945,31 @@ def _plan_cdf_partitions(root: str, lo: int, hi: int) -> list:
         pf = set(pm["files"])
         added = [f for f in m["files"] if f not in pf]
         vanished = pf - set(m["files"])
+        if v != pm["version"] + 1:
+            # a COMPACTED GAP: the dropped intermediates' modes are
+            # gone, so the per-mode fast paths below cannot be trusted —
+            # the surviving manifests must PROVE the gap was append-only
+            # (identical masks, no vanished files) or the feed refuses.
+            # Without this check a delete-dv hidden inside the gap would
+            # deliver its rows as still-live (mode says "append", the
+            # new vector never surfaces).
+            prev_tomb = {t["path"] for t in pm.get("tombstones") or []}
+            cur_tomb = {t["path"] for t in (m.get("tombstones") or [])}
+            prev_dvd = {d["dir"] for d in pm.get("dvs") or []}
+            cur_dvd = {d["dir"] for d in (m.get("dvs") or [])}
+            if vanished or prev_tomb != cur_tomb or prev_dvd != cur_dvd:
+                raise ValueError(
+                    f"versions between v{pm['version']} and v{v} were "
+                    "compacted away and the surviving manifests show "
+                    "row-level changes the streaming feed cannot "
+                    "attribute — consume the batch feed "
+                    "(read_row_changes_since, which diffs states) or "
+                    "re-sync from a snapshot read"
+                )
+            for f in added:
+                out.append(_mk_part(m, f, "insert", v))
+            pm = m
+            continue
         if mode in _ROW_PRESERVING_MODES:
             pm = m
             continue

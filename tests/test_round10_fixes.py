@@ -268,3 +268,32 @@ def test_served_read_keeps_subquery_only_columns(spark, tmp_path):
         i for i in range(40) if (i % 7) > sum(i % 7 for i in range(40)) / 40
     )
     assert got == want
+
+
+def test_plain_stream_refuses_delete_hidden_in_compacted_gap(
+    spark, tmp_path
+):
+    """A delete-dv dropped by compact_log leaves retained manifests
+    whose MASKS changed under an 'append' mode — the strict stream must
+    refuse (silently serving rows the consumer believes live violates
+    the append-only contract); ignoreDeletes accepts it (that IS the
+    relaxed contract) and delivers only the appended files."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_added_partitions,
+    )
+
+    t = _mk(spark, tmp_path, n=20)  # v0
+    t.delete_where_mor(spark, [("k", "<", 3)])  # v1 -> dropped
+    for i in range(2):  # v2, v3
+        t.commit(
+            spark.createDataFrame(
+                [(600 + i, 1, "z")], "k long, g long, name string"
+            ).repartition(1),
+            mode="append",
+        )
+    dropped = t.compact_log(every=10, keep_recent=2)
+    assert dropped == [1]
+    with pytest.raises(ValueError, match="compacted away"):
+        _plan_added_partitions(t.root, 0, 3)
+    parts = _plan_added_partitions(t.root, 0, 3, ignore_deletes=True)
+    assert len(parts) == 2

@@ -249,3 +249,69 @@ def test_streaming_cdf_reinserted_tombstoned_key(spark, tmp_path):
     _drain(spark, t.root, str(tmp_path / "ckpt"), got)
     k0 = {(r[2], r[3], r[4]) for r in got if r[0] == 0}
     assert k0 == {(0, "insert", 0), (0, "delete", 1), (999, "insert", 2)}
+
+
+def _gapped_table(spark, tmp_path):
+    """v0 commit, v1 delete-dv (dropped by compact_log), v2+v3 appends
+    retained — the surviving manifests show masks that appeared inside
+    the compacted gap."""
+    t = _mk(spark, tmp_path, n=20)  # v0 (retained: checkpoint)
+    t.delete_where_mor(spark, [("k", "<", 3)])  # v1 -> dropped
+    t.commit(
+        spark.createDataFrame([(400, 1, 1)], SCHEMA).repartition(1),
+        mode="append",
+    )  # v2
+    t.commit(
+        spark.createDataFrame([(401, 1, 1)], SCHEMA).repartition(1),
+        mode="append",
+    )  # v3
+    dropped = t.compact_log(every=10, keep_recent=2)
+    assert dropped == [1]
+    return t
+
+
+def test_streaming_cdf_refuses_delete_hidden_in_compacted_gap(
+    spark, tmp_path
+):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_cdf_partitions,
+    )
+
+    t = _gapped_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="cannot attribute"):
+        _plan_cdf_partitions(t.root, 0, 3)
+    # the BATCH feed diffs states instead of trusting modes: a replay
+    # from the same cursor stays exact across the same gap
+    from collections import Counter as C
+
+    feed, _ = read_row_changes_since(spark, t, 0)
+    state = C()
+    for r in feed.collect():
+        state[(r.k, r.g, r.v)] += (
+            1 if r["_change_type"] in ("insert", "update_postimage") else -1
+        )
+    base = C((r.k, r.g, r.v) for r in t.read(spark, version=0).collect())
+    base.update({k: n for k, n in state.items() if n > 0})
+    for k, n in list(state.items()):
+        if n < 0:
+            base[k] += n
+    live = C((r.k, r.g, r.v) for r in t.read(spark).collect())
+    assert C({k: n for k, n in base.items() if n}) == live
+
+
+def test_streaming_cdf_accepts_append_only_gap(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_cdf_partitions,
+    )
+
+    t = _mk(spark, tmp_path, n=10)  # v0
+    for i in range(3):  # v1..v3 appends; v1 dropped by compact_log
+        t.commit(
+            spark.createDataFrame([(500 + i, 1, 1)], SCHEMA).repartition(1),
+            mode="append",
+        )
+    t.compact_log(every=10, keep_recent=2)
+    parts = _plan_cdf_partitions(t.root, 0, 3)
+    # all three appended files surface as inserts despite the gap
+    assert len(parts) == 3
+    assert {p.partition_values["_change_type"] for p in parts} == {"insert"}
