@@ -436,14 +436,16 @@ def test_dv_consolidation_bounds_records_and_preserves_reads(spark, tmp_path):
     import json
 
     t = _mk(spark, tmp_path, n=120, parts=4)
-    # many small sequential deletes: the DV record list grows per delete
-    for i in range(12):
-        t.delete_where_mor(spark, [("k", "=", i * 7)])
+    # 50 small sequential deletes (the round-9 verdict's shape): the DV
+    # record list grows per delete — every scan task would open up to
+    # 50 bucket slices without consolidation
+    for i in range(50):
+        t.delete_where_mor(spark, [("k", "=", i * 2)])
     m = t._read_manifest(t.latest_version())
-    assert len(m["dvs"]) == 12
+    assert len(m["dvs"]) == 50
     want = sorted(r.k for r in t.read(spark).collect())
     rep = t.consolidate_deletion_vectors(spark, max_records=8)
-    assert rep["dv_records_after"] == 1 and rep["rows_carried"] == 12
+    assert rep["dv_records_after"] == 1 and rep["rows_carried"] == 50
     m2 = t._read_manifest(rep["version"])
     assert len(m2["dvs"]) == 1 and m2["mode"] == "dv-consolidate"
     assert m2["files"] == m["files"]  # zero data files touched
