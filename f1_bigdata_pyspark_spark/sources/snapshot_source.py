@@ -1654,7 +1654,17 @@ class SnapshotDataSource(DataSource):
     .mode("append"|"overwrite").save()`` runs the two-phase commit in
     ``SnapshotWriter``; ``.option("partitionBy", "day(ts),bucket(8,k)")``
     lays the write out under a (hidden-transform) partition scheme —
-    appends inherit the table's layout automatically."""
+    appends inherit the table's layout automatically.
+
+    Streaming options (``spark.readStream.format("snapshot")``):
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (admission control,
+    driver-ceiling-guarded), ``ignoreDeletes`` / ``ignoreChanges``
+    (Delta-parity relaxed delivery), and — round 10 —
+    ``readChangeFeed`` ("true": deliver ROW-LEVEL changes with
+    ``_change_type``/``_commit_version`` columns across the
+    merge-on-read DML family; see ``SnapshotCDFStreamReader``) with
+    optional ``startingVersion`` (begin at that version's changes
+    instead of the initial snapshot)."""
 
     @classmethod
     def name(cls) -> str:
