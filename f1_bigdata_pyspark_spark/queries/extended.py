@@ -6384,3 +6384,157 @@ def snapshot_dv_consolidation_report(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: snapshot_cdf_fold_serving — FEED-CONSUMPTION wall time in the bench
+# set (round 11, verdict ask #6): the snapshot table is built ONCE per
+# (sf_dir, process) with a MIXED MoR+CoW DML history — two appends, a
+# copy-on-write DELETE (writes change-data images), a copy-on-write
+# UPDATE (image pairs), a merge-on-read DELETE (positional vector), a
+# third append — and the BENCHED body is the pure downstream-consumer
+# path: drain read_row_changes_since from a cold cursor (baseline scan +
+# insert scans + CHANGE-DATA image reads + DV positive selection, round
+# 11's total feed), fold it into a maintained rollup, and prove the fold
+# equals a from-scratch recompute. bench's min-of-5 therefore tracks
+# round-over-round how fast a 100 TB incremental consumer could drain
+# this table's history; the correctness driver's single call still
+# exercises build + consume end-to-end against the oracle.
+# --------------------------------------------------------------------------
+_CDF_FOLD_CACHE: dict = {}
+
+
+def _cdf_fold_table(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    cached = _CDF_FOLD_CACHE.get(key)
+    if cached is not None and os.path.isdir(
+        os.path.join(cached, "_manifests")
+    ):
+        return cached
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mk = orders.agg(F.max("k")).head()[0]
+    c1, c2 = mk * 1 // 3, mk * 2 // 3
+    root = tempfile.mkdtemp(prefix="snap_cdffold_")
+    t = SnapshotTable(root)
+    t.commit(orders.filter(F.col("k") <= c1).repartition(2), mode="append")
+    t.commit(
+        orders.filter((F.col("k") > c1) & (F.col("k") <= c2)).repartition(2),
+        mode="append",
+    )
+    t.delete_where(spark, [("cents", "<", 5_000_000)])  # CoW: images
+    t.update_where(  # CoW: image pairs
+        spark, {"cents": "cents + 7"}, [("pr", "=", "1-URGENT")]
+    )
+    t.delete_where_mor(spark, [("cents", ">", 40_000_000)])  # MoR: vector
+    t.commit(orders.filter(F.col("k") > c2).repartition(2), mode="append")
+    _CDF_FOLD_CACHE[key] = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+@query(
+    "snapshot_cdf_fold_serving",
+    oracle="""
+WITH mk AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders),
+base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+ab AS (SELECT * FROM base WHERE k <= (SELECT m * 2 // 3 FROM mk)),
+c AS (SELECT * FROM base WHERE k > (SELECT m * 2 // 3 FROM mk)),
+surv1 AS (SELECT * FROM ab WHERE cents >= 5000000),
+upd AS (
+  SELECT k, pr,
+         CASE WHEN pr = '1-URGENT' THEN cents + 7 ELSE cents END AS cents
+  FROM surv1
+),
+surv2 AS (SELECT * FROM upd WHERE cents <= 40000000),
+live AS (SELECT * FROM surv2 UNION ALL SELECT * FROM c),
+ctr AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_ins,
+         (SELECT CAST(count(*) AS BIGINT) FROM ab
+          WHERE cents < 5000000) AS n_del_cow,
+         (SELECT CAST(count(*) AS BIGINT) FROM upd
+          WHERE cents > 40000000) AS n_del_mor,
+         (SELECT CAST(count(*) AS BIGINT) FROM surv1
+          WHERE pr = '1-URGENT') AS n_upd
+)
+SELECT pr AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       (SELECT n_ins FROM ctr) AS n_insert_rows,
+       (SELECT n_del_cow + n_del_mor FROM ctr) AS n_delete_rows,
+       (SELECT n_upd FROM ctr) AS n_update_pre_rows,
+       (SELECT n_upd FROM ctr) AS n_update_post_rows,
+       true AS fold_matches_recompute
+FROM live
+GROUP BY pr
+ORDER BY pr
+""",
+    bench=True,
+)
+def snapshot_cdf_fold_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_bigdata_pyspark_spark.operators.ivm import (
+        apply_row_feed_to_rollup,
+        rollup_of,
+    )
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        read_row_changes_since,
+    )
+    from f1_bigdata_pyspark_spark.utils import materialize
+
+    root = _cdf_fold_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    feed, _cursor = read_row_changes_since(spark, t, None)
+    feed = materialize(feed)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    empty = spark.createDataFrame([], "pr string, n long, s long")
+    maintained = materialize(
+        apply_row_feed_to_rollup(empty, feed, ["pr"], "cents")
+    )
+    recomputed = {
+        r.pr: (r.n, r.s)
+        for r in rollup_of(t.read(spark), ["pr"], "cents").collect()
+    }
+    matches = {r.pr: (r.n, r.s) for r in maintained.collect()} == recomputed
+    return materialize(
+        maintained.select(
+            F.col("pr").alias("o_orderpriority"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("s").cast("long").alias("sum_cents"),
+        )
+        .withColumn(
+            "n_insert_rows", F.lit(counts.get("insert", 0)).cast("long")
+        )
+        .withColumn(
+            "n_delete_rows", F.lit(counts.get("delete", 0)).cast("long")
+        )
+        .withColumn(
+            "n_update_pre_rows",
+            F.lit(counts.get("update_preimage", 0)).cast("long"),
+        )
+        .withColumn(
+            "n_update_post_rows",
+            F.lit(counts.get("update_postimage", 0)).cast("long"),
+        )
+        .withColumn("fold_matches_recompute", F.lit(matches))
+        .orderBy("o_orderpriority")
+    )

@@ -848,11 +848,18 @@ def _plan_cdf_partitions(root: str, lo: int, hi: int) -> list:
       are now dead, as ``delete``.
     - row-preserving maintenance (``dv-consolidate``,
       ``optimize-incremental``, ``optimize-deletions``): nothing.
-    - anything else (overwrite, CoW DML, merge, rollback, plain
-      optimize): RAISES — a rewrite's row changes need the two-sided
-      multiset diff, which is the batch feed's job
-      (``read_row_changes_since``); the streaming feed covers the
-      O(changes) MoR family a 100 TB pipeline runs on.
+    - any version whose manifest carries ``change_data`` (round 11:
+      CoW delete/update, merge, replace_where — always; overwrite /
+      rollback — opt-in): one partition per recorded image file, its
+      ``_change_type`` riding in from the per-type record. The images
+      were computed at COMMIT time by the writer that already held the
+      pre/post rows (Delta's ``_change_data`` mechanism), so the
+      streaming feed is now TOTAL over the DML matrix this codebase's
+      writers produce.
+    - anything else (plain optimize's overwrite, a pre-round-11 CoW
+      version, opt-out overwrite/rollback): RAISES — without recorded
+      images a rewrite's row changes need the two-sided multiset diff,
+      which is the batch feed's job (``read_row_changes_since``).
 
     A fresh stream (lo = -1) emits the earliest RETAINED version's
     files as ``insert`` THROUGH that manifest's own masks (initial
@@ -973,6 +980,19 @@ def _plan_cdf_partitions(root: str, lo: int, hi: int) -> list:
         if mode in _ROW_PRESERVING_MODES:
             pm = m
             continue
+        cd = m.get("change_data")
+        if cd is not None:
+            # round 11: the commit WROTE its change-data files (CoW
+            # delete/update, merge, replace_where, opt-in overwrite /
+            # rollback) — one partition per image file, the type riding
+            # in from the manifest's per-type record (the files are
+            # plain full-width parquet, no masks apply). EMPTY types =
+            # positive proof of a no-row-change commit, emit nothing.
+            for ctype in sorted(cd.get("types") or {}):
+                for f in cd["types"][ctype]:
+                    out.append(_mk_part(m, f, ctype, v))
+            pm = m
+            continue
         if mode == "append" and not vanished:
             for f in added:
                 out.append(_mk_part(m, f, "insert", v))
@@ -1045,11 +1065,13 @@ def _plan_cdf_partitions(root: str, lo: int, hi: int) -> list:
                 )
         else:
             raise ValueError(
-                f"v{v} is {mode!r} — the STREAMING change feed covers "
-                "the merge-on-read DML family (append, delete-dv, "
-                "update-dv, key tombstones, maintenance); a rewrite's "
-                "row changes need the batch feed "
-                "(read_row_changes_since) after a re-sync"
+                f"v{v} is {mode!r} and carries no change-data files — "
+                "the STREAMING change feed covers the merge-on-read DML "
+                "family, the commits that wrote change data (CoW "
+                "delete/update, merge, replace_where, overwrite with "
+                "change_data=True, rollback with spark=), and "
+                "maintenance; this rewrite's row changes need the batch "
+                "feed (read_row_changes_since) after a re-sync"
             )
         pm = m
     return out

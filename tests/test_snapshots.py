@@ -854,8 +854,11 @@ def test_gdpr_erasure_merge_then_vacuum_removes_bytes(spark, table):
     assert 3 not in live and 7 not in live and len(live) == 18
     # pre-merge version still exposes the data (retention window)...
     assert 3 in {r.k for r in table.read(spark, version=1).collect()}
-    # ...until vacuum expires it; then NO file on disk carries the key
-    vacuum(table, keep_versions=1, grace_seconds=0)
+    # ...until vacuum expires it; then NO file on disk carries the key.
+    # keep_change_data=False (round 11): the merge's own CHANGE DATA
+    # images hold the subject's deleted rows — compliance erasure must
+    # reclaim those too, not just the old data files
+    vacuum(table, keep_versions=1, grace_seconds=0, keep_change_data=False)
     with __import__("pytest").raises(FileNotFoundError):
         table.read(spark, version=1)
     on_disk = set()

@@ -139,10 +139,18 @@ def test_streaming_cdf_skips_maintenance_and_refuses_rewrites(
         tuple(x) for x in t.read(spark).select("k", "g", "v").collect()
     )
     assert Counter({k: n for k, n in state.items() if n}) == live
-    # a copy-on-write rewrite poisons the STREAMING feed (batch feed
-    # covers it) — explicit error, not silence
+    # round 11: a CoW rewrite now STREAMS (its commit wrote change-data
+    # files) — the refusal survives only for rewrites WITHOUT recorded
+    # images: plain OPTIMIZE republishes mode 'overwrite' with no
+    # change_data (row-preserving, but the stream can't prove that by
+    # diffing) — explicit error, not silence
     t.delete_where(spark, [("k", ">=", 50)])
-    with pytest.raises(ValueError, match="merge-on-read"):
+    parts = _plan_cdf_partitions(
+        t.root, t.latest_version() - 1, t.latest_version()
+    )
+    assert parts, "CoW delete must plan its change-data partitions"
+    t.optimize(spark, ["k"], target_files=1)
+    with pytest.raises(ValueError, match="no change-data files"):
         _plan_cdf_partitions(t.root, t.latest_version() - 1, t.latest_version())
 
 
