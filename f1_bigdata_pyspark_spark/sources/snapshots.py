@@ -2027,6 +2027,7 @@ class SnapshotTable:
 
         cdir = os.path.join(self.data_dir, f"changes-{uuid.uuid4().hex[:12]}")
         types: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
         for ctype, cdf in frames.items():
             if cdf is None:
                 continue
@@ -2052,11 +2053,18 @@ class SnapshotTable:
             for f in written:
                 if _pq.ParquetFile(f).metadata.num_rows > 0:
                     kept.append(f)
+                    # footer stats let a FILTERED batch-CDF read prune
+                    # whole image files (round 11 pushdown) — same
+                    # evidence shape as data files
+                    stats[f] = _file_column_stats(f)
                 else:
                     self._fs.unlink(f)  # empty shuffle partition
             if kept:
                 types[ctype] = kept
-        return {"dir": cdir, "types": types}
+        out = {"dir": cdir, "types": types}
+        if stats:
+            out["stats"] = stats
+        return out
 
     def merge(
         self,
@@ -3181,6 +3189,16 @@ class SnapshotTable:
         ``delete-dv`` (non-append): streams refuse and re-sync, the
         same contract as every other row-removal. OPTIMIZE materializes
         the deletes and the rewritten version carries no ``dvs``.
+
+        WRITE-SITE INVARIANT (the streaming CDF depends on it): a
+        ``delete-dv``/``update-dv`` commit publishes EXACTLY ONE new
+        ``dvs`` record — ``_plan_cdf_partitions`` reads that record's
+        bucket slices as the delete's row images and refuses a
+        multi-record commit shape ("not a single-commit shape"). A
+        future writer batching several vectors into one version must
+        either keep this one-record shape (union the addresses into one
+        dir, as ``consolidate_deletion_vectors`` does) or teach the
+        planner to union multiple new records.
 
         Returns {"version", "rows_deleted", "files_touched",
         "files_rewritten": 0}; a predicate matching no rows publishes

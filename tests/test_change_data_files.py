@@ -401,3 +401,42 @@ def test_vacuum_compliance_erasure_strips_images_feeds_fall_back(
 
     with pytest.raises(ValueError, match="no change-data files"):
         _plan_cdf_partitions(t.root, 0, t.latest_version())
+
+
+def test_change_images_across_additive_schema_evolution(spark, tmp_path):
+    """Images written AFTER an additive evolution carry the wide schema;
+    the batch feed unions by name (old versions NULL-fill), and a
+    streaming consumer that started under the old schema keeps its
+    start-time width (round-10 contract, now covering image files)."""
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    t.commit(
+        spark.createDataFrame(
+            [(100, 0, 1, "x")], "k long, g long, v long, tag string"
+        ).repartition(1),
+        mode="append",
+        merge_schema=True,
+    )
+    t.update_where(spark, {"v": "v + 50"}, [("k", "=", 100)])  # wide images
+    feed, _ = read_row_changes_since(spark, t, None)
+    rows = {
+        (r["k"], r["_change_type"]): (r["v"], r["tag"])
+        for r in feed.collect()
+        if r["k"] == 100
+    }
+    assert rows[(100, "insert")] == (1, "x")
+    assert rows[(100, "update_preimage")] == (1, "x")
+    assert rows[(100, "update_postimage")] == (51, "x")
+    # pre-evolution rows read tag as NULL in the unioned feed
+    assert all(
+        r["tag"] is None for r in feed.collect() if r["k"] < 100
+    )
+    # streaming from scratch reports the start-time (wide) schema and
+    # drains to the same multiset
+    got: list = []
+    _drain(spark, t.root, str(tmp_path / "ckpt"), got)
+    assert Counter(tuple(r) for r in got) == Counter(
+        tuple(r)
+        for r in feed.select(
+            "k", "g", "v", "tag", "_change_type", "_commit_version"
+        ).collect()
+    )

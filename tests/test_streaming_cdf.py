@@ -154,15 +154,87 @@ def test_streaming_cdf_skips_maintenance_and_refuses_rewrites(
         _plan_cdf_partitions(t.root, t.latest_version() - 1, t.latest_version())
 
 
-def test_streaming_cdf_batch_read_refuses(spark, tmp_path):
+def test_batch_cdf_read_matches_feed_function(spark, tmp_path):
+    """Round 11 (Delta table_changes parity): a BATCH read with
+    readChangeFeed delivers the same multiset as
+    read_row_changes_since, over both the full history and a bounded
+    [startingVersion, endingVersion] window."""
     from f1_bigdata_pyspark_spark.sources.snapshot_source import register
 
     register(spark)
-    t = _mk(spark, tmp_path, n=5, parts=1)
-    with pytest.raises(Exception, match="readChangeFeed is a STREAMING"):
+    t = _mk(spark, tmp_path, n=30)
+    t.delete_where_mor(spark, [("g", "=", 2)])  # v1
+    t.delete_where(spark, [("k", ">=", 25)])  # v2 (CoW: image files)
+    t.update_where_mor(spark, {"v": "v + 1"}, [("g", "=", 0)])  # v3
+    full = (
+        spark.read.format("snapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+        .collect()
+    )
+    batch, _ = read_row_changes_since(spark, t, None)
+    assert Counter(tuple(r) for r in full) == Counter(
+        tuple(r) for r in batch.collect()
+    )
+    window = (
+        spark.read.format("snapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("endingVersion", "2")
+        .load()
+        .collect()
+    )
+    assert {r["_commit_version"] for r in window} == {2}
+    # k=27 (g=2) was already dead at v1 — the CoW delete's images name
+    # only the rows it actually removed
+    assert Counter(r["_change_type"] for r in window) == Counter(
+        {"delete": 4}
+    )
+    assert {r["k"] for r in window} == {25, 26, 28, 29}
+
+
+def test_batch_cdf_projection_pushdown(spark, tmp_path):
+    """``columns`` narrows the CDF schema (round 11 projection
+    pushdown); values still agree with the full-width feed, and the
+    masks/selections keep working on the dropped columns."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path, n=20)
+    t.delete_keys(
+        spark,
+        spark.createDataFrame([(k,) for k in (0, 5)], "k long"),
+        ["k"],
+    )
+    t.update_where(spark, {"v": "v + 3"}, [("g", "=", 1)])
+    narrow = (
+        spark.read.format("snapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("columns", "v")
+        .load()
+    )
+    assert narrow.columns == ["v", "_change_type", "_commit_version"]
+    full, _ = read_row_changes_since(spark, t, None)
+    want = Counter(
+        (r["v"], r["_change_type"], r["_commit_version"])
+        for r in full.collect()
+    )
+    assert Counter(tuple(r) for r in narrow.collect()) == want
+
+
+def test_batch_cdf_bounds_validated(spark, tmp_path):
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    t.delete_where_mor(spark, [("k", "=", 1)])
+    with pytest.raises(Exception, match="endingVersion"):
         spark.read.format("snapshot").option("root", t.root).option(
             "readChangeFeed", "true"
-        ).load().collect()
+        ).option("endingVersion", "99").load().collect()
 
 
 def test_streaming_cdf_starting_version(spark, tmp_path):
@@ -323,3 +395,167 @@ def test_streaming_cdf_accepts_append_only_gap(spark, tmp_path):
     # all three appended files surface as inserts despite the gap
     assert len(parts) == 3
     assert {p.partition_values["_change_type"] for p in parts} == {"insert"}
+
+
+def test_batch_cdf_filter_pushdown_prunes_partitions(spark, tmp_path):
+    """Round 11 stretch: a pushed predicate reaches the CDF planner —
+    files the owning manifest proves empty for the conjunction plan NO
+    partition, and the filtered result still matches the feed."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        _plan_cdf_partitions,
+        register,
+    )
+
+    register(spark)
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # three key-range files (disjoint min/max evidence)
+    for lo in (0, 100, 200):
+        t.commit(
+            spark.createDataFrame(
+                [(k, k % 5, k * 10) for k in range(lo, lo + 50)], SCHEMA
+            ).repartition(1),
+            mode="append",
+        )
+    t.delete_where(spark, [("k", ">=", 240)])  # CoW delete: image file
+    # planner-level: k <= 50 proves the 100- and 200-range files (and
+    # the delete's images, all k >= 240) empty
+    all_parts = _plan_cdf_partitions(t.root, -1, t.latest_version())
+    pruned = _plan_cdf_partitions(
+        t.root, -1, t.latest_version(), where=[("k", "<=", 50)]
+    )
+    assert len(pruned) < len(all_parts)
+    assert len(pruned) == 1  # only the 0-49 file survives
+    # end-to-end through the engine's pushdown hook
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("snapshot")
+            .option("root", t.root)
+            .option("readChangeFeed", "true")
+            .load()
+            .filter(F.col("k") <= 50)
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    batch, _ = read_row_changes_since(spark, t, None)
+    want = Counter(
+        tuple(r) for r in batch.filter(F.col("k") <= 50).collect()
+    )
+    assert Counter(tuple(r) for r in got) == want
+    assert len(got) == 50  # k in [0, 49]: inserts only
+
+
+def test_cdf_admission_walk_version_granular(spark, tmp_path):
+    """maxVersionsPerTrigger (round 11): the Simple CDF reader admits at
+    most K versions past the GIVEN start — a consumer far behind drains
+    in bounded, version-atomic epochs; restart capping is exact."""
+    from pyspark.sql.types import StructType
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        SnapshotCDFSimpleStreamReader,
+    )
+
+    t = _mk(spark, tmp_path, n=10, parts=1)  # v0
+    t.delete_where_mor(spark, [("k", "<", 2)])  # v1
+    t.delete_where(spark, [("k", "=", 5)])  # v2 (CoW images)
+    t.commit(
+        spark.createDataFrame([(100, 0, 1)], SCHEMA).repartition(1),
+        mode="append",
+    )  # v3
+    schema = StructType.fromDDL(
+        "k long, g long, v long, _change_type string, _commit_version long"
+    )
+    r = SnapshotCDFSimpleStreamReader(t.root, schema, max_versions=2)
+    assert r.initialOffset() == {"version": -1}
+    it, end = r.read({"version": -1})
+    rows1 = list(it)
+    assert end == {"version": 1}  # baseline (v0) + v1 = 2 versions
+    assert {r_[4] for r_ in rows1} == {0, 1}
+    it, end = r.read(end)
+    rows2 = list(it)
+    assert end == {"version": 3}
+    assert {r_[4] for r_ in rows2} == {2, 3}
+    # caught up
+    it, end2 = r.read(end)
+    assert end2 == end and list(it) == []
+    # restart from a checkpointed mid-position caps exactly
+    r2 = SnapshotCDFSimpleStreamReader(t.root, schema, max_versions=1)
+    it, end = r2.read({"version": 1})
+    assert end == {"version": 2}
+    assert {(x[0], x[3]) for x in it} == {(5, "delete")}
+    # the full multiset equals the uncapped feed
+    everything = rows1 + rows2
+    batch, _ = read_row_changes_since(spark, t, None)
+    assert Counter(tuple(x) for x in everything) == Counter(
+        tuple(x) for x in batch.collect()
+    )
+
+
+def test_cdf_admission_through_engine(spark, tmp_path):
+    """End-to-end: readStream + readChangeFeed + maxVersionsPerTrigger
+    routes through the Simple reader and drains the same multiset."""
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path, n=12, parts=1)
+    t.delete_where(spark, [("g", "=", 1)])
+    t.update_where_mor(spark, {"v": "v + 2"}, [("g", "=", 2)])
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(tuple(r) for r in batch_df.collect())
+
+    batches: list[int] = []
+
+    def sink2(batch_df, _bid):
+        rows = [tuple(r) for r in batch_df.collect()]
+        if rows:
+            batches.append(len({r[4] for r in rows}))
+        got.extend(rows)
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    batch, _ = read_row_changes_since(spark, t, None)
+    assert Counter(got) == Counter(tuple(r) for r in batch.collect())
+    # version-granular: every non-empty micro-batch held exactly 1 version
+    assert batches and all(b == 1 for b in batches)
+    assert len(batches) == 3  # baseline + CoW delete + MoR update
+
+
+def test_cdf_admission_option_validation(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import (
+        SnapshotDataSource,
+    )
+
+    t = _mk(spark, tmp_path, n=5, parts=1)
+    schema = StructType.fromDDL("k long, g long, v long")
+    # file/byte budgets are refused for the CDF (no byte meta on images)
+    ds = SnapshotDataSource(
+        {
+            "root": t.root,
+            "readChangeFeed": "true",
+            "maxFilesPerTrigger": "2",
+        }
+    )
+    with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
+        ds.streamReader(schema)
+    # version budget on a PLAIN stream is a spelling error, not a no-op
+    ds2 = SnapshotDataSource(
+        {"root": t.root, "maxVersionsPerTrigger": "2"}
+    )
+    with pytest.raises(ValueError, match="maxVersionsPerTrigger applies"):
+        ds2.streamReader(schema)
