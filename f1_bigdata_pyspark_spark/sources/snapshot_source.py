@@ -1162,6 +1162,32 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         pass
 
 
+def _parse_ts(v) -> float:
+    """Unix seconds or an ISO timestamp — the same dual spelling as the
+    batch reader's ``timestampAsOf``."""
+    try:
+        return float(v)
+    except ValueError:
+        import datetime
+
+        return datetime.datetime.fromisoformat(str(v)).timestamp()
+
+
+def _first_version_at_or_after(root: str, ts: float) -> int:
+    """Smallest retained version committed at or after ``ts`` (Delta's
+    ``startingTimestamp`` resolution). A timestamp past the last commit
+    raises — Delta's 'provided timestamp is after the latest version'
+    contract, made explicit."""
+    for v in _log_versions(root):
+        at = _log_manifest(root, v).get("committed_at", float("-inf"))
+        if at >= ts:
+            return v
+    raise ValueError(
+        f"startingTimestamp {ts} is after the latest commit — nothing "
+        "to read; drop the option or pass an earlier timestamp"
+    )
+
+
 class SnapshotCDFSimpleStreamReader(SimpleDataSourceStreamReader):
     """ADMISSION-CONTROLLED streaming change data feed (round 11):
     ``readChangeFeed`` + ``maxVersionsPerTrigger`` caps how many
@@ -1849,9 +1875,10 @@ class SnapshotDataSource(DataSource):
     Batch CHANGE DATA FEED (round 11 — Delta's ``table_changes``):
     ``.option("readChangeFeed", "true")`` on a BATCH read delivers the
     row-level changes for versions [``startingVersion``,
-    ``endingVersion``] (defaults: initial snapshot → head), and
-    ``columns`` narrows the feed (projection pushdown) — see
-    ``SnapshotCDFBatchReader``.
+    ``endingVersion``] (defaults: initial snapshot → head; the
+    ``startingTimestamp``/``endingTimestamp`` spellings resolve by
+    commit time), and ``columns`` narrows the feed (projection
+    pushdown) — see ``SnapshotCDFBatchReader``.
 
     Also writable: ``df.write.format("snapshot").option("root", path)
     .mode("append"|"overwrite").save()`` runs the two-phase commit in
@@ -2001,6 +2028,31 @@ class SnapshotDataSource(DataSource):
             ev = self.options.get("endingVersion") or self.options.get(
                 "endingversion"
             )
+            st = self.options.get("startingTimestamp") or self.options.get(
+                "startingtimestamp"
+            )
+            et = self.options.get("endingTimestamp") or self.options.get(
+                "endingtimestamp"
+            )
+            if (sv is not None and st is not None) or (
+                ev is not None and et is not None
+            ):
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp (and "
+                    "endingVersion OR endingTimestamp), not both"
+                )
+            if st is not None:
+                # Delta's startingTimestamp: the FIRST version committed
+                # at or after the timestamp
+                sv = _first_version_at_or_after(root, _parse_ts(st))
+            if et is not None:
+                # endingTimestamp: the last version committed at or
+                # before the timestamp
+                from f1_bigdata_pyspark_spark.sources.snapshots import (
+                    SnapshotTable,
+                )
+
+                ev = SnapshotTable(root).version_as_of(_parse_ts(et))
             return SnapshotCDFBatchReader(
                 root,
                 schema,

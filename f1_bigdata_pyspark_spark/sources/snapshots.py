@@ -2028,6 +2028,7 @@ class SnapshotTable:
         cdir = os.path.join(self.data_dir, f"changes-{uuid.uuid4().hex[:12]}")
         types: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         for ctype, cdf in frames.items():
             if cdf is None:
                 continue
@@ -2050,9 +2051,12 @@ class SnapshotTable:
                 if f.endswith(".parquet")
             )
             kept = []
+            n = 0
             for f in written:
-                if _pq.ParquetFile(f).metadata.num_rows > 0:
+                nf = _pq.ParquetFile(f).metadata.num_rows
+                if nf > 0:
                     kept.append(f)
+                    n += nf
                     # footer stats let a FILTERED batch-CDF read prune
                     # whole image files (round 11 pushdown) — same
                     # evidence shape as data files
@@ -2061,9 +2065,15 @@ class SnapshotTable:
                     self._fs.unlink(f)  # empty shuffle partition
             if kept:
                 types[ctype] = kept
+                rows[ctype] = n
         out = {"dir": cdir, "types": types}
         if stats:
             out["stats"] = stats
+        if rows:
+            # per-type image row counts — commit-time CDC metrics (free
+            # from the footers just read), and what lets delete_where
+            # derive rows_changed without a separate count scan
+            out["rows"] = rows
         return out
 
     def merge(
@@ -3510,27 +3520,37 @@ class SnapshotTable:
             }
         pred = F.coalesce(_predicate_column(where), F.lit(False))
         scan = self._scan_with_tombstones(spark, manifest, touched)
-        rows_changed = scan.filter(pred).count()
-        if rows_changed == 0:
+        noop = {
             # pruning kept may-match files but no ROW satisfied the
             # predicate: publishing a byte-identical copy-on-write
             # version would force every streaming reader to refuse and
             # re-sync over a DML that changed nothing — report the
             # no-op against the CURRENT version instead
-            return {
-                "version": base,
-                "files_rewritten": 0,
-                "files_carried": len(manifest["files"]),
-                "rows_changed": 0,
-            }
+            "version": base,
+            "files_rewritten": 0,
+            "files_carried": len(manifest["files"]),
+            "rows_changed": 0,
+        }
         matched = scan.filter(pred)
+        cd_entry: dict | None = None
         if set_exprs is None:
+            # FUSED count (round 11): a delete's images ARE the matched
+            # rows (the multiset diff the generic feed path would
+            # compute — unmatched rows cancel), and the image footers
+            # carry the count — one scan of the touched files instead
+            # of a count pass plus an image pass
+            cd_entry = self._write_change_data({"delete": matched})
+            rows_changed = (cd_entry.get("rows") or {}).get("delete", 0)
+            if rows_changed == 0:
+                import shutil
+
+                shutil.rmtree(cd_entry["dir"], ignore_errors=True)
+                return noop
             new_df = scan.filter(~pred)
-            # change data: a delete's images ARE the matched rows (the
-            # multiset diff the generic feed path would compute — the
-            # unmatched rows appear identically on both sides and cancel)
-            cd_frames = {"delete": matched}
         else:
+            rows_changed = matched.count()
+            if rows_changed == 0:
+                return noop
             cols = []
             for c in scan.columns:
                 if c in set_exprs:
@@ -3551,10 +3571,12 @@ class SnapshotTable:
             # emits nothing). Same `cols` as the rewrite, so the image
             # types match the written bytes.
             post_m = matched.select(*cols)
-            cd_frames = {
-                "update_preimage": matched.exceptAll(post_m),
-                "update_postimage": post_m.exceptAll(matched),
-            }
+            cd_entry = self._write_change_data(
+                {
+                    "update_preimage": matched.exceptAll(post_m),
+                    "update_postimage": post_m.exceptAll(matched),
+                }
+            )
         if manifest.get("constraints"):
             _validate_constraints(
                 new_df, manifest["constraints"], "the rewritten rows"
@@ -3616,7 +3638,7 @@ class SnapshotTable:
             out["dvs"] = dvs_c
         if partitions:
             out["partitions"] = partitions
-        out["change_data"] = self._write_change_data(cd_frames)
+        out["change_data"] = cd_entry
         self._publish(version, out)
         return {
             "version": version,
@@ -3746,6 +3768,13 @@ class SnapshotTable:
                 rec["txn"] = dict(m["txn"])
             if m.get("op"):  # metadata-only sub-operation (refresh-stats)
                 rec["op"] = m["op"]
+            if m.get("change_data") is not None:
+                # commit-time CDC metrics (round 11 — Delta's
+                # operationMetrics): per-type image row counts straight
+                # from the manifest entry; {} = proven no-row-change
+                rec["change_rows"] = dict(
+                    m["change_data"].get("rows") or {}
+                )
             out.append(rec)
             prev_files = files
         return out

@@ -440,3 +440,16 @@ def test_change_images_across_additive_schema_evolution(spark, tmp_path):
             "k", "g", "v", "tag", "_change_type", "_commit_version"
         ).collect()
     )
+
+
+def test_describe_history_reports_change_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20, parts=1)
+    t.delete_where(spark, [("k", "<", 4)])
+    t.update_where(spark, {"v": "v + 1"}, [("k", "=", 10)])
+    hist = {h["version"]: h for h in t.describe_history()}
+    assert "change_rows" not in hist[0]  # plain append
+    assert hist[1]["change_rows"] == {"delete": 4}
+    assert hist[2]["change_rows"] == {
+        "update_preimage": 1,
+        "update_postimage": 1,
+    }

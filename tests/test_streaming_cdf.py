@@ -559,3 +559,49 @@ def test_cdf_admission_option_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="maxVersionsPerTrigger applies"):
         ds2.streamReader(schema)
+
+
+def test_batch_cdf_timestamp_bounds(spark, tmp_path):
+    """startingTimestamp / endingTimestamp resolve to versions by commit
+    time (Delta parity): first-at-or-after for the start, last-at-or-
+    before for the end."""
+    import time as _time
+
+    from f1_bigdata_pyspark_spark.sources.snapshot_source import register
+
+    register(spark)
+    t = _mk(spark, tmp_path, n=6, parts=1)  # v0
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.delete_where(spark, [("k", "=", 1)])  # v1
+    _time.sleep(0.05)
+    after_v1 = _time.time()
+    _time.sleep(0.05)
+    t.commit(
+        spark.createDataFrame([(100, 0, 1)], SCHEMA).repartition(1),
+        mode="append",
+    )  # v2
+    rows = (
+        spark.read.format("snapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", str(mid))
+        .option("endingTimestamp", str(after_v1))
+        .load()
+        .collect()
+    )
+    assert {r["_commit_version"] for r in rows} == {1}
+    assert [(r["k"], r["_change_type"]) for r in rows] == [(1, "delete")]
+    with pytest.raises(Exception, match="startingVersion OR startingTimestamp"):
+        spark.read.format("snapshot").option("root", t.root).option(
+            "readChangeFeed", "true"
+        ).option("startingVersion", "1").option(
+            "startingTimestamp", str(mid)
+        ).load().collect()
+    import time as _t
+
+    with pytest.raises(Exception, match="after the latest commit"):
+        spark.read.format("snapshot").option("root", t.root).option(
+            "readChangeFeed", "true"
+        ).option("startingTimestamp", str(_t.time() + 3600)).load().collect()
