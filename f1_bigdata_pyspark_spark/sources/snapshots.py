@@ -3676,6 +3676,19 @@ class SnapshotTable:
             if set(d["files"]) & set(files)
         ]
         need_pos = with_row_pos or bool(dvs)
+        if not files:
+            # empty file list: _plan_scan returns the empty frame with
+            # the committed schema (masking nothing is a no-op; the
+            # grouping below would otherwise build zero parts and crash
+            # — found by the round-11 randomized DML walk via an
+            # empty-side rollback diff on a tombstoned table)
+            return self._plan_scan(
+                spark,
+                manifest,
+                files,
+                with_file_name=with_file_name,
+                with_row_pos=with_row_pos,
+            )
         if not ts and not need_pos:
             return self._plan_scan(
                 spark, manifest, files, with_file_name=with_file_name

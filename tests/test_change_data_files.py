@@ -453,3 +453,83 @@ def test_describe_history_reports_change_rows(spark, tmp_path):
         "update_preimage": 1,
         "update_postimage": 1,
     }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_randomized_dml_history_stream_equals_batch(spark, tmp_path, seed):
+    """Property form of the gauntlet: a seeded random walk over the DML
+    palette (MoR/CoW delete+update, merge, tombstone, append, overwrite
+    and rollback with images, DV consolidation) must always satisfy
+    streaming drain ≡ batch feed ≡ fold-to-live-table."""
+    import random
+
+    rng = random.Random(seed)
+    t = _mk(spark, tmp_path, n=30, parts=2, name=f"tbl{seed}")
+    next_k = [1000]
+
+    def _append():
+        k0 = next_k[0]
+        next_k[0] += 5
+        t.commit(
+            spark.createDataFrame(
+                [(k, k % 5, k) for k in range(k0, k0 + 5)], SCHEMA
+            ).repartition(1),
+            mode="append",
+        )
+
+    def _merge():
+        pivot = rng.randrange(0, 30)
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(pivot, "U", 7777), (next_k[0], "I", 8888)],
+                "k long, op string, nv long",
+            ),
+            ["k"],
+            matched_delete=F.col("op") == "X",
+            matched_update={"v": F.col("nv")},
+            update_condition=F.col("op") == "U",
+            not_matched_insert={"g": F.lit(3), "v": F.col("nv")},
+        )
+        next_k[0] += 1
+
+    ops = [
+        lambda: t.delete_where_mor(spark, [("g", "=", rng.randrange(5))]),
+        lambda: t.update_where_mor(
+            spark, {"v": "v + 13"}, [("g", "=", rng.randrange(5))]
+        ),
+        lambda: t.delete_where(spark, [("k", "<", rng.randrange(5, 20))]),
+        lambda: t.update_where(
+            spark, {"v": "v * 3"}, [("g", "=", rng.randrange(5))]
+        ),
+        _append,
+        _merge,
+        lambda: t.delete_keys(
+            spark,
+            spark.createDataFrame(
+                [(rng.randrange(40),), (rng.randrange(40),)], "k long"
+            ),
+            ["k"],
+        ),
+        lambda: t.commit(
+            spark.createDataFrame(
+                [(i, i % 5, i) for i in range(rng.randrange(5, 15))], SCHEMA
+            ).repartition(1),
+            mode="overwrite",
+            change_data=True,
+        ),
+        lambda: t.rollback(
+            rng.randrange(max(1, t.latest_version())), spark=spark
+        ),
+        lambda: t.consolidate_deletion_vectors(spark, max_records=2),
+    ]
+    for _ in range(8):
+        rng.choice(ops)()
+    got: list = []
+    _drain(spark, t.root, str(tmp_path / f"ckpt{seed}"), got)
+    batch, _ = read_row_changes_since(spark, t, None)
+    assert Counter(got) == Counter(tuple(r) for r in batch.collect())
+    live = Counter(
+        tuple(r) for r in t.read(spark).select("k", "g", "v").collect()
+    )
+    assert _fold(got) == live
