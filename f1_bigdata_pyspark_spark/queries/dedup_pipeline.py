@@ -141,7 +141,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         minhash_candidates(docs, num_hashes=32, n_bands=8, shingle_n=3)
         .filter(F.col("est_jaccard") >= 0.2)
-        .orderBy("d1", "d2")
+        # no trailing display orderBy (r11): order-insensitive hash gate.
     )
 
 

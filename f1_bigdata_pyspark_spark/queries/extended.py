@@ -6096,7 +6096,12 @@ def snapshot_served_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
-    return materialize(
+    # r11: no materialize and no display orderBy on the serving face — the
+    # cached table outlives the call (no rmtree race to hide), the hash
+    # gate is order-insensitive, and the localCheckpoint added one full
+    # extra job per timed run. The returned plan is the REAL serving plan
+    # (BatchScan snapshot → agg), which is also what the plan audits see.
+    return (
         served.select(
             F.col("pr").alias("o_orderpriority"),
             "n_orders",
@@ -6108,7 +6113,6 @@ def snapshot_served_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n_files_scanned", F.lit(stats["n_files_scanned"]).cast("long")
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -6499,17 +6503,38 @@ def snapshot_cdf_fold_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _cdf_fold_table(spark, sf_dir)
     t = SnapshotTable(root)
     feed, _cursor = read_row_changes_since(spark, t, None)
-    feed = materialize(feed)
-    counts = {
-        r["_change_type"]: r["n"]
-        for r in feed.groupBy("_change_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # r11: project the feed to exactly what the consumer folds — (pr,
+    # cents, _change_type) — BEFORE the materialize barrier, so Catalyst
+    # pushes the pruning into every per-version scan (baseline parquet,
+    # change-data images, the DV semi-join's pre-scan) and the checkpoint
+    # holds 3 narrow columns instead of the full row + _commit_version.
+    # Guide §2.3/§4.1: pass only the columns the function needs.
+    feed = materialize(feed.select("pr", "cents", "_change_type"))
+    # r11: the change-type counts and the IVM fold are INDEPENDENT reads
+    # of the same checkpointed feed — submit them as concurrent jobs
+    # (guide §2.6: actions are only sequential because driver code calls
+    # them sequentially); the fold's 5-row result is collected directly
+    # instead of localCheckpoint-then-collect (one job, not two).
+    from concurrent.futures import ThreadPoolExecutor
+
     empty = spark.createDataFrame([], "pr string, n long, s long")
-    maintained = materialize(
-        apply_row_feed_to_rollup(empty, feed, ["pr"], "cents")
-    )
+
+    def _counts() -> dict:
+        return {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def _fold_rows():
+        return apply_row_feed_to_rollup(empty, feed, ["pr"], "cents").collect()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        counts_f = pool.submit(_counts)
+        rows_f = pool.submit(_fold_rows)
+        counts = counts_f.result()
+        fold_rows = rows_f.result()
     # the from-scratch reference is deterministic per table build: cache
     # it beside the build so bench's min-of-5 times the FOLD, not five
     # identical recomputes (the fold is the serving path under test)
@@ -6521,29 +6546,27 @@ def snapshot_cdf_fold_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rollup_of(t.read(spark), ["pr"], "cents").collect()
         }
         _CDF_FOLD_CACHE[ref_key] = recomputed
-    matches = {r.pr: (r.n, r.s) for r in maintained.collect()} == recomputed
-    return materialize(
-        maintained.select(
-            F.col("pr").alias("o_orderpriority"),
-            F.col("n").cast("long").alias("n_orders"),
-            F.col("s").cast("long").alias("sum_cents"),
-        )
-        .withColumn(
-            "n_insert_rows", F.lit(counts.get("insert", 0)).cast("long")
-        )
-        .withColumn(
-            "n_delete_rows", F.lit(counts.get("delete", 0)).cast("long")
-        )
-        .withColumn(
-            "n_update_pre_rows",
-            F.lit(counts.get("update_preimage", 0)).cast("long"),
-        )
-        .withColumn(
-            "n_update_post_rows",
-            F.lit(counts.get("update_postimage", 0)).cast("long"),
-        )
-        .withColumn("fold_matches_recompute", F.lit(matches))
-        .orderBy("o_orderpriority")
+    matches = {r.pr: (r.n, r.s) for r in fold_rows} == recomputed
+    # r11: the returned frame is a LocalRelation built from the fold's
+    # collected rows + commit counters — the driver's later collect of
+    # this 5-row result costs nothing (no extra jobs, no display sort).
+    return spark.createDataFrame(
+        [
+            (
+                r.pr,
+                int(r.n),
+                int(r.s),
+                counts.get("insert", 0),
+                counts.get("delete", 0),
+                counts.get("update_preimage", 0),
+                counts.get("update_postimage", 0),
+                matches,
+            )
+            for r in fold_rows
+        ],
+        "o_orderpriority string, n_orders long, sum_cents long, "
+        "n_insert_rows long, n_delete_rows long, n_update_pre_rows long, "
+        "n_update_post_rows long, fold_matches_recompute boolean",
     )
 
 

@@ -93,7 +93,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("dur_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 3
             ).alias("avg_session_s"),
         )
-        .orderBy("user_id")
+        # no trailing display orderBy (r11): order-insensitive hash gate;
+        # keeps the query at exactly one data exchange (user_id).
     )
 
 

@@ -55,7 +55,8 @@ ORDER BY vec_id
 def cosine_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    return similarity_threshold(emb, qv, threshold=0.3).orderBy("vec_id")
+    # no trailing display orderBy (r11): order-insensitive hash gate.
+    return similarity_threshold(emb, qv, threshold=0.3)
 
 
 # --------------------------------------------------------------------------

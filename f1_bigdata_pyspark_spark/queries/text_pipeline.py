@@ -56,7 +56,7 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(n_tokens), 6).alias("avg_tokens"),
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
-        .orderBy("lang")
+        # no trailing display orderBy (r11): order-insensitive hash gate.
     )
 
 

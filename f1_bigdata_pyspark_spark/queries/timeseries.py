@@ -56,7 +56,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
             "avg_value",
         )
-        .orderBy("hour_start", "event_type")
+        # no trailing display orderBy (r11): order-insensitive hash gate.
     )
 
 

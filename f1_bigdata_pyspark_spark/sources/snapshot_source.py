@@ -630,6 +630,29 @@ def _log_manifest(root: str, v: int) -> dict:
     return load_manifest(root, v)
 
 
+def _log_manifest_from(root: str, v: int, base: dict | None) -> dict:
+    """Resolve ``v`` reusing an already-resolved ``base`` manifest when the
+    on-disk record is a delta against exactly ``base['version']`` (r11:
+    sequential per-version planners walk O(versions) instead of
+    O(versions × delta-chain); falls back to the full resolution
+    otherwise — content-identical, same merge step)."""
+    import json as _json
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import _apply_delta
+
+    if base is not None:
+        path = os.path.join(root, "_manifests", f"v{v}.json")
+        try:
+            raw = _json.loads(open(path).read())
+        except FileNotFoundError:
+            return _log_manifest(root, v)
+        if "delta_of" not in raw:
+            return raw
+        if raw["delta_of"] == base.get("version"):
+            return _apply_delta(raw, base)
+    return _log_manifest(root, v)
+
+
 def _plan_added_partitions(
     root: str,
     lo: int,
@@ -708,7 +731,7 @@ def _plan_added_partitions(
         prev_m = None
     out = []
     for v in sorted(x for x in available if first <= x <= hi):
-        m = _log_manifest(root, v)
+        m = _log_manifest_from(root, v, prev_m)
         names = [f["name"] for f in json.loads(m["schema"])["fields"]]
         if ref_names is None:
             ref_names = names
@@ -964,7 +987,7 @@ def _plan_cdf_partitions(
                 )
             )
     for v in sorted(x for x in available if first <= x <= hi):
-        m = _log_manifest(root, v)
+        m = _log_manifest_from(root, v, pm)
         names = [f["name"] for f in json.loads(m["schema"])["fields"]]
         if names[: len(ref_names)] != ref_names:
             raise ValueError(
@@ -1365,8 +1388,9 @@ def _admit_until(
     end = base
     n_files = 0
     n_bytes = 0
+    m = None  # r11: sequential resolve — O(versions), not O(v × chain)
     for v in sorted(v for v in available if first <= v <= latest):
-        m = _log_manifest(root, v)
+        m = _log_manifest_from(root, v, m)
         added = [f for f in m["files"] if f not in seen]
         stats = m.get("stats", {})
         b = sum(
