@@ -222,7 +222,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
-    )
+        # r11: pin pair-scan parallelism — the non-equi self-join plans as
+        # BroadcastNestedLoopJoin over the STREAMED side's partitions, and
+        # the embeddings scan is one split, so without this exchange the
+        # whole O(n^2) dot-fold ran on a single task (see _all_pairs_dist)
+    ).repartition(en.sparkSession.sparkContext.defaultParallelism, F.col("d1"))
     b = en.select(
         F.col("vec_id").alias("d2"),
         F.col("embedding").alias("vb"),
@@ -823,7 +827,11 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
-    )
+        # r11: pin pair-scan parallelism — the non-equi self-join plans as
+        # BroadcastNestedLoopJoin over the STREAMED side's partitions, and
+        # the embeddings scan is one split, so without this exchange the
+        # whole O(n^2) dot-fold ran on a single task (see _all_pairs_dist)
+    ).repartition(en.sparkSession.sparkContext.defaultParallelism, F.col("d1"))
     b = en.select(
         F.col("vec_id").alias("d2"),
         F.col("embedding").alias("vb"),
@@ -1582,7 +1590,11 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
-    )
+        # r11: pin pair-scan parallelism — the non-equi self-join plans as
+        # BroadcastNestedLoopJoin over the STREAMED side's partitions, and
+        # the embeddings scan is one split, so without this exchange the
+        # whole O(n^2) dot-fold ran on a single task (see _all_pairs_dist)
+    ).repartition(en.sparkSession.sparkContext.defaultParallelism, F.col("d1"))
     b = en.select(
         F.col("vec_id").alias("d2"),
         F.col("embedding").alias("vb"),

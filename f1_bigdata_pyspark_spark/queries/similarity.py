@@ -1317,7 +1317,11 @@ def cosine_distribution_histogram(
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
-    )
+        # r11: pin pair-scan parallelism — the non-equi self-join plans as
+        # BroadcastNestedLoopJoin over the STREAMED side's partitions, and
+        # the embeddings scan is one split, so without this exchange the
+        # whole O(n^2) dot-fold ran on a single task (see _all_pairs_dist)
+    ).repartition(en.sparkSession.sparkContext.defaultParallelism, F.col("d1"))
     b = en.select(
         F.col("vec_id").alias("d2"),
         F.col("embedding").alias("vb"),
@@ -1344,6 +1348,50 @@ def cosine_distribution_histogram(
             "n_pairs",
         )
         .orderBy("bin")
+    )
+
+
+def _all_pairs_dist(emb: DataFrame) -> DataFrame:
+    """(src, dst, dist) for every ordered pair src ≠ dst, where dist =
+    1 − round(cos, 6) — the shared exact pair scan of the TwoNN and
+    hubness diagnostics.
+
+    r11 shape (measured 49 s → ~2 s for hubness at sf0.01):
+    - norms are precomputed ONCE per vector, so each pair costs one dot
+      fold instead of three interpreted array folds — float-identical to
+      ``functions.vectors.cosine`` (same norm2(a)·norm2(b) denominator),
+      the same discipline as dedup_pipeline._pair_cosine;
+    - the src side is EXPLICITLY repartitioned by src before the
+      non-equi self-join: the join plans as BroadcastNestedLoopJoin over
+      the streamed side's partitions, and the embeddings file is ONE
+      scan split — without the exchange the whole O(n²) fold ran on a
+      single task (guide §2.5). The hash partitioning also feeds the
+      downstream per-src window with no further exchange;
+    - no localCheckpoint: each face consumes the pairs exactly once (the
+      old materialize wrote the full n² frame to disk first)."""
+    from f1_bigdata_pyspark_spark.functions.vectors import dot, norm2
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    en = emb.select(
+        "vec_id", "embedding", norm2(F.col("embedding")).alias("nrm")
+    )
+    a = en.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    ).repartition(par, F.col("src"))
+    b = en.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom == F.lit(0.0), F.lit(None).cast("double")).otherwise(
+        dot(F.col("va"), F.col("vb")) / denom
+    )
+    dist = F.lit(1.0) - F.round(cos, 6)
+    return a.join(b, F.col("src") != F.col("dst")).select(
+        "src", "dst", dist.alias("dist")
     )
 
 
@@ -1399,19 +1447,11 @@ def embedding_intrinsic_dim_twonn(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    from f1_bigdata_pyspark_spark.utils import materialize
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
     # cosine distance on the ROUNDED similarity — the repo's established
-    # cross-engine total order (1 − x on a 6-dp value is exact in binary)
-    dist = F.lit(1.0) - F.round(cosine(F.col("va"), F.col("vb")), 6)
-    pairs = materialize(
-        a.join(b, F.col("src") != F.col("dst")).select(
-            "src", "dst", dist.alias("dist")
-        )
-    )
+    # cross-engine total order (1 − x on a 6-dp value is exact in binary);
+    # r11: shared norm-precomputed, parallelized pair scan (_all_pairs_dist)
+    pairs = _all_pairs_dist(emb)
     w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
     nn = (
         pairs.withColumn("rk", F.row_number().over(w))
@@ -1491,17 +1531,9 @@ FROM s
 def knn_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from f1_bigdata_pyspark_spark.utils import materialize
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
-    dist = F.lit(1.0) - F.round(cosine(F.col("va"), F.col("vb")), 6)
-    pairs = materialize(
-        a.join(b, F.col("src") != F.col("dst")).select(
-            "src", "dst", dist.alias("dist")
-        )
-    )
+    # r11: shared norm-precomputed, parallelized pair scan (_all_pairs_dist)
+    pairs = _all_pairs_dist(emb)
     w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
     h = (
         pairs.withColumn("rk", F.row_number().over(w))
@@ -1749,7 +1781,9 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("va"),
         F.col("qs").alias("qa"),
         F.col("yq").alias("ya"),
-    )
+        # r11: pin pair-scan parallelism (single-split input, BNLJ streams
+        # the left side — see _all_pairs_dist)
+    ).repartition(proj.sparkSession.sparkContext.defaultParallelism, F.col("va"))
     b = proj.select(
         F.col("vec_id").alias("vb"),
         F.col("qs").alias("qb"),
