@@ -73,13 +73,16 @@ def test_customer_join_degrades_to_shuffle_join(spark, sf_smoke, qname):
     the customer join has to compile to SortMergeJoin, and the answer must
     not change."""
     fn = _REGISTRY[qname].fn
-    baseline = [tuple(r) for r in fn(spark, sf_smoke).collect()]
+    baseline = sorted(tuple(r) for r in fn(spark, sf_smoke).collect())
     with _with_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
         df = fn(spark, sf_smoke)
         plan = formatted_plan(df)
         assert "BroadcastHashJoin" not in plan, plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
-        got = [tuple(r) for r in df.collect()]
+        got = sorted(tuple(r) for r in df.collect())
+    # sorted: these queries dropped their trailing display orderBy in r11
+    # (the correctness gate hashes order-insensitively), so the two plans
+    # may legitimately emit rows in different orders
     assert got == baseline
 
 
