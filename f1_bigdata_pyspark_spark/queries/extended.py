@@ -6510,51 +6510,61 @@ ORDER BY pr
     bench=True,
 )
 def snapshot_cdf_fold_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from f1_bigdata_pyspark_spark.operators.ivm import (
-        apply_row_feed_to_rollup,
-        rollup_of,
-    )
+    from f1_bigdata_pyspark_spark.operators.ivm import rollup_of
     from f1_bigdata_pyspark_spark.sources.snapshots import (
         SnapshotTable,
         read_row_changes_since,
     )
-    from f1_bigdata_pyspark_spark.utils import materialize
 
     root = _cdf_fold_table(spark, sf_dir)
     t = SnapshotTable(root)
     feed, _cursor = read_row_changes_since(spark, t, None)
-    # r11: project the feed to exactly what the consumer folds — (pr,
-    # cents, _change_type) — BEFORE the materialize barrier, so Catalyst
-    # pushes the pruning into every per-version scan (baseline parquet,
-    # change-data images, the DV semi-join's pre-scan) and the checkpoint
-    # holds 3 narrow columns instead of the full row + _commit_version.
-    # Guide §2.3/§4.1: pass only the columns the function needs.
-    feed = materialize(feed.select("pr", "cents", "_change_type"))
-    # r11: the change-type counts and the IVM fold are INDEPENDENT reads
-    # of the same checkpointed feed — submit them as concurrent jobs
-    # (guide §2.6: actions are only sequential because driver code calls
-    # them sequentially); the fold's 5-row result is collected directly
-    # instead of localCheckpoint-then-collect (one job, not two).
-    from concurrent.futures import ThreadPoolExecutor
+    # r12: SINGLE-PASS serving (guide §1.2 — remove passes outright).
+    # r11 checkpointed the projected feed and ran two concurrent jobs
+    # (change-type counts + IVM fold) over it — one full materialize
+    # pass plus two aggregation jobs. But both consumers are
+    # aggregations of the SAME feed, so one groupBy(pr, _change_type)
+    # computes everything: the fold is `apply_row_feed_to_rollup` over
+    # an EMPTY rollup, which is exactly the signed aggregation
+    #   n(pr) = Σ sign·count,  s(pr) = Σ sign·sum(coalesce(cents, 0))
+    # with sign +1 for insert/update_postimage and −1 for
+    # delete/update_preimage, keeping groups with n > 0 (the identical
+    # NULL-contributes-0 rule — see operators/ivm.py), and the per-type
+    # counts are the same cells summed over pr. The ≤(5 pr × 4 type)
+    # grouped cells are collected once and both results derived driver-
+    # side; with a single consumer the localCheckpoint is dropped too
+    # (guide §5: localCheckpoint only pays when an intermediate has
+    # MULTIPLE consumers). Catalyst still pushes the 3-column projection
+    # into every per-version scan. Net: 1 job + 0 checkpoints, was
+    # 1 checkpoint pass + 2 jobs.
+    grouped = (
+        feed.select("pr", "cents", "_change_type")
+        .groupBy("pr", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("cents").cast("long"), F.lit(0)))
+            .cast("long")
+            .alias("s"),
+        )
+        .collect()
+    )
+    counts: dict = {}
+    fold: dict = {}
+    for r in grouped:
+        counts[r["_change_type"]] = counts.get(r["_change_type"], 0) + r["n"]
+        sign = (
+            1
+            if r["_change_type"] in ("insert", "update_postimage")
+            else -1
+        )
+        fn, fs = fold.get(r["pr"], (0, 0))
+        fold[r["pr"]] = (fn + sign * r["n"], fs + sign * r["s"])
+    from collections import namedtuple
 
-    empty = spark.createDataFrame([], "pr string, n long, s long")
-
-    def _counts() -> dict:
-        return {
-            r["_change_type"]: r["n"]
-            for r in feed.groupBy("_change_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-
-    def _fold_rows():
-        return apply_row_feed_to_rollup(empty, feed, ["pr"], "cents").collect()
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        counts_f = pool.submit(_counts)
-        rows_f = pool.submit(_fold_rows)
-        counts = counts_f.result()
-        fold_rows = rows_f.result()
+    _FoldRow = namedtuple("_FoldRow", ["pr", "n", "s"])
+    fold_rows = [
+        _FoldRow(pr, n, s) for pr, (n, s) in fold.items() if n > 0
+    ]
     # the from-scratch reference is deterministic per table build: cache
     # it beside the build so bench's min-of-5 times the FOLD, not five
     # identical recomputes (the fold is the serving path under test)
