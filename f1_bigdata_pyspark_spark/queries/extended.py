@@ -4533,19 +4533,25 @@ def snapshot_stream_tail_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain()  # same checkpoint: delivers ONLY commit 2
         bt = b.read(spark)
         at = a.read(spark)
-        mism = (
-            bt.join(at, ["o_orderkey"], "left_anti").count()
-            + at.join(bt, ["o_orderkey"], "left_anti").count()
-            + abs(bt.count() - at.count())
+        # r12: B-equals-A as ONE signed-multiset job (guide §1.2/§2.4) —
+        # was four (two anti-join counts + two counts), each re-scanning
+        # a snapshot table. multisets_equal on the key column is the
+        # previous set-difference + total-count test strengthened to
+        # multiset equality — identical verdict here since o_orderkey is
+        # unique per table. One scan of each side, one exchange.
+        from f1_bigdata_pyspark_spark.utils import multisets_equal
+
+        eq = multisets_equal(
+            bt.select("o_orderkey"), at.select("o_orderkey")
         )
+        # no trailing display orderBy (r12): order-insensitive hash gate.
         out = materialize(
             bt.groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_orders"),
                 F.sum("cents").cast("long").alias("total_cents"),
             )
-            .withColumn("stream_equals_source", F.lit(mism == 0))
-            .orderBy("o_orderpriority")
+            .withColumn("stream_equals_source", F.lit(eq))
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -6232,6 +6238,14 @@ def snapshot_streaming_cdf_rollup(
         }
 
         def fold(batch_df, _bid):
+            # (r12 note: fusing the counts into the fold via
+            # DataFrame.observe was tried and REVERTED — Observation.get
+            # never receives metrics for actions run inside foreachBatch
+            # on this build (the streaming execution path bypasses the
+            # observation listener), so it blocked to timeout and read
+            # zeros. Two jobs per micro-batch stays the correct shape
+            # here; the feed delivers the whole pending history as ONE
+            # availableNow batch, so the extra job is a constant.)
             for r in (
                 batch_df.groupBy("_change_type")
                 .agg(F.count(F.lit(1)).alias("n"))
@@ -6287,7 +6301,7 @@ def snapshot_streaming_cdf_rollup(
                 F.lit(counts.get("update_postimage", 0)).cast("long"),
             )
             .withColumn("ivm_matches_recompute", F.lit(matches))
-            .orderBy("o_orderpriority")
+            # no trailing display orderBy (r12): order-insensitive hash.
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1318,10 +1318,14 @@ def statestore_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
         sv = state.select("user_id", "n")
-        state_eq = (
-            sv.exceptAll(batch).count() == 0
-            and batch.exceptAll(sv).count() == 0
-        )
+
+        # r12: each multiset-equality check as ONE signed-union job
+        # (utils.multisets_equal, guide §1.2) — was two exceptAll+count
+        # jobs per check, each rescanning both sides. The scalar columns
+        # fold into one aggregate over the state (was two more jobs),
+        # and the three independent jobs run concurrently (guide §2.6).
+        from f1_bigdata_pyspark_spark.utils import multisets_equal
+
         skew = state_key_skew(spark, ckpt)
         planned = (
             batch.select(
@@ -1330,12 +1334,22 @@ def statestore_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("partition_id")
             .agg(F.count(F.lit(1)).alias("n_keys"))
         )
-        skew_eq = (
-            skew.exceptAll(planned).count() == 0
-            and planned.exceptAll(skew).count() == 0
-        )
-        n_users = state.select("user_id").distinct().count()
-        n_rows = state.agg(F.sum("n")).head()[0]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            state_eq_f = pool.submit(multisets_equal, sv, batch)
+            skew_eq_f = pool.submit(multisets_equal, skew, planned)
+            scalars_f = pool.submit(
+                lambda: state.agg(
+                    F.countDistinct("user_id").alias("u"),
+                    F.sum("n").alias("r"),
+                ).head()
+            )
+            state_eq = state_eq_f.result()
+            skew_eq = skew_eq_f.result()
+            scalars = scalars_f.result()
+        n_users = scalars["u"]
+        n_rows = scalars["r"]
         out = materialize(
             spark.createDataFrame(
                 [(8, n_users, int(n_rows), state_eq, skew_eq)],
@@ -1456,16 +1470,25 @@ def stream_session_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("user_id", "st", "en", "n")
         )
-        eq = (
-            stream_sessions.exceptAll(batch_sessions).count() == 0
-            and batch_sessions.exceptAll(stream_sessions).count() == 0
-        )
-        summary = stream_sessions.agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.sum("n").cast("long").alias("n_events"),
-            F.max("n").cast("long").alias("max_session_events"),
-        ).head()
+        # r12: stream≡batch as ONE signed-union job (was two exceptAll
+        # counts, each re-evaluating both session pipelines), run
+        # concurrently with the summary aggregate (guide §1.2/§2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from f1_bigdata_pyspark_spark.utils import multisets_equal
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            eq_f = pool.submit(multisets_equal, stream_sessions, batch_sessions)
+            summary_f = pool.submit(
+                lambda: stream_sessions.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                    F.countDistinct("user_id").cast("long").alias("n_users"),
+                    F.sum("n").cast("long").alias("n_events"),
+                    F.max("n").cast("long").alias("max_session_events"),
+                ).head()
+            )
+            eq = eq_f.result()
+            summary = summary_f.result()
         out = materialize(
             spark.createDataFrame(
                 [

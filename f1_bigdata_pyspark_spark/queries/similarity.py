@@ -3063,13 +3063,16 @@ def ivf_index_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mode="append",
                 partition_by=["centroid_id"],
             )
-        # the feed-built index content == a from-scratch full assignment
+        # the feed-built index content == a from-scratch full assignment.
+        # r12: ONE signed-union job (utils.multisets_equal) — the two
+        # anti-join counts each re-evaluated the full-corpus ivf_assign
+        # (cross-score + per-vector window), the expensive subtree here,
+        # so the check cost 2× the assignment. Now each side runs once.
+        from f1_bigdata_pyspark_spark.utils import multisets_equal
+
         full = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
         built = index.read(spark).select("vec_id", "centroid_id")
-        mism = (
-            built.join(full, ["vec_id", "centroid_id"], "left_anti").count()
-            + full.join(built, ["vec_id", "centroid_id"], "left_anti").count()
-        )
+        eq = multisets_equal(built, full)
         where = [("centroid_id", "in", probe)]
         rep = index.scan_stats(where=where)
         cells = index.read(spark, where=where)
@@ -3087,7 +3090,7 @@ def ivf_index_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_files_scanned", F.lit(rep["n_files_scanned"]).cast("long")
             )
             .withColumn("n_feed_polls", F.lit(polls).cast("long"))
-            .withColumn("index_equals_full_build", F.lit(mism == 0))
+            .withColumn("index_equals_full_build", F.lit(eq))
             .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         )
     finally:
@@ -3258,10 +3261,11 @@ def ivf_index_cdc_across_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         full = ivf_assign(corpus.read(spark), centroids).select(
             "vec_id", "centroid_id"
         )
-        mism = (
-            built.join(full, ["vec_id", "centroid_id"], "left_anti").count()
-            + full.join(built, ["vec_id", "centroid_id"], "left_anti").count()
-        )
+        # r12: ONE signed-union job (see ivf_index_cdc_maintenance) —
+        # the anti-join pair evaluated the full ivf_assign twice.
+        from f1_bigdata_pyspark_spark.utils import multisets_equal
+
+        eq = multisets_equal(built, full)
         cells = index.read(spark, where=[("centroid_id", "in", probe)])
         out = materialize(
             cells.select(
@@ -3273,7 +3277,7 @@ def ivf_index_cdc_across_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_insert_rows", F.lit(n_ins).cast("long"))
             .withColumn("n_delete_rows", F.lit(n_del).cast("long"))
             .withColumn("n_feed_polls", F.lit(polls).cast("long"))
-            .withColumn("index_equals_full_build", F.lit(mism == 0))
+            .withColumn("index_equals_full_build", F.lit(eq))
             .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         )
     finally:

@@ -2221,9 +2221,27 @@ class SnapshotDataSource(DataSource):
 def register(spark) -> None:
     """Register the source AND enable the Python-DataSource filter
     pushdown conf (off by default in Spark 4.1; runtime-settable) —
-    without it Spark refuses a reader that implements pushFilters."""
-    spark.dataSource.register(SnapshotDataSource)
+    without it Spark refuses a reader that implements pushFilters.
+
+    The REGISTRATION is guarded per session (r12): every serving face
+    calls this on its timed path, and re-registering costs a py4j round
+    trip plus a JVM-side "replaced a previously registered data source"
+    warning per query — pure fixed cost at any scale. The guard is an
+    attribute on the Python session wrapper: a stopped-and-recreated
+    session is a fresh wrapper (re-registers), and the worst case — a
+    new wrapper around an already-registered JVM session — merely
+    re-registers, which was the previous behavior for every call.
+
+    The CONF set is deliberately NOT guarded: several faces (and tests)
+    save/restore or flip the conf around their scans, so register() must
+    re-establish it every call — guarding both broke 7 served faces in
+    the driver-sim (the face that restored "false" stuck for the rest of
+    the session)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if getattr(spark, "_snapshot_source_registered", False):
+        return
+    spark.dataSource.register(SnapshotDataSource)
+    spark._snapshot_source_registered = True
 
 
 def _collect_plan_refs(jplan, refs: set) -> None:

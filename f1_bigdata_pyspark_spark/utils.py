@@ -37,3 +37,24 @@ def materialize(df: DataFrame) -> DataFrame:
     re-scannable intermediate).
     """
     return df.localCheckpoint(eager=True)
+
+
+def multisets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Row-multiset equality of two same-schema frames as ONE Spark job
+    (r12, guide §1.2): rows tagged +1/−1 and summed per distinct row —
+    every per-row sum is zero iff the multisets are equal, the identical
+    A∖B=∅ ∧ B∖A=∅ test the previous two-exceptAll-count pattern ran as
+    FOUR side evaluations (each except leg re-evaluates both inputs).
+    One evaluation of each side, one exchange on the row value."""
+    from pyspark.sql import functions as F
+
+    cols = a.columns
+    d = (
+        a.withColumn("__sgn", F.lit(1))
+        .unionAll(b.select(*cols).withColumn("__sgn", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__sgn").alias("__d"))
+        .agg(F.coalesce(F.max(F.abs(F.col("__d"))), F.lit(0)))
+        .head()[0]
+    )
+    return d == 0

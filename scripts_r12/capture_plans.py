@@ -65,11 +65,33 @@ def cdf_fold_internal():
     )
 
 
+def cdf_fold_internal_r11_checkpoint_pass():
+    """The r11 shape's FIRST pass — the projected feed that
+    localCheckpoint materialized before the two consumer jobs ran over
+    the checkpoint. Captured as the 'before' internal plan (the r11
+    plans/ dump for this face was a LocalRelation stub)."""
+    from f1_bigdata_pyspark_spark.queries.extended import _cdf_fold_table
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        SnapshotTable,
+        read_row_changes_since,
+    )
+
+    root = _cdf_fold_table(spark, sf_dir)
+    feed, _ = read_row_changes_since(spark, SnapshotTable(root), None)
+    return feed.select("pr", "cents", "_change_type")
+
+
 for q in _REGISTRY.values():
     if not q.bench or (only and q.name not in only):
         continue
     df = q.fn(spark, sf_dir)
     dump(df, q.name)
     if q.name == "snapshot_cdf_fold_serving":
-        dump(cdf_fold_internal(), "snapshot_cdf_fold_serving_internal")
+        if tag == "before":
+            dump(
+                cdf_fold_internal_r11_checkpoint_pass(),
+                "snapshot_cdf_fold_serving_internal",
+            )
+        else:
+            dump(cdf_fold_internal(), "snapshot_cdf_fold_serving_internal")
 spark.stop()

@@ -306,8 +306,11 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_star_matches_propagation_on_deep_chain(spark):
     """Large-star/small-star must label a chain FAR deeper than its round
     cap identically to min-label propagation (which needs rounds ≈ depth).
-    Chain depth 120 ≫ star cap 2·⌈log₂ 121⌉ + 4 = 18 round pairs — if the
-    star algorithm were secretly diameter-bound it could not converge."""
+    Chain depth ≫ star cap — if the star algorithm were secretly
+    diameter-bound it could not converge. r12 (verdict #1, suite budget):
+    depth 120 → 60; the property needs only star_cap < depth (36 < 60
+    holds strictly) and propagation's wall is linear in depth (~35 s of
+    the suite was this one chain)."""
     import math
 
     from f1_bigdata_pyspark_spark.operators.graph import (
@@ -315,7 +318,7 @@ def test_connected_components_star_matches_propagation_on_deep_chain(spark):
         connected_components_propagation,
     )
 
-    depth = 120
+    depth = 60
     chain = [(i, i + 1) for i in range(depth)]
     extra = [(500, 501), (501, 502), (700, 700 + 1), (900, 900)]
     edges = spark.createDataFrame(chain + extra, "d1 long, d2 long")

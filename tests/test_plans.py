@@ -301,14 +301,25 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def all_query_plans(spark, sf_smoke):
-    """Formatted physical plan of EVERY registered query (planning only —
-    queries execute nothing beyond their documented bounded driver
-    probes). Computed once; the registry-wide audits below share it."""
-    plans = {}
+def all_query_dfs(spark, sf_smoke):
+    """The DataFrame of EVERY registered query, built ONCE (r12, round-11
+    verdict #1 — the suite must fit the driver's verify budget). Building
+    a query's frame runs its documented bounded driver probes (including
+    the snapshot faces' table builds), ~1 s per query across 373 queries;
+    the three registry-wide audits each used to pay that full pass
+    themselves (403 + 216 + 201 s measured) — now one pass feeds all of
+    them. Sound because every audit below only INSPECTS plans."""
+    dfs = {}
     for name in sorted(_REGISTRY):
-        plans[name] = formatted_plan(_REGISTRY[name].fn(spark, sf_smoke))
-    return plans
+        dfs[name] = _REGISTRY[name].fn(spark, sf_smoke)
+    return dfs
+
+
+@pytest.fixture(scope="module")
+def all_query_plans(all_query_dfs):
+    """Formatted physical plan of every registered query, derived from the
+    shared one-pass frame build above."""
+    return {name: formatted_plan(df) for name, df in all_query_dfs.items()}
 
 
 def test_no_query_plans_a_cartesian_product(all_query_plans):
@@ -430,7 +441,7 @@ def test_unpartitioned_windows_are_documented(all_query_plans):
     assert not stale, f"stale allowlist entries: {stale}"
 
 
-def test_no_oversized_broadcast_registry_wide(spark, sf_smoke):
+def test_no_oversized_broadcast_registry_wide(all_query_dfs):
     """Registry-wide broadcast-size invariant: no BroadcastExchange may be
     fed by a frame whose Catalyst size estimate exceeds the session's
     autoBroadcastJoinThreshold. Catalyst's auto-broadcast only fires
@@ -440,8 +451,8 @@ def test_no_oversized_broadcast_registry_wide(spark, sf_smoke):
     100x the data (the round-3 bigram_pmi_topk defect). The scalar 1-row
     crossJoin broadcasts pass by construction (1-row estimates)."""
     offenders = {}
-    for name in sorted(_REGISTRY):
-        off = oversized_broadcast_inputs(_REGISTRY[name].fn(spark, sf_smoke))
+    for name, df in all_query_dfs.items():
+        off = oversized_broadcast_inputs(df)
         if off:
             offenders[name] = off
     assert not offenders, offenders
@@ -480,15 +491,15 @@ def test_bigram_pmi_vocab_joins_degrade_over_threshold(spark, sf_smoke):
         spark.conf.set(key, prev)
 
 
-def test_shuffle_count_ceiling_across_registry(spark, sf_smoke):
+def test_shuffle_count_ceiling_across_registry(all_query_dfs):
     """Exchange-count tripwire: the heaviest composed pipelines
     (curation_v2, passage dedup, KMV, LSH quality) plan 11 exchanges;
     the registry median is 2. Any query exceeding 12 has almost
     certainly lost a partitioning-reuse or broadcast somewhere — fail
     loudly instead of silently shipping a shuffle storm."""
     offenders = {}
-    for name in sorted(_REGISTRY):
-        n = count_shuffles(_REGISTRY[name].fn(spark, sf_smoke))
+    for name, df in all_query_dfs.items():
+        n = count_shuffles(df)
         if n > 12:
             offenders[name] = n
     assert not offenders, offenders
@@ -540,3 +551,146 @@ def test_readme_registry_count_is_fresh():
         f"SURVEY.md plan-audit note says {m.group(1)} but the registry has "
         f"{len(_REGISTRY)} — update SURVEY.md"
     )
+
+
+# r12 (round-11 verdict #7): unpartitioned windows must be SAFE BY
+# CONSTRUCTION, not just documented — each one's subtree must contain an
+# operator that bounds its input (an Aggregate, a Limit/TakeOrdered, or a
+# local/range relation). Queries whose global window runs over input
+# bounded by something the PLAN cannot show (a selective filter with a
+# stated domain bound, arrival-order audit semantics) are listed here
+# with the reason; everything else is structurally verified.
+_GLOBAL_WINDOW_UNAGG_OK = {
+    "late_arrival_audit",     # running max in ARRIVAL order over the raw
+                              # feed — audit semantics, windows the stream
+                              # itself (docstring states the bound)
+    "order_value_deciles",    # exact global ntile IS the declared
+                              # semantics: a total order over orders is
+                              # inherent to the contract (sf-bounded
+                              # diagnostic; at scale you'd declare
+                              # approx_percentile instead)
+    "price_equidepth_histogram",  # same: exact equi-depth split points
+                              # need the global sort by declaration
+    "sequence_packing_stats",  # global pack offsets by declaration;
+                              # docstring states the per-shard scale form
+    "zorder_part_layout",     # layout walk over the part dimension —
+                              # a demo face over one dim table
+}
+
+
+def _plan_sections(plan: str):
+    """Split a formatted plan into (tree_lines, {id: detail_chunk}) per
+    plan section (main plan + each subquery — operator ids restart per
+    section, so they must not be mixed)."""
+    import re
+
+    sections = re.split(r"(?m)^(?=== Physical Plan ==|Subquery:)", plan)
+    out = []
+    for sec in sections:
+        lines = sec.splitlines()
+        tree = []
+        details: dict[int, list[str]] = {}
+        cur = None
+        for ln in lines:
+            m = re.match(r"^\((\d+)\) (\w+)", ln)
+            if m:
+                cur = int(m.group(1))
+                details[cur] = [ln]
+                continue
+            if cur is not None:
+                details[cur].append(ln)
+                continue
+            tm = re.match(r"^([ :+\-]*)(?:\* )?(\w[\w .$\[\]]*?) \((\d+)\)", ln)
+            if tm:
+                tree.append((len(tm.group(1)), tm.group(2), int(tm.group(3))))
+        if tree or details:
+            out.append((tree, {k: "\n".join(v) for k, v in details.items()}))
+    return out
+
+
+_BOUNDING_OPS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalTableScan",
+    "Scan ExistingRDD",  # createDataFrame of driver-computed rows —
+    # bounded by driver memory by construction (day grids, rank panels)
+    "Range",
+)
+
+
+def test_unpartitioned_windows_sit_above_bounded_input(all_query_plans):
+    """STRUCTURAL pin for the allowlist above: every Window operator whose
+    spec has no partition key must have a bounding operator (aggregate,
+    limit, local relation) somewhere BELOW it in its own plan section —
+    the 'post-aggregate / bounded input' claim checked against the tree,
+    not just the docstring. Exceptions with plan-invisible bounds are
+    named in _GLOBAL_WINDOW_UNAGG_OK."""
+    offenders = {}
+    for name, plan in all_query_plans.items():
+        if name in _GLOBAL_WINDOW_UNAGG_OK:
+            continue
+        for tree, details in _plan_sections(plan):
+            by_id = {op_id: (depth, opname) for depth, opname, op_id in tree}
+            order = [op_id for _, _, op_id in tree]
+            for op_id, chunk in details.items():
+                if not chunk.startswith(f"({op_id}) Window"):
+                    continue
+                if not _unpartitioned_window_specs(chunk):
+                    continue
+                if op_id not in by_id:
+                    continue
+                depth = by_id[op_id][0]
+                idx = order.index(op_id)
+                subtree = []
+                for d2, opname2, id2 in tree[idx + 1:]:
+                    if d2 <= depth:
+                        break
+                    subtree.append(opname2)
+                if not any(
+                    s.startswith(b) for s in subtree for b in _BOUNDING_OPS
+                ):
+                    offenders.setdefault(name, []).append(
+                        (op_id, subtree[:6])
+                    )
+    assert not offenders, f"global windows over unbounded input: {offenders}"
+
+
+def test_unpartitioned_window_structural_detector_not_vacuous(spark, sf_smoke):
+    """The structural walk must actually flag a global window over a raw
+    scan (no aggregate below) — proving the tree parse, the per-operator
+    spec check, and the subtree scan all engage."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    from f1_bigdata_pyspark_spark.catalog import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey")
+    bad = li.withColumn(
+        "rk", F.row_number().over(Window.orderBy("l_orderkey"))
+    )
+    plan = formatted_plan(bad)
+    hits = []
+    for tree, details in _plan_sections(plan):
+        by_id = {op_id: (depth, opname) for depth, opname, op_id in tree}
+        order = [op_id for _, _, op_id in tree]
+        for op_id, chunk in details.items():
+            if chunk.startswith(f"({op_id}) Window") and (
+                _unpartitioned_window_specs(chunk)
+            ):
+                depth = by_id[op_id][0]
+                idx = order.index(op_id)
+                subtree = [
+                    opname2
+                    for d2, opname2, _ in tree[idx + 1:]
+                    if d2 > depth
+                ]
+                if not any(
+                    s.startswith(b) for s in subtree for b in _BOUNDING_OPS
+                ):
+                    hits.append(op_id)
+    assert hits, plan

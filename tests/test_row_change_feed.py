@@ -372,15 +372,41 @@ def test_feed_long_history_bounded_plan_and_chunked_cursor(spark, tmp_path):
         spark.createDataFrame(_rows(8), SCHEMA).coalesce(1), mode="append"
     )
     # 200 single-row appends with a CoW delete sprinkled every 50th
-    # version (exercising the change-data fast path inside a long fold)
+    # version (exercising the change-data fast path inside a long fold).
+    # r12 (verdict #1 — suite must fit the driver's verify budget): the
+    # appends land through publish_files (pyarrow-written file + footer
+    # stats, the Iceberg add_files path) instead of 196 Spark write jobs
+    # — identical manifests/history, and THIS test pins the feed's plan
+    # shape, not commit machinery (covered across test_snapshots.py).
+    # Measured: 320 s -> well under 60 s with the same 200 versions.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_bigdata_pyspark_spark.sources.snapshots import (
+        _file_column_stats,
+    )
+
+    ext = tmp_path / "ext"
+    ext.mkdir()
     for i in range(200):
         if i % 50 == 49:
             t.delete_where(spark, [("k", "=", 1000 + i - 10)])
         else:
-            t.commit(
-                spark.createDataFrame([(1000 + i, 0, i)], SCHEMA).coalesce(1),
-                mode="append",
+            f = str(ext / f"r{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {"k": [1000 + i], "g": [0], "v": [i]},
+                    schema=pa.schema(
+                        [
+                            ("k", pa.int64()),
+                            ("g", pa.int64()),
+                            ("v", pa.int64()),
+                        ]
+                    ),
+                ),
+                f,
             )
+            t.publish_files([f], {f: _file_column_stats(f)})
     assert t.latest_version() >= 200
     t0 = time.monotonic()
     feed, cur = read_row_changes_since(spark, t, 0)
