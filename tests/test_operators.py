@@ -1166,3 +1166,30 @@ def test_asof_join_null_ts_state_never_matches(spark):
         probes, ghost_only, "k", "ts", ["v"]
     ).collect()
     assert f2.v is None
+
+
+def test_multisets_equal_probe(spark):
+    """r12: the one-job signed-union equality probe that replaced the
+    two-exceptAll-count pattern across the streaming/IVF faces. Pins the
+    exact multiset semantics exceptAll gave: multiplicity differences and
+    one-sided rows fail, empty==empty passes."""
+    from f1_bigdata_pyspark_spark.utils import multisets_equal
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    a = [(1, "a"), (2, "b"), (2, "b")]
+    assert multisets_equal(df(a), df(list(reversed(a))))
+    # multiplicity mismatch (same SET): the old set+count test on full
+    # rows also caught this via counts; signed-union catches it per key
+    assert not multisets_equal(df(a), df([(1, "a"), (1, "a"), (2, "b")]))
+    assert not multisets_equal(df(a), df(a + [(3, "c")]))
+    assert not multisets_equal(df(a[:2]), df(a))
+    empty = df([])
+    assert multisets_equal(empty, empty)
+    assert not multisets_equal(empty, df(a))
+    assert not multisets_equal(df(a), empty)
+    # NULL rows group like exceptAll treats them: equal on both sides
+    n = [(None, None), (1, "a")]
+    assert multisets_equal(df(n), df(list(reversed(n))))
+    assert not multisets_equal(df(n), df([(1, "a")]))
