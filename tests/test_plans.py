@@ -131,9 +131,11 @@ def test_asof_join_single_shuffle(spark, sf_smoke):
     assert count_shuffles(df) <= 2
 
 
-def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
+def test_single_agg_family_shuffle_budgets(all_query_dfs):
     """Every scan→(join)→groupBy→sort query stays within agg-exchange +
-    sort-exchange; the multires rollup gets one extra for its second level."""
+    sort-exchange; the multires rollup gets one extra for its second level.
+    (r12: reads the shared one-pass frame build — this test alone rebuilt
+    ~65 query frames, ~14 s of the suite.)"""
     budgets = {
         "dispersion_family": 2,
         "string_functions_probe": 2,
@@ -204,8 +206,7 @@ def test_single_agg_family_shuffle_budgets(spark, sf_smoke):
         "pagerank_suppliers": 10,
     }
     for name, budget in budgets.items():
-        df = q(name, spark, sf_smoke)
-        got = count_shuffles(df)
+        got = count_shuffles(all_query_dfs[name])
         assert got <= budget, (name, got, budget)
 
 
